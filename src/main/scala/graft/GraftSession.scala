@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory.
+  *
+  * All entry points (Verify, Bench, tests) build their session here so the
+  * semantics-critical knobs are set exactly once:
+  *
+  *  - `spark.sql.ansi.enabled=false` — the reference engine
+  *    (/root/reference/main.py:59,62 `pd.to_numeric(errors='coerce')`,
+  *    main.py:198-199 division producing inf that is then scrubbed) relies on
+  *    coercing semantics: bad casts -> NULL, x/0 -> NULL. Spark 4.x defaults
+  *    ANSI ON (errors), so we turn it off for pandas-parity (SURVEY.md §7.3.3).
+  *  - UTC session timezone — parquet timestamps must render identically in
+  *    Spark and in the DuckDB oracle.
+  *  - shuffle partitions sized to the local core count, not the 200 default —
+  *    on a real cluster this is set per-job; at 100 TB you would size it to
+  *    ~2-3x total executor cores with AQE coalescing enabled (it is).
+  */
+object GraftSession {
+  def builder(cores: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      // events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
+      // read as Long and convert explicitly (Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+
+  /** Default session: honors SPARK_GRAFT_CPUS, falls back to all cores. */
+  def get(): SparkSession = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
