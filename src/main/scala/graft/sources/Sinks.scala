@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Output sinks (SURVEY.md §2.1 S5-S7). Parquet is the system of record;
+  * CSV exists for golden-file diffing against the reference's checked-in
+  * outputs; JDBC mirrors the reference's Azure SQL load
+  * (/root/reference/utils/datsetup.py:98-117) including the post-write
+  * primary-key DDL Spark itself cannot emit.
+  */
+object Sinks {
+
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** CSV with an explicit leading row-index column where pandas-index parity
+    * matters (the reference writes `to_csv` with the default index,
+    * main.py:214,221,228,236,345-346).
+    */
+  def csv(df: DataFrame, path: String, withRowIdx: Boolean = false): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val out =
+      if (!withRowIdx) df
+      else df.withColumn("row_idx",
+        row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
+
+  /** JDBC overwrite + primary-key DDL. The reference derives the PK column
+    * as `<table>_id` for facts and `dim_x` -> `id_x` for dims
+    * (utils/datsetup.py:100-113); DDL runs over a plain JDBC statement after
+    * the distributed write. Untested here (no database in the environment) —
+    * kept API-compatible for cluster deployments.
+    */
+  def jdbc(df: DataFrame, url: String, table: String,
+           props: java.util.Properties = new java.util.Properties()): Unit = {
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+    val pk =
+      if (table.startsWith("dim")) table.replaceFirst("^dim", "id")
+      else s"${table}_id"
+    var conn: java.sql.Connection = null
+    try {
+      conn = java.sql.DriverManager.getConnection(url, props)
+      val st = conn.createStatement()
+      st.execute(s"ALTER TABLE $table ALTER COLUMN $pk BIGINT NOT NULL")
+      st.execute(s"ALTER TABLE $table ADD CONSTRAINT PK_$table PRIMARY KEY ($pk)")
+    } finally if (conn != null) conn.close()
+  }
+}
