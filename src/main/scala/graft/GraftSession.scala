@@ -33,6 +33,9 @@ object GraftSession {
       // events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
       // read as Long and convert explicitly (Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Write timestamps as TIMESTAMP_MICROS (not INT96) so downstream
+      // readers (incl. the DuckDB oracle compare) see matching physical types.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
 

@@ -30,7 +30,9 @@ object Tables {
     val raw = s.read.parquet(p(dir, "events"))
     import org.apache.spark.sql.types.LongType
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+      // integral `div`, NOT `/` — double division would lose precision on
+      // nanosecond epochs (> 2^53)
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        => raw
     }
   }

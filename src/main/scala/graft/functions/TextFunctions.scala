@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for the large-scale training-data pipeline
+  * extension (BASELINE.json north star): token counting, quality scoring,
+  * language-ID heuristics, fingerprinting, shingling.
+  *
+  * Everything here is a composition of codegen'd `functions._` expressions —
+  * no UDFs — so whole-stage codegen spans are preserved and the kernels are
+  * sane at 100 TB (pure per-row map work, no shuffles).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. The fixtures are single-space separated; the oracle
+    * (DuckDB string_split) must use the same delimiter.
+    */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Distinct token set — the unit for unigram Jaccard similarity. */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...] via a slide over the
+    * token array (transform + slice — single pass, no explode).
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) < n, array(c)) // short doc: whole text as one shingle
+      .otherwise(transform(
+        sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+  }
+
+  /** Simple quality components (length, punctuation ratio, stopword ratio,
+    * mean token length) + a weighted score in [0,1]-ish range, mirroring
+    * heuristic LLM-corpus filters.
+    */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[\\.,;:!\\?]", ""))).cast("double") /
+      length(c)
+
+  def stopwordRatio(c: Column): Column = {
+    val t = tokens(c)
+    size(filter(t, x => x.isin("the", "a", "and", "of", "to", "in"))).cast("double") /
+      size(t)
+  }
+
+  def meanTokenLen(c: Column): Column = {
+    val t = tokens(c)
+    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t)
+  }
+
+  def qualityScore(c: Column): Column =
+    least(length(c).cast("double") / 500.0, lit(1.0)) * 0.4 +
+      stopwordRatio(c) * 0.3 +
+      (lit(1.0) - punctRatio(c)) * 0.3
+
+  /** Language-ID by marker-token counting with a fixed-priority argmax.
+    * The tie order (en > de > fr > es > zh) is part of the operator contract
+    * so the DuckDB oracle can replicate it exactly.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "of"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "es" -> Seq("el", "la", "y", "es"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  def langMarkerCount(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(c), x => x.isin(markers.map(lit(_)): _*)))
+
+  def langId(c: Column): Column = {
+    val counts = LangMarkers.map { case (lang, m) => lang -> langMarkerCount(c, m) }
+    val all = counts.map(_._2)
+    counts.foldRight(lit("und")) { case ((lang, cnt), els) =>
+      when(all.map(cnt >= _).reduce(_ && _) && cnt > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Whole-document fingerprint: md5 of the lowercased text — the exact
+    * dedup key (identical on the DuckDB side).
+    */
+  def fingerprint(c: Column): Column = md5(lower(c))
+}

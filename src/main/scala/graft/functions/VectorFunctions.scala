@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector kernels over ArrayType(Float/Double) columns using
+  * higher-order functions (zip_with / aggregate) — codegen'd, no UDFs, no
+  * driver involvement. Cast to double BEFORE arithmetic so accumulation is
+  * IEEE-double and sequentially ordered (index order), which both Spark and
+  * the DuckDB oracle produce deterministically.
+  */
+object VectorFunctions {
+
+  def toDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane LSH bucket id: sign-bit signature of `nBits`
+    * deterministic pseudo-hyperplanes. Instead of materializing random
+    * planes, each plane j scores sum_i(v_i * w(i,j)) with
+    * w(i,j) = hash-derived ±1 — deterministic, seedable, shuffle-free.
+    */
+  def hyperplaneSignature(v: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      val score = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => when(pmod(hash(i, lit(j)), lit(2)) === 0, x).otherwise(-x)),
+        lit(0.0), (acc, x) => acc + x)
+      when(score >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

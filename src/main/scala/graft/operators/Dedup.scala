@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{SimHash64, TextFunctions}
+
+/** Deduplication family for LLM-corpus pipelines (BASELINE.json north star):
+  * exact, unigram-Jaccard, MinHash+LSH, SimHash. All shapes are
+  * shuffle-minimal and scale-first:
+  *
+  *  - exact: one hash-aggregate on the text (or its md5 at 100 TB, so the
+  *    shuffle moves 16-byte keys instead of documents);
+  *  - MinHash+LSH: per-row signature (map-only) -> explode b bands ->
+  *    ONE shuffle on (band, bandHash) -> within-bucket pairs -> exact
+  *    verification. Never an n² cross join;
+  *  - SimHash: per-row 64-bit fingerprint (native Catalyst expression) ->
+  *    band the 64 bits into 4x16-bit keys -> same bucket-join shape.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest doc_id per identical text, with the
+    * duplicate count (group-by, partial-aggregated map-side).
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Unigram-Jaccard near-dup pairs within (lang, source) blocks: exact set
+    * Jaccard over distinct tokens, emitted when >= threshold. Blocking keys
+    * bound the pair count (the classic entity-resolution shape); the join
+    * shuffles both sides once on the block key.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val withSets = docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      TextFunctions.tokenSet(col("text")).as("tset"))
+    val a = withSets.select(
+      col("lang"), col("source"),
+      col("doc_id").as("doc_id_a"), col("tset").as("tset_a"))
+    val b = withSets.select(
+      col("lang"), col("source"),
+      col("doc_id").as("doc_id_b"), col("tset").as("tset_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("tset_a"), col("tset_b"))).cast("double") /
+          size(array_union(col("tset_a"), col("tset_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** Deterministic minhash signature: numHashes permutations approximated by
+    * h_j(s) = a_j * xxhash64(s) + b_j (mod 2^64 wraparound), min over the
+    * document's shingle set. One pass, map-only.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val xh = transform(shingles, s => xxhash64(s))
+    val coeffs = MinhashCoeffs.take(numHashes)
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(xh, h => h * lit(a) + lit(b)))
+    }: _*)
+  }
+
+  /** Deterministic odd multipliers/offsets (splitmix64 of the index) —
+    * fixed so signatures are reproducible across runs and engines.
+    */
+  private lazy val MinhashCoeffs: Seq[(Long, Long)] =
+    (0 until 128).map { i =>
+      (splitmix64(2L * i) | 1L, splitmix64(2L * i + 1))
+    }
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash+LSH near-dup pairs: shingle -> signature -> band -> bucket join
+    * -> exact Jaccard verification over the shingle sets. LSH only prunes;
+    * every emitted pair carries its true shingle-set Jaccard and passes the
+    * threshold, so output quality is exact (recall is probabilistic).
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = docs.select(
+      col("doc_id"),
+      array_distinct(TextFunctions.shingles(col("text"), shingleSize)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = withSig.select(
+      col("doc_id"), col("sh"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        i => hash(slice(col("sig"), i * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b", "sh_a", "sh_b").distinct()
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprints banded into 4x16 bits;
+    * candidates share a band; verification by Hamming distance <= maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val withFp = docs.select(col("doc_id"),
+      SimHash64.simhash64(col("text")).as("fp"))
+    val banded = withFp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_id_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b", "fp_a", "fp_b").distinct()
+      .withColumn("hamming", SimHash64.hamming(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_id_a", "doc_id_b", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by label (IVF-style blocking:
+    * at 100 TB the block key would be a coarse-quantizer cell id).
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val v = emb.select(col("label"), col("vec_id"),
+      toDouble(col("embedding")).as("e"))
+    val a = v.select(col("label"), col("vec_id").as("vec_id_a"), col("e").as("e_a"))
+    val b = v.select(col("label"), col("vec_id").as("vec_id_b"), col("e").as("e_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cos", cosine(col("e_a"), col("e_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("label"), col("vec_id_a"), col("vec_id_b"),
+              round(col("cos"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{SimHash64, TextFunctions}
+import graft.operators.{Dedup, Similarity}
+
+/** Large-scale training-data pipeline operators (BASELINE.json north star):
+  * dedup family, similarity search, text analysis, event-time analytics.
+  * SQL-expressible operators carry DuckDB oracles; the LSH/IVF approximate
+  * operators are rows-only here and verified for recall in ScalaTest
+  * (DedupSpec / SimilaritySpec) against their exact counterparts.
+  */
+object Extensions {
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale))).cast("double")
+
+  /** Exact dedup — hash-aggregate on the full text (SURVEY §7.4). */
+  def q20DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir))
+      .select(col("text"), col("keep_id"), col("n_copies"))
+
+  /** Token/char statistics per document — pure map work. */
+  def q21TextStats(s: SparkSession, dir: String): DataFrame = {
+    val t = TextFunctions.tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      length(col("text")).as("n_chars_computed"),
+      TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
+  }
+
+  /** Language-ID heuristic: marker-token counts, fixed-priority argmax. */
+  def q22LangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+
+  /** Document fingerprinting (md5 of lowercased text). */
+  def q23Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+
+  /** Exact unigram-Jaccard near-dup pairs within (lang, source) blocks. */
+  def q24JaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8)
+
+  /** MinHash+LSH near-dup candidates over the English slice, verified by
+    * exact Jaccard, top-1000 by similarity (deterministic tiebreak). The
+    * LSH prune is not SQL-expressible -> rows-only check; recall vs the
+    * exact operator is asserted in DedupSpec.
+    */
+  def q25MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(
+      Tables.documents(s, dir).filter(col("lang") === "en"),
+      shingleSize = 1, numHashes = 32, bands = 8, threshold = 0.8)
+      .orderBy(col("jaccard").desc, col("doc_id_a"), col("doc_id_b"))
+      .limit(1000)
+
+  /** SimHash fingerprints (custom Catalyst expression) — the map stage of
+    * simhash dedup; banding/pair tests live in DedupSpec.
+    */
+  def q26SimhashFp(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      SimHash64.simhash64(col("text")).as("fp"))
+
+  /** Exact brute-force cosine top-k (k=10) for queries vec_id < 8. */
+  def q27AnnTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(s, dir), k = 10, maxQueryId = 8)
+
+  /** IVF-style approximate ANN — same queries; recall asserted in
+    * SimilaritySpec. Rows-only (approximation not SQL-expressible).
+    */
+  def q28AnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, dir), k = 10, maxQueryId = 8)
+
+  /** Embedding-cosine near-dup pairs blocked by label. */
+  def q29EmbedNeardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.3)
+
+  /** Event-time hourly rollup (the batch shape of the streaming agg). */
+  def q30EventsHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      // cast to NTZ: the source nanos are wall-clock; the oracle (DuckDB)
+      // yields naive timestamps, and with a UTC session the cast is a no-op
+      // on the instant.
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("total_value"))
+
+  /** Sessionization: 30-minute inactivity gap splits sessions per user. */
+  def q31Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+      .withColumn("new_session",
+        when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(
+        sum("new_session").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Multimodal plumbing: opaque binary payloads with typed metadata —
+    * byte length + sha256 digest computed distributed (decode itself is
+    * stubbed, see operators.Multimodal).
+    */
+  def q32BinaryMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      octet_length(col("text").cast("binary")).as("n_bytes"),
+      sha2(col("text").cast("binary"), 256).as("sha"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact"   -> (q20DedupExact _),
+    "q21_text_stats"    -> (q21TextStats _),
+    "q22_lang_id"       -> (q22LangId _),
+    "q23_fingerprint"   -> (q23Fingerprint _),
+    "q24_jaccard_pairs" -> (q24JaccardPairs _),
+    "q25_minhash_lsh"   -> (q25MinhashLsh _),
+    "q26_simhash_fp"    -> (q26SimhashFp _),
+    "q27_ann_topk"      -> (q27AnnTopk _),
+    "q28_ann_ivf"       -> (q28AnnIvf _),
+    "q29_embed_neardup" -> (q29EmbedNeardup _),
+    "q30_events_hourly" -> (q30EventsHourly _),
+    "q31_sessionize"    -> (q31Sessionize _),
+    "q32_binary_meta"   -> (q32BinaryMeta _))
+
+  private val langCase: String = {
+    val counts = TextFunctions.LangMarkers.map { case (lang, m) =>
+      val inList = m.map(w => s"'$w'").mkString(", ")
+      lang -> s"len(list_filter(string_split(text, ' '), x -> x IN ($inList)))"
+    }
+    val names = counts.map { case (lang, e) => s"$e AS c_$lang" }.mkString(",\n    ")
+    val whens = counts.map(_._1).map { lang =>
+      val geAll = counts.map(_._1).map(o => s"c_$lang >= c_$o").mkString(" AND ")
+      s"WHEN $geAll AND c_$lang > 0 THEN '$lang'"
+    }.mkString("\n      ")
+    s"""SELECT doc_id,
+       |  CASE $whens ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, text,
+       |    $names
+       |  FROM documents)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text",
+    "q21_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+        |  CAST(LENGTH(text) AS INTEGER) AS n_chars_computed,
+        |  len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','and','of','to','in')))
+        |    / len(string_split(text, ' ')) AS stopword_ratio
+        |FROM documents""".stripMargin,
+    "q22_lang_id" -> langCase,
+    "q23_fingerprint" ->
+      "SELECT doc_id, md5(LOWER(text)) AS fp FROM documents",
+    "q24_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |    list_distinct(string_split(text, ' ')) AS ts FROM documents)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  len(list_intersect(a.ts, b.ts))
+        |    / len(list_distinct(list_concat(a.ts, b.ts))) AS jaccard
+        |FROM t a JOIN t b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ts, b.ts))
+        |    / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8""".stripMargin,
+    "q27_ann_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |  q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 8),
+        |  scored AS (
+        |    SELECT q.qid, v.vec_id,
+        |      list_dot_product(q.qe, v.e)
+        |        / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e)))
+        |        AS cos
+        |    FROM q JOIN v ON v.vec_id <> q.qid)
+        |SELECT qid, rank, vec_id AS neighbor_id, ROUND(cos, 6) AS cos_sim FROM (
+        |  SELECT qid, vec_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+        |         AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 10""".stripMargin,
+    "q29_embed_neardup" ->
+      """WITH v AS (SELECT label, vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT a.label, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |  ROUND(list_dot_product(a.e, b.e)
+        |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+        |    AS cos_sim
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e)
+        |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3""".stripMargin,
+    "q30_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q31_sessionize" ->
+      """SELECT user_id,
+        |  CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, ts, event_id,
+        |      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |    FROM events) t) s
+        |GROUP BY user_id""".stripMargin,
+    "q32_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  sha256(text) AS sha
+        |FROM documents""".stripMargin)
+}

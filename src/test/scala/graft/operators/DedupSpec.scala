@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.functions.{SimHash64, TextFunctions}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docsDF(rows: Seq[(Long, String, String, String)]) =
+    rows.toDF("doc_id", "text", "lang", "source")
+
+  test("exact dedup keeps min id and counts copies") {
+    val docs = docsDF(Seq(
+      (1L, "alpha beta gamma", "en", "s0"),
+      (2L, "alpha beta gamma", "en", "s0"),
+      (3L, "wholly different text", "en", "s0")))
+    val out = Dedup.exact(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("alpha beta gamma", 1L, 2L),
+      ("wholly different text", 3L, 1L)))
+  }
+
+  test("jaccardPairs finds planted near-dups within blocks only") {
+    val docs = docsDF(Seq(
+      (1L, "a b c d e f g h i j", "en", "s0"),
+      (2L, "a b c d e f g h i k", "en", "s0"),   // jaccard 9/11 = 0.818
+      (3L, "a b c d e f g h i j", "en", "s1"),   // identical but other block
+      (4L, "z y x w v u t s r q", "en", "s0")))  // unrelated
+    val pairs = Dedup.jaccardPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhashLsh finds planted 3-gram near-dups with exact jaccard attached") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val others = (1 to 30).map(i =>
+      (100L + i, (1 to 40).map(j => s"w${i}_$j").mkString(" "), "en", "s0"))
+    val docs = docsDF(Seq(
+      (1L, base, "en", "s0"), (2L, nearDup, "en", "s0")) ++ others)
+    val out = Dedup.minhashLsh(docs, shingleSize = 3, numHashes = 32,
+      bands = 8, threshold = 0.5).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val jac = out.head.getDouble(2)
+    // 38 shared of 41 distinct shingles
+    assert(approx(jac, 35.0 / 41.0, 0.2) && jac > 0.5)
+  }
+
+  test("minhashLsh recall vs exact jaccard on the en fixture slice") {
+    val docs = graft.Tables.documents(spark, Sf0001).filter($"lang" === "en")
+    val exactPairs = Dedup.jaccardPairs(
+        docs.withColumn("source", lit("all")), 0.9)
+      .select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Dedup.minhashLsh(docs, shingleSize = 1, numHashes = 32,
+        bands = 8, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "fixture should contain >=0.9 unigram-jaccard pairs")
+    val recall = lshPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${exactPairs.size} true pairs")
+    // no false positives: every emitted pair carries verified jaccard >= t
+    assert(lshPairs.subsetOf(exactPairs))
+  }
+
+  test("simhash expression is deterministic and near-dups have small hamming") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy cat again and again"
+    val df = Seq((1L, a), (2L, b), (3L, a)).toDF("doc_id", "text")
+      .select($"doc_id", SimHash64.simhash64($"text").as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(3L)) // identical text, identical fingerprint
+    assert(fps(1L) == SimHash64.compute(a)) // engine matches scala kernel
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(2L)) <= 16)
+  }
+
+  test("simhashPairs surfaces planted near-identical docs") {
+    val base = (1 to 50).map(i => s"token$i").mkString(" ")
+    val nearDup = base + " extra"
+    val others = (1 to 20).map(i =>
+      (100L + i, (1 to 50).map(j => s"u${i}x$j").mkString(" "), "en", "s0"))
+    val docs = docsDF(Seq((1L, base, "en", "s0"), (2L, nearDup, "en", "s0")) ++ others)
+    val out = Dedup.simhashPairs(docs, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))
+  }
+
+  test("embedding near-dups agree with a driver-side exact computation") {
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    val out = Dedup.embeddingNearDups(emb, 0.3).collect()
+    assert(out.nonEmpty)
+    // spot-check one pair exactly
+    val r = out.head
+    val (ida, idb) = (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))
+    val vecs = emb.filter($"vec_id".isin(ida, idb))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Float](1).map(_.toDouble)).toMap
+    val (va, vb) = (vecs(ida), vecs(idb))
+    val cos = va.zip(vb).map(p => p._1 * p._2).sum /
+      (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+    assert(approx(r.getAs[Double]("cos_sim"), cos, 1e-4))
+  }
+}

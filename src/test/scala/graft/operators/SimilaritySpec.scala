@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  lazy val emb = graft.Tables.embeddings(spark, Sf0001)
+
+  test("bruteForceTopK: k neighbors per query, descending sims, no self-match") {
+    val out = Similarity.bruteForceTopK(emb, k = 10, maxQueryId = 8).collect()
+    assert(out.length == 80)
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+      val sims = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(rows.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("qid")))
+    }
+  }
+
+  test("bruteForceTopK agrees with a driver-side exact computation for q0") {
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = vecs(0L)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map(p => p._1 * p._2).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val got = Similarity.bruteForceTopK(emb, k = 10, maxQueryId = 1)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id"))
+    assert(got.toSeq == expected)
+  }
+
+  test("ivfTopK recall@10 vs brute force is reasonable for nProbe=4/16") {
+    val exact = Similarity.bruteForceTopK(emb, k = 10, maxQueryId = 8)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))).toSet
+    val approxSet = Similarity.ivfTopK(emb, k = 10, maxQueryId = 8)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = approxSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.25, s"IVF recall@10 = $recall")
+    assert(approxSet.size == 80)
+  }
+}
