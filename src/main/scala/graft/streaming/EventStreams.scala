@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming over the events table shape (SURVEY.md §7.4): the
+  * streaming twins of the batch queries q30/q31. The reference has no
+  * streaming at all (SURVEY §2.9); this is the 100 TB extension — the same
+  * event-time semantics expressed incrementally:
+  *
+  *  - `hourlyRollup`: watermarked tumbling-window aggregate. State is bounded
+  *    by the watermark; at scale this runs with
+  *    spark.sql.streaming.statestore providers and shuffle-partition-count
+  *    state shards, exactly like the batch groupBy shuffles.
+  *  - `sessionize`: explicit keyed state via flatMapGroupsWithState — the
+  *    generalization Spark's built-in session_window can't express when
+  *    session logic needs custom emission (we emit one row per CLOSED
+  *    session, on event-time timeout).
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionState(start: Long, last: Long, n: Long, sumValue: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Tumbling 1-hour event-time windows per event_type, 2-hour watermark. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+              col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization with explicit keyed state. A session closes
+    * when no event arrives within `gapMinutes` (event time, enforced via
+    * watermark + EventTimeTimeout).
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapMinutes: Int = 30): Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.sumValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                    sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.sumValue)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** File-source entry: stream the events parquet with the raw on-disk
+    * schema (nanos ride as Long under nanosAsLong), then apply the same
+    * ns -> us conversion the batch Tables.events performs.
+    */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val path = s"$sfDir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    // FileStreamSource wants a directory basePath; glob-filter to the
+    // events file within the fixture dir.
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    rawSchema("ts").dataType match {
+      case LongType => stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => stream
+    }
+  }
+}

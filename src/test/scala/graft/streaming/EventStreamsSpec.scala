@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyRollup over a file stream matches the batch rollup") {
+    val sf = Sf0001
+    val stream = EventStreams.readEventStream(spark, sf)
+    val q = EventStreams.hourlyRollup(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_out").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("rollup_out")
+        .select(col("hour").cast("timestamp_ntz").as("hour"), col("event_type"),
+                col("n_events"))
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      val batch = graft.queries.Extensions.q30EventsHourly(spark, sf)
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(streaming == batch)
+    } finally q.stop()
+  }
+
+  test("sessionize emits closed sessions on gap and watermark progress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionize(spark, input.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 2h gap event
+      input.addData(
+        EventStreams.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        EventStreams.Event(2, ts("2024-01-01 10:10:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(3, ts("2024-01-01 12:30:00"), 1, "click", 3.0))
+      q.processAllAvailable()
+      // push watermark far forward so the last session times out and closes
+      input.addData(EventStreams.Event(9, ts("2024-01-01 20:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(10, ts("2024-01-02 09:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sessions_out")
+        .filter(col("user_id") === 1).orderBy("session_start").collect()
+      assert(out.length == 2, s"expected 2 closed sessions, got ${out.length}")
+      assert(out(0).getAs[Long]("n_events") == 2)
+      assert(out(0).getAs[Double]("total_value") == 3.0)
+      assert(out(0).getAs[Timestamp]("session_end") == ts("2024-01-01 10:10:00"))
+      assert(out(1).getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+}
