@@ -13,8 +13,10 @@ object VectorFunctions {
 
   def toDouble(c: Column): Column = transform(c, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd kernel (DotProduct); identical sequential summation to
+    * the HOF formulation it replaced.
+    */
+  def dot(a: Column, b: Column): Column = DotProduct.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -52,14 +52,21 @@ object Dedup {
   /** Deterministic minhash signature: numHashes permutations approximated by
     * h_j(s) = a_j * xxhash64(s) + b_j (mod 2^64 wraparound), min over the
     * document's shingle set. One pass, map-only.
+    *
+    * Takes the PRE-HASHED shingle array (`transform(sh, xxhash64)`
+    * materialized as its own column): inlining the hash into all numHashes
+    * signature expressions would re-evaluate it numHashes times per row —
+    * interpreted HOFs get no common-subexpression elimination.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    val xh = transform(shingles, s => xxhash64(s))
+  def minhashSignatureFromHashes(shingleHashes: Column, numHashes: Int): Column = {
     val coeffs = MinhashCoeffs.take(numHashes)
     array(coeffs.map { case (a, b) =>
-      array_min(transform(xh, h => h * lit(a) + lit(b)))
+      array_min(transform(shingleHashes, h => h * lit(a) + lit(b)))
     }: _*)
   }
+
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    minhashSignatureFromHashes(transform(shingles, s => xxhash64(s)), numHashes)
 
   /** Deterministic odd multipliers/offsets (splitmix64 of the index) —
     * fixed so signatures are reproducible across runs and engines.
@@ -86,27 +93,43 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      minBandCollisions: Int = 2): DataFrame = {
     val rows = numHashes / bands
-    val withSig = docs.select(
+    // Hashed shingle sets: all downstream set algebra runs on longs, and
+    // |intersect|/|union| equal the string-set counts (xxhash64 collisions
+    // are ~2^-64 per pair — immaterial).
+    val withSets = docs.select(
       col("doc_id"),
-      array_distinct(TextFunctions.shingles(col("text"), shingleSize)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      array_distinct(transform(
+        TextFunctions.shingles(col("text"), shingleSize), s => xxhash64(s))).as("xh"))
+    val withSig = withSets
+      .withColumn("sig", minhashSignatureFromHashes(col("xh"), numHashes))
+      .select(col("doc_id"), col("sig"))
     val banded = withSig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         i => hash(slice(col("sig"), i * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .select("doc_id_a", "doc_id_b", "sh_a", "sh_b").distinct()
+    // Candidate generation carries ONLY ids through the bucket join.
+    // Requiring >= minBandCollisions agreeing bands (a groupBy-count, where
+    // plain LSH would dedup with distinct) drops the long tail of
+    // single-band accidental collisions before any payload is attached —
+    // at high similarity the recall cost is negligible (for j >= threshold
+    // the expected agreeing bands is bands * j^rows >> 2).
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= minBandCollisions)
+      .select("doc_id_a", "doc_id_b")
+    candidates
+      .join(withSets.select(col("doc_id").as("doc_id_a"), col("xh").as("xh_a")), Seq("doc_id_a"))
+      .join(withSets.select(col("doc_id").as("doc_id_b"), col("xh").as("xh_b")), Seq("doc_id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        size(array_intersect(col("xh_a"), col("xh_b"))).cast("double") /
+          size(array_union(col("xh_a"), col("xh_b"))))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
@@ -140,11 +163,14 @@ object Dedup {
     import graft.functions.VectorFunctions._
     val v = emb.select(col("label"), col("vec_id"),
       toDouble(col("embedding")).as("e"))
-    val a = v.select(col("label"), col("vec_id").as("vec_id_a"), col("e").as("e_a"))
-    val b = v.select(col("label"), col("vec_id").as("vec_id_b"), col("e").as("e_b"))
+      .withColumn("nrm", norm(col("e"))) // once per vector, not per pair
+    val a = v.select(col("label"), col("vec_id").as("vec_id_a"),
+      col("e").as("e_a"), col("nrm").as("nrm_a"))
+    val b = v.select(col("label"), col("vec_id").as("vec_id_b"),
+      col("e").as("e_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_id_a") < col("vec_id_b"))
-      .withColumn("cos", cosine(col("e_a"), col("e_b")))
+      .withColumn("cos", dot(col("e_a"), col("e_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("label"), col("vec_id_a"), col("vec_id_b"),
               round(col("cos"), 6).as("cos_sim"))

@@ -17,18 +17,24 @@ import graft.functions.VectorFunctions._
   *    vectors) assigns every corpus vector to its nearest cell (map-only);
   *    queries probe only their nProbe closest cells, so the candidate join
   *    is keyed on cell id and touches ~nProbe/nList of the corpus.
+  *
+  * Norms are computed ONCE per vector before pairing (cosine = dot /
+  * (norm_a * norm_b)); the dot kernel is the codegen'd DotProduct
+  * expression. Both preserve the exact float semantics of
+  * dot/(sqrt(dot_aa)*sqrt(dot_bb)).
   */
 object Similarity {
 
-  /** Exact cosine top-k for queries selected by `queryPred`. Deterministic:
+  /** Exact cosine top-k for queries vec_id < maxQueryId. Deterministic:
     * ties break on vec_id.
     */
   def bruteForceTopK(emb: DataFrame, k: Int, maxQueryId: Long): DataFrame = {
     val v = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
     val q = v.filter(col("vec_id") < maxQueryId)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
     val scored = v.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosine(col("qe"), col("e")))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -44,33 +50,37 @@ object Similarity {
   def ivfTopK(emb: DataFrame, k: Int, maxQueryId: Long,
               nList: Int = 16, nProbe: Int = 4): DataFrame = {
     val v = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
     val centroids = v.filter(col("vec_id") < nList)
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
 
-    // Assign each corpus vector to its single nearest centroid (map-only
-    // after the centroid broadcast).
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cid"))
+    // Assign each corpus vector to its single nearest centroid: map-only
+    // after the centroid broadcast — the argmax is a greatest() fold over
+    // nList (cid, sim) structs, no shuffle and no window.
+    val simToCentroid = (cid: org.apache.spark.sql.Column, ce: org.apache.spark.sql.Column,
+                         cnrm: org.apache.spark.sql.Column) =>
+      dot(col("e"), ce) / (col("nrm") * cnrm)
     val assigned = v.crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosine(col("e"), col("ce")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("cid"), col("vec_id"), col("e"))
+      .withColumn("cdist", simToCentroid(col("cid"), col("ce"), col("cnrm")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cdist"), -col("cid"))).as("cid"),
+           first(col("e")).as("e"), first(col("nrm")).as("nrm"))
 
     // Each query probes its nProbe closest cells.
     val q = v.filter(col("vec_id") < maxQueryId)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
     val wProbe = Window.partitionBy("qid").orderBy(col("qdist").desc, col("cid"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("qdist", cosine(col("qe"), col("ce")))
+      .withColumn("qdist", dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nProbe)
-      .select(col("qid"), col("qe"), col("cid"))
+      .select(col("qid"), col("qe"), col("qnrm"), col("cid"))
 
     // Candidate join keyed on cell id, then per-query top-k.
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     probes.join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosine(col("qe"), col("e")))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
