@@ -17,8 +17,10 @@ object SparkEntry {
     graft.queries.Relational.q05StarJoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.Extensions.queries
+    graft.queries.Relational.queries ++ graft.queries.Relational2.queries ++
+      graft.queries.Extensions.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ graft.queries.Extensions.oracles
+    graft.queries.Relational.oracles ++ graft.queries.Relational2.oracles ++
+      graft.queries.Extensions.oracles
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable as-of join: for every left row, attach the most recent right row
+  * with the same key and right.time <= left.time.
+  *
+  * Implementation is the union-and-carry-forward shape (one shuffle + one
+  * sort, like a sort-merge join — never a per-row range probe and never a
+  * time-banded cross join):
+  *
+  *   1. tag and union both inputs on (key, time);
+  *   2. sort within key by (time, tag) — right rows sort BEFORE left rows at
+  *      equal times so an exactly-simultaneous right row is visible;
+  *   3. last_value(right payload, ignoreNulls) over rows unbounded-preceding
+  *      carries the latest right row forward;
+  *   4. keep left rows.
+  *
+  * At 100 TB this is exactly one hash-partition on the key + per-partition
+  * sort, both streaming-friendly; skewed keys split under AQE.
+  */
+object AsOfJoin {
+
+  /** @param left      left (probe) rows
+    * @param right     right (reference) rows
+    * @param keyCol    equi-key present in both
+    * @param leftTime  event-time column on the left
+    * @param rightTime event-time column on the right
+    * @param payload   right columns to attach (null when no right row is <=)
+    */
+  def apply(left: DataFrame, right: DataFrame, keyCol: String,
+            leftTime: String, rightTime: String,
+            payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__tag", lit(1))
+      .select((Seq("__t", "__tag") ++ leftCols).map(col) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")): _*)
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__tag", lit(0))
+      .select(Seq(col("__t"), col("__tag"), col(keyCol)) ++
+        leftCols.filter(_ != keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(p => col(p).as(s"__p_$p")): _*)
+
+    val w = Window.partitionBy(keyCol).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .select(col("*") +: payload.map(p =>
+        last(col(s"__p_$p"), ignoreNulls = true).over(w).as(s"asof_$p")): _*)
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"asof_$p")): _*)
+  }
+}
