@@ -117,7 +117,38 @@ object Extensions {
       octet_length(col("text").cast("binary")).as("n_bytes"),
       sha2(col("text").cast("binary"), 256).as("sha"))
 
+  /** Word-3-gram Jaccard near-dup pairs within (lang, source) blocks —
+    * the n-gram variant of q24 (the fixtures' random word soup keeps 3-gram
+    * similarity near zero except for genuinely related docs).
+    */
+  def q38NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val withSets = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"), col("source"),
+      array_distinct(TextFunctions.shingles(col("text"), 3)).as("sh"))
+    val a = withSets.select(col("lang"), col("source"),
+      col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+    val b = withSets.select(col("lang"), col("source"),
+      col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.02)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** Heuristic quality score in [0,1]: length, stopword density, inverse
+    * punctuation density — the standard cheap LLM-corpus filter shape.
+    */
+  def q39QualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_ngram_jaccard" -> (q38NgramJaccard _),
+    "q39_quality_score" -> (q39QualityScore _),
     "q20_dedup_exact"   -> (q20DedupExact _),
     "q21_text_stats"    -> (q21TextStats _),
     "q22_lang_id"       -> (q22LangId _),
@@ -150,6 +181,31 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q38_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
+        |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
+        |      AS sh
+        |  FROM documents)
+        |SELECT doc_id_a, doc_id_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |    len(list_intersect(a.sh, b.sh))
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) p
+        |WHERE jaccard >= 0.02""".stripMargin,
+    "q39_quality_score" ->
+      """SELECT doc_id,
+        |  LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+        |  + len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','and','of','to','in')))
+        |      / len(string_split(text, ' ')) * 0.3
+        |  + (1.0 - (LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')))
+        |        / LENGTH(text)) * 0.3
+        |  AS quality
+        |FROM documents""".stripMargin,
     "q20_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text",
     "q21_text_stats" ->

@@ -13,6 +13,19 @@ object Sinks {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Bucketed parquet table: co-locates rows by `bucketCol` so equi-joins
+    * and aggregations on that key run shuffle-free (both sides bucketed with
+    * the same count). This is the 100 TB answer to repeated fact⋈fact joins
+    * on the same key — pay the shuffle once at write time.
+    */
+  def parquetBucketed(df: DataFrame, tableName: String, bucketCol: String,
+                      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
+
   /** CSV with an explicit leading row-index column where pandas-index parity
     * matters (the reference writes `to_csv` with the default index,
     * main.py:214,221,228,236,345-346).

@@ -1,0 +1,33 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class BucketedSinksSpec extends SparkSpecBase {
+
+  test("co-bucketed tables join without a shuffle exchange") {
+    val li = graft.Tables.lineitem(spark, Sf0001).select("l_orderkey", "l_quantity")
+    val o = graft.Tables.orders(spark, Sf0001).select("o_orderkey", "o_totalprice")
+    Sinks.parquetBucketed(li, "li_bucketed", "l_orderkey", 8)
+    Sinks.parquetBucketed(o, "o_bucketed", "o_orderkey", 8)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      // and it still computes the right thing
+      val n = joined.count()
+      val expected = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}
