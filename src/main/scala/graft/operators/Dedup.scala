@@ -31,9 +31,12 @@ object Dedup {
     * shuffles both sides once on the block key.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // hashed token sets: cardinalities (and so the Jaccard values) match the
+    // string-set computation; the pairwise intersect/union loop runs on longs
     val withSets = docs.select(
       col("doc_id"), col("lang"), col("source"),
-      TextFunctions.tokenSet(col("text")).as("tset"))
+      array_distinct(transform(TextFunctions.tokens(col("text")),
+        t => xxhash64(t))).as("tset"))
     val a = withSets.select(
       col("lang"), col("source"),
       col("doc_id").as("doc_id_a"), col("tset").as("tset_a"))

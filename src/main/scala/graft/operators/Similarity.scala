@@ -43,6 +43,29 @@ object Similarity {
               round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Hyperplane-LSH bucketed ANN: vectors sharing the sign signature of
+    * nBits pseudo-random hyperplanes land in one bucket; queries search only
+    * their own bucket. The cheapest scale path when recall can be traded
+    * hardest (bucket count 2^nBits); exposed mainly as the third point on
+    * the exact -> IVF -> LSH cost/recall spectrum.
+    */
+  def lshTopK(emb: DataFrame, k: Int, maxQueryId: Long, nBits: Int = 4): DataFrame = {
+    val v = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .withColumn("bucket", graft.functions.VectorFunctions.hyperplaneSignature(col("e"), nBits))
+    val q = v.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+              col("nrm").as("qnrm"), col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    v.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+              round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** IVF-style ANN: centroids = the first nList corpus vectors (a
     * deterministic stand-in for k-means at fixture scale; the operator shape
     * — assign, probe, candidate-join on cell id — is the 100 TB design).

@@ -122,9 +122,13 @@ object Extensions {
     * similarity near zero except for genuinely related docs).
     */
   def q38NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // set algebra on xxhash64 of the shingles: cardinalities (and therefore
+    // the Jaccard values the oracle compares) are unchanged, long compares
+    // replace string compares in the O(pairs x set) hot loop
     val withSets = Tables.documents(s, dir).select(
       col("doc_id"), col("lang"), col("source"),
-      array_distinct(TextFunctions.shingles(col("text"), 3)).as("sh"))
+      array_distinct(transform(
+        TextFunctions.shingles(col("text"), 3), x => xxhash64(x))).as("sh"))
     val a = withSets.select(col("lang"), col("source"),
       col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
     val b = withSets.select(col("lang"), col("source"),
@@ -146,9 +150,21 @@ object Extensions {
       col("doc_id"),
       TextFunctions.qualityScore(col("text")).as("quality"))
 
+  /** Multimodal plumbing through the gate: synthetic binary payloads ->
+    * per-partition stub decode -> typed metadata. Deterministic rows-only
+    * (the decode stub is not SQL-expressible).
+    */
+  def q42MediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.withMediaMeta(Multimodal.syntheticMedia(s, dir), "payload")
+      .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
+              col("media_meta.format").as("format"), col("media_meta.ok").as("ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_ngram_jaccard" -> (q38NgramJaccard _),
     "q39_quality_score" -> (q39QualityScore _),
+    "q42_media_meta"    -> (q42MediaMeta _),
     "q20_dedup_exact"   -> (q20DedupExact _),
     "q21_text_stats"    -> (q21TextStats _),
     "q22_lang_id"       -> (q22LangId _),

@@ -76,14 +76,63 @@ object Relational2 {
       .agg(count(lit(1)).as("n_customers"))
   }
 
+  /** The SQL passthrough surface (SURVEY §2.9 E3) under the gate: ONE ANSI
+    * SQL text executed by Catalyst here and by DuckDB as its own oracle —
+    * parse/analyze/optimize exercised end-to-end, zero translation.
+    */
+  val SqlSurfaceText: String =
+    """SELECT n_name,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'O'
+      |GROUP BY n_name""".stripMargin
+
+  def q40SqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(SqlSurfaceText)
+  }
+
+  /** TPC-H Q3 shape: selective join + grouped revenue + deterministic
+    * top-10 (ties broken on the group key).
+    */
+  def q41ShippingPriority(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING" &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp") &&
+              col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .groupBy("l_orderkey", "o_orderpriority")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_asof_join"        -> (q33AsofJoin _),
     "q34_rollup"           -> (q34Rollup _),
     "q35_window_analytics" -> (q35WindowAnalytics _),
     "q36_semi_join"        -> (q36SemiJoin _),
-    "q37_anti_join"        -> (q37AntiJoin _))
+    "q37_anti_join"        -> (q37AntiJoin _),
+    "q40_sql_surface"      -> (q40SqlSurface _),
+    "q41_shipping_priority" -> (q41ShippingPriority _))
 
   val oracles: Map[String, String] = Map(
+    "q40_sql_surface" -> SqlSurfaceText,
+    "q41_shipping_priority" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q33_asof_join" ->
       """SELECT l.event_id, l.user_id,
         |  r.event_id AS purchase_id, r.value AS purchase_value

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+
+/** Stage-by-stage timing of the MinHash-LSH pipeline at a given sf. */
+object Q25Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.get()
+    val docs = graft.Tables.documents(spark, sfDir).filter(col("lang") === "en")
+
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[q25] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    t("warm docs count")(docs.count())
+    val withSets = docs.select(col("doc_id"),
+      array_distinct(transform(TextFunctions.shingles(col("text"), 1), s => xxhash64(s))).as("xh"))
+    t("sets only")(withSets.agg(sum(size(col("xh")))).collect())
+    val withSig = withSets
+      .withColumn("sig", Dedup.minhashSignatureFromHashes(col("xh"), 32))
+      .select(col("doc_id"), col("sig"))
+    t("sets+sig")(withSig.agg(sum(size(col("sig")))).collect())
+    val rows = 4
+    val banded = withSig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(7)),
+        i => hash(slice(col("sig"), i * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .agg(count(lit(1)).as("n_bands")).filter(col("n_bands") >= 2)
+    println(s"[q25] candidates: ${t("candidates")(candidates.count())}")
+    val full = Dedup.minhashLsh(docs, 1, 32, 8, 0.8)
+    println(s"[q25] verified pairs: ${t("full pipeline")(full.count())}")
+    spark.stop()
+  }
+}

@@ -38,6 +38,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.toSeq == expected)
   }
 
+  test("lshTopK buckets are deterministic and results overlap brute force") {
+    val a = Similarity.lshTopK(emb, k = 5, maxQueryId = 8)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    val b = Similarity.lshTopK(emb, k = 5, maxQueryId = 8)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(a == b) // deterministic hyperplanes, deterministic result
+    assert(a.nonEmpty)
+    val exact = Similarity.bruteForceTopK(emb, k = 5, maxQueryId = 8)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))).toSet
+    val lshPairs = a.map(t => (t._1, t._3))
+    assert(lshPairs.intersect(exact).nonEmpty) // some true neighbors found
+  }
+
   test("ivfTopK recall@10 vs brute force is reasonable for nProbe=4/16") {
     val exact = Similarity.bruteForceTopK(emb, k = 10, maxQueryId = 8)
       .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor_id"))).toSet
