@@ -103,6 +103,10 @@ object Dashboard {
   def registerViews(tables: Map[String, DataFrame]): Unit =
     tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
 
+  /** utils/datsetup.py:125-130 — table -> JSON records (S9). */
+  def toJsonRecords(df: DataFrame): Seq[String] =
+    df.toJSON.collect().toSeq
+
   def sql(spark: SparkSession, query: String): DataFrame = {
     val rewritten = query.replaceAll(
       "(?i)SELECT\\s+TOP\\s+(\\d+)\\s+(.*?)$", "SELECT $2 LIMIT $1")

@@ -6,7 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column
-  * (BASELINE.json north star). Two paths:
+  * (BASELINE.json north star; cf. the distributed top-k literature in
+  * /root/repo/PAPERS.md — REPOSE ICDE'21 partitions by locality-sensitive
+  * reference points exactly like the bucket/cell keys here, and the EDBT'20
+  * incremental top-k work motivates keeping the per-query state small
+  * enough to re-rank instead of re-scan). Paths:
   *
   *  - `bruteForceTopK`: exact cosine top-k. The (small) query set is
   *    broadcast against the corpus — one scan, no corpus shuffle; the

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.Cleaning
+import graft.sources.{CsvSource, HeaderMode}
+
+/** Property tests promised by SURVEY §5: reshape round-trips, scrub
+  * idempotence, normalization bounds, header normalization idempotence,
+  * hash determinism. Uses raw ScalaCheck generators with fixed seeds (the
+  * scalatest-scalacheck bridge isn't in the offline artifact cache).
+  */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("pivot then unpivot returns the original (suburb, year, value) set") {
+    val cellGen = Gen.listOfN(12, for {
+      s <- Gen.oneOf("A", "B", "C", "D")
+      y <- Gen.oneOf(2022, 2023)
+      v <- Gen.choose(0.0, 10.0)
+    } yield (s, y, math.rint(v * 100) / 100))
+    for (rows <- samples(cellGen, 10) if rows.nonEmpty) {
+      // mean-aggregate duplicates first so the round-trip is well-defined
+      val base = rows.toDF("SUBURB", "YEAR", "V")
+        .groupBy("SUBURB", "YEAR").agg(avg("V").as("V"))
+      val pivoted = base.groupBy("SUBURB").pivot("YEAR", Seq(2022, 2023)).agg(first("V"))
+      val back = pivoted
+        .unpivot(Array(col("SUBURB")), Array(col("2022"), col("2023")), "YEAR", "V")
+        .filter(col("V").isNotNull)
+        .select(col("SUBURB"), col("YEAR").cast("int"), col("V"))
+      val a = base.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+      val b = back.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(a == b, s"round-trip mismatch for $rows")
+    }
+  }
+
+  test("scrubDoubles is idempotent and total") {
+    val valGen = Gen.listOfN(8, Gen.oneOf(
+      Gen.choose(-1e6, 1e6),
+      Gen.const(Double.NaN),
+      Gen.const(Double.PositiveInfinity),
+      Gen.const(Double.NegativeInfinity)))
+    for (xs <- samples(valGen, 10) if xs.nonEmpty) {
+      val df = xs.toDF("x")
+      val once = Cleaning.scrubDoubles(df).collect().map(_.getDouble(0)).toSeq
+      val twice = Cleaning.scrubDoubles(Cleaning.scrubDoubles(df))
+        .collect().map(_.getDouble(0)).toSeq
+      assert(once == twice)
+      assert(once.forall(v => !v.isNaN && !v.isInfinite))
+    }
+  }
+
+  test("minMaxNorm lands in [0,100] and touches both bounds") {
+    val valGen = Gen.listOfN(6, Gen.choose(-1e5, 1e5))
+    for (xs <- samples(valGen, 10) if xs.toSet.size > 1) {
+      val df = xs.toDF("x")
+      val stats = df.agg(min("x").as("mn"), max("x").as("mx"))
+      val out = df.crossJoin(stats)
+        .select(Cleaning.minMaxNorm(col("x"), col("mn"), col("mx")).as("n"))
+        .collect().map(_.getDouble(0))
+      assert(out.forall(v => v >= 0.0 && v <= 100.0))
+      assert(out.contains(0.0) && out.contains(100.0))
+    }
+  }
+
+  test("header normalization is idempotent on arbitrary strings") {
+    for (h <- samples(Gen.asciiPrintableStr, 200)) {
+      val once = CsvSource.normalize(h, HeaderMode.SnakeUpper)
+      val twice = CsvSource.normalize(once, HeaderMode.SnakeUpper)
+      assert(once == twice, s"not idempotent for ${h.map(_.toInt)}")
+    }
+  }
+
+  test("surrogate keys are dense 1..N for arbitrary suburb sets") {
+    val namesGen = Gen.nonEmptyListOf(Gen.identifier.map(_.take(10))).map(_.distinct)
+    for (names <- samples(namesGen, 5) if names.nonEmpty) {
+      val df = names.toDF("SUBURB")
+      val ids = graft.etl.StarSchema.suburbDim(df)
+        .select("id_suburb").collect().map(_.getInt(0)).sorted
+      assert(ids.toSeq == (1 to names.length))
+    }
+  }
+}

@@ -108,6 +108,20 @@ class EtlPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("all six output tables conform to the published star schema") {
+    import graft.model.Schemas
+    result.tables.foreach { case (name, df) =>
+      assert(Schemas.conforms(df, Schemas.StarSchema(name)),
+        s"$name schema drift: ${df.schema.simpleString}")
+    }
+  }
+
+  test("toJsonRecords emits one parseable record per row (S9)") {
+    val recs = graft.analytics.Dashboard.toJsonRecords(result.dims.fuelType)
+    assert(recs.size == 2)
+    assert(recs.forall(r => r.startsWith("{") && r.contains("\"FUEL_TYPE\"")))
+  }
+
   test("surrogate keys are dense 1..N") {
     val ids = result.dims.suburb.select("id_suburb").collect().map(_.getInt(0)).sorted
     assert(ids.toSeq == (1 to ids.length))
