@@ -161,10 +161,44 @@ object Extensions {
               col("media_meta.format").as("format"), col("media_meta.ok").as("ok"))
   }
 
+  /** TF-IDF-style term scoring, distributed shape: explode terms ->
+    * per-(doc,term) tf -> per-term document frequency -> score -> top-3
+    * terms per doc. IDF is the rational N/df (not log) so both engines
+    * compute identical doubles.
+    */
+  def q43Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count() // corpus size: one cheap job, reused as a literal
+    val terms = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df_, Seq("term"))
+      .withColumn("score", col("tf") * (lit(n.toDouble) / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+  }
+
+  /** Deterministic approximate distinct counting (HLL merge is
+    * order-independent) — the 100 TB substitute for exact countDistinct.
+    * Rows-only: DuckDB's approx sketch differs by construction.
+    */
+  def q44ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      count(lit(1)).as("n_rows"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_ngram_jaccard" -> (q38NgramJaccard _),
     "q39_quality_score" -> (q39QualityScore _),
     "q42_media_meta"    -> (q42MediaMeta _),
+    "q43_tfidf"         -> (q43Tfidf _),
+    "q44_approx_distinct" -> (q44ApproxDistinct _),
     "q20_dedup_exact"   -> (q20DedupExact _),
     "q21_text_stats"    -> (q21TextStats _),
     "q22_lang_id"       -> (q22LangId _),
@@ -197,6 +231,21 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q43_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, rk, term, score FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * (CAST(n.n AS DOUBLE) / df.df) AS score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * (CAST(n.n AS DOUBLE) / df.df) DESC, tf.term)
+        |      AS INTEGER) AS rk
+        |  FROM tf JOIN df USING (term) CROSS JOIN n) t
+        |WHERE rk <= 3""".stripMargin,
     "q38_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source,

@@ -85,6 +85,15 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup on event_id bounded by the watermark — the
+    * incremental twin of Dedup.exact: state holds only ids newer than the
+    * watermark, so memory is bounded at any corpus size.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source entry: stream the events parquet with the raw on-disk
     * schema (nanos ride as Long under nanosAsLong), then apply the same
     * ns -> us conversion the batch Tables.events performs.

@@ -5,6 +5,19 @@ import org.apache.spark.sql.functions._
 
 class BucketedSinksSpec extends SparkSpecBase {
 
+  test("partitioned write prunes directories on partition-key filters") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val path = "/tmp/graft_docs_partitioned"
+    Sinks.parquetPartitioned(docs, path, "lang")
+    val pruned = spark.read.parquet(path).filter(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), s"no pruning:\n$plan")
+    assert(pruned.count() == docs.filter(col("lang") === "en").count())
+    // only the en directory's files are read
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scanned.contains("lang=de"))
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     val li = graft.Tables.lineitem(spark, Sf0001).select("l_orderkey", "l_quantity")
     val o = graft.Tables.orders(spark, Sf0001).select("o_orderkey", "o_totalprice")

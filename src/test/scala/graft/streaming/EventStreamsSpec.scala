@@ -27,6 +27,25 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.dedupStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      val e = EventStreams.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0)
+      input.addData(e, e.copy(value = 2.0)) // same event_id twice in one batch
+      q.processAllAvailable()
+      input.addData(e.copy(value = 3.0),    // same id again, next batch
+        EventStreams.Event(2, ts("2024-01-01 10:01:00"), 1, "view", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+      assert(out.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions on gap and watermark progress") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
