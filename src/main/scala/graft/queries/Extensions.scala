@@ -193,7 +193,20 @@ object Extensions {
       approx_count_distinct(col("l_orderkey")).as("approx_orders"),
       count(lit(1)).as("n_rows"))
 
+  /** Built-in session_window: 30-minute-gap sessions per user as a batch
+    * aggregation (the stateful streaming twin lives in EventStreams).
+    * Oracle: classic gaps-and-islands SQL.
+    */
+  def q45SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("n_events"), col("total_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_session_window" -> (q45SessionWindow _),
     "q38_ngram_jaccard" -> (q38NgramJaccard _),
     "q39_quality_score" -> (q39QualityScore _),
     "q42_media_meta"    -> (q42MediaMeta _),
@@ -231,6 +244,23 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q45_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
     "q43_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -50,24 +50,41 @@ object Sinks {
     out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
   }
 
-  /** JDBC overwrite + primary-key DDL. The reference derives the PK column
-    * as `<table>_id` for facts and `dim_x` -> `id_x` for dims
-    * (utils/datsetup.py:100-113); DDL runs over a plain JDBC statement after
-    * the distributed write. Untested here (no database in the environment) —
-    * kept API-compatible for cluster deployments.
+  /** PK column naming rule from the reference: `<table>_id` for facts,
+    * `dim_x` -> `id_x` for dims (utils/datsetup.py:100-113).
+    */
+  def pkColumn(table: String): String =
+    if (table.startsWith("dim")) table.replaceFirst("^dim", "id")
+    else s"${table}_id"
+
+  /** T-SQL NOT NULL + clustered-PK DDL, as the reference emits against
+    * Azure SQL (utils/datsetup.py:104-113).
+    */
+  def tsqlPkDdl(table: String, pk: String): Seq[String] = Seq(
+    s"ALTER TABLE $table ALTER COLUMN $pk BIGINT NOT NULL",
+    s"ALTER TABLE $table ADD CONSTRAINT PK_$table PRIMARY KEY CLUSTERED ($pk)")
+
+  /** Derby/ANSI variant (used by the embedded integration test). Columns
+    * are quoted: Spark's JDBC writer creates case-sensitive quoted
+    * identifiers, which unquoted DDL would upper-case past.
+    */
+  def ansiPkDdl(table: String, pk: String): Seq[String] = Seq(
+    s"""ALTER TABLE $table ALTER COLUMN "$pk" NOT NULL""",
+    s"""ALTER TABLE $table ADD CONSTRAINT PK_$table PRIMARY KEY ("$pk")""")
+
+  /** JDBC overwrite + post-write primary-key DDL over a plain JDBC
+    * statement (Spark's JDBC writer cannot emit constraints). The DDL
+    * dialect is injectable; default matches the reference's Azure SQL.
     */
   def jdbc(df: DataFrame, url: String, table: String,
-           props: java.util.Properties = new java.util.Properties()): Unit = {
+           props: java.util.Properties = new java.util.Properties(),
+           pkDdl: (String, String) => Seq[String] = tsqlPkDdl): Unit = {
     df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
-    val pk =
-      if (table.startsWith("dim")) table.replaceFirst("^dim", "id")
-      else s"${table}_id"
     var conn: java.sql.Connection = null
     try {
       conn = java.sql.DriverManager.getConnection(url, props)
       val st = conn.createStatement()
-      st.execute(s"ALTER TABLE $table ALTER COLUMN $pk BIGINT NOT NULL")
-      st.execute(s"ALTER TABLE $table ADD CONSTRAINT PK_$table PRIMARY KEY ($pk)")
+      pkDdl(table, pkColumn(table)).foreach(st.execute)
     } finally if (conn != null) conn.close()
   }
 }
