@@ -52,6 +52,6 @@ object AsOfJoin {
       .select(col("*") +: payload.map(p =>
         last(col(s"__p_$p"), ignoreNulls = true).over(w).as(s"asof_$p")): _*)
       .filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(s"asof_$p")): _*)
+      .select(leftCols.toIndexedSeq.map(col) ++ payload.map(p => col(s"asof_$p")): _*)
   }
 }
