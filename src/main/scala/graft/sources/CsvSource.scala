@@ -34,6 +34,12 @@ object HeaderMode {
   * leading lines of the text dataset and re-parsing with Spark's CSV reader
   * over the Dataset[String] — fully distributed, no driver materialization;
   * the index filter touches only partition 0's first rows.
+  *
+  * Limitation: the `headerLine > 0` path splits the file into physical lines
+  * before CSV parsing, so quoted fields with EMBEDDED NEWLINES are not
+  * supported there (quoted embedded separators are fine; the reference
+  * inputs contain neither). The default path delegates wholly to Spark's
+  * parser.
   */
 final case class CsvSource(
     path: String,

@@ -31,6 +31,26 @@ class CsvSourceSpec extends SparkSpecBase {
     assert(df.count() == 29)
   }
 
+  test("quoted fields with embedded separators parse correctly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "q.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "id;name;note\n1;\"Smith; John\";plain\n2;simple;\"semi;colon\"\n")
+    val df = CsvSource(f.getAbsolutePath, sep = ";").read(spark)
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSet == Set(("1", "Smith; John", "plain"), ("2", "simple", "semi;colon")))
+  }
+
+  test("headerLine>0 path also preserves quoted separators") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv2").toFile
+    val f = new java.io.File(dir, "q2.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "junk title line\nid,name\n1,\"a, b\"\n")
+    val df = CsvSource(f.getAbsolutePath, sep = ",", headerLine = 1).read(spark)
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("1", "a, b")))
+  }
+
   test("headerLine=2 skips the junk title lines of the pollution csv") {
     val df = CsvSource(s"$RefData/Pollution_Index.csv", sep = ",",
       headerLine = 2, headerMode = HeaderMode.Trim).read(spark)
