@@ -15,8 +15,6 @@ import graft.operators.{Dedup, Similarity}
   */
 object Extensions {
 
-  private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale))).cast("double")
 
   /** Exact dedup — hash-aggregate on the full text (SURVEY §7.4). */
   def q20DedupExact(s: SparkSession, dir: String): DataFrame =

@@ -18,9 +18,6 @@ import graft.Tables
   */
 object Relational {
 
-  /** sum(cast(c as decimal(18,s))) rendered back as double — order-independent. */
-  private def dsum(c: Column, scale: Int): Column =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale))).cast("double")
 
   // ---------------------------------------------------------------- queries
 

@@ -13,8 +13,6 @@ import graft.operators.AsOfJoin
   */
 object Relational2 {
 
-  private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale))).cast("double")
 
   /** As-of join inside the event stream: every non-purchase event picks up
     * the same user's most recent purchase at-or-before its time. One

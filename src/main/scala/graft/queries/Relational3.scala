@@ -15,8 +15,6 @@ import graft.Tables
   */
 object Relational3 {
 
-  private def dsum(c: Column, scale: Int) =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
 
   /** INTERSECT: customers who placed both an 'F' and an 'O' order. */
   def q46Intersect(s: SparkSession, dir: String): DataFrame = {
