@@ -90,6 +90,34 @@ object Multimodal {
       (_, i) => i % everyK === 0)
   }
 
+  /** Stubbed feature extraction: a deterministic pseudo-embedding from the
+    * payload bytes (per-dimension FNV of payload + dim index, scaled to
+    * [-1, 1]). A real model-inference kernel replaces the hash only — the
+    * pipeline shape (binary -> array<double> -> ANN/near-dup search over
+    * graft.operators.Similarity / Dedup) is the production contract and is
+    * exercised end-to-end in MultimodalSpec.
+    */
+  def pseudoEmbedding(df: DataFrame, binaryCol: String, dim: Int,
+                      embCol: String = "embedding"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(embCol, ArrayType(DoubleType, containsNull = false), nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      // model/session init would happen once per partition here
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val base = graft.functions.SimHash64.fnv1a(
+          if (bytes == null) "" else java.util.Base64.getEncoder.encodeToString(bytes))
+        val emb = Array.tabulate(dim) { d =>
+          val h = graft.functions.SimHash64.fnv1a(s"$base:$d")
+          (h.toDouble / Long.MaxValue.toDouble)
+        }
+        Row.fromSeq(r.toSeq :+ emb.toSeq)
+      }
+    }(enc)
+  }
+
   /** Demo corpus: fabricate binary payloads from the documents fixture
     * (PNG/JPEG magic headers + text bytes) — used by tests and the driver
     * has no binary fixture.

@@ -22,6 +22,15 @@ class DedupSpec extends SparkSpecBase {
       ("wholly different text", 3L, 1L)))
   }
 
+  test("exactByFingerprint agrees with full-text exact dedup") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val byText = Dedup.exact(docs).select("keep_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byFp = Dedup.exactByFingerprint(docs).select("keep_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byText == byFp)
+  }
+
   test("jaccardPairs finds planted near-dups within blocks only") {
     val docs = docsDF(Seq(
       (1L, "a b c d e f g h i j", "en", "s0"),

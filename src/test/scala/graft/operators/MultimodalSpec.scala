@@ -38,6 +38,24 @@ class MultimodalSpec extends SparkSpecBase {
     assert(chunks(1).toSeq == payload.slice(30, 40).toSeq)
   }
 
+  test("binary -> pseudo-embedding -> ANN composes end-to-end") {
+    import org.apache.spark.sql.functions._
+    val emb = Multimodal.pseudoEmbedding(media, "payload", dim = 16)
+      .select(col("doc_id").as("vec_id"),
+        transform(col("embedding"), _.cast("float")).as("embedding"))
+    val topk = Similarity.bruteForceTopK(emb, k = 5, maxQueryId = 3)
+    val rows = topk.collect()
+    assert(rows.length == 15) // 3 queries x 5 neighbors
+    // embeddings are deterministic functions of payload bytes
+    val again = Multimodal.pseudoEmbedding(media, "payload", dim = 16)
+      .select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val first = Multimodal.pseudoEmbedding(media, "payload", dim = 16)
+      .select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again == first)
+  }
+
   test("corrupt/empty payloads are flagged ok=false, not errors") {
     import spark.implicits._
     val df = Seq(Tuple1(Array.emptyByteArray)).toDF("payload")
