@@ -39,9 +39,13 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
 
-  /** Default session: honors SPARK_GRAFT_CPUS, falls back to all cores. */
+  /** Default session: honors SPARK_GRAFT_CPUS, falls back to the machine's
+    * core count. Must be a concrete number — the value also feeds
+    * spark.sql.shuffle.partitions, where "*" would fail config validation.
+    */
   def get(): SparkSession = {
-    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

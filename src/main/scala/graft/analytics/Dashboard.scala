@@ -16,12 +16,16 @@ final case class Dashboard(
     factEvImpact: DataFrame,
     factEnergyPollution: DataFrame) {
 
-  /** app.py:85-109 — fact ⋈ dim_suburb left joins. */
+  /** app.py:85-109 — fact ⋈ dim_suburb left joins, cached (the reference's
+    * 600-second st.cache_data): each dashboard computation below re-reads
+    * these frames, and without the cache every action would re-execute the
+    * join (and whatever upstream ETL produced the facts).
+    */
   lazy val evImpactWithSuburb: DataFrame =
-    factEvImpact.join(broadcast(dimSuburb), Seq("id_suburb"), "left")
+    factEvImpact.join(broadcast(dimSuburb), Seq("id_suburb"), "left").cache()
 
   lazy val energyPollutionWithSuburb: DataFrame =
-    factEnergyPollution.join(broadcast(dimSuburb), Seq("id_suburb"), "left")
+    factEnergyPollution.join(broadcast(dimSuburb), Seq("id_suburb"), "left").cache()
 
   /** app.py:158-175 — KPI tiles: global sums + BEV percentage. */
   def kpis: DataFrame =
@@ -108,8 +112,10 @@ object Dashboard {
     df.toJSON.collect().toSeq
 
   def sql(spark: SparkSession, query: String): DataFrame = {
+    // (?is): the dashboard's SQL box is a multi-line text area, so the
+    // rewrite must span newlines
     val rewritten = query.replaceAll(
-      "(?i)SELECT\\s+TOP\\s+(\\d+)\\s+(.*?)$", "SELECT $2 LIMIT $1")
+      "(?is)^\\s*SELECT\\s+TOP\\s+(\\d+)\\s+(.*)$", "SELECT $2 LIMIT $1")
     spark.sql(rewritten)
   }
 }

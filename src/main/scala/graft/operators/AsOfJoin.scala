@@ -34,24 +34,30 @@ object AsOfJoin {
             leftTime: String, rightTime: String,
             payload: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // The payload travels as ONE struct so the carried-forward value is
+    // always an atomic right row. Per-column last(ignoreNulls) would stitch
+    // columns from DIFFERENT right rows whenever the matched row holds a
+    // NULL payload value (stale-column resurrection).
+    val payloadStructType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p).copy(name = p)))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__tag", lit(1))
-      .select((Seq("__t", "__tag") ++ leftCols).map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")): _*)
+      .select((Seq("__t", "__tag") ++ leftCols).map(col) :+
+        lit(null).cast(payloadStructType).as("__p"): _*)
     val r = right
       .withColumn("__t", col(rightTime))
       .withColumn("__tag", lit(0))
       .select(Seq(col("__t"), col("__tag"), col(keyCol)) ++
-        leftCols.filter(_ != keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"__p_$p")): _*)
+        leftCols.filter(_ != keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("__p"): _*)
 
     val w = Window.partitionBy(keyCol).orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionByName(r)
-      .select(col("*") +: payload.map(p =>
-        last(col(s"__p_$p"), ignoreNulls = true).over(w).as(s"asof_$p")): _*)
+      .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select(leftCols.toIndexedSeq.map(col) ++ payload.map(p => col(s"asof_$p")): _*)
+      .select(leftCols.toIndexedSeq.map(col) ++
+        payload.map(p => col(s"__last.$p").as(s"asof_$p")): _*)
   }
 }

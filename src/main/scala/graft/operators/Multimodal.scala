@@ -84,10 +84,14 @@ object Multimodal {
   def sampleChunks(bin: org.apache.spark.sql.Column, chunkSize: Int,
                    everyK: Int): org.apache.spark.sql.Column = {
     val nChunks = ceil(octet_length(bin).cast("double") / chunkSize).cast("int")
-    filter(
-      transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
-        i => substring(bin, i * chunkSize + 1, lit(chunkSize))),
-      (_, i) => i % everyK === 0)
+    // empty/null payload -> empty array, not a single empty chunk
+    when(nChunks.isNull || nChunks === 0,
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.BinaryType)))
+      .otherwise(filter(
+        transform(sequence(lit(0), nChunks - 1),
+          i => substring(bin, i * chunkSize + 1, lit(chunkSize))),
+        (_, i) => i % everyK === 0))
   }
 
   /** Stubbed feature extraction: a deterministic pseudo-embedding from the

@@ -126,8 +126,7 @@ object Relational {
     c.join(broadcast(stats), Seq("c_mktsegment"))
       .select(
         col("c_custkey"), col("c_mktsegment"),
-        when(col("mx") === col("mn"), lit(50.0))
-          .otherwise((col("c_acctbal") - col("mn")) / (col("mx") - col("mn")) * 100.0)
+        graft.functions.Cleaning.minMaxNorm(col("c_acctbal"), col("mn"), col("mx"))
           .as("acctbal_norm"))
   }
 

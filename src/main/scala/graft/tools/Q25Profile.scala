@@ -4,7 +4,14 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 import graft.functions.TextFunctions
 
-/** Stage-by-stage timing of the MinHash-LSH pipeline at a given sf. */
+/** Stage-by-stage timing of the MinHash-LSH pipeline at a given sf.
+  *
+  * NOTE: the banding/candidate stages below intentionally mirror
+  * Dedup.minhashLsh's internals with its q25 parameters (shingleSize=1,
+  * numHashes=32, bands=8, rows=4, minBandCollisions=2) — keep in sync when
+  * the operator's shape changes, or the profile measures a different
+  * pipeline than the one shipped.
+  */
 object Q25Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -55,6 +55,9 @@ class DashboardSpec extends SparkSpecBase {
     Dashboard.registerViews(result.tables)
     val df = Dashboard.sql(spark, "SELECT TOP 10 * FROM fact_ev_impact")
     assert(df.count() == 10)
+    // the dashboard SQL box is multi-line — the rewrite must span newlines
+    val multi = Dashboard.sql(spark, "SELECT TOP 5 *\nFROM fact_ev_impact\nWHERE YEAR = 2023")
+    assert(multi.count() == 5)
     val agg = Dashboard.sql(spark,
       "SELECT COUNT(*) AS n FROM fact_energy_pollution WHERE YEAR = 2023")
     assert(agg.collect()(0).getLong(0) > 0)

@@ -29,6 +29,17 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out(4L).isEmpty)
   }
 
+  test("matched right row with NULL payload does not resurrect stale columns") {
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:30:00"), Some(5.0)),
+      (101L, 10L, ts("2024-01-01 11:00:00"), None)) // latest row, NULL value
+      .toDF("rid", "user_id", "ts", "v")
+    val out = AsOfJoin(left, right, "user_id", "ts", "ts", Seq("rid", "v")).collect()(0)
+    assert(out.getLong(3) == 101L)          // latest right row wins...
+    assert(out.isNullAt(4), s"payload must be the matched row's NULL, got ${out.get(4)}")
+  }
+
   test("simultaneous right row is visible (<= semantics)") {
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq((100L, 10L, ts("2024-01-01 10:00:00"), 1.0)).toDF("rid", "user_id", "ts", "v")

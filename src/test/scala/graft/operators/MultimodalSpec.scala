@@ -56,6 +56,14 @@ class MultimodalSpec extends SparkSpecBase {
     assert(again == first)
   }
 
+  test("sampleChunks of an empty payload is an empty array") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(Tuple1(Array.emptyByteArray)).toDF("bin")
+      .select(Multimodal.sampleChunks(col("bin"), 10, 2).as("chunks"))
+    assert(df.collect()(0).getSeq[Array[Byte]](0).isEmpty)
+  }
+
   test("corrupt/empty payloads are flagged ok=false, not errors") {
     import spark.implicits._
     val df = Seq(Tuple1(Array.emptyByteArray)).toDF("payload")
