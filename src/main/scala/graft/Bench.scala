@@ -32,8 +32,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total sums SUCCESSFUL queries only; failures are listed explicitly so
+    // a broken query can never read as a speedup.
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -113,9 +113,11 @@ object Dashboard {
 
   def sql(spark: SparkSession, query: String): DataFrame = {
     // (?is): the dashboard's SQL box is a multi-line text area, so the
-    // rewrite must span newlines
-    val rewritten = query.replaceAll(
-      "(?is)^\\s*SELECT\\s+TOP\\s+(\\d+)\\s+(.*)$", "SELECT $2 LIMIT $1")
+    // rewrite must span newlines. Handles the parenthesized T-SQL form
+    // `TOP (n)` and a trailing semicolon (both SSMS habits).
+    val trimmed = query.trim.stripSuffix(";").trim
+    val rewritten = trimmed.replaceAll(
+      "(?is)^SELECT\\s+TOP\\s*\\(?\\s*(\\d+)\\s*\\)?\\s+(.*)$", "SELECT $2 LIMIT $1")
     spark.sql(rewritten)
   }
 }

@@ -32,25 +32,38 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       s"DotProduct requires array<double> inputs, got ${left.dataType}, ${right.dataType}")
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
     DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotProduct.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = graft.functions.DotProduct.compute($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+    """)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
 
 object DotProduct {
-  def compute(a: ArrayData, b: ArrayData): Double = {
-    val xs = a.toDoubleArray()
-    val ys = b.toDoubleArray()
-    val n = math.min(xs.length, ys.length)
+  /** Returns null (boxed) on length mismatch or null elements — matching
+    * the HOF formulation (`zip_with` pads the shorter array with null, the
+    * null poisons the aggregate), so corrupt rows surface as NULL similarity
+    * instead of a plausible partial sum.
+    */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += xs(i) * ys(i); i += 1 }
-    acc
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
   }
 
   def dot(a: Column, b: Column): Column =

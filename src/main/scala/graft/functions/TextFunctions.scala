@@ -72,12 +72,20 @@ object TextFunctions {
   def langMarkerCount(c: Column, markers: Seq[String]): Column =
     size(filter(tokens(c), x => x.isin(markers.map(lit(_)): _*)))
 
+  /** Argmax via array_max over (count, priority, lang) structs — each
+    * marker count is evaluated ONCE. A when-chain comparing every count to
+    * every other would embed (and re-evaluate) each lambda-bearing count
+    * expression ~5x: HOFs are excluded from common-subexpression
+    * elimination. Tie order: higher count wins; equal counts fall to the
+    * earlier language in LangMarkers (en > de > fr > es > zh), encoded as
+    * the negated index so lexicographic struct max implements it.
+    */
   def langId(c: Column): Column = {
-    val counts = LangMarkers.map { case (lang, m) => lang -> langMarkerCount(c, m) }
-    val all = counts.map(_._2)
-    counts.foldRight(lit("und")) { case ((lang, cnt), els) =>
-      when(all.map(cnt >= _).reduce(_ && _) && cnt > 0, lit(lang)).otherwise(els)
+    val entries = LangMarkers.zipWithIndex.map { case ((lang, m), i) =>
+      struct(langMarkerCount(c, m).as("cnt"), lit(-i).as("prio"), lit(lang).as("lang"))
     }
+    val best = array_max(array(entries: _*))
+    when(best.getField("cnt") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
   /** Whole-document fingerprint: md5 of the lowercased text — the exact

@@ -52,7 +52,10 @@ object AsOfJoin {
         leftCols.filter(_ != keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(payload.map(col): _*).as("__p"): _*)
 
-    val w = Window.partitionBy(keyCol).orderBy(col("__t"), col("__tag"))
+    // __p joins the sort key as a deterministic tiebreak: multiple right
+    // rows at the SAME (key, time) would otherwise be picked arbitrarily
+    // per run/partitioning (the largest payload struct wins, consistently).
+    val w = Window.partitionBy(keyCol).orderBy(col("__t"), col("__tag"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionByName(r)
       .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))

@@ -108,7 +108,7 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.7,
-      minBandCollisions: Int = 2): DataFrame = {
+      minBandCollisions: Int = 1): DataFrame = {
     val rows = numHashes / bands
     // Hashed shingle sets: all downstream set algebra runs on longs, and
     // |intersect|/|union| equal the string-set counts (xxhash64 collisions
@@ -120,24 +120,7 @@ object Dedup {
     val withSig = withSets
       .withColumn("sig", minhashSignatureFromHashes(col("xh"), numHashes))
       .select(col("doc_id"), col("sig"))
-    val banded = withSig.select(
-      col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        i => hash(slice(col("sig"), i * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
-    // Candidate generation carries ONLY ids through the bucket join.
-    // Requiring >= minBandCollisions agreeing bands (a groupBy-count, where
-    // plain LSH would dedup with distinct) drops the long tail of
-    // single-band accidental collisions before any payload is attached —
-    // at high similarity the recall cost is negligible (for j >= threshold
-    // the expected agreeing bands is bands * j^rows >> 2).
-    val candidates = banded.as("a")
-      .join(banded.as("b"), Seq("band", "bucket"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
-      .agg(count(lit(1)).as("n_bands"))
-      .filter(col("n_bands") >= minBandCollisions)
-      .select("doc_id_a", "doc_id_b")
+    val candidates = lshCandidates(withSig, bands, rows, minBandCollisions)
     candidates
       .join(withSets.select(col("doc_id").as("doc_id_a"), col("xh").as("xh_a")), Seq("doc_id_a"))
       .join(withSets.select(col("doc_id").as("doc_id_b"), col("xh").as("xh_b")), Seq("doc_id_b"))
@@ -146,6 +129,33 @@ object Dedup {
           size(array_union(col("xh_a"), col("xh_b"))))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** LSH candidate generation: explode each signature into `bands` bucket
+    * keys, bucket-join carrying ONLY ids, keep pairs agreeing on >=
+    * minBandCollisions bands. With the standard minBandCollisions=1 this is
+    * plain LSH recall (P = 1-(1-j^rows)^bands). Raising it to 2 trades
+    * recall for a large candidate prune — at threshold j, P(>=2 bands) is
+    * meaningfully below P(>=1) unless bands * j^rows is well above 2, so
+    * callers opt in only when the bucket-collision tail dominates cost
+    * (as q25's pathologically self-similar corpus does at j=0.8, where
+    * bands*j^rows = 3.3 and P(>=2) ~ 0.90).
+    * (Shared with Q25Profile so the profiler measures the shipped stages.)
+    */
+  private[graft] def lshCandidates(withSig: DataFrame, bands: Int, rows: Int,
+                                   minBandCollisions: Int): DataFrame = {
+    val banded = withSig.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        i => hash(slice(col("sig"), i * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+    banded.as("a")
+      .join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= minBandCollisions)
+      .select("doc_id_a", "doc_id_b")
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprints banded into 4x16 bits;

@@ -43,6 +43,11 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keyCol: String,
                  saltSrc: Column, saltBuckets: Int,
                  joinType: String = "inner"): DataFrame = {
+    // outer/right types would emit each unmatched small-side row once per
+    // salt replica — only shapes where small-side rows surface solely on
+    // match are semantics-preserving
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin preserves semantics only for inner/left joins, got $joinType")
     val saltedBig = big.withColumn("__salt", saltFor(saltSrc, saltBuckets))
     val explodedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))

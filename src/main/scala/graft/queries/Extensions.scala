@@ -56,7 +56,10 @@ object Extensions {
   def q25MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(
       Tables.documents(s, dir).filter(col("lang") === "en"),
-      shingleSize = 1, numHashes = 32, bands = 8, threshold = 0.8)
+      shingleSize = 1, numHashes = 32, bands = 8, threshold = 0.8,
+      // opt-in candidate prune: this corpus is pathologically self-similar,
+      // and at j=0.8 P(>=2 of 8 bands) ~ 0.90 — see Dedup.lshCandidates
+      minBandCollisions = 2)
       .orderBy(col("jaccard").desc, col("doc_id_a"), col("doc_id_b"))
       .limit(1000)
 

@@ -56,6 +56,15 @@ final case class CsvSource(
     val df =
       if (headerLine == 0) base.csv(path)
       else {
+        // The index-drop is GLOBAL over the concatenated text, so this path
+        // only makes sense for exactly one file — a glob/directory would
+        // keep every later file's junk title lines as data rows.
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val matches = fs.globStatus(hPath)
+        require(matches != null && matches.length == 1 && matches.head.isFile,
+          s"CsvSource(headerLine=$headerLine) requires a single regular file, " +
+            s"got ${if (matches == null) 0 else matches.length} matches for $path")
         import spark.implicits._
         val lines: Dataset[String] = spark.read.textFile(path)
         val body = lines.rdd.zipWithIndex()

@@ -4,13 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 import graft.functions.TextFunctions
 
-/** Stage-by-stage timing of the MinHash-LSH pipeline at a given sf.
-  *
-  * NOTE: the banding/candidate stages below intentionally mirror
-  * Dedup.minhashLsh's internals with its q25 parameters (shingleSize=1,
-  * numHashes=32, bands=8, rows=4, minBandCollisions=2) — keep in sync when
-  * the operator's shape changes, or the profile measures a different
-  * pipeline than the one shipped.
+/** Stage-by-stage timing of the MinHash-LSH pipeline at a given sf, using
+  * Dedup's own stage functions (q25 parameters: shingleSize=1, numHashes=32,
+  * bands=8, minBandCollisions=2) so the profile measures the shipped code.
   */
 object Q25Profile {
   def main(args: Array[String]): Unit = {
@@ -31,16 +27,9 @@ object Q25Profile {
       .withColumn("sig", Dedup.minhashSignatureFromHashes(col("xh"), 32))
       .select(col("doc_id"), col("sig"))
     t("sets+sig")(withSig.agg(sum(size(col("sig")))).collect())
-    val rows = 4
-    val banded = withSig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(7)),
-        i => hash(slice(col("sig"), i * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
-    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
-      .agg(count(lit(1)).as("n_bands")).filter(col("n_bands") >= 2)
+    val candidates = Dedup.lshCandidates(withSig, bands = 8, rows = 4, minBandCollisions = 2)
     println(s"[q25] candidates: ${t("candidates")(candidates.count())}")
-    val full = Dedup.minhashLsh(docs, 1, 32, 8, 0.8)
+    val full = Dedup.minhashLsh(docs, 1, 32, 8, 0.8, minBandCollisions = 2)
     println(s"[q25] verified pairs: ${t("full pipeline")(full.count())}")
     spark.stop()
   }
