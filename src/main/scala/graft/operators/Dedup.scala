@@ -42,12 +42,13 @@ object Dedup {
     * shuffles both sides once on the block key.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // hashed token sets: cardinalities (and so the Jaccard values) match the
-    // string-set computation; the pairwise intersect/union loop runs on longs
+    // sorted hashed token sets: cardinalities (and so the Jaccard values)
+    // match the string-set computation; the pairwise hot loop is the
+    // codegen'd SortedIntersectCount merge walk over longs
     val withSets = docs.select(
       col("doc_id"), col("lang"), col("source"),
-      array_distinct(transform(TextFunctions.tokens(col("text")),
-        t => xxhash64(t))).as("tset"))
+      array_sort(array_distinct(transform(TextFunctions.tokens(col("text")),
+        t => xxhash64(t)))).as("tset"))
     val a = withSets.select(
       col("lang"), col("source"),
       col("doc_id").as("doc_id_a"), col("tset").as("tset_a"))
@@ -56,9 +57,10 @@ object Dedup {
       col("doc_id").as("doc_id_b"), col("tset").as("tset_b"))
     a.join(b, Seq("lang", "source"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("tset_a"), col("tset_b"))).cast("double") /
-          size(array_union(col("tset_a"), col("tset_b"))))
+      .withColumn("ic", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("tset_a"), col("tset_b")))
+      .withColumn("jaccard", col("ic").cast("double") /
+        (size(col("tset_a")) + size(col("tset_b")) - col("ic")))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
@@ -110,13 +112,13 @@ object Dedup {
       threshold: Double = 0.7,
       minBandCollisions: Int = 1): DataFrame = {
     val rows = numHashes / bands
-    // Hashed shingle sets: all downstream set algebra runs on longs, and
-    // |intersect|/|union| equal the string-set counts (xxhash64 collisions
-    // are ~2^-64 per pair — immaterial).
+    // Sorted hashed shingle sets: all downstream set algebra runs on longs
+    // via the merge-walk kernel, and |intersect|/|union| equal the
+    // string-set counts (xxhash64 collisions are ~2^-64 per pair).
     val withSets = docs.select(
       col("doc_id"),
-      array_distinct(transform(
-        TextFunctions.shingles(col("text"), shingleSize), s => xxhash64(s))).as("xh"))
+      array_sort(array_distinct(transform(
+        TextFunctions.shingles(col("text"), shingleSize), s => xxhash64(s)))).as("xh"))
     val withSig = withSets
       .withColumn("sig", minhashSignatureFromHashes(col("xh"), numHashes))
       .select(col("doc_id"), col("sig"))
@@ -124,9 +126,10 @@ object Dedup {
     candidates
       .join(withSets.select(col("doc_id").as("doc_id_a"), col("xh").as("xh_a")), Seq("doc_id_a"))
       .join(withSets.select(col("doc_id").as("doc_id_b"), col("xh").as("xh_b")), Seq("doc_id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("xh_a"), col("xh_b"))).cast("double") /
-          size(array_union(col("xh_a"), col("xh_b"))))
+      .withColumn("ic", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("xh_a"), col("xh_b")))
+      .withColumn("jaccard", col("ic").cast("double") /
+        (size(col("xh_a")) + size(col("xh_b")) - col("ic")))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }

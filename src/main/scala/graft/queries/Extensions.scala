@@ -123,22 +123,23 @@ object Extensions {
     * similarity near zero except for genuinely related docs).
     */
   def q38NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // set algebra on xxhash64 of the shingles: cardinalities (and therefore
-    // the Jaccard values the oracle compares) are unchanged, long compares
-    // replace string compares in the O(pairs x set) hot loop
+    // sorted xxhash64 shingle sets: cardinalities (and therefore the
+    // Jaccard values the oracle compares) are unchanged; the O(pairs x set)
+    // hot loop is the codegen'd SortedIntersectCount merge walk
     val withSets = Tables.documents(s, dir).select(
       col("doc_id"), col("lang"), col("source"),
-      array_distinct(transform(
-        TextFunctions.shingles(col("text"), 3), x => xxhash64(x))).as("sh"))
+      array_sort(array_distinct(transform(
+        TextFunctions.shingles(col("text"), 3), x => xxhash64(x)))).as("sh"))
     val a = withSets.select(col("lang"), col("source"),
       col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
     val b = withSets.select(col("lang"), col("source"),
       col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("lang", "source"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("ic", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("ic").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("ic")))
       .filter(col("jaccard") >= 0.02)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }

@@ -1,0 +1,33 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class SortedIntersectCountSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("matches size(array_intersect) on random sorted distinct long arrays") {
+    val g = for {
+      a <- Gen.listOf(Gen.choose(-50L, 50L))
+      b <- Gen.listOf(Gen.choose(-50L, 50L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    val samples = (0 until 30).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+    val df = samples.toDF("a", "b")
+      .withColumn("ic", SortedIntersectCount.sortedIntersectCount(col("a"), col("b")))
+      .withColumn("expected", size(array_intersect(col("a"), col("b"))))
+    val bad = df.filter(col("ic") =!= col("expected")).count()
+    assert(bad == 0)
+  }
+
+  test("empty and disjoint arrays") {
+    val df = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L), Seq.empty[Long]),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(SortedIntersectCount.sortedIntersectCount(col("a"), col("b")).as("ic"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 0, 0, 3))
+  }
+}
