@@ -21,13 +21,17 @@ object Extensions {
     Dedup.exact(Tables.documents(s, dir))
       .select(col("text"), col("keep_id"), col("n_copies"))
 
-  /** Token/char statistics per document — pure map work. */
+  /** Token/char statistics per document — pure map work. The regex count is
+    * the BPE-ish pre-tokenizer shape (letter runs | digit runs | other).
+    */
   def q21TextStats(s: SparkSession, dir: String): DataFrame = {
     val t = TextFunctions.tokens(col("text"))
     Tables.documents(s, dir).select(
       col("doc_id"),
       size(t).as("n_tokens"),
       size(array_distinct(t)).as("n_distinct_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .as("n_regex_tokens"),
       length(col("text")).as("n_chars_computed"),
       TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
   }
@@ -207,8 +211,19 @@ object Extensions {
         col("session_window.start").cast("timestamp_ntz").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Rolling-hash winnowing fingerprints (MOSS scheme, custom expression) —
+    * deterministic rows-only: 64-bit wraparound arithmetic is not
+    * DuckDB-expressible. Near-dup guarantees are asserted in
+    * TextFunctionsSpec.
+    */
+  def q51WinnowFp(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      graft.functions.WinnowFingerprint.winnow(col("text")).as("fps"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_session_window" -> (q45SessionWindow _),
+    "q51_winnow_fp"      -> (q51WinnowFp _),
     "q38_ngram_jaccard" -> (q38NgramJaccard _),
     "q39_quality_score" -> (q39QualityScore _),
     "q42_media_meta"    -> (q42MediaMeta _),
@@ -309,6 +324,8 @@ object Extensions {
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+        |    AS n_regex_tokens,
         |  CAST(LENGTH(text) AS INTEGER) AS n_chars_computed,
         |  len(list_filter(string_split(text, ' '),
         |      x -> x IN ('the','a','and','of','to','in')))

@@ -45,6 +45,32 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(r.getString(0) == r.getString(1))
   }
 
+  test("winnowing fingerprints: identical docs match, near-dups overlap, unrelated don't") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val unrelated = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
+      .toDF("id", "t")
+      .select($"id", WinnowFingerprint.winnow($"t").as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(2L)) // deterministic
+    val overlapNear = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).size
+    val overlapFar = fps(1L).intersect(fps(4L)).size.toDouble / fps(1L).size
+    assert(overlapNear > 0.5, s"near-dup overlap $overlapNear")
+    assert(overlapFar == 0.0)
+    // shared-run guarantee: any common token run >= k+w-1 shares a fingerprint
+    assert(fps(1L).intersect(fps(3L)).nonEmpty)
+  }
+
+  test("winnowing handles short and empty docs") {
+    val df = Seq("", "a", "a b c").toDF("t")
+      .select(WinnowFingerprint.winnow($"t", k = 5, w = 4).as("fp"))
+    val out = df.collect().map(_.getSeq[Long](0))
+    assert(out(0).isEmpty)
+    assert(out(1).size == 1)
+    assert(out(2).size == 1) // whole doc shorter than k -> one gram
+  }
+
   test("fnv1a matches the published test vector") {
     // FNV-1a 64 of empty string is the offset basis; of "a" is 0xaf63dc4c8601ec8c
     assert(SimHash64.fnv1a("") == 0xcbf29ce484222325L)
