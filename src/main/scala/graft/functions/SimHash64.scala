@@ -56,24 +56,36 @@ object SimHash64 {
     h
   }
 
-  def compute(text: String): Long = {
-    val votes = new Array[Int](64)
+  /** FNV hash of each single-space-separated token — the shared tokenizer
+    * kernel for both fingerprint families (SimHash64, WinnowFingerprint).
+    */
+  def tokenHashes(text: String): Array[Long] = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
     var start = 0
     val n = text.length
     var i = 0
     while (i <= n) {
       if (i == n || text.charAt(i) == ' ') {
-        if (i > start) {
-          val h = fnv1a(text.substring(start, i))
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
-        }
+        if (i > start) out += fnv1a(text.substring(start, i))
         start = i + 1
       }
       i += 1
+    }
+    out.result()
+  }
+
+  def compute(text: String): Long = {
+    val votes = new Array[Int](64)
+    val hashes = tokenHashes(text)
+    var t = 0
+    while (t < hashes.length) {
+      val h = hashes(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
     }
     var out = 0L
     var b = 0

@@ -11,8 +11,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Winnowing document fingerprint (the MOSS rolling-hash scheme,
   * Schleimer/Wilkerson/Aiken SIGMOD'03): FNV-hash each whitespace token,
   * take polynomial rolling hashes of every k consecutive token hashes, then
-  * keep the minimum hash of each sliding window of w grams (rightmost min),
-  * de-duplicated. Guarantees: any shared token run of length >= k + w - 1
+  * keep the minimum hash of each sliding window of w grams,
+  * de-duplicated and sorted. Guarantees: any shared token run of length >= k + w - 1
   * contributes at least one common fingerprint, so near-duplicate documents
   * share fingerprints while the set stays ~|tokens|/w sized.
   *
@@ -23,6 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"WinnowFingerprint needs k >= 1 and w >= 1, got k=$k w=$w")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -46,19 +48,8 @@ object WinnowFingerprint {
   private final val Base = 1315423911L // odd multiplier for the polynomial
 
   def compute(text: String, k: Int, w: Int): ArrayData = {
-    // tokenize on single spaces without allocation-heavy split
-    val tokenHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var start = 0
-    val n = text.length
-    var i = 0
-    while (i <= n) {
-      if (i == n || text.charAt(i) == ' ') {
-        if (i > start) tokenHashes += SimHash64.fnv1a(text.substring(start, i))
-        start = i + 1
-      }
-      i += 1
-    }
-    val t = tokenHashes.length
+    val th = SimHash64.tokenHashes(text)
+    val t = th.length
     if (t == 0) return ArrayData.toArrayData(Array.empty[Long])
     // k-gram polynomial hashes (whole doc if shorter than k)
     val nGrams = math.max(t - k + 1, 1)
@@ -68,26 +59,40 @@ object WinnowFingerprint {
       var h = 0L
       var j = 0
       val kk = math.min(k, t)
-      while (j < kk) { h = h * Base + tokenHashes(g + j); j += 1 }
+      while (j < kk) { h = h * Base + th(g + j); j += 1 }
       grams(g) = h
       g += 1
     }
-    // winnow: min of each window of w grams (rightmost on ties), dedup
-    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
-    val nWin = math.max(nGrams - w + 1, 1)
+    // winnow: min of each window of w grams. The output is a de-duplicated
+    // sorted set, so only the min VALUE matters (a tied min position would
+    // select the same value) — no positional tie-break machinery needed.
+    val mins = new Array[Long](math.max(nGrams - w + 1, 1))
+    val nWin = mins.length
     var s = 0
     while (s < nWin) {
       val end = math.min(s + w, nGrams)
-      var mn = grams(s); var mi = s
+      var mn = grams(s)
       var j = s + 1
       while (j < end) {
-        if (grams(j) <= mn) { mn = grams(j); mi = j }
+        if (grams(j) < mn) mn = grams(j)
         j += 1
       }
-      out += grams(mi)
+      mins(s) = mn
       s += 1
     }
-    ArrayData.toArrayData(out.toArray.sorted)
+    // primitive sort + unique copy (no boxing)
+    java.util.Arrays.sort(mins)
+    var unique = 1
+    var i = 1
+    while (i < nWin) { if (mins(i) != mins(i - 1)) unique += 1; i += 1 }
+    val out = new Array[Long](unique)
+    out(0) = mins(0)
+    var o = 1; i = 1
+    while (i < nWin) {
+      if (mins(i) != mins(i - 1)) { out(o) = mins(i); o += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(out)
   }
 
   def winnow(c: Column, k: Int = 5, w: Int = 4): Column =

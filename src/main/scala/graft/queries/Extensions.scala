@@ -30,7 +30,11 @@ object Extensions {
       col("doc_id"),
       size(t).as("n_tokens"),
       size(array_distinct(t)).as("n_distinct_tokens"),
-      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      // explicit ASCII whitespace class, not \s: Java regex and DuckDB's RE2
+      // disagree on \s membership (vertical tab) and surrogate handling —
+      // this pattern is provably identical on both engines
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\x09-\\x0D ]"), lit(0)))
         .as("n_regex_tokens"),
       length(col("text")).as("n_chars_computed"),
       TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
@@ -324,7 +328,7 @@ object Extensions {
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\x09-\x0D ]')) AS INTEGER)
         |    AS n_regex_tokens,
         |  CAST(LENGTH(text) AS INTEGER) AS n_chars_computed,
         |  len(list_filter(string_split(text, ' '),

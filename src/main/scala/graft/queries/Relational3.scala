@@ -70,11 +70,15 @@ object Relational3 {
         dsum(q * p, 4).as("sqp"))
       .select(
         col("l_returnflag"), col("n"),
-        sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
+        // round(12): DuckDB's expression engine may contract x*y - z*w into
+        // an FMA, which rounds once where the JVM rounds twice — a 1-ulp
+        // divergence observed at sf0.001. 12 decimals is far above ulp and
+        // far below any data signal.
+        round(sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)), 12)
           .as("stddev_qty"),
-        ((col("n") * col("sqp") - col("sq") * col("sp")) /
+        round((col("n") * col("sqp") - col("sq") * col("sp")) /
           (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
-           sqrt(col("n") * col("spp") - col("sp") * col("sp"))))
+           sqrt(col("n") * col("spp") - col("sp") * col("sp"))), 12)
           .as("corr_qty_price"))
   }
 
@@ -122,8 +126,8 @@ object Relational3 {
         |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sqp
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  sqrt((sqq - sq * sq / n) / (n - 1)) AS stddev_qty,
-        |  (n * sqp - sq * sp) /
-        |    (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) AS corr_qty_price
+        |  ROUND(sqrt((sqq - sq * sq / n) / (n - 1)), 12) AS stddev_qty,
+        |  ROUND((n * sqp - sq * sp) /
+        |    (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 12) AS corr_qty_price
         |FROM c""".stripMargin)
 }
