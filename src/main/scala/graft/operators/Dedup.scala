@@ -92,6 +92,10 @@ object Dedup {
       (splitmix64(2L * i) | 1L, splitmix64(2L * i + 1))
     }
 
+  /** Primitive coefficient arrays for the MinHashSig codegen kernel. */
+  lazy val minhashCoeffArrays: (Array[Long], Array[Long]) =
+    (MinhashCoeffs.map(_._1).toArray, MinhashCoeffs.map(_._2).toArray)
+
   private def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -120,7 +124,7 @@ object Dedup {
       array_sort(array_distinct(transform(
         TextFunctions.shingles(col("text"), shingleSize), s => xxhash64(s)))).as("xh"))
     val withSig = withSets
-      .withColumn("sig", minhashSignatureFromHashes(col("xh"), numHashes))
+      .withColumn("sig", graft.functions.MinHashSig.minhashSig(col("xh"), numHashes))
       .select(col("doc_id"), col("sig"))
     val candidates = lshCandidates(withSig, bands, rows, minBandCollisions)
     candidates

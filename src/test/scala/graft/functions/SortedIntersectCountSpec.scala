@@ -31,3 +31,20 @@ class SortedIntersectCountSpec extends SparkSpecBase {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 0, 0, 3))
   }
 }
+
+class MinHashSigSpec extends graft.SparkSpecBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("kernel signature is bit-identical to the HOF formulation") {
+    val docs = Seq(
+      (1L, Seq(11L, 22L, 33L, 44L)),
+      (2L, Seq(99L)),
+      (3L, (1L to 200L).toSeq)).toDF("id", "xh")
+    val both = docs
+      .withColumn("kernel", MinHashSig.minhashSig(col("xh"), 32))
+      .withColumn("hof", graft.operators.Dedup.minhashSignatureFromHashes(col("xh"), 32))
+    val bad = both.filter(col("kernel") =!= col("hof")).count()
+    assert(bad == 0)
+  }
+}
