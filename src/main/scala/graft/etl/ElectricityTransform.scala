@@ -9,9 +9,10 @@ import graft.functions.Cleaning
   * rename, split composite suburb names on `+` keeping the first token
   * (main.py:101), and compute the year-over-year change percentage.
   *
-  * Division semantics: `CONSUMPTION_2022 == 0` yields pandas inf, Spark NULL
-  * (ANSI off); both are scrubbed to 0 downstream at the fact boundary
-  * (SURVEY.md §7.3.3).
+  * Division semantics: `CONSUMPTION_2022 == 0` yields pandas-style ±inf via
+  * Cleaning.pctChange (NULL only for 0/0 or missing, like pandas NaN) —
+  * fills touch only the NULLs and the fact-boundary scrub zeroes the infs,
+  * step-for-step like the reference (SURVEY.md §7.3.3).
   */
 object ElectricityTransform {
   def apply(elecRaw: DataFrame): DataFrame =
@@ -22,6 +23,5 @@ object ElectricityTransform {
         Cleaning.coerceDouble(col("F2022_23")).as("CONSUMPTION_2023"))
       .withColumn("SUBURB", trim(split(col("SUBURB"), "\\+").getItem(0)))
       .withColumn("CONSUMPTION_CHANGE_PCT",
-        (col("CONSUMPTION_2023") - col("CONSUMPTION_2022")) /
-          col("CONSUMPTION_2022") * 100.0)
+        Cleaning.pctChange(col("CONSUMPTION_2022"), col("CONSUMPTION_2023")))
 }

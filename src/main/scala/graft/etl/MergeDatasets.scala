@@ -33,6 +33,10 @@ object MergeDatasets {
         col("TOTAL_EVs") / (col("CONSUMPTION_2023") / 1000000.0))
       .withColumn("NO2_PER_EV",
         col("NO2_2023") / Cleaning.zeroToOne(col("TOTAL_EVs")))
+      // The change-pct columns carry pandas-style ±inf (Cleaning.pctChange),
+      // which na.fill above did NOT touch (matching pandas fillna) — so the
+      // score propagates ∓inf/NaN exactly as the reference does, and the
+      // fact-boundary scrub lands both engines on the same 0.
       .withColumn("EV_ADOPTION_SCORE",
         col("TOTAL_EVs") * (lit(1.0) - col("NO2_CHANGE_PCT") / 100.0))
   }

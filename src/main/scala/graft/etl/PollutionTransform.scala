@@ -53,6 +53,6 @@ object PollutionTransform {
       .withColumnsRenamed(Map("2022" -> "NO2_2022", "2023" -> "NO2_2023"))
       .withColumn("NO2_CHANGE", col("NO2_2023") - col("NO2_2022"))
       .withColumn("NO2_CHANGE_PCT",
-        (col("NO2_2023") - col("NO2_2022")) / col("NO2_2022") * 100.0)
+        graft.functions.Cleaning.pctChange(col("NO2_2022"), col("NO2_2023")))
   }
 }

@@ -37,6 +37,19 @@ object Cleaning {
     df.schema.fields.filter(_.dataType == DoubleType).map(_.name)
       .foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 6)))
 
+  /** Percent change with pandas division semantics: (b-a)/a*100, where a
+    * zero denominator yields ±inf by the numerator's sign (pandas float
+    * division) and 0/0 or missing inputs yield NULL (pandas NaN). Spark's
+    * non-ANSI Divide returns NULL for ALL zero denominators, which would
+    * conflate the inf case with the NaN case — and pandas `fillna` fills
+    * only NaN, so the distinction is observable through the reference's
+    * fill-then-derive pipeline (main.py:104-106,166-167,182-200).
+    */
+  def pctChange(prev: Column, cur: Column): Column =
+    when(prev === 0.0 && cur > 0.0, lit(Double.PositiveInfinity))
+      .when(prev === 0.0 && cur < 0.0, lit(Double.NegativeInfinity))
+      .otherwise((cur - prev) / prev * 100.0)
+
   /** The reference's `.replace(0, 1)` divisor guard (main.py:199,300). */
   def zeroToOne(c: Column): Column = when(c === 0, lit(1.0)).otherwise(c)
 

@@ -46,6 +46,10 @@ object AsOfJoin {
       .select((Seq("__t", "__tag") ++ leftCols).map(col) :+
         lit(null).cast(payloadStructType).as("__p"): _*)
     val r = right
+      // NULL-time right rows can never satisfy rightTime <= leftTime; left
+      // in, they would sort nulls-first and be carried forward as spurious
+      // "earliest" matches
+      .filter(col(rightTime).isNotNull)
       .withColumn("__t", col(rightTime))
       .withColumn("__tag", lit(0))
       .select(Seq(col("__t"), col("__tag"), col(keyCol)) ++

@@ -25,14 +25,15 @@ object Dedup {
     docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact dedup at 100 TB: group on the md5 fingerprint so the shuffle
-    * moves 32-byte keys instead of whole documents. A final same-fingerprint
-    * text equality check is unnecessary in practice (md5 collision ~2^-64
-    * for realistic corpus sizes) but the survivors' ids are exact either way.
+  /** Exact dedup at 100 TB: group on the md5 of the RAW text (not
+    * TextFunctions.fingerprint, which lowercases and would merge
+    * case-variant documents) so the shuffle moves 32-byte keys instead of
+    * whole documents. md5 collision ~2^-64 at realistic corpus sizes; the
+    * survivors' ids are exact either way and agree with `exact`.
     */
   def exactByFingerprint(docs: DataFrame, textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame =
-    docs.select(TextFunctions.fingerprint(col(textCol)).as("fp"), col(idCol))
+    docs.select(md5(col(textCol)).as("fp"), col(idCol))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 

@@ -180,8 +180,11 @@ object Relational {
         split(col("p_name"), " ").getItem(0).as("first_word"),
         regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
         translate(col("p_type"), "AEIOU", "").as("type_novowel"),
-        concat(upper(substring(split(col("p_name"), " ").getItem(1), 1, 1)),
-               lower(substring(split(col("p_name"), " ").getItem(1), 2, 100)))
+        // coalesce to '': a single-word p_name gives NULL from getItem(1)
+        // but '' from the oracle's SPLIT_PART — align to the '' convention
+        concat(
+          upper(substring(coalesce(split(col("p_name"), " ").getItem(1), lit("")), 1, 1)),
+          lower(substring(coalesce(split(col("p_name"), " ").getItem(1), lit("")), 2, 100)))
           .as("second_title"),
         length(col("p_name")).as("name_len"))
 

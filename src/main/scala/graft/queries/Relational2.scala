@@ -22,9 +22,13 @@ object Relational2 {
     val ev = Tables.events(s, dir)
     val probes = ev.filter(col("event_type") =!= "purchase")
       .select("event_id", "user_id", "ts")
+    // Dedupe purchases to one row per (user, us-timestamp), keeping the max
+    // event_id: ns->us truncation can create exact-time ties where each
+    // engine's as-of pick among tied right rows is otherwise unspecified.
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"),
-        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_id").as("purchase_id"),
+           max_by(col("value"), col("event_id")).as("purchase_value"))
     AsOfJoin(probes, purchases, keyCol = "user_id",
         leftTime = "ts", rightTime = "ts",
         payload = Seq("purchase_id", "purchase_value"))
@@ -133,9 +137,12 @@ object Relational2 {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q33_asof_join" ->
       """SELECT l.event_id, l.user_id,
-        |  r.event_id AS purchase_id, r.value AS purchase_value
+        |  r.purchase_id, r.purchase_value
         |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, MAX(event_id) AS purchase_id,
+        |    arg_max(value, event_id) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) r
         |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
     "q34_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,

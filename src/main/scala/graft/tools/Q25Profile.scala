@@ -20,11 +20,14 @@ object Q25Profile {
     }
 
     t("warm docs count")(docs.count())
+    // mirror of minhashLsh's shipped stages: sorted hashed sets + the
+    // MinHashSig codegen kernel
     val withSets = docs.select(col("doc_id"),
-      array_distinct(transform(TextFunctions.shingles(col("text"), 1), s => xxhash64(s))).as("xh"))
+      array_sort(array_distinct(transform(
+        TextFunctions.shingles(col("text"), 1), s => xxhash64(s)))).as("xh"))
     t("sets only")(withSets.agg(sum(size(col("xh")))).collect())
     val withSig = withSets
-      .withColumn("sig", Dedup.minhashSignatureFromHashes(col("xh"), 32))
+      .withColumn("sig", graft.functions.MinHashSig.minhashSig(col("xh"), 32))
       .select(col("doc_id"), col("sig"))
     t("sets+sig")(withSig.agg(sum(size(col("sig")))).collect())
     val candidates = Dedup.lshCandidates(withSig, bands = 8, rows = 4, minBandCollisions = 2)
