@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-module integration checks over the fixtures: the SQL registry,
+  * salted left joins, and the fixture catalog itself.
+  */
+class IntegrationSpec extends SparkSpecBase {
+
+  test("registerAll exposes every fixture table to spark.sql") {
+    Tables.registerAll(spark, Sf0001)
+    val n = spark.sql(
+      """SELECT COUNT(*) FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n == Tables.lineitem(spark, Sf0001).count()) // every row survives the FK chain
+    // extension tables are registered too
+    assert(spark.sql("SELECT COUNT(*) FROM documents").collect()(0).getLong(0) == 500)
+    assert(spark.sql("SELECT COUNT(*) FROM events WHERE ts IS NOT NULL")
+      .collect()(0).getLong(0) == 1000)
+  }
+
+  test("saltedJoin left join keeps unmatched big-side rows exactly once") {
+    import spark.implicits._
+    val big = Seq((1L, "hot"), (2L, "hot"), (3L, "nokey")).toDF("id", "k")
+    val dim = Seq(("hot", "H")).toDF("k", "label")
+    val out = graft.operators.Skew.saltedJoin(big, dim, "k", $"id", 4, "left")
+      .collect().map(r => (r.getLong(1), Option(r.getString(2)))).toSet
+    assert(out == Set((1L, Some("H")), (2L, Some("H")), (3L, None)))
+  }
+
+  test("saltedJoin rejects semantics-breaking join types") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "k")
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(df, df, "k", $"id", 4, "full_outer")
+    }
+  }
+
+  test("entry smoke: flagship query returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSet == Set("n_name", "revenue", "n_items"))
+  }
+
+  test("every declared query has matching columns with its oracle name set") {
+    // guards the column-name contract: the driver sorts columns by name
+    // before hashing, so any Spark/oracle alias drift breaks the gate
+    val oracled = SparkEntry.oracleSql.keySet
+    assert(oracled.subsetOf(SparkEntry.queries.keySet))
+    // and every query at least builds a plan against the smallest fixture
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val cols = fn(spark, Sf0001).columns
+      assert(cols.nonEmpty, s"$name produced no columns")
+      assert(cols.distinct.length == cols.length, s"$name has duplicate columns")
+    }
+  }
+}
