@@ -23,6 +23,9 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // null on empty input (below), independent of child nullability
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(LongType, _) =>
@@ -36,7 +39,10 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
     MinHashSig.compute(input.asInstanceOf[ArrayData], numHashes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.compute($c, $numHashes)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinHashSig.compute($c, $numHashes);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -45,11 +51,16 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
 object MinHashSig {
 
   def compute(xh: ArrayData, numHashes: Int): ArrayData = {
+    val n = xh.numElements()
+    // No signature exists for an empty set: an all-MaxValue sentinel would
+    // collide every pair of empty docs in every LSH band, and the HOF
+    // formulation (array_min over empty) yields nulls too. Callers that
+    // tokenize via shingles() never hit this (whole-text fallback).
+    if (n == 0) return null
     val coeffs = graft.operators.Dedup.minhashCoeffArrays
     val as = coeffs._1; val bs = coeffs._2
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
-    val n = xh.numElements()
     var i = 0
     while (i < n) {
       val x = xh.getLong(i)
@@ -61,9 +72,6 @@ object MinHashSig {
       }
       i += 1
     }
-    // empty input: the HOF array_min over an empty array yields null per
-    // element; callers guarantee non-empty shingle sets (shingles() falls
-    // back to the whole text), keep MaxValue sentinels for safety
     ArrayData.toArrayData(sig)
   }
 

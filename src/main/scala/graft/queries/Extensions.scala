@@ -161,8 +161,11 @@ object Extensions {
       TextFunctions.qualityScore(col("text")).as("quality"))
 
   /** Multimodal plumbing through the gate: synthetic binary payloads ->
-    * per-partition stub decode -> typed metadata. Deterministic rows-only
-    * (the decode stub is not SQL-expressible).
+    * per-partition stub decode -> typed metadata. Oracle-checked: the
+    * synthetic payload is deterministic (magic prefix chosen by doc_id % 3
+    * + UTF-8 text bytes), so n_bytes/format/ok are plain SQL over
+    * `documents` (verified against the fixtures: no text is empty or
+    * starts with 'RIFF', so the sniff can never misfire on the raw case).
     */
   def q42MediaMeta(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Multimodal
@@ -178,7 +181,9 @@ object Extensions {
     */
   def q43Tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val n = docs.count() // corpus size: one cheap job, reused as a literal
+    // corpus size N stays IN the plan (broadcast 1-row crossJoin, the same
+    // trick Dashboard.combined uses) — no eager count() job at build time
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val terms = docs.select(col("doc_id"),
       explode(TextFunctions.tokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -187,7 +192,8 @@ object Extensions {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     tf.join(df_, Seq("term"))
-      .withColumn("score", col("tf") * (lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * (col("n_docs") / col("df")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("term"), col("score"))
@@ -215,15 +221,18 @@ object Extensions {
         col("session_window.start").cast("timestamp_ntz").as("session_start"),
         col("n_events"), col("total_value"))
 
-  /** Rolling-hash winnowing fingerprints (MOSS scheme, custom expression) —
-    * deterministic rows-only: 64-bit wraparound arithmetic is not
-    * DuckDB-expressible. Near-dup guarantees are asserted in
-    * TextFunctionsSpec.
+  /** Rolling-hash winnowing fingerprints (MOSS scheme, custom expression),
+    * exploded to one scalar (doc_id, fp) row per fingerprint so the result
+    * is sortable/hashable by any harness (the raw array API remains
+    * `WinnowFingerprint.winnow`). Fully oracle-checked: FNV-1a + the
+    * polynomial rolling hash are replicated in DuckDB with HUGEINT
+    * mod-2^64 arithmetic (window mins compare in the SIGNED domain,
+    * matching the JVM's long comparison).
     */
   def q51WinnowFp(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
-      graft.functions.WinnowFingerprint.winnow(col("text")).as("fps"))
+      explode(graft.functions.WinnowFingerprint.winnow(col("text"))).as("fp"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_session_window" -> (q45SessionWindow _),
@@ -265,6 +274,50 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "q42_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text))
+        |    + CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 3 ELSE 0 END AS INTEGER)
+        |    AS n_bytes,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE NULL END AS format,
+        |  doc_id % 3 IN (0, 1) AS ok
+        |FROM documents""".stripMargin,
+    // Winnowing replicated exactly: FNV-1a 64 per token over UTF-8 bytes,
+    // degree-5 polynomial rolling hash (base 1315423911), min of each
+    // 4-gram window — all in HUGEINT mod-2^64 arithmetic. Grams convert to
+    // the SIGNED domain before the window min / sort, matching the JVM's
+    // signed long comparison in WinnowFingerprint.compute.
+    "q51_winnow_fp" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(string_split(text, ' '), t -> t <> ''),
+        |      t -> list_reduce(
+        |        list_prepend(14695981039346656037::HUGEINT,
+        |          list_transform(range(1, octet_length(encode(t)) + 1),
+        |            i -> (('0x' || substr(hex(encode(t)), 2*i-1, 2))::BIGINT)::HUGEINT)),
+        |        (a, b) -> ((a - (a % 256) + xor((a % 256)::BIGINT, b::BIGINT)::HUGEINT)
+        |                   * 1099511628211) % 18446744073709551616::HUGEINT)
+        |    ) AS th
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_transform(range(0, greatest(len(th) - 5 + 1, 1)),
+        |        g -> list_reduce(
+        |               list_prepend(0::HUGEINT, list_slice(th, g + 1, g + least(5, len(th)))),
+        |               (a, b) -> (a * 1315423911 + b) % 18446744073709551616::HUGEINT)),
+        |      u -> CASE WHEN u >= 9223372036854775808::HUGEINT
+        |                THEN (u - 18446744073709551616::HUGEINT)::BIGINT
+        |                ELSE u::BIGINT END) AS gr
+        |  FROM toks WHERE len(th) > 0),
+        |mins AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(
+        |      list_transform(range(0, greatest(len(gr) - 4 + 1, 1)),
+        |        s -> list_aggregate(list_slice(gr, s + 1, least(s + 4, len(gr))), 'min')))) AS fps
+        |  FROM grams)
+        |SELECT doc_id, unnest(fps) AS fp FROM mins""".stripMargin,
     "q45_session_window" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

@@ -80,10 +80,22 @@ final case class CsvSource(
       if (cleaned.isEmpty) s"_c$i" else cleaned
     }
     // De-duplicate collisions deterministically (pandas would mangle too).
-    val seen = scala.collection.mutable.Map.empty[String, Int]
-    val unique = renamed.map { c =>
-      val n = seen.getOrElse(c, 0); seen(c) = n + 1
-      if (n == 0) c else s"${c}_$n"
+    // The candidate loops past suffixes already taken AND past raw names
+    // still to come: [X, X, X_1] -> [X, X_2, X_1], never a duplicate X_1.
+    val seen = scala.collection.mutable.Set.empty[String]
+    val unique = renamed.zipWithIndex.map { case (c, i) =>
+      val out =
+        if (!seen.contains(c)) c
+        else {
+          var n = 1
+          var cand = s"${c}_$n"
+          while (seen.contains(cand) || renamed.indexOf(cand, i + 1) >= 0) {
+            n += 1; cand = s"${c}_$n"
+          }
+          cand
+        }
+      seen += out
+      out
     }
     df.toDF(unique.toIndexedSeq: _*)
   }

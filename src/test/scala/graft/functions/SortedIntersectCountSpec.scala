@@ -47,4 +47,13 @@ class MinHashSigSpec extends graft.SparkSpecBase {
     val bad = both.filter(col("kernel") =!= col("hof")).count()
     assert(bad == 0)
   }
+
+  test("empty shingle set yields a NULL signature, never a colliding sentinel") {
+    val docs = Seq((1L, Seq.empty[Long]), (2L, Seq.empty[Long]), (3L, Seq(7L)))
+      .toDF("id", "xh")
+      .withColumn("sig", MinHashSig.minhashSig(col("xh"), 8))
+    val rows = docs.orderBy("id").collect()
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2))
+    assert(!rows(2).isNullAt(2))
+  }
 }
