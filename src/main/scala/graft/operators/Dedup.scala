@@ -43,13 +43,13 @@ object Dedup {
     * shuffles both sides once on the block key.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // sorted hashed token sets: cardinalities (and so the Jaccard values)
-    // match the string-set computation; the pairwise hot loop is the
-    // codegen'd SortedIntersectCount merge walk over longs
+    // sorted hashed token sets (one codegen kernel — bit-identical to the
+    // HOF chain, see WordGramHashes): cardinalities (and so the Jaccard
+    // values) match the string-set computation; the pairwise hot loop is
+    // the codegen'd SortedIntersectCount merge walk over longs
     val withSets = docs.select(
       col("doc_id"), col("lang"), col("source"),
-      array_sort(array_distinct(transform(TextFunctions.tokens(col("text")),
-        t => xxhash64(t)))).as("tset"))
+      graft.functions.WordGramHashes.wordGramHashes(col("text"), 1).as("tset"))
     val a = withSets.select(
       col("lang"), col("source"),
       col("doc_id").as("doc_id_a"), col("tset").as("tset_a"))
@@ -115,19 +115,20 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.7,
-      minBandCollisions: Int = 1): DataFrame = {
+      minBandCollisions: Int = 1,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val rows = numHashes / bands
-    // Sorted hashed shingle sets: all downstream set algebra runs on longs
-    // via the merge-walk kernel, and |intersect|/|union| equal the
-    // string-set counts (xxhash64 collisions are ~2^-64 per pair).
+    // Sorted hashed shingle sets (one codegen kernel, bit-identical to the
+    // HOF chain): all downstream set algebra runs on longs via the
+    // merge-walk kernel, and |intersect|/|union| equal the string-set
+    // counts (xxhash64 collisions are ~2^-64 per pair).
     val withSets = docs.select(
       col("doc_id"),
-      array_sort(array_distinct(transform(
-        TextFunctions.shingles(col("text"), shingleSize), s => xxhash64(s)))).as("xh"))
+      graft.functions.WordGramHashes.wordGramHashes(col("text"), shingleSize).as("xh"))
     val withSig = withSets
       .withColumn("sig", graft.functions.MinHashSig.minhashSig(col("xh"), numHashes))
       .select(col("doc_id"), col("sig"))
-    val candidates = lshCandidates(withSig, bands, rows, minBandCollisions)
+    val candidates = lshCandidates(withSig, bands, rows, minBandCollisions, maxBucketSize)
     candidates
       .join(withSets.select(col("doc_id").as("doc_id_a"), col("xh").as("xh_a")), Seq("doc_id_a"))
       .join(withSets.select(col("doc_id").as("doc_id_b"), col("xh").as("xh_b")), Seq("doc_id_b"))
@@ -148,15 +149,33 @@ object Dedup {
     * callers opt in only when the bucket-collision tail dominates cost
     * (as q25's pathologically self-similar corpus does at j=0.8, where
     * bands*j^rows = 3.3 and P(>=2) ~ 0.90).
+    *
+    * `maxBucketSize` caps the bucket-join blowup: a (band, bucket) with k
+    * members contributes k(k-1)/2 candidate rows, so one pathological
+    * bucket (a boilerplate signature slice shared by thousands of docs)
+    * dominates the stage. Buckets above the cap lose that band entirely —
+    * a true pair there still surfaces through its other bands, so recall
+    * degrades gracefully instead of the stage blowing up; the dropped row
+    * count is visible in the window filter's SQL metrics. The size filter
+    * is one window count over the same (band, bucket) keys the self-join
+    * shuffles on, so the exchange is reused — no extra shuffle.
     * (Shared with Q25Profile so the profiler measures the shipped stages.)
     */
   private[graft] def lshCandidates(withSig: DataFrame, bands: Int, rows: Int,
-                                   minBandCollisions: Int): DataFrame = {
-    val banded = withSig.select(
+                                   minBandCollisions: Int,
+                                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val banded0 = withSig.select(
       col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         i => hash(slice(col("sig"), i * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+    val banded =
+      if (maxBucketSize == Int.MaxValue) banded0
+      else banded0
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+        .filter(col("bsz") <= maxBucketSize)
+        .drop("bsz")
     banded.as("a")
       .join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))

@@ -67,7 +67,14 @@ object Extensions {
       shingleSize = 1, numHashes = 32, bands = 8, threshold = 0.8,
       // opt-in candidate prune: this corpus is pathologically self-similar,
       // and at j=0.8 P(>=2 of 8 bands) ~ 0.90 — see Dedup.lshCandidates
-      minBandCollisions = 2)
+      minBandCollisions = 2,
+      // bucket cap: a (band,bucket) holding >200 docs is a degenerate
+      // boilerplate cluster (here ~8 buckets of ~930 of the 2000 en docs at
+      // sf0.1 carry 3.5M of the 3.7M candidate-pair mass); enumerating its
+      // pairs is the quadratic blowup LSH exists to avoid — such clusters
+      // belong to exact/fingerprint dedup, not pairwise similarity. At
+      // sf0.001 no bucket reaches the cap (recall spec unaffected).
+      maxBucketSize = 200)
       .orderBy(col("jaccard").desc, col("doc_id_a"), col("doc_id_b"))
       .limit(1000)
 
@@ -129,25 +136,43 @@ object Extensions {
   /** Word-3-gram Jaccard near-dup pairs within (lang, source) blocks —
     * the n-gram variant of q24 (the fixtures' random word soup keeps 3-gram
     * similarity near zero except for genuinely related docs).
+    *
+    * Inverted-index shape (exact, same output as the block-all-pairs merge
+    * walk): explode each doc's distinct shingle-hash set into a posting
+    * list, self-join on the individual shingle within the block, and the
+    * per-pair group count IS the intersection size. A pair with zero
+    * common shingles never materializes — and at jaccard >= 0.02 a pair
+    * needs ic >= 1, so dropping ic=0 pairs is lossless. Cost is
+    * sum-over-shingles of C(df, 2) instead of C(block, 2) x |set|: on
+    * 3-gram text (df ~ 1 for non-dup corpus) this is near-linear. Scale
+    * caveat: a high-df shingle contributes df^2 pairs — at 100 TB cap df
+    * with a logged drop (a shingle shared by thousands of docs carries no
+    * near-dup signal at this threshold), or raise the threshold and add a
+    * PPJoin prefix filter (only index the first (1-t)|s|+1 shingles).
+    * q24 keeps the merge-walk shape: unigram sets over a ~30-word
+    * vocabulary have df ~ block size, where posting lists degrade to
+    * all-pairs times set size.
     */
   def q38NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // sorted xxhash64 shingle sets: cardinalities (and therefore the
-    // Jaccard values the oracle compares) are unchanged; the O(pairs x set)
-    // hot loop is the codegen'd SortedIntersectCount merge walk
     val withSets = Tables.documents(s, dir).select(
       col("doc_id"), col("lang"), col("source"),
-      array_sort(array_distinct(transform(
-        TextFunctions.shingles(col("text"), 3), x => xxhash64(x)))).as("sh"))
-    val a = withSets.select(col("lang"), col("source"),
-      col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-    val b = withSets.select(col("lang"), col("source"),
-      col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "source"))
+      graft.functions.WordGramHashes.wordGramHashes(col("text"), 3).as("sh"))
+    val posting = withSets.select(col("lang"), col("source"), col("doc_id"),
+      size(col("sh")).as("sz"), explode(col("sh")).as("h"))
+    val a = posting.select(col("lang"), col("source"), col("h"),
+      col("doc_id").as("doc_id_a"), col("sz").as("sz_a"))
+    val b = posting.select(col("lang"), col("source"), col("h"),
+      col("doc_id").as("doc_id_b"), col("sz").as("sz_b"))
+    // Catalyst sizes Generate output at its input's bytes, so it would
+    // BROADCAST the ~100x-exploded posting list (a single-threaded build of
+    // the whole inverted index); posting lists are never broadcast-able —
+    // force the distributed hash join on the (lang, source, shingle) key.
+    a.hint("shuffle_hash").join(b, Seq("lang", "source", "h"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .withColumn("ic", graft.functions.SortedIntersectCount
-        .sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .groupBy("doc_id_a", "doc_id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("ic"))
       .withColumn("jaccard", col("ic").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("ic")))
+        (col("sz_a") + col("sz_b") - col("ic")))
       .filter(col("jaccard") >= 0.02)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
@@ -274,6 +299,35 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    // SimHash replicated exactly: FNV-1a 64 per space-token (same HUGEINT
+    // mod-2^64 reduce as q51), then the 64-bit majority vote — bit b set
+    // iff strictly more than half the tokens have bit b set (ties clear,
+    // matching votes(b) > 0 in SimHash64.compute) — reassembled as an
+    // unsigned HUGEINT and converted to the signed BIGINT domain.
+    "q26_simhash_fp" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(string_split(text, ' '), t -> t <> ''),
+        |      t -> list_reduce(
+        |        list_prepend(14695981039346656037::HUGEINT,
+        |          list_transform(range(1, octet_length(encode(t)) + 1),
+        |            i -> (('0x' || substr(hex(encode(t)), 2*i-1, 2))::BIGINT)::HUGEINT)),
+        |        (a, b) -> ((a - (a % 256) + xor((a % 256)::BIGINT, b::BIGINT)::HUGEINT)
+        |                   * 1099511628211) % 18446744073709551616::HUGEINT)
+        |    ) AS th
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0, 64),
+        |      b -> CASE WHEN 2 * len(list_filter(th, h -> (h // (1::HUGEINT << b)) % 2 = 1)) > len(th)
+        |                THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)) AS u
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN u >= 9223372036854775808::HUGEINT
+        |       THEN (u - 18446744073709551616::HUGEINT)::BIGINT
+        |       ELSE u::BIGINT END AS fp
+        |FROM votes""".stripMargin,
     "q42_media_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text))

@@ -23,8 +23,7 @@ object Q25Profile {
     // mirror of minhashLsh's shipped stages: sorted hashed sets + the
     // MinHashSig codegen kernel
     val withSets = docs.select(col("doc_id"),
-      array_sort(array_distinct(transform(
-        TextFunctions.shingles(col("text"), 1), s => xxhash64(s)))).as("xh"))
+      graft.functions.WordGramHashes.wordGramHashes(col("text"), 1).as("xh"))
     t("sets only")(withSets.agg(sum(size(col("xh")))).collect())
     val withSig = withSets
       .withColumn("sig", graft.functions.MinHashSig.minhashSig(col("xh"), 32))
@@ -32,8 +31,22 @@ object Q25Profile {
     t("sets+sig")(withSig.agg(sum(size(col("sig")))).collect())
     val candidates = Dedup.lshCandidates(withSig, bands = 8, rows = 4, minBandCollisions = 2)
     println(s"[q25] candidates: ${t("candidates")(candidates.count())}")
+    // bucket-size distribution: what does a cap cost/buy?
+    val buckets = withSig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(7)),
+        i => hash(slice(col("sig"), i * 4 + 1, lit(4))))).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").count()
+    val top = buckets.orderBy(col("count").desc).limit(20).collect()
+    println(s"[q25] top bucket sizes: ${top.map(_.getLong(2)).mkString(",")}")
+    val pairMass = buckets.agg(sum(col("count") * (col("count") - 1) / 2)).first().getDouble(0).toLong
+    println(s"[q25] total in-bucket pair mass: $pairMass")
     val full = Dedup.minhashLsh(docs, 1, 32, 8, 0.8, minBandCollisions = 2)
     println(s"[q25] verified pairs: ${t("full pipeline")(full.count())}")
+    for (cap <- Seq(400, 200, 100)) {
+      val capped = Dedup.minhashLsh(docs, 1, 32, 8, 0.8,
+        minBandCollisions = 2, maxBucketSize = cap)
+      println(s"[q25] capped($cap) pairs: ${t(s"full capped($cap)")(capped.count())}")
+    }
     spark.stop()
   }
 }

@@ -57,6 +57,26 @@ class DedupSpec extends SparkSpecBase {
     assert(approx(jac, 35.0 / 41.0, 0.2) && jac > 0.5)
   }
 
+  test("maxBucketSize prunes a boilerplate mega-cluster but keeps normal near-dups") {
+    // 60 identical boilerplate docs form one oversized bucket in EVERY
+    // band; a distinct planted near-dup pair lives in small buckets.
+    val boiler = (1 to 60).map(i =>
+      (200L + i, "same same same boilerplate text here", "en", "s0"))
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val docs = docsDF(Seq((1L, base, "en", "s0"), (2L, nearDup, "en", "s0")) ++ boiler)
+    val capped = Dedup.minhashLsh(docs, shingleSize = 3, numHashes = 32,
+      bands = 8, threshold = 0.5, maxBucketSize = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the planted pair survives; the 60x59/2 boilerplate pairs are pruned
+    assert(capped == Set((1L, 2L)))
+    // uncapped control: the mega-cluster's pairs are all emitted
+    val uncapped = Dedup.minhashLsh(docs, shingleSize = 3, numHashes = 32,
+      bands = 8, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 60 * 59 / 2 + 1)
+  }
+
   test("minhashLsh recall vs exact jaccard on the en fixture slice") {
     val docs = graft.Tables.documents(spark, Sf0001).filter($"lang" === "en")
     val exactPairs = Dedup.jaccardPairs(
