@@ -259,7 +259,46 @@ object Extensions {
       col("doc_id"),
       explode(graft.functions.WinnowFingerprint.winnow(col("text"))).as("fp"))
 
+  /** Salted left join (the skew path, operators.Skew) under the gate: the
+    * salting must be a PURE physical rewrite, so the DuckDB oracle is the
+    * UNSALTED SQL join. The small side is filtered to one market segment so
+    * unmatched big-side rows exercise the left join's NULL path.
+    */
+  def q52SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val small = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_acctbal"))
+    graft.operators.Skew.saltedJoin(big, small, "o_custkey",
+        saltSrc = col("o_orderkey"), saltBuckets = 8, joinType = "left")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal")
+  }
+
+  /** Hyperplane-LSH bucketed ANN under the gate (rows-only: bucket recall
+    * is probabilistic, not SQL-expressible; exactness of the emitted
+    * cosines and recall vs brute force are asserted in SimilaritySpec).
+    * Deterministic: fixed hyperplanes, ties broken by vec_id.
+    */
+  def q53LshTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, dir), k = 10, maxQueryId = 8)
+
+  /** Approximate per-group median (approx_percentile sketch) — the 100 TB
+    * companion to q48's exact positional median, whose
+    * one-task-per-group window does not scale past dimension-sized groups.
+    * Rows-only (sketch internals are engine-specific); closeness to the
+    * exact median is asserted in IntegrationSpec.
+    */
+  def q54ApproxMedian(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+        .as("approx_median_price"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_salted_join"    -> (q52SaltedJoin _),
+    "q53_lsh_topk"       -> (q53LshTopk _),
+    "q54_approx_median"  -> (q54ApproxMedian _),
     "q45_session_window" -> (q45SessionWindow _),
     "q51_winnow_fp"      -> (q51WinnowFp _),
     "q38_ngram_jaccard" -> (q38NgramJaccard _),
@@ -299,6 +338,14 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    // the salted join must equal the plain join — the oracle IS the
+    // unsalted SQL, proving the salt+explode rewrite changes no rows
+    "q52_salted_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal
+        |FROM orders
+        |LEFT JOIN (SELECT c_custkey, c_name, c_acctbal
+        |           FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |  ON o_custkey = c_custkey""".stripMargin,
     // SimHash replicated exactly: FNV-1a 64 per space-token (same HUGEINT
     // mod-2^64 reduce as q51), then the 64-bit majority vote — bit b set
     // iff strictly more than half the tokens have bit b set (ties clear,

@@ -36,17 +36,26 @@ object Sinks {
       .sortBy(bucketCol)
       .saveAsTable(tableName)
 
-  /** CSV with an explicit leading row-index column where pandas-index parity
+  /** CSV with an explicit row-index column where pandas-index parity
     * matters (the reference writes `to_csv` with the default index,
     * main.py:214,221,228,236,345-346).
+    *
+    * The index is assigned distributed: RDD zipWithIndex numbers rows in
+    * partition-then-offset order (identical to what a global window over
+    * monotonically_increasing_id would produce) from one lightweight
+    * per-partition count pass — no single-task funnel of the whole frame.
     */
   def csv(df: DataFrame, path: String, withRowIdx: Boolean = false): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
     val out =
       if (!withRowIdx) df
-      else df.withColumn("row_idx",
-        row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+      else {
+        val schema = df.schema.add("row_idx", org.apache.spark.sql.types.LongType,
+          nullable = false)
+        val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        }
+        df.sparkSession.createDataFrame(rdd, schema)
+      }
     out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
   }
 
@@ -72,19 +81,29 @@ object Sinks {
     s"""ALTER TABLE $table ALTER COLUMN "$pk" NOT NULL""",
     s"""ALTER TABLE $table ADD CONSTRAINT PK_$table PRIMARY KEY ("$pk")""")
 
-  /** JDBC overwrite + post-write primary-key DDL over a plain JDBC
-    * statement (Spark's JDBC writer cannot emit constraints). The DDL
-    * dialect is injectable; default matches the reference's Azure SQL.
+  /** JDBC load + post-write primary-key DDL over a plain JDBC statement
+    * (Spark's JDBC writer cannot emit constraints). The DDL dialect is
+    * injectable; default matches the reference's Azure SQL.
+    *
+    * Overwrite recreates the table and installs the PK (the reference's
+    * `if_exists='replace'` + DDL path, utils/datsetup.py:98-113); Append
+    * adds rows to the existing table and leaves its constraints alone
+    * (`if_exists='append'`, utils/datsetup.py:115-117) — re-running the
+    * PK DDL against a populated table would fail on the existing
+    * constraint name anyway.
     */
   def jdbc(df: DataFrame, url: String, table: String,
            props: java.util.Properties = new java.util.Properties(),
-           pkDdl: (String, String) => Seq[String] = tsqlPkDdl): Unit = {
-    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
-    var conn: java.sql.Connection = null
-    try {
-      conn = java.sql.DriverManager.getConnection(url, props)
-      val st = conn.createStatement()
-      pkDdl(table, pkColumn(table)).foreach(st.execute)
-    } finally if (conn != null) conn.close()
+           pkDdl: (String, String) => Seq[String] = tsqlPkDdl,
+           mode: SaveMode = SaveMode.Overwrite): Unit = {
+    df.write.mode(mode).jdbc(url, table, props)
+    if (mode == SaveMode.Overwrite) {
+      var conn: java.sql.Connection = null
+      try {
+        conn = java.sql.DriverManager.getConnection(url, props)
+        val st = conn.createStatement()
+        pkDdl(table, pkColumn(table)).foreach(st.execute)
+      } finally if (conn != null) conn.close()
+    }
   }
 }

@@ -38,6 +38,18 @@ class IntegrationSpec extends SparkSpecBase {
     }
   }
 
+  test("q54 approx median tracks q48's exact median per group") {
+    val exact = graft.queries.Relational3.q48Median(spark, Sf001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = graft.queries.Extensions.q54ApproxMedian(spark, Sf001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, v) =>
+      assert(math.abs(v - exact(k)) / exact(k) < 0.02,
+        s"approx median for $k drifted: $v vs ${exact(k)}")
+    }
+  }
+
   test("entry smoke: flagship query returns rows on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
