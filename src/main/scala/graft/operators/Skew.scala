@@ -27,7 +27,7 @@ object Skew {
     */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
                      saltSrc: Column, saltBuckets: Int): DataFrame = {
-    val dec = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val dec = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(28, 6))
     df.withColumn("__salt", saltFor(saltSrc, saltBuckets))
       .groupBy((keyCols :+ "__salt").map(col): _*)
       .agg(sum(dec).as("__psum"), count(lit(1)).as("__pcnt"))

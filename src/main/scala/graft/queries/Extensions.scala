@@ -91,7 +91,9 @@ object Extensions {
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), k = 10, maxQueryId = 8)
 
   /** IVF-style approximate ANN — same queries; recall asserted in
-    * SimilaritySpec. Rows-only (approximation not SQL-expressible).
+    * SimilaritySpec. Fully oracle-checked: centroids are the deterministic
+    * first-nList vectors, so assign/probe/top-k replicate in DuckDB SQL
+    * with list_dot_product (same float contract as q27).
     */
   def q28AnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, dir), k = 10, maxQueryId = 8)
@@ -275,9 +277,11 @@ object Extensions {
       .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal")
   }
 
-  /** Hyperplane-LSH bucketed ANN under the gate (rows-only: bucket recall
-    * is probabilistic, not SQL-expressible; exactness of the emitted
-    * cosines and recall vs brute force are asserted in SimilaritySpec).
+  /** Hyperplane-LSH bucketed ANN under the gate. Fully oracle-checked:
+    * the hyperplanes are deterministic (Murmur3-parity ±1 component
+    * signs), so the oracle bakes them in as literal DOUBLE[] weights and
+    * replicates bucket assignment + in-bucket top-k exactly; recall vs
+    * brute force is additionally asserted in SimilaritySpec.
     * Deterministic: fixed hyperplanes, ties broken by vec_id.
     */
   def q53LshTopk(s: SparkSession, dir: String): DataFrame =
@@ -337,7 +341,86 @@ object Extensions {
        |  FROM documents)""".stripMargin
   }
 
+  /** ±1 hyperplane component signs for the q53 oracle: the exact Murmur3
+    * (seed 42) parity Spark's `hash(i, j)` computes inside
+    * VectorFunctions.hyperplaneSignature, evaluated once at oracle-build
+    * time and baked into the SQL as a literal DOUBLE[] weight vector — the
+    * planes are deterministic constants, no different from a stopword
+    * list. Multiplying by exactly ±1.0 is IEEE-exact, and DuckDB's
+    * list_dot_product accumulates sequentially like the aggregate() fold,
+    * so the per-plane scores are bit-identical. Fixture embeddings are
+    * 64-dim at every sf.
+    */
+  private def planeSql(j: Int, dim: Int = 64): String =
+    (0 until dim).map { i =>
+      val h1 = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(i, 42)
+      val h  = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(j, h1)
+      if (((h % 2) + 2) % 2 == 0) "1.0" else "-1.0"
+    }.mkString("[", ", ", "]::DOUBLE[]")
+
   val oracles: Map[String, String] = Map(
+    // IVF replicated end-to-end: centroids = first 16 vectors, every corpus
+    // vector assigned to its max-cosine centroid (tie -> smallest cid,
+    // matching max_by(cid, struct(cdist, -cid))), queries probe their 4
+    // closest cells, then plain per-query top-10 over the candidate join.
+    "q28_ann_ivf" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, e, cid FROM (
+        |    SELECT v.vec_id, v.e, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        |        ORDER BY list_dot_product(v.e, c.ce)
+        |          / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+        |          c.cid ASC) AS rn
+        |    FROM v CROSS JOIN c) t
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 8),
+        |probes AS (
+        |  SELECT qid, qe, cid FROM (
+        |    SELECT q.qid, q.qe, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.qid
+        |        ORDER BY list_dot_product(q.qe, c.ce)
+        |          / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+        |          c.cid ASC) AS prank
+        |    FROM q CROSS JOIN c) t
+        |  WHERE prank <= 4),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id,
+        |    list_dot_product(p.qe, a.e)
+        |      / (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(a.e, a.e))) AS cos
+        |  FROM probes p JOIN assigned a ON p.cid = a.cid AND a.vec_id <> p.qid)
+        |SELECT qid, rank, vec_id AS neighbor_id, ROUND(cos, 6) AS cos_sim FROM (
+        |  SELECT qid, vec_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+        |         AS INTEGER) AS rank
+        |  FROM cand) t
+        |WHERE rank <= 10""".stripMargin,
+    // Hyperplane LSH replicated end-to-end: bucket = 4-bit sign signature
+    // against the baked-in ±1 planes (see planeSql), then in-bucket
+    // per-query top-10 with the q27 float contract.
+    "q53_lsh_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, e,
+        |      (CASE WHEN list_dot_product(e, ${planeSql(0)}) >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_dot_product(e, ${planeSql(1)}) >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN list_dot_product(e, ${planeSql(2)}) >= 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN list_dot_product(e, ${planeSql(3)}) >= 0 THEN 8 ELSE 0 END)
+        |      AS bucket
+        |  FROM v),
+        |q AS (SELECT vec_id AS qid, e AS qe, bucket FROM b WHERE vec_id < 8),
+        |cand AS (
+        |  SELECT q.qid, b.vec_id,
+        |    list_dot_product(q.qe, b.e)
+        |      / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+        |  FROM q JOIN b USING (bucket) WHERE b.vec_id <> q.qid)
+        |SELECT qid, rank, vec_id AS neighbor_id, ROUND(cos, 6) AS cos_sim FROM (
+        |  SELECT qid, vec_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+        |         AS INTEGER) AS rank
+        |  FROM cand) t
+        |WHERE rank <= 10""".stripMargin,
     // the salted join must equal the plain join — the oracle IS the
     // unsalted SQL, proving the salt+explode rewrite changes no rows
     "q52_salted_join" ->
@@ -434,7 +517,7 @@ object Extensions {
         |  FROM marked)
         |SELECT user_id, MIN(ts) AS session_start,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
     "q43_tfidf" ->
       """WITH terms AS (
@@ -529,7 +612,7 @@ object Extensions {
     "q30_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q31_sessionize" ->
       """SELECT user_id,

@@ -247,7 +247,7 @@ object Relational {
 
   // ---------------------------------------------------------------- oracle
 
-  private val decSumQty   = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+  private val decSumQty   = "CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_groupby_agg"   -> (q01GroupbyAgg _),
@@ -272,21 +272,21 @@ object Relational {
     "q01_groupby_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  $decSumQty AS sum_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-         |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
          |  $decSumQty / COUNT(l_quantity) AS avg_qty,
          |  COUNT(*) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_agg" ->
       """SELECT
-        |  CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q03_join_agg" ->
       """SELECT o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
@@ -295,7 +295,7 @@ object Relational {
       """SELECT c_mktsegment,
         |  COUNT(o_orderkey) AS n_big_orders,
         |  COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS big_total
+        |  CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(28,2))) AS DOUBLE) AS big_total
         |FROM customer
         |FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice
         |                 FROM orders WHERE o_totalprice > 300000.0) o
@@ -303,7 +303,7 @@ object Relational {
         |GROUP BY c_mktsegment""".stripMargin,
     "q05_star_join" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -363,7 +363,7 @@ object Relational {
       """SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
         |  CAST(QUARTER(o_orderdate) AS INTEGER) AS o_quarter,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2""".stripMargin,
     "q14_safe_arith" ->
       """SELECT l_orderkey, l_linenumber,
@@ -386,7 +386,7 @@ object Relational {
         |WHERE rk <= 3""".stripMargin,
     "q17_kpis" ->
       """SELECT COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS gross,
         |  CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE) / COUNT(*)
         |    AS fulfilled_ratio
         |FROM orders""".stripMargin)

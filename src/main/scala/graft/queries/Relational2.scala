@@ -49,7 +49,7 @@ object Relational2 {
     */
   def q35WindowAnalytics(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
-    val dec = col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val dec = col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(28, 2))
     val running = w.rowsBetween(Window.unboundedPreceding, 0)
     val moving = w.rowsBetween(-2, 0)
     Tables.orders(s, dir).select(
@@ -85,7 +85,7 @@ object Relational2 {
   val SqlSurfaceText: String =
     """SELECT n_name,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -125,7 +125,7 @@ object Relational2 {
     "q40_sql_surface" -> SqlSurfaceText,
     "q41_shipping_priority" ->
       """SELECT l_orderkey, o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE)
         |    AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -147,14 +147,14 @@ object Relational2 {
     "q34_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
     "q35_window_analytics" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_run AS DOUBLE)
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER w_run AS DOUBLE)
         |    AS running_total,
         |  LAG(o_totalprice, 1) OVER w AS prev_price,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_mov AS DOUBLE)
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER w_mov AS DOUBLE)
         |    / COUNT(*) OVER w_mov AS moving_avg3
         |FROM orders
         |WINDOW

@@ -7,12 +7,20 @@ import org.apache.spark.sql.types.DecimalType
 /** Shared helpers for the declared-query modules. */
 package object queries {
 
-  /** Order-independent double aggregation: sum through DECIMAL(18, scale)
+  /** Order-independent double aggregation: sum through DECIMAL(28, scale)
     * and render back as double. IEEE double sums depend on partition/merge
     * order; decimal sums do not, so results are bit-identical across
     * parallelism levels AND to the DuckDB oracle running the same cast.
     * (The engine-parity contract — see SURVEY.md §8.)
+    *
+    * Precision 28 (not 18) is the 100x-scale headroom: with ANSI off Spark
+    * returns NULL on decimal-sum overflow, so an 18-digit accumulator that
+    * fits sf0.1 would silently null out a single-group sum of
+    * l_extendedprice-sized values somewhere past sf100. 28 digits cover a
+    * ~1e9x row-count growth over the fixtures at the same value magnitudes
+    * while still fitting Spark's 128-bit unscaled representation after the
+    * +10-digit sum widening (28+10 = 38 = max precision).
     */
   def dsum(c: Column, scale: Int): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    sum(c.cast(DecimalType(28, scale))).cast("double")
 }
