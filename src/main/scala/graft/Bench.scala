@@ -17,8 +17,10 @@ object Bench {
     // Warm-up: trigger codegen + parquet footer reads once, untimed.
     try Tables.lineitem(spark, sfDir).limit(1).count()
     catch { case _: Throwable => () }
-    // Two timed runs per query, report the min — steady-state throughput,
-    // not first-run JIT/codegen-compilation noise.
+    // Per-query: one UNTIMED warm-up run (codegen compilation, parquet
+    // footer cache, JIT) then three timed runs, report the min — a single
+    // GC/JIT-unlucky run must not masquerade as a cross-round regression
+    // (two consecutive bench invocations should agree within ~5%).
     // A failing query must surface as -1, never as a fast-looking timing.
     def time(name: String,
              fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -30,8 +32,9 @@ object Bench {
       }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (a, b) = (time(name, fn), time(name, fn))
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val runs = Seq(time(name, fn), time(name, fn), time(name, fn), time(name, fn))
+      val timed = runs.drop(1) // first run is warm-up, never reported
+      name -> (if (runs.exists(_ < 0)) -1.0 else timed.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -48,6 +48,30 @@ object GraftSession {
       Runtime.getRuntime.availableProcessors().toString)
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    attachMetricsLogger(s)
     s
+  }
+
+  /** Logs every `graft_*` CollectMetrics observation (e.g. the q25
+    * bucket-cap drop counters) after each successful query, so data dropped
+    * by capacity caps is visible in driver logs in production — not only in
+    * the SQL-metrics UI. Idempotent per session.
+    */
+  def attachMetricsLogger(s: SparkSession): Unit = synchronized {
+    if (s.conf.getOption("graft.metricsLogger").isEmpty) {
+      s.conf.set("graft.metricsLogger", "attached")
+      s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        private val log = org.slf4j.LoggerFactory.getLogger("graft.metrics")
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_")) log.warn(s"$name: $row")
+          }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+    }
   }
 }

@@ -41,15 +41,37 @@ object Dedup {
     * Jaccard over distinct tokens, emitted when >= threshold. Blocking keys
     * bound the pair count (the classic entity-resolution shape); the join
     * shuffles both sides once on the block key.
+    *
+    * This walk is O(block²) BY DESIGN (the exact, oracle-checkable
+    * companion to the LSH/inverted-index shapes — see q38's scaladoc for
+    * why posting lists degenerate on its ~30-word unigram vocabulary), so
+    * the block-size contract is enforceable in code, not just prose:
+    * with `maxBlockSize` set, blocks above the cap are dropped from the
+    * join with an observed, logged count (`graft_q24_block_cap`) instead of
+    * silently melting the stage. Off by default: the fixtures' ~100 blocks
+    * are all dimension-sized.
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   maxBlockSize: Int = Int.MaxValue): DataFrame = {
     // sorted hashed token sets (one codegen kernel — bit-identical to the
     // HOF chain, see WordGramHashes): cardinalities (and so the Jaccard
     // values) match the string-set computation; the pairwise hot loop is
     // the codegen'd SortedIntersectCount merge walk over longs
-    val withSets = docs.select(
+    val withSets0 = docs.select(
       col("doc_id"), col("lang"), col("source"),
       graft.functions.WordGramHashes.wordGramHashes(col("text"), 1).as("tset"))
+    val withSets =
+      if (maxBlockSize == Int.MaxValue) withSets0
+      else withSets0
+        .withColumn("blksz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang", "source")))
+        .observe("graft_q24_block_cap",
+          sum(when(col("blksz") > maxBlockSize, 1L).otherwise(0L)).as("dropped_docs"),
+          round(sum(when(col("blksz") > maxBlockSize, lit(1.0) / col("blksz"))
+            .otherwise(0.0)), 0).as("dropped_blocks"),
+          max(col("blksz")).as("max_block_size"))
+        .filter(col("blksz") <= maxBlockSize)
+        .drop("blksz")
     val a = withSets.select(
       col("lang"), col("source"),
       col("doc_id").as("doc_id_a"), col("tset").as("tset_a"))
@@ -153,18 +175,29 @@ object Dedup {
     * `maxBucketSize` caps the bucket-join blowup: a (band, bucket) with k
     * members contributes k(k-1)/2 candidate rows, so one pathological
     * bucket (a boilerplate signature slice shared by thousands of docs)
-    * dominates the stage. Buckets above the cap lose that band entirely —
-    * a true pair there still surfaces through its other bands, so recall
-    * degrades gracefully instead of the stage blowing up; the dropped row
-    * count is visible in the window filter's SQL metrics. The size filter
-    * is one window count over the same (band, bucket) keys the self-join
-    * shuffles on, so the exchange is reused — no extra shuffle.
+    * dominates the stage. A bucket above the cap loses that band entirely.
+    * For a pair whose OTHER bands stay under the cap, recall degrades
+    * gracefully — but a cluster of identical/boilerplate documents
+    * oversizes EVERY band's bucket, so such clusters lose all their pairs
+    * BY DESIGN: identical-text clusters belong to exact/fingerprint dedup
+    * (`exact`/`exactByFingerprint`), not pairwise similarity. The dropped
+    * volume is observable: a `graft_q25_bucket_cap` CollectMetrics row
+    * (dropped_doc_slots / dropped_buckets / max_bucket_size) flows to every
+    * QueryExecutionListener — GraftSession installs one that logs it — and
+    * DedupSpec pins the counts against a planted mega-cluster. The size
+    * filter is one window count over the same (band, bucket) keys the
+    * self-join shuffles on, so the exchange is reused — no extra shuffle.
     * (Shared with Q25Profile so the profiler measures the shipped stages.)
+    *
+    * Null signatures are dropped up front (defense in depth): hash(null)
+    * is a constant, so null-sig docs would all collide in every band and
+    * quadratically blow up the candidate stage while contributing no
+    * true pairs.
     */
   private[graft] def lshCandidates(withSig: DataFrame, bands: Int, rows: Int,
                                    minBandCollisions: Int,
                                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val banded0 = withSig.select(
+    val banded0 = withSig.filter(col("sig").isNotNull).select(
       col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
@@ -174,6 +207,14 @@ object Dedup {
       else banded0
         .withColumn("bsz", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+        .observe("graft_q25_bucket_cap",
+          sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L)).as("dropped_doc_slots"),
+          // each dropped bucket of size k contributes k rows that each add
+          // 1/k — so this sums to the EXACT dropped-bucket count (observe
+          // forbids distinct aggregates; round() scrubs the float dust)
+          round(sum(when(col("bsz") > maxBucketSize, lit(1.0) / col("bsz"))
+            .otherwise(0.0)), 0).as("dropped_buckets"),
+          max(col("bsz")).as("max_bucket_size"))
         .filter(col("bsz") <= maxBucketSize)
         .drop("bsz")
     banded.as("a")

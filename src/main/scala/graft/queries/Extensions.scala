@@ -147,20 +147,51 @@ object Extensions {
     * needs ic >= 1, so dropping ic=0 pairs is lossless. Cost is
     * sum-over-shingles of C(df, 2) instead of C(block, 2) x |set|: on
     * 3-gram text (df ~ 1 for non-dup corpus) this is near-linear. Scale
-    * caveat: a high-df shingle contributes df^2 pairs — at 100 TB cap df
-    * with a logged drop (a shingle shared by thousands of docs carries no
+    * caveat: a high-df shingle contributes df^2 pairs — at 100 TB set
+    * `ngramJaccard`'s maxDf cap (drops such postings with an observed,
+    * logged count; a shingle shared by thousands of docs carries no
     * near-dup signal at this threshold), or raise the threshold and add a
     * PPJoin prefix filter (only index the first (1-t)|s|+1 shingles).
     * q24 keeps the merge-walk shape: unigram sets over a ~30-word
     * vocabulary have df ~ block size, where posting lists degrade to
     * all-pairs times set size.
     */
-  def q38NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def q38NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccard(s, dir, maxDf = None)
+
+  /** The parameterized operator behind q38. `maxDf` is the 100 TB knob the
+    * scale caveat above names: a shingle with document frequency df
+    * contributes ~df²/2 candidate pairs, so one ubiquitous shingle (a
+    * boilerplate phrase) dominates the join. With `maxDf` set, postings for
+    * shingles with df > cap are dropped BEFORE the self-join — at a low
+    * similarity threshold this loses the (rare) pairs whose overlap is
+    * mostly high-df shingles, so it is opt-in and OFF for the declared
+    * query (the oracle hash stays exact). The df filter is one window count
+    * over the same (lang, source, shingle) keys the self-join shuffles on
+    * (exchange reused), and the dropped-posting volume surfaces as the
+    * `graft_q38_df_cap` observation (logged by GraftSession's listener;
+    * pinned in DedupSpec).
+    */
+  def ngramJaccard(s: SparkSession, dir: String, maxDf: Option[Int]): DataFrame = {
     val withSets = Tables.documents(s, dir).select(
       col("doc_id"), col("lang"), col("source"),
       graft.functions.WordGramHashes.wordGramHashes(col("text"), 3).as("sh"))
-    val posting = withSets.select(col("lang"), col("source"), col("doc_id"),
+    val posting0 = withSets.select(col("lang"), col("source"), col("doc_id"),
       size(col("sh")).as("sz"), explode(col("sh")).as("h"))
+    val posting = maxDf.fold(posting0) { cap =>
+      posting0
+        .withColumn("df", count(lit(1)).over(
+          Window.partitionBy("lang", "source", "h")))
+        .observe("graft_q38_df_cap",
+          sum(when(col("df") > cap, 1L).otherwise(0L)).as("dropped_postings"),
+          // df rows each add 1/df -> exact count of dropped distinct
+          // shingles (observe forbids distinct aggregates)
+          round(sum(when(col("df") > cap, lit(1.0) / col("df"))
+            .otherwise(0.0)), 0).as("dropped_shingles"),
+          max(col("df")).as("max_df"))
+        .filter(col("df") <= cap)
+        .drop("df")
+    }
     val a = posting.select(col("lang"), col("source"), col("h"),
       col("doc_id").as("doc_id_a"), col("sz").as("sz_a"))
     val b = posting.select(col("lang"), col("source"), col("h"),
@@ -287,6 +318,16 @@ object Extensions {
   def q53LshTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, dir), k = 10, maxQueryId = 8)
 
+  /** SimHash near-dup pairs under the gate: banded candidate join +
+    * Hamming verification (operators.Dedup.simhashPairs). maxHamming=3
+    * against 4 bands makes the LSH banding lossless (pigeonhole: <= 3
+    * flipped bits cannot touch all 4 bands), so unlike q25's probabilistic
+    * prune this IS fully oracle-checkable — the q26 fingerprint oracle
+    * plus an all-pairs Hamming filter reproduces the output bit-exactly.
+    */
+  def q55SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
+
   /** Approximate per-group median (approx_percentile sketch) — the 100 TB
     * companion to q48's exact positional median, whose
     * one-task-per-group window does not scale past dimension-sized groups.
@@ -317,6 +358,7 @@ object Extensions {
     "q24_jaccard_pairs" -> (q24JaccardPairs _),
     "q25_minhash_lsh"   -> (q25MinhashLsh _),
     "q26_simhash_fp"    -> (q26SimhashFp _),
+    "q55_simhash_pairs" -> (q55SimhashPairs _),
     "q27_ann_topk"      -> (q27AnnTopk _),
     "q28_ann_ivf"       -> (q28AnnIvf _),
     "q29_embed_neardup" -> (q29EmbedNeardup _),
@@ -340,6 +382,36 @@ object Extensions {
        |    $names
        |  FROM documents)""".stripMargin
   }
+
+  /** Shared CTE chain computing SimHash64 fingerprints in DuckDB (FNV-1a
+    * per token in HUGEINT mod-2^64, 64-bit majority vote, signed BIGINT
+    * domain) — the single source of truth for the q26 and q55 oracles.
+    */
+  private val simhashFpCtes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_transform(
+      |      list_filter(string_split(text, ' '), t -> t <> ''),
+      |      t -> list_reduce(
+      |        list_prepend(14695981039346656037::HUGEINT,
+      |          list_transform(range(1, octet_length(encode(t)) + 1),
+      |            i -> (('0x' || substr(hex(encode(t)), 2*i-1, 2))::BIGINT)::HUGEINT)),
+      |        (a, b) -> ((a - (a % 256) + xor((a % 256)::BIGINT, b::BIGINT)::HUGEINT)
+      |                   * 1099511628211) % 18446744073709551616::HUGEINT)
+      |    ) AS th
+      |  FROM documents),
+      |votes AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(0, 64),
+      |      b -> CASE WHEN 2 * len(list_filter(th, h -> (h // (1::HUGEINT << b)) % 2 = 1)) > len(th)
+      |                THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)) AS u
+      |  FROM toks),
+      |fps AS (
+      |  SELECT doc_id,
+      |    CASE WHEN u >= 9223372036854775808::HUGEINT
+      |         THEN (u - 18446744073709551616::HUGEINT)::BIGINT
+      |         ELSE u::BIGINT END AS fp
+      |  FROM votes)""".stripMargin
 
   /** ±1 hyperplane component signs for the q53 oracle: the exact Murmur3
     * (seed 42) parity Spark's `hash(i, j)` computes inside
@@ -434,30 +506,19 @@ object Extensions {
     // iff strictly more than half the tokens have bit b set (ties clear,
     // matching votes(b) > 0 in SimHash64.compute) — reassembled as an
     // unsigned HUGEINT and converted to the signed BIGINT domain.
-    "q26_simhash_fp" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_transform(
-        |      list_filter(string_split(text, ' '), t -> t <> ''),
-        |      t -> list_reduce(
-        |        list_prepend(14695981039346656037::HUGEINT,
-        |          list_transform(range(1, octet_length(encode(t)) + 1),
-        |            i -> (('0x' || substr(hex(encode(t)), 2*i-1, 2))::BIGINT)::HUGEINT)),
-        |        (a, b) -> ((a - (a % 256) + xor((a % 256)::BIGINT, b::BIGINT)::HUGEINT)
-        |                   * 1099511628211) % 18446744073709551616::HUGEINT)
-        |    ) AS th
-        |  FROM documents),
-        |votes AS (
-        |  SELECT doc_id,
-        |    list_sum(list_transform(range(0, 64),
-        |      b -> CASE WHEN 2 * len(list_filter(th, h -> (h // (1::HUGEINT << b)) % 2 = 1)) > len(th)
-        |                THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)) AS u
-        |  FROM toks)
-        |SELECT doc_id,
-        |  CASE WHEN u >= 9223372036854775808::HUGEINT
-        |       THEN (u - 18446744073709551616::HUGEINT)::BIGINT
-        |       ELSE u::BIGINT END AS fp
-        |FROM votes""".stripMargin,
+    "q26_simhash_fp" -> s"WITH $simhashFpCtes SELECT doc_id, fp FROM fps",
+    // q55's banding (4x16-bit bands) is LOSSLESS at maxHamming=3: a pair
+    // differing in <= 3 bits leaves at least one band untouched
+    // (pigeonhole over 4 bands), so the band-join output is EXACTLY all
+    // pairs with hamming <= 3 — expressible as the all-pairs SQL below
+    // over the shared fingerprint CTEs (the engine never runs all-pairs;
+    // the oracle may).
+    "q55_simhash_pairs" ->
+      s"""WITH $simhashFpCtes
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
     "q42_media_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text))

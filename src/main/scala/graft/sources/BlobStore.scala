@@ -64,12 +64,21 @@ final class BlobStore(baseUri: String, conf: Configuration) {
   }
 
   /** Download a blob's bytes (ref download_blob's readall). Driver-sized
-    * payloads only — distributed reads go through readCsv/spark.read.
+    * payloads only — distributed reads go through readCsv/spark.read. The
+    * size contract is enforced, not advisory: the file length is checked
+    * BEFORE buffering so an unexpectedly large blob fails fast instead of
+    * OOMing the driver mid-read (default cap 256 MiB).
     */
-  def downloadBlob(container: String, blob: String): Array[Byte] = {
-    val in = fs.open(blobPath(container, blob))
+  def downloadBlob(container: String, blob: String,
+                   maxBytes: Long = 256L * 1024 * 1024): Array[Byte] = {
+    val p = blobPath(container, blob)
+    val len = fs.getFileStatus(p).getLen
+    require(len <= maxBytes,
+      s"blob $container/$blob is $len bytes, over the driver-download cap " +
+        s"$maxBytes; use readCsv/spark.read for a distributed read or raise maxBytes")
+    val in = fs.open(p)
     try {
-      val out = new java.io.ByteArrayOutputStream()
+      val out = new java.io.ByteArrayOutputStream(len.toInt.max(64))
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }

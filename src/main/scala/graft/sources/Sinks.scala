@@ -42,21 +42,27 @@ object Sinks {
     *
     * The index is assigned distributed: RDD zipWithIndex numbers rows in
     * partition-then-offset order (identical to what a global window over
-    * monotonically_increasing_id would produce) from one lightweight
-    * per-partition count pass — no single-task funnel of the whole frame.
+    * monotonically_increasing_id would produce) — no single-task funnel of
+    * the whole frame. zipWithIndex needs a partition-count job BEFORE the
+    * write job, and that first job would re-evaluate the frame's full
+    * lineage (scans, joins, aggregations) a second time, so the frame is
+    * persisted across the two jobs and released after the write.
     */
   def csv(df: DataFrame, path: String, withRowIdx: Boolean = false): Unit = {
-    val out =
-      if (!withRowIdx) df
-      else {
+    if (!withRowIdx) {
+      df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    } else {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
         val schema = df.schema.add("row_idx", org.apache.spark.sql.types.LongType,
           nullable = false)
-        val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+        val rdd = cached.rdd.zipWithIndex.map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
         }
         df.sparkSession.createDataFrame(rdd, schema)
-      }
-    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+          .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      } finally cached.unpersist(blocking = false)
+    }
   }
 
   /** PK column naming rule from the reference: `<table>_id` for facts,

@@ -77,6 +77,71 @@ class DedupSpec extends SparkSpecBase {
     assert(uncapped.size == 60 * 59 / 2 + 1)
   }
 
+  test("maxBucketSize drop volume surfaces via the graft_q25_bucket_cap observation") {
+    val boiler = (1 to 60).map(i =>
+      (200L + i, "same same same boilerplate text here", "en", "s0"))
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val docs = docsDF(Seq((1L, base, "en", "s0"), (2L, nearDup, "en", "s0")) ++ boiler)
+    val df = Dedup.minhashLsh(docs, shingleSize = 3, numHashes = 32,
+      bands = 8, threshold = 0.5, maxBucketSize = 50)
+    df.collect()
+    val m = df.queryExecution.observedMetrics("graft_q25_bucket_cap")
+    // 60 identical docs share one over-cap bucket in EVERY band: 8 bands
+    // x 60 doc-slots dropped, 8 distinct buckets, max size 60
+    assert(m.getAs[Long]("dropped_doc_slots") == 8L * 60)
+    assert(m.getAs[Double]("dropped_buckets") == 8.0)
+    assert(m.getAs[Long]("max_bucket_size") == 60L)
+  }
+
+  test("jaccardPairs maxBlockSize drops oversized blocks with observed counts") {
+    val mega = (1 to 30).map(i =>
+      (100L + i, "common words shared by all docs here", "en", "s0"))
+    val docs = docsDF(mega ++ Seq(
+      (1L, "a b c d e f g h i j", "en", "s1"),
+      (2L, "a b c d e f g h i k", "en", "s1")))
+    val df = Dedup.jaccardPairs(docs, 0.8, maxBlockSize = 10)
+    val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the pathological block's 30x29/2 pairs vanish; the sane block survives
+    assert(pairs == Set((1L, 2L)))
+    val m = df.queryExecution.observedMetrics("graft_q24_block_cap")
+    assert(m.getAs[Long]("dropped_docs") == 30L)
+    assert(m.getAs[Double]("dropped_blocks") == 1.0)
+    assert(m.getAs[Long]("max_block_size") == 30L)
+    // uncapped control: the mega-block melts the walk with 435 jaccard-1 pairs
+    val uncapped = Dedup.jaccardPairs(docs, 0.8).collect()
+    assert(uncapped.length == 30 * 29 / 2 + 1)
+  }
+
+  test("ngramJaccard maxDf drops only high-df postings; a loose cap changes nothing") {
+    import graft.queries.Extensions
+    val uncapped = Extensions.q38NgramJaccard(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped.nonEmpty)
+    // cap above every df: identical rows AND zero observed drops
+    val loose = Extensions.ngramJaccard(spark, Sf0001, Some(1000000))
+    val looseRows = loose.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(looseRows == uncapped)
+    assert(loose.queryExecution.observedMetrics("graft_q38_df_cap")
+      .getAs[Long]("dropped_postings") == 0L)
+    // cap=2 drops the fixture's df=3 shingles (measured: df distribution
+    // at sf0.001 is {1: 26524, 2: 185, 3: 3}) while df=2-backed pairs keep
+    // the output nonempty — with an EMPTY result AQE's empty-relation
+    // propagation would erase the CollectMetrics node along with the rest
+    // of the plan, which is also why the degenerate cap=1 (no pair can
+    // ever form) is not used here. Surviving pairs can only be a subset:
+    // their intersection mass shrank, set sizes did not.
+    val tight = Extensions.ngramJaccard(spark, Sf0001, Some(2))
+    val tightPairs = tight.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tightPairs.nonEmpty)
+    val m = tight.queryExecution.observedMetrics("graft_q38_df_cap")
+    assert(m.getAs[Long]("dropped_postings") > 0L)
+    assert(m.getAs[Double]("dropped_shingles") > 0.0)
+    assert(m.getAs[Long]("max_df") == 3L)
+    assert(tightPairs.subsetOf(uncapped.map(t => (t._1, t._2))))
+  }
+
   test("minhashLsh recall vs exact jaccard on the en fixture slice") {
     val docs = graft.Tables.documents(spark, Sf0001).filter($"lang" === "en")
     val exactPairs = Dedup.jaccardPairs(

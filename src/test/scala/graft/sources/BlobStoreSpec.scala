@@ -40,6 +40,16 @@ class BlobStoreSpec extends graft.SparkSpecBase {
     assert(Files.readString(dst) == "X;Y\n1;2\n")
   }
 
+  test("downloadBlob fails fast past the maxBytes cap, before buffering") {
+    store.uploadBlobText("caps", "big.txt", "x" * 1024)
+    val e = intercept[IllegalArgumentException] {
+      store.downloadBlob("caps", "big.txt", maxBytes = 100)
+    }
+    assert(e.getMessage.contains("driver-download cap"))
+    // at or under the cap still reads fine
+    assert(store.downloadBlob("caps", "big.txt", maxBytes = 1024).length == 1024)
+  }
+
   test("csv blob reads back as a DataFrame through CsvSource") {
     store.uploadBlobText("csv", "t.csv", "A;B\n1;x\n2;y\n")
     val df = store.readCsv(spark, "csv", "t.csv", sep = ";")
