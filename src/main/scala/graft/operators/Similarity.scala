@@ -70,16 +70,27 @@ object Similarity {
               round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** IVF-style ANN: centroids = the first nList corpus vectors (a
-    * deterministic stand-in for k-means at fixture scale; the operator shape
-    * — assign, probe, candidate-join on cell id — is the 100 TB design).
+  /** IVF-style ANN. Centroids default to the first nList corpus vectors (a
+    * deterministic stand-in that keeps the declared query oracle-checkable);
+    * `kmeansIters > 0` refines them with that many sampled Lloyd rounds
+    * (see kmeansCentroids) — the production-quality quantizer, same
+    * operator shape: assign, probe, candidate-join on cell id.
     */
   def ivfTopK(emb: DataFrame, k: Int, maxQueryId: Long,
-              nList: Int = 16, nProbe: Int = 4): DataFrame = {
+              nList: Int = 16, nProbe: Int = 4,
+              kmeansIters: Int = 0, kmeansSampleMod: Long = 1): DataFrame = {
     val v = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
-    val centroids = v.filter(col("vec_id") < nList)
+    val firstN = v.filter(col("vec_id") < nList)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+    val centroids =
+      if (kmeansIters <= 0) firstN
+      else {
+        import emb.sparkSession.implicits._
+        kmeansCentroids(v, nList, kmeansIters, kmeansSampleMod)
+          .toSeq.toDF("cid", "ce")
+          .withColumn("cnrm", norm(col("ce")))
+      }
 
     // Assign each corpus vector to its single nearest centroid: map-only
     // after the centroid broadcast — the argmax is a greatest() fold over
@@ -112,5 +123,70 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
               round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Deterministic sampled k-means for the IVF coarse quantizer (the
+    * production path docs/SCALE.md names; first-N is the fixture-scale
+    * stand-in). Everything is reproducible by construction — no RNG:
+    *
+    *  - init = the first nList vectors (exactly the stand-in centroids);
+    *  - the Lloyd rounds run over a deterministic hash-sample, vectors
+    *    with xxhash64(vec_id) % sampleMod == 0 (sampleMod=1 keeps all;
+    *    at 100 TB size it so the sample is ~100k rows — centroid quality
+    *    needs a sample, not the corpus);
+    *  - per-dimension means aggregate through DECIMAL(28,16), so refined
+    *    centroids are bit-stable across partitionings;
+    *  - assignment ties break toward the smaller cell id (same max_by
+    *    rule the query-time assignment uses).
+    *
+    * Each round is ONE distributed aggregation job; only the nList x dim
+    * centroid matrix (broadcast-sized by construction) ever reaches the
+    * driver. Cells that capture no sample vectors keep their previous
+    * centroid.
+    */
+  private[graft] def kmeansCentroids(v: DataFrame, nList: Int, iters: Int,
+                                     sampleMod: Long): Array[(Long, Seq[Double])] = {
+    val session = v.sparkSession
+    import session.implicits._
+    val sample = (if (sampleMod <= 1L) v
+                  else v.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0))
+      .select(col("vec_id"), col("e"), col("nrm"))
+    var cents: Array[(Long, Array[Double])] = v.filter(col("vec_id") < nList)
+      .orderBy("vec_id").select("vec_id", "e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val cdf = broadcast(
+        cents.toSeq.map { case (cid, ce) =>
+          (cid, ce.toSeq, math.sqrt(ce.map(x => x * x).sum))
+        }.toDF("cid", "ce", "cnrm"))
+      val assigned = sample.crossJoin(cdf)
+        .withColumn("sim", dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
+             first(col("e")).as("e"), first(col("nrm")).as("vnrm"))
+      // spherical k-means: average the UNIT vectors (the centroid that
+      // maximizes the summed cosine of its members), not the raw vectors —
+      // raw means of weakly-clustered high-dim data collapse toward the
+      // origin and assign by noise
+      val stats = assigned
+        .select(col("cid"),
+          posexplode(transform(col("e"), x => x / col("vnrm"))).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 16))).as("s"),
+             count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        cid -> stats.get(cid).fold(old) { rows =>
+          val mean = old.clone()
+          rows.foreach { r =>
+            mean(r.getInt(1)) =
+              (r.getDecimal(2).doubleValue() / r.getLong(3).toDouble)
+          }
+          mean
+        }
+      }
+    }
+    cents.map { case (cid, ce) => cid -> ce.toSeq }
   }
 }
