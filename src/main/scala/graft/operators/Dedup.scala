@@ -226,6 +226,28 @@ object Dedup {
       .select("doc_id_a", "doc_id_b")
   }
 
+  /** Benchmark decontamination: flag training documents sharing at least
+    * `minShared` distinct word n-gram shingles with ANY document of the
+    * held-out slice (`evalSource`). The LLM-corpus shape: the eval set is
+    * benchmark-sized, so its distinct shingle set is BROADCAST (train-side
+    * postings are filtered map-side — the corpus never shuffles against the
+    * eval set); the only shuffle is the per-doc count aggregation, keyed on
+    * doc_id. Shingles are WordGramHashes (distinct per doc by
+    * construction), so n_shared counts distinct shared shingles.
+    */
+  def decontaminate(docs: DataFrame, evalSource: String,
+                    shingleSize: Int, minShared: Long): DataFrame = {
+    val sh = graft.functions.WordGramHashes.wordGramHashes(col("text"), shingleSize)
+    val evalSh = docs.filter(col("source") === evalSource)
+      .select(explode(sh).as("h")).distinct()
+    docs.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), explode(sh).as("h"))
+      .join(broadcast(evalSh), Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints banded into 4x16 bits;
     * candidates share a band; verification by Hamming distance <= maxHamming.
     */

@@ -328,6 +328,37 @@ object Extensions {
   def q55SimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
 
+  /** Intra-document repetition score (the Gopher-style quality filter):
+    * fraction of duplicate word 3-grams within each document. Pure map
+    * work — total gram count is arithmetic on the token count, distinct
+    * gram count is the WordGramHashes kernel's output size (hash-set
+    * cardinality == string-set cardinality, the q38 contract). Short docs
+    * (< 3 tokens) count one whole-text gram, matching the kernel.
+    */
+  def q56Repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables.documents(s, dir))
+
+  /** The reusable projection behind q56 (planted-doc spec in DedupSpec). */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val sp = split(col("text"), " ")
+    docs.select(
+      col("doc_id"),
+      greatest(size(sp) - 2, lit(1)).as("n_grams"),
+      size(graft.functions.WordGramHashes.wordGramHashes(col("text"), 3))
+        .as("n_distinct_grams"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Benchmark decontamination under the gate (operators.Dedup
+    * .decontaminate): training docs sharing >= 3 distinct word 3-gram
+    * shingles with the held-out 'src0' slice. The eval shingle set is
+    * broadcast; the corpus never shuffles against it.
+    */
+  def q57Decontam(s: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminate(Tables.documents(s, dir), evalSource = "src0",
+      shingleSize = 3, minShared = 3L)
+
   /** Approximate per-group median (approx_percentile sketch) — the 100 TB
     * companion to q48's exact positional median, whose
     * one-task-per-group window does not scale past dimension-sized groups.
@@ -359,6 +390,8 @@ object Extensions {
     "q25_minhash_lsh"   -> (q25MinhashLsh _),
     "q26_simhash_fp"    -> (q26SimhashFp _),
     "q55_simhash_pairs" -> (q55SimhashPairs _),
+    "q56_repetition"    -> (q56Repetition _),
+    "q57_decontam"      -> (q57Decontam _),
     "q27_ann_topk"      -> (q27AnnTopk _),
     "q28_ann_ivf"       -> (q28AnnIvf _),
     "q29_embed_neardup" -> (q29EmbedNeardup _),
@@ -519,6 +552,35 @@ object Extensions {
         |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
         |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
+    // duplicate-trigram fraction: total grams = max(tokens-2, 1) (a <3-token
+    // doc contributes its whole text as one gram, mirroring WordGramHashes),
+    // distinct grams via string list_distinct (== the kernel's hash-set size)
+    "q56_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+        |SELECT doc_id,
+        |  CAST(greatest(len(sp) - 2, 1) AS INTEGER) AS n_grams,
+        |  CAST(len(list_distinct(list_transform(
+        |      range(1, greatest(len(sp) - 1, 2)),
+        |      i -> array_to_string(list_slice(sp, i, i + 2), ' ')))) AS INTEGER)
+        |    AS n_distinct_grams,
+        |  1.0 - (CAST(len(list_distinct(list_transform(
+        |      range(1, greatest(len(sp) - 1, 2)),
+        |      i -> array_to_string(list_slice(sp, i, i + 2), ' ')))) AS DOUBLE)
+        |    / CAST(greatest(len(sp) - 2, 1) AS DOUBLE)) AS rep_ratio
+        |FROM t""".stripMargin,
+    // decontamination: distinct 3-gram shingles per doc, eval = src0 slice,
+    // n_shared = |train-doc shingles ∩ eval shingle union|
+    "q57_decontam" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS sp FROM documents),
+        |g AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(sp) - 1, 2)),
+        |      i -> array_to_string(list_slice(sp, i, i + 2), ' '))) AS sh
+        |  FROM t),
+        |ev AS (SELECT DISTINCT unnest(sh) AS h FROM g WHERE source = 'src0'),
+        |tp AS (SELECT doc_id, unnest(sh) AS h FROM g WHERE source <> 'src0')
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM tp JOIN ev USING (h)
+        |GROUP BY doc_id HAVING count(*) >= 3""".stripMargin,
     "q42_media_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text))

@@ -142,6 +142,30 @@ class DedupSpec extends SparkSpecBase {
     assert(tightPairs.subsetOf(uncapped.map(t => (t._1, t._2))))
   }
 
+  test("decontaminate flags train docs sharing enough shingles with the eval slice") {
+    val docs = docsDF(Seq(
+      (1L, "a b c d e f", "en", "src0"),   // eval: trigrams {abc,bcd,cde,def}
+      (2L, "a b c d e zz", "en", "src1"),  // shares 3 -> contaminated
+      (3L, "a b c x y z", "en", "src1"),   // shares 1 -> clean at minShared=3
+      (4L, "p q r s t u", "en", "src1")))  // shares 0
+    val out = Dedup.decontaminate(docs, "src0", shingleSize = 3, minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 3L)))
+  }
+
+  test("repetitionStats: duplicate trigrams raise the ratio, short docs are safe") {
+    import graft.queries.Extensions
+    val docs = docsDF(Seq(
+      (1L, "a a a a a", "en", "s"),    // 3 grams, 1 distinct -> 2/3
+      (2L, "a b c d e", "en", "s"),    // 3 grams, all distinct -> 0
+      (3L, "hi", "en", "s")))          // <3 tokens: whole text, ratio 0
+    val out = Extensions.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3, 1, 1.0 - 1.0 / 3.0)))
+    assert(out(2L) == ((3, 3, 0.0)))
+    assert(out(3L) == ((1, 1, 0.0)))
+  }
+
   test("minhashLsh recall vs exact jaccard on the en fixture slice") {
     val docs = graft.Tables.documents(spark, Sf0001).filter($"lang" === "en")
     val exactPairs = Dedup.jaccardPairs(
