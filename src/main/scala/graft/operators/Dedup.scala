@@ -262,7 +262,11 @@ object Dedup {
       col("doc_id").as("doc_id_a"), col("fp").as("fp_a"))
     val b = banded.select(col("band"), col("bucket"),
       col("doc_id").as("doc_id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("band", "bucket"))
+    // same trap as q38's posting lists: Catalyst sizes Generate output at
+    // its INPUT bytes, so it would broadcast the banded fingerprints —
+    // 4x the corpus row count, never broadcast-able at scale. Force the
+    // distributed hash join on the (band, bucket) key.
+    a.hint("shuffle_hash").join(b, Seq("band", "bucket"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b", "fp_a", "fp_b").distinct()
       .withColumn("hamming", SimHash64.hamming(col("fp_a"), col("fp_b")))
