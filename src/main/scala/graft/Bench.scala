@@ -14,6 +14,7 @@ object Bench {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.attachMetricsLogger(spark)
     // Warm-up: trigger codegen + parquet footer reads once, untimed.
     try Tables.lineitem(spark, sfDir).limit(1).count()
     catch { case _: Throwable => () }

@@ -18,6 +18,32 @@ import graft.functions.{SimHash64, TextFunctions}
   */
 object Dedup {
 
+  /** The shared group-size-cap shape behind every capacity cap here
+    * (q24 blocks, q25 LSH buckets, q38 posting lists): one window count
+    * over the SAME keys the downstream join/aggregation shuffles on (the
+    * exchange is reused — no extra shuffle), an observed drop volume, then
+    * the filter. Emits `metricName` with dropped_rows / dropped_groups /
+    * max_group_size: each dropped group of size k contributes k rows each
+    * adding 1/k, so dropped_groups is EXACT (observe forbids distinct
+    * aggregates; round() scrubs the float dust). GraftSession's
+    * QueryExecutionListener logs every graft_* observation. Caveat shared
+    * by all callers: if the FINAL query result is empty, AQE's
+    * empty-relation propagation replaces the plan — CollectMetrics
+    * included — so the observation disappears along with the output
+    * (specs pin this in DedupSpec).
+    */
+  private[graft] def capGroups(df: DataFrame, keys: Seq[String], cap: Int,
+                               metricName: String): DataFrame =
+    df.withColumn("__gsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)))
+      .observe(metricName,
+        sum(when(col("__gsz") > cap, 1L).otherwise(0L)).as("dropped_rows"),
+        round(sum(when(col("__gsz") > cap, lit(1.0) / col("__gsz"))
+          .otherwise(0.0)), 0).as("dropped_groups"),
+        max(col("__gsz")).as("max_group_size"))
+      .filter(col("__gsz") <= cap)
+      .drop("__gsz")
+
   /** Exact dedup: keep the smallest doc_id per identical text, with the
     * duplicate count (group-by, partial-aggregated map-side).
     */
@@ -62,16 +88,8 @@ object Dedup {
       graft.functions.WordGramHashes.wordGramHashes(col("text"), 1).as("tset"))
     val withSets =
       if (maxBlockSize == Int.MaxValue) withSets0
-      else withSets0
-        .withColumn("blksz", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("lang", "source")))
-        .observe("graft_q24_block_cap",
-          sum(when(col("blksz") > maxBlockSize, 1L).otherwise(0L)).as("dropped_docs"),
-          round(sum(when(col("blksz") > maxBlockSize, lit(1.0) / col("blksz"))
-            .otherwise(0.0)), 0).as("dropped_blocks"),
-          max(col("blksz")).as("max_block_size"))
-        .filter(col("blksz") <= maxBlockSize)
-        .drop("blksz")
+      else capGroups(withSets0, Seq("lang", "source"), maxBlockSize,
+        "graft_q24_block_cap")
     val a = withSets.select(
       col("lang"), col("source"),
       col("doc_id").as("doc_id_a"), col("tset").as("tset_a"))
@@ -182,11 +200,9 @@ object Dedup {
     * BY DESIGN: identical-text clusters belong to exact/fingerprint dedup
     * (`exact`/`exactByFingerprint`), not pairwise similarity. The dropped
     * volume is observable: a `graft_q25_bucket_cap` CollectMetrics row
-    * (dropped_doc_slots / dropped_buckets / max_bucket_size) flows to every
-    * QueryExecutionListener — GraftSession installs one that logs it — and
-    * DedupSpec pins the counts against a planted mega-cluster. The size
-    * filter is one window count over the same (band, bucket) keys the
-    * self-join shuffles on, so the exchange is reused — no extra shuffle.
+    * (dropped_rows / dropped_groups / max_group_size, see capGroups) flows
+    * to every QueryExecutionListener — GraftSession installs one that logs
+    * it — and DedupSpec pins the counts against a planted mega-cluster.
     * (Shared with Q25Profile so the profiler measures the shipped stages.)
     *
     * Null signatures are dropped up front (defense in depth): hash(null)
@@ -204,19 +220,8 @@ object Dedup {
         i => hash(slice(col("sig"), i * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
     val banded =
       if (maxBucketSize == Int.MaxValue) banded0
-      else banded0
-        .withColumn("bsz", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-        .observe("graft_q25_bucket_cap",
-          sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L)).as("dropped_doc_slots"),
-          // each dropped bucket of size k contributes k rows that each add
-          // 1/k — so this sums to the EXACT dropped-bucket count (observe
-          // forbids distinct aggregates; round() scrubs the float dust)
-          round(sum(when(col("bsz") > maxBucketSize, lit(1.0) / col("bsz"))
-            .otherwise(0.0)), 0).as("dropped_buckets"),
-          max(col("bsz")).as("max_bucket_size"))
-        .filter(col("bsz") <= maxBucketSize)
-        .drop("bsz")
+      else capGroups(banded0, Seq("band", "bucket"), maxBucketSize,
+        "graft_q25_bucket_cap")
     banded.as("a")
       .join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))

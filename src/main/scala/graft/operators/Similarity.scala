@@ -148,9 +148,16 @@ object Similarity {
                                      sampleMod: Long): Array[(Long, Seq[Double])] = {
     val session = v.sparkSession
     import session.implicits._
+    // persisted across the iters jobs: without it every Lloyd round (and
+    // the init collect) would re-run the source lineage — scan, cast,
+    // norm, hash-sample filter — from scratch
     val sample = (if (sampleMod <= 1L) v
                   else v.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0))
       .select(col("vec_id"), col("e"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init reads from v, not the sample (the first nList vectors might not
+    // survive the hash-sample): the vec_id < nList filter pushes down to
+    // the scan, so this collect is footer-cheap
     var cents: Array[(Long, Array[Double])] = v.filter(col("vec_id") < nList)
       .orderBy("vec_id").select("vec_id", "e")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
@@ -187,6 +194,7 @@ object Similarity {
         }
       }
     }
+    sample.unpersist(blocking = false)
     cents.map { case (cid, ce) => cid -> ce.toSeq }
   }
 }

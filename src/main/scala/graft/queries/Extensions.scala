@@ -179,18 +179,7 @@ object Extensions {
     val posting0 = withSets.select(col("lang"), col("source"), col("doc_id"),
       size(col("sh")).as("sz"), explode(col("sh")).as("h"))
     val posting = maxDf.fold(posting0) { cap =>
-      posting0
-        .withColumn("df", count(lit(1)).over(
-          Window.partitionBy("lang", "source", "h")))
-        .observe("graft_q38_df_cap",
-          sum(when(col("df") > cap, 1L).otherwise(0L)).as("dropped_postings"),
-          // df rows each add 1/df -> exact count of dropped distinct
-          // shingles (observe forbids distinct aggregates)
-          round(sum(when(col("df") > cap, lit(1.0) / col("df"))
-            .otherwise(0.0)), 0).as("dropped_shingles"),
-          max(col("df")).as("max_df"))
-        .filter(col("df") <= cap)
-        .drop("df")
+      Dedup.capGroups(posting0, Seq("lang", "source", "h"), cap, "graft_q38_df_cap")
     }
     val a = posting.select(col("lang"), col("source"), col("h"),
       col("doc_id").as("doc_id_a"), col("sz").as("sz_a"))

@@ -73,9 +73,12 @@ final class BlobStore(baseUri: String, conf: Configuration) {
                    maxBytes: Long = 256L * 1024 * 1024): Array[Byte] = {
     val p = blobPath(container, blob)
     val len = fs.getFileStatus(p).getLen
-    require(len <= maxBytes,
+    // the JVM array ceiling is the hard bound even if a caller raises
+    // maxBytes past it — without this, len.toInt below would wrap
+    require(len <= maxBytes && len <= Int.MaxValue - 8,
       s"blob $container/$blob is $len bytes, over the driver-download cap " +
-        s"$maxBytes; use readCsv/spark.read for a distributed read or raise maxBytes")
+        s"${math.min(maxBytes, Int.MaxValue - 8)}; use readCsv/spark.read " +
+        "for a distributed read or raise maxBytes")
     val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream(len.toInt.max(64))

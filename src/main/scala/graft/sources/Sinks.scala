@@ -49,9 +49,10 @@ object Sinks {
     * persisted across the two jobs and released after the write.
     */
   def csv(df: DataFrame, path: String, withRowIdx: Boolean = false): Unit = {
-    if (!withRowIdx) {
-      df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
-    } else {
+    def writeOut(d: DataFrame): Unit =
+      d.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    if (!withRowIdx) writeOut(df)
+    else {
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val schema = df.schema.add("row_idx", org.apache.spark.sql.types.LongType,
@@ -59,8 +60,7 @@ object Sinks {
         val rdd = cached.rdd.zipWithIndex.map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
         }
-        df.sparkSession.createDataFrame(rdd, schema)
-          .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+        writeOut(df.sparkSession.createDataFrame(rdd, schema))
       } finally cached.unpersist(blocking = false)
     }
   }

@@ -89,9 +89,9 @@ class DedupSpec extends SparkSpecBase {
     val m = df.queryExecution.observedMetrics("graft_q25_bucket_cap")
     // 60 identical docs share one over-cap bucket in EVERY band: 8 bands
     // x 60 doc-slots dropped, 8 distinct buckets, max size 60
-    assert(m.getAs[Long]("dropped_doc_slots") == 8L * 60)
-    assert(m.getAs[Double]("dropped_buckets") == 8.0)
-    assert(m.getAs[Long]("max_bucket_size") == 60L)
+    assert(m.getAs[Long]("dropped_rows") == 8L * 60)
+    assert(m.getAs[Double]("dropped_groups") == 8.0)
+    assert(m.getAs[Long]("max_group_size") == 60L)
   }
 
   test("jaccardPairs maxBlockSize drops oversized blocks with observed counts") {
@@ -105,9 +105,9 @@ class DedupSpec extends SparkSpecBase {
     // the pathological block's 30x29/2 pairs vanish; the sane block survives
     assert(pairs == Set((1L, 2L)))
     val m = df.queryExecution.observedMetrics("graft_q24_block_cap")
-    assert(m.getAs[Long]("dropped_docs") == 30L)
-    assert(m.getAs[Double]("dropped_blocks") == 1.0)
-    assert(m.getAs[Long]("max_block_size") == 30L)
+    assert(m.getAs[Long]("dropped_rows") == 30L)
+    assert(m.getAs[Double]("dropped_groups") == 1.0)
+    assert(m.getAs[Long]("max_group_size") == 30L)
     // uncapped control: the mega-block melts the walk with 435 jaccard-1 pairs
     val uncapped = Dedup.jaccardPairs(docs, 0.8).collect()
     assert(uncapped.length == 30 * 29 / 2 + 1)
@@ -124,7 +124,7 @@ class DedupSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(looseRows == uncapped)
     assert(loose.queryExecution.observedMetrics("graft_q38_df_cap")
-      .getAs[Long]("dropped_postings") == 0L)
+      .getAs[Long]("dropped_rows") == 0L)
     // cap=2 drops the fixture's df=3 shingles (measured: df distribution
     // at sf0.001 is {1: 26524, 2: 185, 3: 3}) while df=2-backed pairs keep
     // the output nonempty — with an EMPTY result AQE's empty-relation
@@ -136,9 +136,9 @@ class DedupSpec extends SparkSpecBase {
     val tightPairs = tight.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(tightPairs.nonEmpty)
     val m = tight.queryExecution.observedMetrics("graft_q38_df_cap")
-    assert(m.getAs[Long]("dropped_postings") > 0L)
-    assert(m.getAs[Double]("dropped_shingles") > 0.0)
-    assert(m.getAs[Long]("max_df") == 3L)
+    assert(m.getAs[Long]("dropped_rows") > 0L)
+    assert(m.getAs[Double]("dropped_groups") > 0.0)
+    assert(m.getAs[Long]("max_group_size") == 3L)
     assert(tightPairs.subsetOf(uncapped.map(t => (t._1, t._2))))
   }
 
