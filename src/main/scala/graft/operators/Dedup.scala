@@ -231,6 +231,51 @@ object Dedup {
       .select("doc_id_a", "doc_id_b")
   }
 
+  /** Dedup RESOLUTION: collapse a near-dup pair list into duplicate
+    * clusters — every doc labeled with the minimum doc_id of its connected
+    * component (the canonical survivor). This is the union-find stage a
+    * production dedup pipeline runs AFTER pair generation (q24/q25/q38/
+    * q55 emit pairs; this picks who stays).
+    *
+    * Distributed min-label propagation: each round every node takes the
+    * min of its own label and its neighbors' labels — one join + one
+    * min-aggregate per round, converging in <= cluster-diameter rounds
+    * (near-dup clusters are dense, diameter is small; an adversarial
+    * k-node chain needs k rounds — at 100 TB with pathological graphs
+    * switch to the large-star/small-star alternation, which converges in
+    * O(log n) rounds with the same per-round join shape). The driver only
+    * runs the loop and a per-round convergence count; labels stay
+    * distributed. Deterministic: the fixed point (min id per component)
+    * is unique regardless of iteration order.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(lvl)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id")).persist(lvl)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val viaNeighbor = sym.join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("component"))
+      val next = labels.select("id", "component").union(viaNeighbor)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist(lvl)
+      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      it += 1
+    }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
+        s"connectedComponents stopped after $maxIters rounds before convergence")
+    sym.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("component"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * `minShared` distinct word n-gram shingles with ANY document of the
     * held-out slice (`evalSource`). The LLM-corpus shape: the eval set is

@@ -348,6 +348,16 @@ object Extensions {
     Dedup.decontaminate(Tables.documents(s, dir), evalSource = "src0",
       shingleSize = 3, minShared = 3L)
 
+  /** Dedup resolution under the gate: connected components over q24's
+    * exact near-dup pairs — each involved doc labeled with its cluster's
+    * minimum doc_id (the canonical survivor). Oracle: transitive closure
+    * via a recursive CTE over the same pair SQL (the engine never builds
+    * the closure; the oracle may — fixture clusters are block-bounded).
+    */
+  def q58DedupResolve(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8))
+
   /** Approximate per-group median (approx_percentile sketch) — the 100 TB
     * companion to q48's exact positional median, whose
     * one-task-per-group window does not scale past dimension-sized groups.
@@ -381,6 +391,7 @@ object Extensions {
     "q55_simhash_pairs" -> (q55SimhashPairs _),
     "q56_repetition"    -> (q56Repetition _),
     "q57_decontam"      -> (q57Decontam _),
+    "q58_dedup_resolve" -> (q58DedupResolve _),
     "q27_ann_topk"      -> (q27AnnTopk _),
     "q28_ann_ivf"       -> (q28AnnIvf _),
     "q29_embed_neardup" -> (q29EmbedNeardup _),
@@ -570,6 +581,26 @@ object Extensions {
         |SELECT doc_id, count(*) AS n_shared
         |FROM tp JOIN ev USING (h)
         |GROUP BY doc_id HAVING count(*) >= 3""".stripMargin,
+    // connected components via transitive closure: reach(a,b) saturates
+    // through the recursive UNION (dedup keeps it finite; fixture clusters
+    // are block-bounded), then component = min over self + reachable
+    "q58_dedup_resolve" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, lang, source,
+        |    list_distinct(string_split(text, ' ')) AS ts FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ts, b.ts))
+        |      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8),
+        |edges AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS component
+        |FROM reach GROUP BY a""".stripMargin,
     "q42_media_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text))

@@ -142,6 +142,17 @@ class DedupSpec extends SparkSpecBase {
     assert(tightPairs.subsetOf(uncapped.map(t => (t._1, t._2))))
   }
 
+  test("connectedComponents labels chains and separate clusters with min ids") {
+    // a 4-node chain (diameter 3 — forces multiple propagation rounds)
+    // plus a disjoint pair
+    val pairs = Seq((2L, 5L), (5L, 9L), (9L, 11L), (20L, 21L))
+      .toDF("doc_id_a", "doc_id_b")
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 2L,
+                      20L -> 20L, 21L -> 20L))
+  }
+
   test("decontaminate flags train docs sharing enough shingles with the eval slice") {
     val docs = docsDF(Seq(
       (1L, "a b c d e f", "en", "src0"),   // eval: trigrams {abc,bcd,cde,def}
