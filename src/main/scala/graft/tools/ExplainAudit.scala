@@ -14,7 +14,15 @@ object ExplainAudit {
       .filter { case (n, _) => names.isEmpty || names(n) }
       .foreach { case (name, fn) =>
         println(s"\n=================== $name ===================")
-        fn(spark, sfDir).explain("formatted")
+        // capped: iterative queries (q58's label propagation) unfold every
+        // round into one giant lineage tree — the audit value is in the
+        // per-round shape, which the first ~400 lines always contain
+        val plan = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val lines = plan.split("\n")
+        println(lines.take(400).mkString("\n"))
+        if (lines.length > 400)
+          println(s"... [${lines.length - 400} more lines elided: iterative lineage repeats the audited round shape]")
       }
     spark.stop()
   }
