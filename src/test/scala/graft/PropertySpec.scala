@@ -84,4 +84,65 @@ class PropertySpec extends SparkSpecBase {
       assert(ids.toSeq == (1 to names.length))
     }
   }
+
+  test("connectedComponents matches a driver-side union-find on random graphs") {
+    val edgeGen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    samples(edgeGen, 8).filter(_.nonEmpty).foreach { edges =>
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // union-find roots are not necessarily the component MIN — normalize
+      val byRoot = nodes.groupBy(find)
+      val expected = byRoot.values.flatMap { ns =>
+        val mn = ns.min; ns.map(_ -> mn)
+      }.toMap
+      val got = graft.operators.Dedup.connectedComponents(
+          edges.toDF("doc_id_a", "doc_id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"edges=$edges")
+    }
+  }
+
+  test("capGroups drops exactly the oversized groups with exact metrics") {
+    val gen = for {
+      nGroups <- Gen.choose(1, 8)
+      sizes <- Gen.listOfN(nGroups, Gen.choose(1, 12))
+      cap <- Gen.choose(1, 12)
+    } yield (sizes, cap)
+    samples(gen, 8).foreach { case (sizes, cap) =>
+      val rows = sizes.zipWithIndex.flatMap { case (sz, g) =>
+        (0 until sz).map(i => (s"g$g", g.toLong * 100 + i))
+      }
+      val df = graft.operators.Dedup.capGroups(
+        rows.toDF("k", "v"), Seq("k"), cap, "graft_prop_cap")
+      val kept = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val expectedKept = rows.filter { case (k, _) =>
+        sizes(k.drop(1).toInt) <= cap
+      }.toSet
+      assert(kept == expectedKept, s"sizes=$sizes cap=$cap")
+      // AQE erases the observation when the output is empty (documented)
+      if (kept.nonEmpty) {
+        val m = df.queryExecution.observedMetrics("graft_prop_cap")
+        val droppedGroups = sizes.count(_ > cap)
+        assert(m.getAs[Long]("dropped_rows") == sizes.filter(_ > cap).map(_.toLong).sum)
+        assert(m.getAs[Double]("dropped_groups") == droppedGroups.toDouble)
+        assert(m.getAs[Long]("max_group_size") == sizes.max.toLong)
+      }
+    }
+  }
 }
