@@ -248,15 +248,17 @@ object Dedup {
     * distributed. Deterministic: the fixed point (min id per component)
     * is unique regardless of iteration order.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // localCheckpoint (not persist): an iterative loop's logical plan
     // otherwise GROWS by one round every round, and Catalyst re-analyzes
     // the whole history on each action — measured super-linear round
     // times by round 5 on the fixture. Truncating lineage keeps per-round
     // planning O(1); the checkpointed blocks live on the executors like
-    // any cached partition. Caveat for long cluster runs: localCheckpoint
-    // is not executor-loss-tolerant (lineage is gone) — flip to reliable
-    // checkpoint(dir) there; the loop is otherwise unchanged.
+    // any cached partition and are freed explicitly below (a tight loop
+    // cannot wait for GC-driven ContextCleaner). Caveat for long cluster
+    // runs: localCheckpoint is not executor-loss-tolerant (lineage is
+    // gone) — flip to reliable checkpoint(dir) there; the loop is
+    // otherwise unchanged.
     val edges = pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
@@ -272,14 +274,33 @@ object Dedup {
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).count()
+      freeCheckpoint(labels)
       labels = next
       it += 1
     }
-    if (changed > 0)
-      org.slf4j.LoggerFactory.getLogger("graft.dedup").warn(
-        s"connectedComponents stopped after $maxIters rounds before convergence")
+    // unconverged labels are WRONG labels (some doc still carries an
+    // intermediate id) — fail loudly, never return them
+    if (changed > 0) {
+      freeCheckpoint(sym); freeCheckpoint(labels)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds ($changed " +
+          "labels still moving) — the pair graph has a longer diameter than " +
+          "near-dup clusters should; raise maxIters or switch to " +
+          "large-star/small-star for adversarial chain graphs")
+    }
+    freeCheckpoint(sym)
     labels.select(col("id").as("doc_id"), col("component"))
   }
+
+  /** Frees the executor blocks behind a localCheckpoint'ed frame (the
+    * LogicalRDD's backing RDD). Dataset.unpersist only talks to the
+    * CacheManager and ignores checkpoint storage.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Benchmark decontamination: flag training documents sharing at least
     * `minShared` distinct word n-gram shingles with ANY document of the

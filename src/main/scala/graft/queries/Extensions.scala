@@ -416,6 +416,23 @@ object Extensions {
        |  FROM documents)""".stripMargin
   }
 
+  /** Shared CTE chain for the q24/q58 oracles: exact unigram-Jaccard
+    * near-dup pairs (threshold 0.8) within (lang, source) blocks — one
+    * definition so the pair semantics can never drift between the pair
+    * query and the resolution query built on it.
+    */
+  private val unigramPairCtes: String =
+    """t AS (SELECT doc_id, lang, source,
+      |    list_distinct(string_split(text, ' ')) AS ts FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |    len(list_intersect(a.ts, b.ts))
+      |      / len(list_distinct(list_concat(a.ts, b.ts))) AS jaccard
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.ts, b.ts))
+      |      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8)""".stripMargin
+
   /** Shared CTE chain computing SimHash64 fingerprints in DuckDB (FNV-1a
     * per token in HUGEINT mod-2^64, 64-bit majority vote, signed BIGINT
     * domain) — the single source of truth for the q26 and q55 oracles.
@@ -585,15 +602,8 @@ object Extensions {
     // through the recursive UNION (dedup keeps it finite; fixture clusters
     // are block-bounded), then component = min over self + reachable
     "q58_dedup_resolve" ->
-      """WITH RECURSIVE
-        |t AS (SELECT doc_id, lang, source,
-        |    list_distinct(string_split(text, ' ')) AS ts FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db
-        |  FROM t a JOIN t b
-        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.ts, b.ts))
-        |      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8),
+      s"""WITH RECURSIVE
+        |$unigramPairCtes,
         |edges AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
         |reach AS (
         |  SELECT a, b FROM edges
@@ -719,15 +729,8 @@ object Extensions {
     "q23_fingerprint" ->
       "SELECT doc_id, md5(LOWER(text)) AS fp FROM documents",
     "q24_jaccard_pairs" ->
-      """WITH t AS (SELECT doc_id, lang, source,
-        |    list_distinct(string_split(text, ' ')) AS ts FROM documents)
-        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-        |  len(list_intersect(a.ts, b.ts))
-        |    / len(list_distinct(list_concat(a.ts, b.ts))) AS jaccard
-        |FROM t a JOIN t b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.ts, b.ts))
-        |    / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8""".stripMargin,
+      s"""WITH $unigramPairCtes
+        |SELECT da AS doc_id_a, db AS doc_id_b, jaccard FROM p""".stripMargin,
     "q27_ann_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |  q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 8),

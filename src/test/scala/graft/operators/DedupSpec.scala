@@ -153,6 +153,21 @@ class DedupSpec extends SparkSpecBase {
                       20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents frees checkpoint blocks and fails loudly when unconverged") {
+    val chain = (0L until 10L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Dedup.connectedComponents(chain.toDF("doc_id_a", "doc_id_b"))
+    assert(out.collect().map(_.getLong(1)).toSet == Set(0L)) // one chain, min id 0
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the returned result may stay checkpointed; per-round blocks are freed
+    assert(after <= before + 1, s"leaked checkpoint blocks: $before -> $after")
+    // a 10-node chain needs ~9 propagation rounds; 3 must fail LOUDLY,
+    // never return intermediate (wrong) labels
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain.toDF("doc_id_a", "doc_id_b"), maxIters = 3)
+    }
+  }
+
   test("decontaminate flags train docs sharing enough shingles with the eval slice") {
     val docs = docsDF(Seq(
       (1L, "a b c d e f", "en", "src0"),   // eval: trigrams {abc,bcd,cde,def}
