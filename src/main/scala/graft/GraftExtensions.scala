@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Session extension registering the custom codegen kernels as SQL
+  * functions, so the raw SQL surface (spark.sql / thrift / notebooks)
+  * reaches the same expressions the Column API uses — the standard
+  * production wiring: `spark.sql.extensions=graft.GraftExtensions`
+  * (GraftSession sets it; any stock SparkSession can too). Each entry is
+  * the Catalyst Expression itself — no UDF wrapper, whole-stage codegen
+  * intact through SQL text.
+  *
+  * Arity/arg validation is Catalyst's: literal int parameters (gram size)
+  * must be foldable — a column there raises an analysis error, matching
+  * how built-ins like `round(col, d)` treat their scale argument.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$fn argument ${pos + 1} must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name, usage),
+        builder))
+
+    register("simhash64",
+      "simhash64(text) - 64-bit SimHash fingerprint over space tokens") {
+      case Seq(c) => graft.functions.SimHash64(c)
+    }
+    register("word_gram_hashes",
+      "word_gram_hashes(text, n) - sorted distinct xxhash64 values of word n-grams") {
+      case Seq(c, n) => graft.functions.WordGramHashes(c, litInt(n, "word_gram_hashes", 1))
+    }
+    register("winnow_fp",
+      "winnow_fp(text, k, w) - MOSS winnowing fingerprints (k-gram rolling hash, window w)") {
+      case Seq(c) => graft.functions.WinnowFingerprint(c, 5, 4)
+      case Seq(c, k, w) => graft.functions.WinnowFingerprint(c,
+        litInt(k, "winnow_fp", 1), litInt(w, "winnow_fp", 2))
+    }
+    register("dot_product",
+      "dot_product(a, b) - IEEE-sequential dot product of two double arrays") {
+      case Seq(a, b) => graft.functions.DotProduct(a, b)
+    }
+    register("sorted_intersect_count",
+      "sorted_intersect_count(a, b) - intersection size of two sorted distinct long arrays") {
+      case Seq(a, b) => graft.functions.SortedIntersectCount(a, b)
+    }
+    register("minhash_sig",
+      "minhash_sig(hashes, k) - k-permutation MinHash signature over pre-hashed shingles") {
+      case Seq(c, k) => graft.functions.MinHashSig(c, litInt(k, "minhash_sig", 1))
+    }
+  }
+}

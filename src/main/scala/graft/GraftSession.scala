@@ -24,6 +24,8 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.ansi.enabled", "false")
+      // custom codegen kernels available from raw SQL (see GraftExtensions)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")

@@ -358,6 +358,20 @@ object Extensions {
     Dedup.connectedComponents(
       Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8))
 
+  /** The custom kernels through the RAW SQL surface: GraftExtensions
+    * injects simhash64 / word_gram_hashes (and friends) into the function
+    * registry via spark.sql.extensions, so this query is plain SQL text —
+    * no Column API — running the same codegen expressions q26/q56 use.
+    * Oracle composes the shared SimHash CTEs with the trigram distinct
+    * count.
+    */
+  def q59SqlKernels(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+    s.sql("""SELECT doc_id, simhash64(text) AS fp,
+            |  size(word_gram_hashes(text, 3)) AS n_distinct_grams
+            |FROM documents""".stripMargin)
+  }
+
   /** Approximate per-group median (approx_percentile sketch) — the 100 TB
     * companion to q48's exact positional median, whose
     * one-task-per-group window does not scale past dimension-sized groups.
@@ -392,6 +406,7 @@ object Extensions {
     "q56_repetition"    -> (q56Repetition _),
     "q57_decontam"      -> (q57Decontam _),
     "q58_dedup_resolve" -> (q58DedupResolve _),
+    "q59_sql_kernels"   -> (q59SqlKernels _),
     "q27_ann_topk"      -> (q27AnnTopk _),
     "q28_ann_ivf"       -> (q28AnnIvf _),
     "q29_embed_neardup" -> (q29EmbedNeardup _),
@@ -557,6 +572,17 @@ object Extensions {
     // matching votes(b) > 0 in SimHash64.compute) — reassembled as an
     // unsigned HUGEINT and converted to the signed BIGINT domain.
     "q26_simhash_fp" -> s"WITH $simhashFpCtes SELECT doc_id, fp FROM fps",
+    // the SQL-surface twin: same fingerprint CTEs + the q56-style trigram
+    // distinct count (hash-set cardinality == string-set cardinality)
+    "q59_sql_kernels" ->
+      s"""WITH $simhashFpCtes,
+        |g AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+        |SELECT f.doc_id, f.fp,
+        |  CAST(len(list_distinct(list_transform(
+        |      range(1, greatest(len(sp) - 1, 2)),
+        |      i -> array_to_string(list_slice(sp, i, i + 2), ' ')))) AS INTEGER)
+        |    AS n_distinct_grams
+        |FROM fps f JOIN g USING (doc_id)""".stripMargin,
     // q55's banding (4x16-bit bands) is LOSSLESS at maxHamming=3: a pair
     // differing in <= 3 bits leaves at least one band untouched
     // (pigeonhole over 4 bands), so the band-join output is EXACTLY all

@@ -56,6 +56,25 @@ class IntegrationSpec extends SparkSpecBase {
     assert(df.columns.toSet == Set("n_name", "revenue", "n_items"))
   }
 
+  test("GraftExtensions exposes the codegen kernels to raw SQL") {
+    val out = spark.sql(
+      "SELECT simhash64('the quick brown fox') AS fp, " +
+        "size(word_gram_hashes('a b c d', 2)) AS n, " +
+        "dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp, " +
+        "sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS ic").first()
+    assert(out.getAs[Long]("fp") ==
+      graft.functions.SimHash64.compute("the quick brown fox"))
+    assert(out.getAs[Int]("n") == 3)
+    assert(out.getAs[Double]("dp") == 11.0)
+    assert(out.getAs[Int]("ic") == 2)
+    // non-literal where a literal int is required fails analysis, like
+    // built-ins treat round()'s scale argument
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_gram_hashes('a b', CAST(id AS INT)) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("every declared query has matching columns with its oracle name set") {
     // guards the column-name contract: the driver sorts columns by name
     // before hashing, so any Spark/oracle alias drift breaks the gate
