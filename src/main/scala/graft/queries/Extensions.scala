@@ -372,6 +372,17 @@ object Extensions {
             |FROM documents""".stripMargin)
   }
 
+  /** Deterministic stratified mixture sampling (operators.Sampling): keep
+    * 100% of en, 50% of de, 25% of everything else — the reproducible
+    * downsampling step of corpus curation. Decisions are md5-bucket pure
+    * functions of doc_id, so the oracle replicates them exactly.
+    */
+  def q60MixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
+      idCol = "doc_id", stratumCol = "lang",
+      rates = Map("en" -> 100, "de" -> 50), defaultPct = 25)
+
   /** Approximate per-group median (approx_percentile sketch) — the 100 TB
     * companion to q48's exact positional median, whose
     * one-task-per-group window does not scale past dimension-sized groups.
@@ -407,6 +418,7 @@ object Extensions {
     "q57_decontam"      -> (q57Decontam _),
     "q58_dedup_resolve" -> (q58DedupResolve _),
     "q59_sql_kernels"   -> (q59SqlKernels _),
+    "q60_mixture_sample" -> (q60MixtureSample _),
     "q27_ann_topk"      -> (q27AnnTopk _),
     "q28_ann_ivf"       -> (q28AnnIvf _),
     "q29_embed_neardup" -> (q29EmbedNeardup _),
@@ -637,6 +649,12 @@ object Extensions {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, least(a, min(b)) AS component
         |FROM reach GROUP BY a""".stripMargin,
+    // md5-bucket sampling is a pure function of doc_id on both engines
+    "q60_mixture_sample" ->
+      """SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100
+        |  < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 ELSE 25 END""".stripMargin,
     "q42_media_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text))
