@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Bucket in [0, 100) from the row id — the shared kernel. */
+  /** Bucket in [0, 100) from the row id — the shared kernel. NULL ids get
+    * a defined bucket (md5 of the empty string) instead of a NULL
+    * predicate that would silently drop them at every rate including 100.
+    */
   def hashBucket(id: Column): Column =
-    (conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int") % 100)
-      .as("bucket")
+    (conv(substring(md5(coalesce(id.cast("string"), lit(""))), 1, 4), 16, 10)
+      .cast("int") % 100).as("bucket")
 
   /** Keep ~pct% of rows, deterministically by id. */
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =

@@ -367,9 +367,13 @@ object Extensions {
     */
   def q59SqlKernels(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir).createOrReplaceTempView("documents")
+    // text IS NOT NULL on BOTH engines: with ANSI off size(NULL) is -1
+    // (legacySizeOfNull) while the oracle's CTE chain lands on 0/NULL —
+    // excluding null texts symmetrically is the one null contract the two
+    // engines can share exactly
     s.sql("""SELECT doc_id, simhash64(text) AS fp,
             |  size(word_gram_hashes(text, 3)) AS n_distinct_grams
-            |FROM documents""".stripMargin)
+            |FROM documents WHERE text IS NOT NULL""".stripMargin)
   }
 
   /** Deterministic stratified mixture sampling (operators.Sampling): keep
@@ -588,7 +592,8 @@ object Extensions {
     // distinct count (hash-set cardinality == string-set cardinality)
     "q59_sql_kernels" ->
       s"""WITH $simhashFpCtes,
-        |g AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+        |g AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+        |      WHERE text IS NOT NULL)
         |SELECT f.doc_id, f.fp,
         |  CAST(len(list_distinct(list_transform(
         |      range(1, greatest(len(sp) - 1, 2)),
@@ -650,10 +655,11 @@ object Extensions {
         |SELECT a AS doc_id, least(a, min(b)) AS component
         |FROM reach GROUP BY a""".stripMargin,
     // md5-bucket sampling is a pure function of doc_id on both engines
+    // (coalesce matches hashBucket's defined NULL-id behavior)
     "q60_mixture_sample" ->
       """SELECT doc_id, lang, source
         |FROM documents
-        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100
+        |WHERE ('0x' || substr(md5(coalesce(doc_id::VARCHAR, '')), 1, 4))::INT % 100
         |  < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 ELSE 25 END""".stripMargin,
     "q42_media_meta" ->
       """SELECT doc_id,

@@ -73,6 +73,14 @@ class IntegrationSpec extends SparkSpecBase {
       spark.sql("SELECT word_gram_hashes('a b', CAST(id AS INT)) FROM range(1)").collect()
     }
     assert(e.getMessage.contains("integer literal"))
+    // ...but any FOLDABLE int expression works, like round(col, 1 + 2)
+    assert(spark.sql("SELECT size(word_gram_hashes('a b c d', 1 + 1)) AS n")
+      .first().getAs[Int]("n") == 3)
+    // wrong arity names the function and accepted arities, no MatchError
+    val arity = intercept[Exception] {
+      spark.sql("SELECT winnow_fp('a b c', 5)").collect()
+    }
+    assert(arity.getMessage.contains("winnow_fp expects 1 or 3 arguments"))
   }
 
   test("every declared query has matching columns with its oracle name set") {

@@ -15,6 +15,16 @@ class SamplingSpec extends SparkSpecBase {
     assert(Sampling.hashSample(docs, "doc_id", 0).count() == 0L)
   }
 
+  test("NULL ids get a defined bucket: pct=100 really keeps every row") {
+    import spark.implicits._
+    val df = Seq(Some(1L), Some(2L), None).toDF("doc_id")
+    assert(Sampling.hashSample(df, "doc_id", 100).count() == 3L)
+    // and the NULL row's fate is deterministic at any rate
+    val k30a = Sampling.hashSample(df, "doc_id", 30).collect().length
+    val k30b = Sampling.hashSample(df, "doc_id", 30).collect().length
+    assert(k30a == k30b)
+  }
+
   test("stratified rates hold per stratum on the fixture") {
     val sample = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 100, "de" -> 50), defaultPct = 25)
