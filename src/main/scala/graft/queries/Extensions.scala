@@ -8,10 +8,14 @@ import graft.functions.{SimHash64, TextFunctions}
 import graft.operators.{Dedup, Similarity}
 
 /** Large-scale training-data pipeline operators (BASELINE.json north star):
-  * dedup family, similarity search, text analysis, event-time analytics.
-  * SQL-expressible operators carry DuckDB oracles; the LSH/IVF approximate
-  * operators are rows-only here and verified for recall in ScalaTest
-  * (DedupSpec / SimilaritySpec) against their exact counterparts.
+  * dedup family (pairs + resolution), similarity search, text analysis,
+  * decontamination, mixture sampling, event-time analytics. Everything
+  * deterministic carries a full DuckDB oracle — including the IVF/LSH ANN
+  * paths (fixed centroids/hyperplanes) and the lossless-banded SimHash
+  * pairs; only the genuinely sketch/probabilistic three (q25 band-prune,
+  * q44 HLL, q54 percentile sketch) are rows-only, each spec-anchored
+  * against its exact counterpart (DedupSpec / SimilaritySpec /
+  * IntegrationSpec).
   */
 object Extensions {
 
