@@ -391,6 +391,26 @@ object Extensions {
       idCol = "doc_id", stratumCol = "lang",
       rates = Map("en" -> 100, "de" -> 50), defaultPct = 25)
 
+  /** Token-budget selection — the canonical mixture-building step: per
+    * language, admit documents in quality order until a token budget
+    * (3000 here) is exhausted. The running total EXCLUDES the current doc
+    * (a doc is admitted while the budget is not yet full), so the
+    * selection is a bounded window per stratum — never a global sort.
+    */
+  def q61TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      size(TextFunctions.tokens(col("text"))).as("n_tokens"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
+      .filter(col("cum_before") < 3000L)
+      .select("doc_id", "lang", "n_tokens", "cum_before")
+  }
+
   /** Approximate per-group median (approx_percentile sketch) — the 100 TB
     * companion to q48's exact positional median, whose
     * one-task-per-group window does not scale past dimension-sized groups.
@@ -427,6 +447,7 @@ object Extensions {
     "q58_dedup_resolve" -> (q58DedupResolve _),
     "q59_sql_kernels"   -> (q59SqlKernels _),
     "q60_mixture_sample" -> (q60MixtureSample _),
+    "q61_token_budget"  -> (q61TokenBudget _),
     "q27_ann_topk"      -> (q27AnnTopk _),
     "q28_ann_ivf"       -> (q28AnnIvf _),
     "q29_embed_neardup" -> (q29EmbedNeardup _),
@@ -450,6 +471,17 @@ object Extensions {
        |    $names
        |  FROM documents)""".stripMargin
   }
+
+  /** The q39 quality-score expression as DuckDB SQL — shared by the q39
+    * and q61 oracles so the scoring function cannot drift between them.
+    */
+  private val qualitySqlExpr: String =
+    """LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+      |  + len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the','a','and','of','to','in')))
+      |      / len(string_split(text, ' ')) * 0.3
+      |  + (1.0 - (LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')))
+      |        / LENGTH(text)) * 0.3""".stripMargin
 
   /** Shared CTE chain for the q24/q58 oracles: exact unigram-Jaccard
     * near-dup pairs (threshold 0.8) within (lang, source) blocks — one
@@ -757,15 +789,26 @@ object Extensions {
         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.02""".stripMargin,
     "q39_quality_score" ->
-      """SELECT doc_id,
-        |  LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
-        |  + len(list_filter(string_split(text, ' '),
-        |        x -> x IN ('the','a','and','of','to','in')))
-        |      / len(string_split(text, ' ')) * 0.3
-        |  + (1.0 - (LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')))
-        |        / LENGTH(text)) * 0.3
-        |  AS quality
-        |FROM documents""".stripMargin,
+      s"SELECT doc_id,\n  $qualitySqlExpr AS quality\nFROM documents",
+    // token-budget selection: running token total (EXCLUDING the current
+    // doc) per lang in quality order; a doc is admitted while the budget
+    // is not yet exhausted. SUM(int) widens to HUGEINT in DuckDB -> cast
+    // back to BIGINT to match Spark's long.
+    "q61_token_budget" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    $qualitySqlExpr AS quality
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (
+        |      PARTITION BY lang ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, cum_before
+        |FROM w WHERE cum_before < 3000""".stripMargin,
     "q20_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text",
     "q21_text_stats" ->

@@ -81,6 +81,11 @@ class IntegrationSpec extends SparkSpecBase {
       spark.sql("SELECT winnow_fp('a b c', 5)").collect()
     }
     assert(arity.getMessage.contains("winnow_fp expects 1 or 3 arguments"))
+    // ExpressionInfo wiring: name and usage land in the right fields
+    val desc = spark.sql("DESCRIBE FUNCTION simhash64").collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(desc.contains("Function: simhash64"))
+    assert(desc.contains("SimHash fingerprint"))
   }
 
   test("every declared query has matching columns with its oracle name set") {
