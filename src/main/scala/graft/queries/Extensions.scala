@@ -394,17 +394,27 @@ object Extensions {
   /** Token-budget selection — the canonical mixture-building step: per
     * language, admit documents in quality order until a token budget
     * (3000 here) is exhausted. The running total EXCLUDES the current doc
-    * (a doc is admitted while the budget is not yet full), so the
-    * selection is a bounded window per stratum — never a global sort.
+    * (a doc is admitted while the budget is not yet full). NULL texts are
+    * excluded symmetrically on both engines (the q59 null contract: legacy
+    * size(NULL) = -1 would poison the running sum on one side only).
+    *
+    * Scale note: the window partitions by lang only, so one task sorts one
+    * language's rows — fine at dimension-sized strata, NOT at a 100 TB
+    * 'en' stratum. The scale path is the q48→q54 pattern: bound the
+    * stratum first (approx quality quantile from one sketch pass, filter
+    * to the top band that can possibly fit the budget), then run this
+    * exact window on the survivors — selection semantics unchanged.
     */
   def q61TokenBudget(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("lang")
       .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir).select(
-      col("doc_id"), col("lang"),
-      size(TextFunctions.tokens(col("text"))).as("n_tokens"),
-      TextFunctions.qualityScore(col("text")).as("quality"))
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
       .filter(col("cum_before") < 3000L)
@@ -799,7 +809,7 @@ object Extensions {
         |  SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
         |    $qualitySqlExpr AS quality
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |w AS (
         |  SELECT doc_id, lang, n_tokens,
         |    CAST(COALESCE(SUM(n_tokens) OVER (
