@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Privacy, TextFunctions, WordGramHashes}
+import graft.operators.RangeJoin
+
+/** Corpus-curation operators (round 4): privacy scrubbing, URL blocklist
+  * filtering, cross-document duplicate-n-gram contamination, time-window
+  * range joins, and per-stratum quantile filtering. Every query carries a
+  * full DuckDB oracle — the PII/URL fixtures plant deterministic synthetic
+  * payloads (the q42 pattern) so the scrub paths exercise real matches.
+  */
+object Curation {
+
+  /** PII redaction — count + mask emails/phones/IPv4s (functions.Privacy).
+    * The fixture word soup carries no PII, so deterministic synthetic PII
+    * is planted first (pure function of doc_id; oracle rebuilds it).
+    */
+  def q62PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val t2 = Privacy.withSyntheticPii(col("text"), col("doc_id"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      Privacy.emailCount(t2).as("n_emails"),
+      Privacy.phoneCount(t2).as("n_phones"),
+      Privacy.ipv4Count(t2).as("n_ips"),
+      Privacy.redactPii(t2).as("redacted"))
+  }
+
+  /** Hosts a URL-bearing doc links to, flagged against a blocklist — the
+    * domain-filter stage of web-corpus curation. The blocklist joins as a
+    * broadcast dim (at 100 TB a blocklist is still dimension-sized).
+    */
+  val BlockedHosts: Seq[String] =
+    Seq("www.site0.example.com", "www.site4.example.com", "blog7.test.org")
+
+  def q63UrlBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t2 = Privacy.withSyntheticUrl(col("text"), col("doc_id"))
+    val hosts = Tables.documents(s, dir)
+      .select(col("doc_id"), Privacy.urlHost(t2).as("domain"))
+      .filter(col("domain") =!= "")
+    val blocklist = BlockedHosts.toDF("domain").withColumn("is_blocked", lit(true))
+    hosts.join(broadcast(blocklist), Seq("domain"), "left")
+      .select(col("doc_id"), col("domain"),
+        coalesce(col("is_blocked"), lit(false)).as("blocked"))
+  }
+
+  /** Cross-document duplicate-n-gram contamination (the Dolma/Gopher
+    * "fraction of a doc made of corpus-duplicated n-grams" signal): for
+    * each doc, the fraction of its distinct word-3-grams that appear in at
+    * least one OTHER document.
+    *
+    * Distributed shape: one explode of the per-doc distinct shingle-hash
+    * set (WordGramHashes — the q38/q56 hash-set == string-set contract),
+    * one groupBy(shingle) for corpus df, join the postings back on the
+    * same shingle key (exchange reused), one groupBy(doc). Never all-pairs;
+    * both shuffles are on high-cardinality keys — linear at 100 TB.
+    */
+  def q64DupGramRatio(s: SparkSession, dir: String): DataFrame =
+    dupGramRatio(Tables.documents(s, dir))
+
+  /** The reusable operator behind q64 (planted-duplicate spec in
+    * CurationSpec). `df >= 2` means "this gram occurs in another doc":
+    * posting rows are per-doc DISTINCT, so corpus df counts documents.
+    */
+  def dupGramRatio(docs: DataFrame): DataFrame = {
+    val posting = docs.select(col("doc_id"),
+      explode(WordGramHashes.wordGramHashes(col("text"), 3)).as("h"))
+    val dfCounts = posting.groupBy("h").agg(count(lit(1)).as("df"))
+    posting.join(dfCounts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_ratio",
+        col("n_dup_grams").cast("double") / col("n_grams"))
+  }
+
+  /** Purchases in the trailing 2 h before each click, per user — the
+    * bucketed range join (operators.RangeJoin) under the gate. The oracle
+    * is the PLAIN inequality join, proving the bin-explode rewrite is a
+    * pure physical optimization (the q52 salted-join pattern).
+    */
+  def q65RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"),
+        col("ts").as("p_ts"))
+    val pairs = RangeJoin.trailingWindowJoin(clicks, purchases,
+      key = "user_id", probeTs = "ts", buildTs = "p_ts",
+      windowUs = 2L * 3600 * 1000000)
+    val counts = pairs.groupBy("event_id").agg(count(lit(1)).as("n"))
+    clicks.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n"), lit(0L)).as("n_prior_purchases"))
+  }
+
+  /** Per-language top-quartile quality filter — the "keep the best 25% of
+    * each stratum" curation step, exact by rank: keep rn <= ceil(n/4)
+    * (integer form rn*4 <= n+3, so both engines compare integers — no
+    * float quantile to disagree on).
+    *
+    * Scale note: like q61 the window partitions by lang only — fine while
+    * strata fit a task's sort; at a 100 TB stratum, pre-filter to an
+    * approx-quantile band first (the q48→q54 pattern), then rank the
+    * survivors exactly.
+    */
+  def q66QuantileFilter(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rn") * 4 <= col("n") + 3)
+      .select("doc_id", "lang", "quality", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_pii_redact"      -> (q62PiiRedact _),
+    "q63_url_blocklist"   -> (q63UrlBlocklist _),
+    "q64_dup_gram_ratio"  -> (q64DupGramRatio _),
+    "q65_range_join"      -> (q65RangeJoin _),
+    "q66_quantile_filter" -> (q66QuantileFilter _))
+
+  /** Shared CTE planting the synthetic PII — must mirror
+    * Privacy.withSyntheticPii verbatim. (Concatenation operators sit at
+    * line ENDS: this string is re-interpolated into a stripMargin literal,
+    * which would eat a line-leading `||` as a margin `|`.)
+    */
+  private val piiInjectCte: String =
+    """inj AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN ' contact user' || doc_id::VARCHAR || '@example.com for details'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0
+      |         THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.' || ((doc_id * 7) % 256)::VARCHAR
+      |         ELSE '' END
+      |    AS t2
+      |  FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q62_pii_redact" ->
+      s"""WITH $piiInjectCte
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '${Privacy.EmailPattern}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(t2, '${Privacy.PhonePattern}')) AS INTEGER) AS n_phones,
+        |  CAST(len(regexp_extract_all(t2, '${Privacy.Ipv4Pattern}')) AS INTEGER) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(t2,
+        |    '${Privacy.EmailPattern}', '<EMAIL>', 'g'),
+        |    '${Privacy.PhonePattern}', '<PHONE>', 'g'),
+        |    '${Privacy.Ipv4Pattern}', '<IP>', 'g') AS redacted
+        |FROM inj""".stripMargin,
+    "q63_url_blocklist" ->
+      s"""WITH inj AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0
+        |        THEN ' see https://www.site' || (doc_id % 10)::VARCHAR
+        |             || '.example.com/page' || doc_id::VARCHAR || ' ok'
+        |      WHEN doc_id % 3 = 1
+        |        THEN ' see http://blog' || (doc_id % 10)::VARCHAR || '.test.org/a ok'
+        |      ELSE '' END AS t2
+        |  FROM documents),
+        |h AS (SELECT doc_id, regexp_extract(t2, '${Privacy.UrlHostPattern}', 1) AS domain
+        |      FROM inj)
+        |SELECT doc_id, domain,
+        |  domain IN (${BlockedHosts.map(h => s"'$h'").mkString(", ")}) AS blocked
+        |FROM h WHERE domain <> ''""".stripMargin,
+    // same string-trigram formulation as q56/q57; df counts DOCUMENTS per
+    // gram because the unnest is over the per-doc DISTINCT gram list
+    "q64_dup_gram_ratio" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(sp) - 1, 2)),
+        |      i -> array_to_string(list_slice(sp, i, i + 2), ' ')))) AS h
+        |  FROM t),
+        |d AS (SELECT h, COUNT(*) AS df FROM g GROUP BY h)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_ratio
+        |FROM g JOIN d USING (h)
+        |GROUP BY doc_id""".stripMargin,
+    // the range join must equal the plain inequality join — the oracle IS
+    // the unbinned formulation (epoch_us matches unix_micros integrally)
+    "q65_range_join" ->
+      """SELECT c.event_id, c.user_id, COUNT(p.event_id) AS n_prior_purchases
+        |FROM events c LEFT JOIN events p
+        |  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts) - 7200000000
+        |  AND epoch_us(p.ts) < epoch_us(c.ts)
+        |WHERE c.event_type = 'click'
+        |GROUP BY c.event_id, c.user_id""".stripMargin,
+    "q66_quantile_filter" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, ${Extensions.qualitySqlExpr} AS quality
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, lang, quality,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY quality DESC, doc_id) AS INTEGER) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM t)
+        |SELECT doc_id, lang, quality, rn
+        |FROM w WHERE rn * 4 <= n + 3""".stripMargin)
+}

@@ -482,10 +482,10 @@ object Extensions {
        |  FROM documents)""".stripMargin
   }
 
-  /** The q39 quality-score expression as DuckDB SQL — shared by the q39
-    * and q61 oracles so the scoring function cannot drift between them.
+  /** The q39 quality-score expression as DuckDB SQL — shared by the
+    * q39/q61/q66 oracles so the scoring function cannot drift between them.
     */
-  private val qualitySqlExpr: String =
+  private[queries] val qualitySqlExpr: String =
     """LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
       |  + len(list_filter(string_split(text, ' '),
       |        x -> x IN ('the','a','and','of','to','in')))
