@@ -27,8 +27,19 @@ object RangeJoin {
     *
     * `build`'s non-key column names must be disjoint from `probe`'s
     * (rename before calling — keeps the operator free of silent column
-    * shadowing). Timestamps compare in integral microseconds
-    * (`unix_micros`); floor division is exact for any epoch sign.
+    * shadowing). Neither input may contain the reserved temp columns
+    * `__bin`/`__bbin`. Timestamps compare in integral microseconds
+    * (`unix_micros`); `div` truncates toward zero (not floor), but the
+    * two-bin covering invariant probe_bin ∈ {build_bin, build_bin + 1}
+    * holds for either epoch sign because both sides truncate identically
+    * and the match window is exactly one bin wide.
+    *
+    * Join strategy is left to Catalyst/AQE deliberately: unlike a
+    * posting-list explode (q38/q64, ~100× under-estimated), this explode
+    * is exactly 2×, so the build side's size estimate tracks its parquet
+    * scan and scales with the data — small build → broadcast (correct),
+    * 100 TB build → sort-merge/shuffle-hash on (key, bin) (correct). A
+    * forced hint would lock the small-scale plan into two shuffles.
     */
   def trailingWindowJoin(probe: DataFrame, build: DataFrame, key: String,
                          probeTs: String, buildTs: String,
@@ -37,6 +48,10 @@ object RangeJoin {
     val overlap = build.columns.toSet.intersect(probe.columns.toSet) - key
     require(overlap.isEmpty,
       s"build columns must not shadow probe columns (rename: $overlap)")
+    val reserved = (probe.columns ++ build.columns).toSet
+      .intersect(Set("__bin", "__bbin"))
+    require(reserved.isEmpty,
+      s"inputs must not contain the operator's temp columns ($reserved)")
     val p = probe.withColumn("__bin", expr(s"unix_micros(`$probeTs`) div $windowUs"))
     val b = build
       .withColumn("__bbin", expr(s"unix_micros(`$buildTs`) div $windowUs"))

@@ -70,7 +70,12 @@ object Curation {
     val posting = docs.select(col("doc_id"),
       explode(WordGramHashes.wordGramHashes(col("text"), 3)).as("h"))
     val dfCounts = posting.groupBy("h").agg(count(lit(1)).as("df"))
-    posting.join(dfCounts, "h")
+    // posting lists are never broadcast-able (the q38 lesson: Catalyst
+    // sizes Generate output at its input's bytes, so it would broadcast
+    // the ~shingles-per-doc-times-exploded list); force the distributed
+    // hash join on the shingle key, building on the aggregated df side —
+    // its exchange is the same one the groupBy(h) already shuffled
+    posting.join(dfCounts.hint("shuffle_hash"), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
@@ -175,14 +180,12 @@ object Curation {
         |SELECT doc_id, domain,
         |  domain IN (${BlockedHosts.map(h => s"'$h'").mkString(", ")}) AS blocked
         |FROM h WHERE domain <> ''""".stripMargin,
-    // same string-trigram formulation as q56/q57; df counts DOCUMENTS per
-    // gram because the unnest is over the per-doc DISTINCT gram list
+    // same string-trigram formulation as q38/q56/q57 (shared
+    // trigramListSql); df counts DOCUMENTS per gram because the unnest is
+    // over the per-doc DISTINCT gram list
     "q64_dup_gram_ratio" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
-        |g AS (SELECT doc_id,
-        |    unnest(list_distinct(list_transform(
-        |      range(1, greatest(len(sp) - 1, 2)),
-        |      i -> array_to_string(list_slice(sp, i, i + 2), ' ')))) AS h
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |g AS (SELECT doc_id, unnest(${Extensions.trigramListSql("sp")}) AS h
         |  FROM t),
         |d AS (SELECT h, COUNT(*) AS df FROM g GROUP BY h)
         |SELECT doc_id, COUNT(*) AS n_grams,

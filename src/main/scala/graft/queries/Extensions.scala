@@ -482,6 +482,17 @@ object Extensions {
        |  FROM documents)""".stripMargin
   }
 
+  /** The distinct word-3-gram list of token-list expression `v`, as DuckDB
+    * SQL — the single source of truth for the q38/q56/q57/q59/q64 oracles'
+    * gram generation, including the short-doc whole-text fallback
+    * (greatest(len - 1, 2) mirrors WordGramHashes' "< n tokens -> one
+    * whole-text gram" contract). One definition so the fallback can never
+    * drift between the five oracles.
+    */
+  private[queries] def trigramListSql(v: String): String =
+    s"list_distinct(list_transform(range(1, greatest(len($v) - 1, 2)), " +
+      s"i -> array_to_string(list_slice($v, i, i + 2), ' ')))"
+
   /** The q39 quality-score expression as DuckDB SQL — shared by the
     * q39/q61/q66 oracles so the scoring function cannot drift between them.
     */
@@ -641,10 +652,7 @@ object Extensions {
         |g AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents
         |      WHERE text IS NOT NULL)
         |SELECT f.doc_id, f.fp,
-        |  CAST(len(list_distinct(list_transform(
-        |      range(1, greatest(len(sp) - 1, 2)),
-        |      i -> array_to_string(list_slice(sp, i, i + 2), ' ')))) AS INTEGER)
-        |    AS n_distinct_grams
+        |  CAST(len(${trigramListSql("sp")}) AS INTEGER) AS n_distinct_grams
         |FROM fps f JOIN g USING (doc_id)""".stripMargin,
     // q55's banding (4x16-bit bands) is LOSSLESS at maxHamming=3: a pair
     // differing in <= 3 bits leaves at least one band untouched
@@ -662,25 +670,18 @@ object Extensions {
     // doc contributes its whole text as one gram, mirroring WordGramHashes),
     // distinct grams via string list_distinct (== the kernel's hash-set size)
     "q56_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
         |SELECT doc_id,
         |  CAST(greatest(len(sp) - 2, 1) AS INTEGER) AS n_grams,
-        |  CAST(len(list_distinct(list_transform(
-        |      range(1, greatest(len(sp) - 1, 2)),
-        |      i -> array_to_string(list_slice(sp, i, i + 2), ' ')))) AS INTEGER)
-        |    AS n_distinct_grams,
-        |  1.0 - (CAST(len(list_distinct(list_transform(
-        |      range(1, greatest(len(sp) - 1, 2)),
-        |      i -> array_to_string(list_slice(sp, i, i + 2), ' ')))) AS DOUBLE)
+        |  CAST(len(${trigramListSql("sp")}) AS INTEGER) AS n_distinct_grams,
+        |  1.0 - (CAST(len(${trigramListSql("sp")}) AS DOUBLE)
         |    / CAST(greatest(len(sp) - 2, 1) AS DOUBLE)) AS rep_ratio
         |FROM t""".stripMargin,
     // decontamination: distinct 3-gram shingles per doc, eval = src0 slice,
     // n_shared = |train-doc shingles ∩ eval shingle union|
     "q57_decontam" ->
-      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS sp FROM documents),
-        |g AS (SELECT doc_id, source,
-        |    list_distinct(list_transform(range(1, greatest(len(sp) - 1, 2)),
-        |      i -> array_to_string(list_slice(sp, i, i + 2), ' '))) AS sh
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS sp FROM documents),
+        |g AS (SELECT doc_id, source, ${trigramListSql("sp")} AS sh
         |  FROM t),
         |ev AS (SELECT DISTINCT unnest(sh) AS h FROM g WHERE source = 'src0'),
         |tp AS (SELECT doc_id, unnest(sh) AS h FROM g WHERE source <> 'src0')
@@ -784,12 +785,9 @@ object Extensions {
         |  FROM tf JOIN df USING (term) CROSS JOIN n) t
         |WHERE rk <= 3""".stripMargin,
     "q38_ngram_jaccard" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang, source,
-        |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
-        |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))
-        |      AS sh
+        |    ${trigramListSql("string_split(text, ' ')")} AS sh
         |  FROM documents)
         |SELECT doc_id_a, doc_id_b, jaccard FROM (
         |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
