@@ -269,9 +269,15 @@ object Dedup {
     while (changed > 0 && it < maxIters) {
       val viaNeighbor = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("component"))
+      // LAZY checkpoint: the changed-count below is the round's
+      // materializing action — it computes next's partitions, which the
+      // localCheckpoint mark persists as a side effect, so no separate
+      // eager-materialization job runs per round. (Modest in wall time —
+      // AQE stages dominate — but one fewer full pass over the round's
+      // plan.)
       val next = labels.select("id", "component").union(viaNeighbor)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).count()
       freeCheckpoint(labels)

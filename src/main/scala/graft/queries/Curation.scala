@@ -21,7 +21,9 @@ object Curation {
     */
   def q62PiiRedact(s: SparkSession, dir: String): DataFrame = {
     val t2 = Privacy.withSyntheticPii(col("text"), col("doc_id"))
-    Tables.documents(s, dir).select(
+    // null texts excluded symmetrically (the q59 null contract: legacy
+    // size(NULL) = -1 vs the oracle's NULL would drift on one side only)
+    Tables.documents(s, dir).filter(col("text").isNotNull).select(
       col("doc_id"),
       Privacy.emailCount(t2).as("n_emails"),
       Privacy.phoneCount(t2).as("n_phones"),
@@ -40,6 +42,7 @@ object Curation {
     import s.implicits._
     val t2 = Privacy.withSyntheticUrl(col("text"), col("doc_id"))
     val hosts = Tables.documents(s, dir)
+      .filter(col("text").isNotNull) // q59 null contract, as in q62
       .select(col("doc_id"), Privacy.urlHost(t2).as("domain"))
       .filter(col("domain") =!= "")
     val blocklist = BlockedHosts.toDF("domain").withColumn("is_blocked", lit(true))
@@ -151,7 +154,7 @@ object Curation {
       |         THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.' || ((doc_id * 7) % 256)::VARCHAR
       |         ELSE '' END
       |    AS t2
-      |  FROM documents)""".stripMargin
+      |  FROM documents WHERE text IS NOT NULL)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q62_pii_redact" ->
@@ -174,7 +177,7 @@ object Curation {
         |      WHEN doc_id % 3 = 1
         |        THEN ' see http://blog' || (doc_id % 10)::VARCHAR || '.test.org/a ok'
         |      ELSE '' END AS t2
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |h AS (SELECT doc_id, regexp_extract(t2, '${Privacy.UrlHostPattern}', 1) AS domain
         |      FROM inj)
         |SELECT doc_id, domain,

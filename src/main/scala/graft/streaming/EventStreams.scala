@@ -94,6 +94,34 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream trailing-window join — the incremental twin of
+    * operators.RangeJoin (batch q65): each probe-side row pairs with the
+    * build-side rows of the same key whose time falls in
+    * [probeTs - window, probeTs).
+    *
+    * Unlike batch (where the inequality predicate needs the bin-explode
+    * rewrite to avoid a nested loop), the PLAIN formulation is already the
+    * scalable streaming shape: StreamingSymmetricHashJoin partitions both
+    * sides on the equi key and uses the range condition + the two
+    * watermarks to prune state — build rows older than
+    * (probe watermark - window) and probe rows older than the build
+    * watermark are evicted, so state is bounded at any stream volume.
+    */
+  def trailingWindowJoinStream(probe: DataFrame, build: DataFrame,
+                               key: String, probeTs: String, buildTs: String,
+                               window: String, watermark: String): DataFrame = {
+    val overlap = build.columns.toSet.intersect(probe.columns.toSet) - key
+    require(overlap.isEmpty,
+      s"build columns must not shadow probe columns (rename: $overlap)")
+    val p = probe.withWatermark(probeTs, watermark)
+    val b = build.withWatermark(buildTs, watermark)
+    p.join(b,
+        p.col(key) === b.col(key) &&
+        col(buildTs) >= col(probeTs) - expr(s"interval $window") &&
+        col(buildTs) < col(probeTs))
+      .drop(b.col(key))
+  }
+
   /** File-source entry: stream the events parquet with the raw on-disk
     * schema (nanos ride as Long under nanosAsLong), then apply the same
     * ns -> us conversion the batch Tables.events performs.

@@ -76,4 +76,54 @@ class EventStreamsSpec extends SparkSpecBase {
       assert(out(1).getAs[Long]("n_events") == 1)
     } finally q.stop()
   }
+
+  test("trailingWindowJoinStream matches the batch RangeJoin on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[EventStreams.Event]
+    val buysIn = MemoryStream[EventStreams.Event]
+    val clicks = clicksIn.toDF().select($"event_id", $"user_id", $"ts")
+    val buys = buysIn.toDF().select($"user_id",
+      $"event_id".as("p_event_id"), $"ts".as("p_ts"))
+    val joined = EventStreams.trailingWindowJoinStream(clicks, buys,
+      "user_id", "ts", "p_ts", window = "30 minutes", watermark = "1 hour")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("range_out").start()
+    try {
+      def click(id: Long, u: Long, t: String) =
+        EventStreams.Event(id, ts(t), u, "click", 0.0)
+      def buy(id: Long, u: Long, t: String) =
+        EventStreams.Event(id, ts(t), u, "purchase", 1.0)
+      val allClicks = Seq(
+        click(1, 1, "2024-01-01 10:00:00"),  // matches buys 101 (boundary in) + 102
+        click(2, 1, "2024-01-01 11:00:00"),  // buy 103 at == ts is excluded
+        click(3, 2, "2024-01-01 10:10:00"))  // wrong-user buys -> no match
+      val allBuys = Seq(
+        buy(101, 1, "2024-01-01 09:30:00"),  // exactly t-W -> included
+        buy(102, 1, "2024-01-01 09:59:59"),
+        buy(103, 1, "2024-01-01 11:00:00"),  // == click 2's ts -> excluded for 2...
+        buy(104, 9, "2024-01-01 10:05:00"))
+      clicksIn.addData(allClicks: _*)
+      buysIn.addData(allBuys: _*)
+      q.processAllAvailable()
+      // advance both watermarks so all pairs are emitted
+      clicksIn.addData(click(99, 50, "2024-01-01 23:00:00"))
+      buysIn.addData(buy(199, 50, "2024-01-01 23:00:00"))
+      q.processAllAvailable()
+      val streaming = spark.table("range_out")
+        .select("event_id", "p_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // buy 103 lands in [10:30, 11:00) of a later click only if one exists:
+      // click 2 at 11:00 excludes it (strict upper bound) -> expected set
+      val batchProbe = allClicks.toDF().select($"event_id", $"user_id", $"ts")
+      val batchBuild = allBuys.toDF().select($"user_id",
+        $"event_id".as("p_event_id"), $"ts".as("p_ts"))
+      val batch = graft.operators.RangeJoin.trailingWindowJoin(
+          batchProbe, batchBuild, "user_id", "ts", "p_ts", 1800L * 1000000)
+        .select("event_id", "p_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streaming == batch)
+      assert(batch == Set((1L, 101L), (1L, 102L)))
+    } finally q.stop()
+  }
 }
