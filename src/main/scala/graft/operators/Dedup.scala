@@ -330,16 +330,25 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** 4x16-bit band explode of a simhash fingerprint frame — the candidate
+    * key for [[simhashPairs]] and [[admitIncremental]]. Pigeonhole: a pair
+    * within Hamming distance 3 cannot differ in all 4 bands, so the band
+    * join is LOSSLESS at maxHamming <= 3 (what makes both operators fully
+    * oracle-checkable).
+    */
+  private def simhashBands(withFp: DataFrame): DataFrame =
+    withFp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bucket")))
+
   /** SimHash near-dup pairs: 64-bit fingerprints banded into 4x16 bits;
     * candidates share a band; verification by Hamming distance <= maxHamming.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val withFp = docs.select(col("doc_id"),
       SimHash64.simhash64(col("text")).as("fp"))
-    val banded = withFp.select(col("doc_id"), col("fp"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("band", "bucket")))
+    val banded = simhashBands(withFp)
     val a = banded.select(col("band"), col("bucket"),
       col("doc_id").as("doc_id_a"), col("fp").as("fp_a"))
     val b = banded.select(col("band"), col("bucket"),
@@ -354,6 +363,49 @@ object Dedup {
       .withColumn("hamming", SimHash64.hamming(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)
       .select("doc_id_a", "doc_id_b", "hamming")
+  }
+
+  /** Incremental corpus admission — the production dedup mode: a NEW batch
+    * of documents is screened against the EXISTING corpus, never corpus
+    * against itself. A new doc is rejected when it is an exact duplicate
+    * (md5 fingerprint match) or a SimHash near-duplicate
+    * (Hamming <= maxHamming) of any corpus doc; within-batch duplicates
+    * are out of scope (run exact/simhashPairs on the admitted batch).
+    *
+    * Shapes at 100 TB: the exact screen is one hash join on 32-byte
+    * fingerprints (the corpus side pre-deduped); the near screen is the
+    * lossless 4x16 band join (new-side bands never broadcast — same
+    * Generate-size trap as simhashPairs), distinct-verified per candidate
+    * pair. Both scale linearly in candidates; neither is ever all-pairs.
+    * Returns one row per new doc: (doc_id, exact_dup, n_neardup, admitted).
+    */
+  def admitIncremental(docs: DataFrame, isNew: Column,
+                       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming $maxHamming > 3 breaks the 4-band pigeonhole (lossy candidates)")
+    val base = docs.select(col("doc_id"), isNew.as("is_new"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("xfp"),
+      SimHash64.simhash64(col("text")).as("fp"))
+    val newDocs = base.filter(col("is_new")).select("doc_id", "xfp", "fp")
+    val corpus = base.filter(!col("is_new")).select("doc_id", "xfp", "fp")
+
+    val exact = newDocs.join(
+        corpus.select(col("xfp")).distinct().withColumn("ex", lit(true)),
+        Seq("xfp"), "left")
+      .select(col("doc_id"), coalesce(col("ex"), lit(false)).as("exact_dup"))
+
+    val near = simhashBands(newDocs).hint("shuffle_hash")
+      .join(simhashBands(corpus).select(col("band"), col("bucket"),
+          col("doc_id").as("c_doc_id"), col("fp").as("c_fp")),
+        Seq("band", "bucket"))
+      .select("doc_id", "fp", "c_doc_id", "c_fp").distinct()
+      .filter(SimHash64.hamming(col("fp"), col("c_fp")) <= maxHamming)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_neardup"))
+
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+      .withColumn("admitted", !col("exact_dup") && col("n_neardup") === 0L)
   }
 
   /** Embedding-cosine near-dup pairs, blocked by label (IVF-style blocking:

@@ -128,12 +128,33 @@ object Curation {
       .select("doc_id", "lang", "quality", "rn")
   }
 
+  /** The "new batch" slice for incremental admission: the last five
+    * sources (an explicit IN list — source strings sort lexicographically,
+    * so a >= comparison would misorder src2 vs src15).
+    */
+  val NewBatchSources: Seq[String] =
+    Seq("src15", "src16", "src17", "src18", "src19")
+
+  /** Incremental corpus admission (operators.Dedup.admitIncremental): the
+    * last five sources arrive as a new batch and are screened against the
+    * rest of the corpus — exact md5 screen + lossless 4x16-band SimHash
+    * screen (Hamming <= 3), one admission row per new doc. Fully
+    * oracle-checked: the banding is lossless by pigeonhole, so the oracle
+    * is the all-pairs SQL over the shared fingerprint CTEs.
+    */
+  def q67IncrementalAdmit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.admitIncremental(
+      Tables.documents(s, dir),
+      isNew = col("source").isin(NewBatchSources: _*),
+      maxHamming = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_pii_redact"      -> (q62PiiRedact _),
     "q63_url_blocklist"   -> (q63UrlBlocklist _),
     "q64_dup_gram_ratio"  -> (q64DupGramRatio _),
     "q65_range_join"      -> (q65RangeJoin _),
-    "q66_quantile_filter" -> (q66QuantileFilter _))
+    "q66_quantile_filter" -> (q66QuantileFilter _),
+    "q67_incremental_admit" -> (q67IncrementalAdmit _))
 
   /** Shared CTE planting the synthetic PII — must mirror
     * Privacy.withSyntheticPii verbatim. (Concatenation operators sit at
@@ -206,6 +227,30 @@ object Curation {
         |  AND epoch_us(p.ts) < epoch_us(c.ts)
         |WHERE c.event_type = 'click'
         |GROUP BY c.event_id, c.user_id""".stripMargin,
+    // the band join is lossless at Hamming <= 3 (pigeonhole over 4 bands),
+    // so the all-pairs SQL below is EXACTLY the operator's candidate+verify
+    // output; near-dup counts include exact dups (Hamming 0), same as the
+    // engine. Note n JOIN c is new-vs-corpus only — never corpus²
+    "q67_incremental_admit" -> {
+      val inList = NewBatchSources.map(x => s"'$x'").mkString(", ")
+      s"""WITH ${Extensions.simhashFpCtes},
+        |base AS (
+        |  SELECT d.doc_id, d.source, md5(LOWER(d.text)) AS xfp, f.fp
+        |  FROM documents d JOIN fps f USING (doc_id)),
+        |n AS (SELECT * FROM base WHERE source IN ($inList)),
+        |c AS (SELECT * FROM base WHERE source NOT IN ($inList)),
+        |ex AS (SELECT DISTINCT n.doc_id FROM n JOIN c ON n.xfp = c.xfp),
+        |nd AS (SELECT n.doc_id, COUNT(*) AS n_neardup
+        |       FROM n JOIN c ON bit_count(xor(n.fp, c.fp)) <= 3
+        |       GROUP BY n.doc_id)
+        |SELECT b.doc_id,
+        |  ex.doc_id IS NOT NULL AS exact_dup,
+        |  CAST(COALESCE(nd.n_neardup, 0) AS BIGINT) AS n_neardup,
+        |  ex.doc_id IS NULL AND COALESCE(nd.n_neardup, 0) = 0 AS admitted
+        |FROM n b
+        |LEFT JOIN ex ON b.doc_id = ex.doc_id
+        |LEFT JOIN nd ON b.doc_id = nd.doc_id""".stripMargin
+    },
     "q66_quantile_filter" ->
       s"""WITH t AS (
         |  SELECT doc_id, lang, ${Extensions.qualitySqlExpr} AS quality

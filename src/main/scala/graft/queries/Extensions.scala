@@ -523,9 +523,9 @@ object Extensions {
 
   /** Shared CTE chain computing SimHash64 fingerprints in DuckDB (FNV-1a
     * per token in HUGEINT mod-2^64, 64-bit majority vote, signed BIGINT
-    * domain) — the single source of truth for the q26 and q55 oracles.
+    * domain) — the single source of truth for the q26/q55/q59/q67 oracles.
     */
-  private val simhashFpCtes: String =
+  private[queries] val simhashFpCtes: String =
     """toks AS (
       |  SELECT doc_id,
       |    list_transform(

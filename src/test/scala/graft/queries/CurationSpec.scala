@@ -65,6 +65,37 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("admitIncremental matches a driver-side brute force, incl. planted dups") {
+    import graft.functions.SimHash64
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpusDocs = (0L until 40L).map(i => (i, doc(30), false))
+    val newDocs = (100L until 120L).map(i => (i, doc(30), true)) ++ Seq(
+      (200L, corpusDocs(3)._2, true),            // exact dup of corpus doc 3
+      (201L, corpusDocs(5)._2 + " extra", true)) // near-ish variant
+    val all = (corpusDocs ++ newDocs).toDF("doc_id", "text", "is_new")
+    val got = graft.operators.Dedup.admitIncremental(all, col("is_new"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+
+    // driver-side brute force over the same fingerprints
+    val fps = all.select($"doc_id", $"is_new", lower($"text").as("lt"),
+        SimHash64.simhash64($"text").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2), r.getLong(3)))
+    val corpus = fps.filter(!_._2)
+    val expect = fps.filter(_._2).map { case (id, _, lt, fp) =>
+      val exact = corpus.exists(_._3 == lt)
+      val near = corpus.count(c => java.lang.Long.bitCount(c._4 ^ fp) <= 3).toLong
+      id -> ((exact, near, !exact && near == 0L))
+    }.toMap
+    assert(got == expect)
+    assert(got(200L)._1 && !got(200L)._3)      // planted exact dup rejected
+    assert(got(200L)._2 >= 1L)                 // ... and Hamming-0 counted
+    assert(got.values.exists(_._3))            // and some docs are admitted
+  }
+
   test("q65 counts agree with a driver-side brute force at sf0.001") {
     val ev = graft.Tables.events(spark, Sf0001)
       .select($"event_id", $"user_id", unix_micros($"ts").as("us"), $"event_type")
