@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling — the "what did we just ingest" stage every
+  * large-scale pipeline runs before and after each transform: per-column
+  * null/distinct/min/max profiles and fixed-width value histograms.
+  *
+  * Both operators are single aggregation passes (partial+final hash
+  * aggregate around one Exchange): the profile aggregates EVERY column in
+  * the same pass (one scan regardless of column count, then a `stack`
+  * unpivot of the single result row), and the histogram is one groupBy on
+  * the bucket id. Nothing here is ever driver-side except the final
+  * column-count-sized result.
+  */
+object Profile {
+
+  /** Per-column profile of numeric columns: non-null count, null count,
+    * exact distinct count, min, max — one row per column from ONE scan.
+    *
+    * `countDistinct` per column is exact (each adds an Expand pass before
+    * the aggregate) — the oracle-checkable choice. At 100 TB swap to
+    * `approx_count_distinct` (single pass, partial-aggregated HLL; the q44
+    * pattern) — the operator shape is otherwise unchanged.
+    */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__n_rows") +: cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      count_distinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val branches = cols.map { c =>
+      s"'$c', `${c}__n`, __n_rows - `${c}__n`, `${c}__nd`, `${c}__min`, `${c}__max`"
+    }.mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $branches) AS " +
+        "(col_name, n_non_null, n_nulls, n_distinct, min_val, max_val)"))
+  }
+
+  /** Fixed-width histogram of a numeric column: bucket i covers
+    * [lo + i·width, lo + (i+1)·width), with under/overflow clamped into the
+    * first/last bucket. NULLs are excluded (they belong in the profile's
+    * null count, not a value bucket).
+    */
+  def histogram(df: DataFrame, c: String, lo: Double, width: Double,
+                nBuckets: Int): DataFrame = {
+    require(width > 0 && nBuckets > 0, s"bad histogram shape: $width x $nBuckets")
+    df.filter(col(c).isNotNull)
+      .withColumn("bucket",
+        least(greatest(floor((col(c) - lo) / width), lit(0.0)),
+          lit((nBuckets - 1).toDouble)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col(c)).cast("double").as("min_val"),
+        max(col(c)).cast("double").as("max_val"))
+      .withColumn("bucket_lo", lit(lo) + col("bucket") * width)
+  }
+}

@@ -148,7 +148,24 @@ object Curation {
       isNew = col("source").isin(NewBatchSources: _*),
       maxHamming = 3)
 
+  /** Column profile of lineitem's numeric measures (operators.Profile):
+    * one scan, one aggregate, one row per column. Exact distinct counts
+    * keep it oracle-checkable (100 TB swaps them for HLL, q44 pattern).
+    */
+  def q68Profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.numericProfile(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  /** Fixed-width histogram of order totals: 10 x 50k buckets with clamped
+    * tails — the distribution-sketch stage of data profiling.
+    */
+  def q69Histogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogram(Tables.orders(s, dir),
+      "o_totalprice", lo = 0.0, width = 50000.0, nBuckets = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_profile"         -> (q68Profile _),
+    "q69_histogram"       -> (q69Histogram _),
     "q62_pii_redact"      -> (q62PiiRedact _),
     "q63_url_blocklist"   -> (q63UrlBlocklist _),
     "q64_dup_gram_ratio"  -> (q64DupGramRatio _),
@@ -178,6 +195,27 @@ object Curation {
       |  FROM documents WHERE text IS NOT NULL)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q68_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, COUNT($c) AS n_non_null,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_val,
+           |  CAST(MAX($c) AS DOUBLE) AS max_val
+           |FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+    // bucket arithmetic is identical IEEE on both engines: x/50000.0,
+    // floor, clamp to [0, 9]; bucket_lo = bucket * width
+    "q69_histogram" ->
+      """SELECT bucket, n, min_val, max_val, 0.0 + bucket * 50000.0 AS bucket_lo
+        |FROM (
+        |  SELECT CAST(LEAST(GREATEST(FLOOR(o_totalprice / 50000.0), 0), 9) AS BIGINT)
+        |      AS bucket,
+        |    COUNT(*) AS n,
+        |    CAST(MIN(o_totalprice) AS DOUBLE) AS min_val,
+        |    CAST(MAX(o_totalprice) AS DOUBLE) AS max_val
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |  GROUP BY 1) t""".stripMargin,
     "q62_pii_redact" ->
       s"""WITH $piiInjectCte
         |SELECT doc_id,
