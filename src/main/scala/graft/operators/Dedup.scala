@@ -383,8 +383,13 @@ object Dedup {
                        maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"maxHamming $maxHamming > 3 breaks the 4-band pigeonhole (lossy candidates)")
+    // md5 of the RAW text (the exactByFingerprint contract) — NOT
+    // TextFunctions.fingerprint, which lowercases and would reject
+    // case-variant docs as "exact" duplicates. Callers must exclude null
+    // texts (the q59 null contract: a null fingerprint never joins on the
+    // Spark side while oracle SQL computes a concrete value).
     val base = docs.select(col("doc_id"), isNew.as("is_new"),
-      graft.functions.TextFunctions.fingerprint(col("text")).as("xfp"),
+      md5(col("text")).as("xfp"),
       SimHash64.simhash64(col("text")).as("fp"))
     val newDocs = base.filter(col("is_new")).select("doc_id", "xfp", "fp")
     val corpus = base.filter(!col("is_new")).select("doc_id", "xfp", "fp")

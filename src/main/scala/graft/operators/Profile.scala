@@ -43,13 +43,18 @@ object Profile {
 
   /** Fixed-width histogram of a numeric column: bucket i covers
     * [lo + i·width, lo + (i+1)·width), with under/overflow clamped into the
-    * first/last bucket. NULLs are excluded (they belong in the profile's
-    * null count, not a value bucket).
+    * first/last bucket. NULLs AND NaNs are excluded — NULLs belong in the
+    * profile's null count, and NaN has no bucket (engines disagree on
+    * floor/clamp of NaN: JVM floor(NaN).toLong = 0, SQL GREATEST/LEAST
+    * sort NaN last — excluding it is the only cross-engine-stable choice).
     */
   def histogram(df: DataFrame, c: String, lo: Double, width: Double,
                 nBuckets: Int): DataFrame = {
     require(width > 0 && nBuckets > 0, s"bad histogram shape: $width x $nBuckets")
-    df.filter(col(c).isNotNull)
+    val outCols = Set("bucket", "n", "min_val", "max_val", "bucket_lo")
+    require(!outCols.contains(c),
+      s"column '$c' collides with the histogram's output schema ($outCols); rename first")
+    df.filter(col(c).isNotNull && !isnan(col(c)))
       .withColumn("bucket",
         least(greatest(floor((col(c) - lo) / width), lit(0.0)),
           lit((nBuckets - 1).toDouble)).cast("long"))

@@ -144,7 +144,7 @@ object Curation {
     */
   def q67IncrementalAdmit(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.admitIncremental(
-      Tables.documents(s, dir),
+      Tables.documents(s, dir).filter(col("text").isNotNull), // q59 null contract
       isNew = col("source").isin(NewBatchSources: _*),
       maxHamming = 3)
 
@@ -214,7 +214,7 @@ object Curation {
         |    COUNT(*) AS n,
         |    CAST(MIN(o_totalprice) AS DOUBLE) AS min_val,
         |    CAST(MAX(o_totalprice) AS DOUBLE) AS max_val
-        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
         |  GROUP BY 1) t""".stripMargin,
     "q62_pii_redact" ->
       s"""WITH $piiInjectCte
@@ -273,8 +273,9 @@ object Curation {
       val inList = NewBatchSources.map(x => s"'$x'").mkString(", ")
       s"""WITH ${Extensions.simhashFpCtes},
         |base AS (
-        |  SELECT d.doc_id, d.source, md5(LOWER(d.text)) AS xfp, f.fp
-        |  FROM documents d JOIN fps f USING (doc_id)),
+        |  SELECT d.doc_id, d.source, md5(d.text) AS xfp, f.fp
+        |  FROM documents d JOIN fps f USING (doc_id)
+        |  WHERE d.text IS NOT NULL),
         |n AS (SELECT * FROM base WHERE source IN ($inList)),
         |c AS (SELECT * FROM base WHERE source NOT IN ($inList)),
         |ex AS (SELECT DISTINCT n.doc_id FROM n JOIN c ON n.xfp = c.xfp),

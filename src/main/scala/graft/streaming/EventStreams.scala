@@ -113,6 +113,14 @@ object EventStreams {
     val overlap = build.columns.toSet.intersect(probe.columns.toSet) - key
     require(overlap.isEmpty,
       s"build columns must not shadow probe columns (rename: $overlap)")
+    // fail at call time on a zero/negative window (the batch twin's
+    // windowUs > 0 require): a negative interval would make the range
+    // condition unsatisfiable and the stream silently emit nothing forever
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(window))
+    require(iv != null && iv.months >= 0 && iv.days >= 0 && iv.microseconds >= 0 &&
+        (iv.months > 0 || iv.days > 0 || iv.microseconds > 0),
+      s"window must be a positive interval, got '$window'")
     val p = probe.withWatermark(probeTs, watermark)
     val b = build.withWatermark(buildTs, watermark)
     p.join(b,

@@ -74,14 +74,16 @@ class CurationSpec extends SparkSpecBase {
     val corpusDocs = (0L until 40L).map(i => (i, doc(30), false))
     val newDocs = (100L until 120L).map(i => (i, doc(30), true)) ++ Seq(
       (200L, corpusDocs(3)._2, true),            // exact dup of corpus doc 3
-      (201L, corpusDocs(5)._2 + " extra", true)) // near-ish variant
+      (201L, corpusDocs(5)._2 + " extra", true), // near-ish variant
+      (202L, corpusDocs(7)._2.toUpperCase, true)) // case variant: NOT exact
     val all = (corpusDocs ++ newDocs).toDF("doc_id", "text", "is_new")
     val got = graft.operators.Dedup.admitIncremental(all, col("is_new"))
       .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2),
         r.getBoolean(3)))).toMap
 
-    // driver-side brute force over the same fingerprints
-    val fps = all.select($"doc_id", $"is_new", lower($"text").as("lt"),
+    // driver-side brute force over the same fingerprints (exact screen is
+    // case-EXACT, the exactByFingerprint contract)
+    val fps = all.select($"doc_id", $"is_new", $"text".as("lt"),
         SimHash64.simhash64($"text").as("fp"))
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2), r.getLong(3)))
     val corpus = fps.filter(!_._2)
@@ -93,6 +95,7 @@ class CurationSpec extends SparkSpecBase {
     assert(got == expect)
     assert(got(200L)._1 && !got(200L)._3)      // planted exact dup rejected
     assert(got(200L)._2 >= 1L)                 // ... and Hamming-0 counted
+    assert(!got(202L)._1)                      // case variant is NOT exact
     assert(got.values.exists(_._3))            // and some docs are admitted
   }
 

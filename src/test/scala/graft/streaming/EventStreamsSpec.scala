@@ -77,6 +77,20 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("trailingWindowJoinStream rejects non-positive windows at call time") {
+    import spark.implicits._
+    val p = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val b = Seq((2L, 1L, ts("2024-01-01 09:00:00"))).toDF("p_event_id", "user_id", "p_ts")
+    intercept[IllegalArgumentException] {
+      EventStreams.trailingWindowJoinStream(p, b, "user_id", "ts", "p_ts",
+        window = "-30 minutes", watermark = "1 hour")
+    }
+    intercept[IllegalArgumentException] {
+      EventStreams.trailingWindowJoinStream(p, b, "user_id", "ts", "p_ts",
+        window = "0 seconds", watermark = "1 hour")
+    }
+  }
+
   test("trailingWindowJoinStream matches the batch RangeJoin on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
