@@ -17,22 +17,30 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   /** Per-column profile of numeric columns: non-null count, null count,
-    * exact distinct count, min, max — one row per column from ONE scan.
+    * exact distinct count, min, max — one row per column.
     *
-    * `countDistinct` per column is exact (each adds an Expand pass before
-    * the aggregate) — the oracle-checkable choice. At 100 TB swap to
-    * `approx_count_distinct` (single pass, partial-aggregated HLL; the q44
-    * pattern) — the operator shape is otherwise unchanged.
+    * Shape: counts/min/max for ALL columns come from one scan; each exact
+    * distinct count is its own single-DISTINCT aggregate (a one-column
+    * columnar scan + partial-aggregated two-phase distinct). Packing the
+    * distincts into the shared aggregate instead would make Spark plan an
+    * Expand duplicating every row (nCols+1)× — measured ~3× slower than
+    * the per-column scans, whose parquet reads are columnar and whose
+    * map-side partial aggs collapse low-cardinality columns before the
+    * shuffle. The 1-row results re-join as broadcast crossJoins (the q43
+    * corpus-N trick). At 100 TB swap the distincts for
+    * `approx_count_distinct` folded into the shared pass (q44 pattern).
     */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = count(lit(1)).as("__n_rows") +: cols.flatMap { c => Seq(
+    val baseAggs = count(lit(1)).as("__n_rows") +: cols.flatMap { c => Seq(
       count(col(c)).as(s"${c}__n"),
-      count_distinct(col(c)).as(s"${c}__nd"),
       min(col(c)).cast("double").as(s"${c}__min"),
       max(col(c)).cast("double").as(s"${c}__max"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val base = df.agg(baseAggs.head, baseAggs.tail: _*)
+    val wide = cols.foldLeft(base) { (acc, c) =>
+      acc.crossJoin(broadcast(df.agg(count_distinct(col(c)).as(s"${c}__nd"))))
+    }
     val branches = cols.map { c =>
       s"'$c', `${c}__n`, __n_rows - `${c}__n`, `${c}__nd`, `${c}__min`, `${c}__max`"
     }.mkString(", ")
