@@ -34,6 +34,15 @@ object TextFunctions {
         i => array_join(slice(t, i + 1, lit(n)), " ")))
   }
 
+  /** Whitespace/control normalization — the first cleaning pass of every
+    * corpus pipeline: control characters (C0 range) become spaces, space
+    * runs collapse to one, ends trimmed. ASCII-explicit classes only (the
+    * Java-vs-RE2 parity contract; `\s`/`\p{Cntrl}` membership differs
+    * between engines).
+    */
+  def normalizeWs(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "[\\x00-\\x1F]", " "), "  +", " "))
+
   /** Simple quality components (length, punctuation ratio, stopword ratio,
     * mean token length) + a weighted score in [0,1]-ish range, mirroring
     * heuristic LLM-corpus filters.

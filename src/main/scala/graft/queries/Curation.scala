@@ -163,7 +163,26 @@ object Curation {
     graft.operators.Profile.histogram(Tables.orders(s, dir),
       "o_totalprice", lo = 0.0, width = 50000.0, nBuckets = 10)
 
+  /** Whitespace/control-char normalization (TextFunctions.normalizeWs):
+    * the fixtures are already clean, so deterministic dirt is planted
+    * first (tab/CR/NUL runs, a pure function of doc_id the oracle
+    * rebuilds with chr()), then normalized back — n_chars_raw vs
+    * n_chars_norm shows the delta. Pure map work.
+    */
+  def q70Normalize(s: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"),
+      when(col("doc_id") % 4 === 0, lit("\t dirty tail \r\n")).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, lit("  doubled  spaces  ")).otherwise(lit("")))
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull) // q59 null contract
+      .select(col("doc_id"),
+        length(dirty).as("n_chars_raw"),
+        TextFunctions.normalizeWs(dirty).as("normalized"))
+      .withColumn("n_chars_norm", length(col("normalized")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_normalize"       -> (q70Normalize _),
     "q68_profile"         -> (q68Profile _),
     "q69_histogram"       -> (q69Histogram _),
     "q62_pii_redact"      -> (q62PiiRedact _),
@@ -195,6 +214,25 @@ object Curation {
       |  FROM documents WHERE text IS NOT NULL)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // planted dirt rebuilt with chr(): 9=TAB, 13=CR, 10=LF; normalization
+    // is C0 -> space, collapse space runs, trim — same explicit ASCII
+    // classes on both regex engines
+    "q70_normalize" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN chr(9) || ' dirty tail ' || chr(13) || chr(10)
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN '  doubled  spaces  ' ELSE '' END AS t2
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(LENGTH(t2) AS INTEGER) AS n_chars_raw,
+        |  trim(regexp_replace(regexp_replace(t2, '[\x00-\x1F]', ' ', 'g'),
+        |       '  +', ' ', 'g')) AS normalized,
+        |  CAST(LENGTH(trim(regexp_replace(regexp_replace(t2, '[\x00-\x1F]', ' ', 'g'),
+        |       '  +', ' ', 'g'))) AS INTEGER) AS n_chars_norm
+        |FROM dirty""".stripMargin,
     "q68_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .map(c =>
         s"""SELECT '$c' AS col_name, COUNT($c) AS n_non_null,
