@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * large-scale pipeline runs before and after each transform: per-column
   * null/distinct/min/max profiles and fixed-width value histograms.
   *
-  * Both operators are single aggregation passes (partial+final hash
-  * aggregate around one Exchange): the profile aggregates EVERY column in
-  * the same pass (one scan regardless of column count, then a `stack`
-  * unpivot of the single result row), and the histogram is one groupBy on
-  * the bucket id. Nothing here is ever driver-side except the final
+  * Both operators are pure aggregation shapes (partial+final hash
+  * aggregates, no joins on data-sized keys): the profile runs one shared
+  * counts/min/max pass plus one cheap single-column distinct pass per
+  * column (see numericProfile for why that beats packing the distincts
+  * into one aggregate), and the histogram is one groupBy on the bucket
+  * id. Nothing here is ever driver-side except the final
   * column-count-sized result.
   */
 object Profile {
@@ -29,6 +30,11 @@ object Profile {
     * shuffle. The 1-row results re-join as broadcast crossJoins (the q43
     * corpus-N trick). At 100 TB swap the distincts for
     * `approx_count_distinct` folded into the shared pass (q44 pattern).
+    *
+    * The input is read nCols+1 times, so it must be deterministic across
+    * re-reads (any parquet/table scan is; a frame built on rand()/sample
+    * without a seed is not — cache such inputs first or the per-column
+    * stats come from different snapshots).
     */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

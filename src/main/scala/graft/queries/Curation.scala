@@ -165,13 +165,13 @@ object Curation {
 
   /** Whitespace/control-char normalization (TextFunctions.normalizeWs):
     * the fixtures are already clean, so deterministic dirt is planted
-    * first (tab/CR/NUL runs, a pure function of doc_id the oracle
+    * first (tab/CR/LF runs, a pure function of doc_id the oracle
     * rebuilds with chr()), then normalized back — n_chars_raw vs
     * n_chars_norm shows the delta. Pure map work.
     */
   def q70Normalize(s: SparkSession, dir: String): DataFrame = {
     val dirty = concat(col("text"),
-      when(col("doc_id") % 4 === 0, lit("\t dirty tail \r\n")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("\t dirty tail \r\n")).otherwise(lit("")),
       when(col("doc_id") % 6 === 0, lit("  doubled  spaces  ")).otherwise(lit("")))
     Tables.documents(s, dir)
       .filter(col("text").isNotNull) // q59 null contract
