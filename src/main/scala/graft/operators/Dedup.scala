@@ -262,8 +262,11 @@ object Dedup {
     val edges = pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint()
+    // seed labels with the neighbor minimum — the same shuffle a plain
+    // distinct() would run (groupBy on a), but it fuses the first
+    // propagation round into label construction, saving one loop round
+    var labels = sym.groupBy(col("a").as("id"))
+      .agg(min(least(col("a"), col("b"))).as("component")).localCheckpoint()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
