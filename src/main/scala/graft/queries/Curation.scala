@@ -181,7 +181,30 @@ object Curation {
       .withColumn("n_chars_norm", length(col("normalized")))
   }
 
+  /** Sequence packing — the "concat then chunk" step that turns curated
+    * docs into fixed-length training sequences: per language, docs in
+    * doc_id order are laid end to end and seq_id = which 2048-token
+    * sequence each doc STARTS in (cum_before div 2048; boundary docs
+    * straddle, the standard packing semantics). The q61/q66 stratum
+    * caveat applies: one task orders one language — at a 100 TB stratum,
+    * range-partition by the cumulative sum first (the sort stays global
+    * per stratum by construction; same exact window on each range).
+    */
+  def q71SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull) // q59 null contract
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
+      // integral div, not `/` (long / int is DOUBLE division in Spark)
+      .withColumn("seq_id", expr("cum_before div 2048"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_sequence_pack"   -> (q71SequencePack _),
     "q70_normalize"       -> (q70Normalize _),
     "q68_profile"         -> (q68Profile _),
     "q69_histogram"       -> (q69Histogram _),
@@ -214,6 +237,19 @@ object Curation {
       |  FROM documents WHERE text IS NOT NULL)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // SUM(int) widens to HUGEINT in DuckDB -> cast back to BIGINT; // is
+    // DuckDB's integral floor division, matching Spark's `div` on the
+    // non-negative cumulative sum
+    "q71_sequence_pack" ->
+      """SELECT doc_id, lang, n_tokens, cum_before, cum_before // 2048 AS seq_id
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+        |      PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM documents WHERE text IS NOT NULL) t""".stripMargin,
     // planted dirt rebuilt with chr(): 9=TAB, 13=CR, 10=LF; normalization
     // is C0 -> space, collapse space runs, trim — same explicit ASCII
     // classes on both regex engines

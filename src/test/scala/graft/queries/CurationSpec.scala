@@ -99,6 +99,23 @@ class CurationSpec extends SparkSpecBase {
     assert(got.values.exists(_._3))            // and some docs are admitted
   }
 
+  test("q71 packing agrees with a driver-side running sum at sf0.001") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"lang", size(split($"text", " ")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).map { case (id, _, n) =>
+        val before = cum; cum += n
+        id -> ((before, before / 2048))
+      }
+    }.toMap
+    val got = Curation.q71SequencePack(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._2).max > 0) // fixture spans multiple sequences
+  }
+
   test("q65 counts agree with a driver-side brute force at sf0.001") {
     val ev = graft.Tables.events(spark, Sf0001)
       .select($"event_id", $"user_id", unix_micros($"ts").as("us"), $"event_type")
