@@ -101,6 +101,7 @@ class CurationSpec extends SparkSpecBase {
 
   test("q71 packing agrees with a driver-side running sum at sf0.001") {
     val docs = graft.Tables.documents(spark, Sf0001)
+      .filter($"text".isNotNull) // mirror the query's q59 null contract
       .select($"doc_id", $"lang", size(split($"text", " ")).as("n"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
     val expect = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
