@@ -148,6 +148,17 @@ object Dedup {
     * -> exact Jaccard verification over the shingle sets. LSH only prunes;
     * every emitted pair carries its true shingle-set Jaccard and passes the
     * threshold, so output quality is exact (recall is probabilistic).
+    *
+    * With `routeOverCapExact` set (and a finite `maxBucketSize`), docs in
+    * over-cap buckets — which the cap would otherwise silently drop from
+    * EVERY band of a boilerplate cluster — take the exact-fingerprint
+    * route instead: group those docs by their full shingle-hash SET and
+    * emit all identical-set pairs (true Jaccard exactly 1.0, no
+    * verification join needed). That recovers the identical-text clusters
+    * the cap exists to contain, at output-pair cost (cluster pairs are the
+    * output, not a candidate blowup); near-identical pairs whose every
+    * band is over cap remain dropped — by design, and still observed via
+    * the `graft_q25_bucket_cap` metrics.
     */
   def minhashLsh(
       docs: DataFrame,
@@ -156,7 +167,8 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.7,
       minBandCollisions: Int = 1,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue,
+      routeOverCapExact: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     // Sorted hashed shingle sets (one codegen kernel, bit-identical to the
     // HOF chain): all downstream set algebra runs on longs via the
@@ -169,7 +181,7 @@ object Dedup {
       .withColumn("sig", graft.functions.MinHashSig.minhashSig(col("xh"), numHashes))
       .select(col("doc_id"), col("sig"))
     val candidates = lshCandidates(withSig, bands, rows, minBandCollisions, maxBucketSize)
-    candidates
+    val verified = candidates
       .join(withSets.select(col("doc_id").as("doc_id_a"), col("xh").as("xh_a")), Seq("doc_id_a"))
       .join(withSets.select(col("doc_id").as("doc_id_b"), col("xh").as("xh_b")), Seq("doc_id_b"))
       .withColumn("ic", graft.functions.SortedIntersectCount
@@ -178,6 +190,31 @@ object Dedup {
         (size(col("xh_a")) + size(col("xh_b")) - col("ic")))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
+    if (!routeOverCapExact || maxBucketSize == Int.MaxValue) verified
+    else {
+      // over-cap docs, re-derived with the same banding + window count the
+      // cap filter ran (same keys, the exchange shape is identical)
+      val overIds = bandedBuckets(withSig, bands, rows)
+        .withColumn("__gsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+        .filter(col("__gsz") > maxBucketSize)
+        .select("doc_id").distinct()
+      // identical-set pairs among them: equi-join on an 8-byte hash of the
+      // set (the shuffle key stays small), exactness restored by the array
+      // equality filter — so jaccard is exactly 1.0, no collision risk
+      val keyed = withSets.join(overIds, Seq("doc_id"))
+        .select(col("doc_id"), col("xh"), xxhash64(col("xh")).as("__xk"))
+      val exactPairs = keyed
+        .select(col("__xk"), col("doc_id").as("doc_id_a"), col("xh").as("xh_a"))
+        .join(keyed.select(col("__xk"), col("doc_id").as("doc_id_b"),
+          col("xh").as("xh_b")), Seq("__xk"))
+        .filter(col("doc_id_a") < col("doc_id_b") && col("xh_a") === col("xh_b"))
+        .select(col("doc_id_a"), col("doc_id_b"), lit(1.0).as("jaccard"))
+      // a pair can also survive through an under-cap band of another
+      // (band, bucket) — its verified jaccard is exactly 1.0 too, so the
+      // union dedups cleanly
+      verified.union(exactPairs).distinct()
+    }
   }
 
   /** LSH candidate generation: explode each signature into `bands` bucket
@@ -197,9 +234,10 @@ object Dedup {
     * For a pair whose OTHER bands stay under the cap, recall degrades
     * gracefully — but a cluster of identical/boilerplate documents
     * oversizes EVERY band's bucket, so such clusters lose all their pairs
-    * BY DESIGN: identical-text clusters belong to exact/fingerprint dedup
-    * (`exact`/`exactByFingerprint`), not pairwise similarity. The dropped
-    * volume is observable: a `graft_q25_bucket_cap` CollectMetrics row
+    * HERE: identical-text clusters belong to exact/fingerprint dedup, and
+    * `minhashLsh(routeOverCapExact = true)` runs exactly that route for
+    * them, unioning the identical-set pairs back in. The dropped volume is
+    * observable either way: a `graft_q25_bucket_cap` CollectMetrics row
     * (dropped_rows / dropped_groups / max_group_size, see capGroups) flows
     * to every QueryExecutionListener — GraftSession installs one that logs
     * it — and DedupSpec pins the counts against a planted mega-cluster.
@@ -213,11 +251,7 @@ object Dedup {
   private[graft] def lshCandidates(withSig: DataFrame, bands: Int, rows: Int,
                                    minBandCollisions: Int,
                                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val banded0 = withSig.filter(col("sig").isNotNull).select(
-      col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        i => hash(slice(col("sig"), i * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+    val banded0 = bandedBuckets(withSig, bands, rows)
     val banded =
       if (maxBucketSize == Int.MaxValue) banded0
       else capGroups(banded0, Seq("band", "bucket"), maxBucketSize,
@@ -230,6 +264,20 @@ object Dedup {
       .filter(col("n_bands") >= minBandCollisions)
       .select("doc_id_a", "doc_id_b")
   }
+
+  /** Per-band (band, bucket) keys for a signature frame — the shared
+    * banding behind [[lshCandidates]] and the over-cap routing in
+    * [[minhashLsh]] (one definition, so the cap filter and the router see
+    * the same buckets). Null signatures are dropped up front (defense in
+    * depth): hash(null) is a constant, so null-sig docs would all collide
+    * in every band.
+    */
+  private def bandedBuckets(withSig: DataFrame, bands: Int, rows: Int): DataFrame =
+    withSig.filter(col("sig").isNotNull).select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        i => hash(slice(col("sig"), i * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
 
   /** Dedup RESOLUTION: collapse a near-dup pair list into duplicate
     * clusters — every doc labeled with the minimum doc_id of its connected
@@ -248,25 +296,47 @@ object Dedup {
     * distributed. Deterministic: the fixed point (min id per component)
     * is unique regardless of iteration order.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    // localCheckpoint (not persist): an iterative loop's logical plan
-    // otherwise GROWS by one round every round, and Catalyst re-analyzes
-    // the whole history on each action — measured super-linear round
-    // times by round 5 on the fixture. Truncating lineage keeps per-round
-    // planning O(1); the checkpointed blocks live on the executors like
-    // any cached partition and are freed explicitly below (a tight loop
-    // cannot wait for GC-driven ContextCleaner). Caveat for long cluster
-    // runs: localCheckpoint is not executor-loss-tolerant (lineage is
-    // gone) — flip to reliable checkpoint(dir) there; the loop is
-    // otherwise unchanged.
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+                          algorithm: String = "propagation",
+                          checkpointDir: Option[String] = None): DataFrame =
+    algorithm match {
+      case "propagation" => propagationComponents(pairs, maxIters, checkpointDir)
+      case "star"        => starComponents(pairs, maxIters, checkpointDir)._1
+      case other => throw new IllegalArgumentException(
+        s"unknown connected-components algorithm '$other' (propagation | star)")
+    }
+
+  /** Truncate lineage between rounds. Default is localCheckpoint — blocks
+    * on the executors, freed explicitly per round, NOT executor-loss
+    * tolerant. With `checkpointDir` set (the long-cluster-run mode) rounds
+    * checkpoint RELIABLY to that directory instead: an executor loss
+    * replays from files, not from a lineage that no longer exists. The
+    * caller owns the directory's lifecycle (checkpoint files outlive the
+    * loop; clean the dir when the labels are consumed).
+    */
+  private def ckpt(df: DataFrame, checkpointDir: Option[String],
+                   eager: Boolean): DataFrame =
+    if (checkpointDir.isDefined) df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
+  private def propagationComponents(pairs: DataFrame, maxIters: Int,
+                                    checkpointDir: Option[String]): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // Checkpoint (not persist) between rounds: an iterative loop's logical
+    // plan otherwise GROWS by one round every round, and Catalyst
+    // re-analyzes the whole history on each action — measured super-linear
+    // round times by round 5 on the fixture. Truncating lineage keeps
+    // per-round planning O(1); see `ckpt` for the local-vs-reliable
+    // tradeoff (DedupSpec proves both modes label identically).
     val edges = pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+    val sym = ckpt(edges.union(edges.select(col("b").as("a"), col("a").as("b"))),
+      checkpointDir, eager = true)
     // seed labels with the neighbor minimum — the same shuffle a plain
     // distinct() would run (groupBy on a), but it fuses the first
     // propagation round into label construction, saving one loop round
-    var labels = sym.groupBy(col("a").as("id"))
-      .agg(min(least(col("a"), col("b"))).as("component")).localCheckpoint()
+    var labels = ckpt(sym.groupBy(col("a").as("id"))
+      .agg(min(least(col("a"), col("b"))).as("component")),
+      checkpointDir, eager = true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -278,9 +348,9 @@ object Dedup {
       // eager-materialization job runs per round. (Modest in wall time —
       // AQE stages dominate — but one fewer full pass over the round's
       // plan.)
-      val next = labels.select("id", "component").union(viaNeighbor)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(false)
+      val next = ckpt(labels.select("id", "component").union(viaNeighbor)
+        .groupBy("id").agg(min("component").as("component")),
+        checkpointDir, eager = false)
       changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).count()
       freeCheckpoint(labels)
@@ -295,10 +365,101 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters rounds ($changed " +
           "labels still moving) — the pair graph has a longer diameter than " +
           "near-dup clusters should; raise maxIters or switch to " +
-          "large-star/small-star for adversarial chain graphs")
+          "algorithm = \"star\" (large-star/small-star, O(log n) rounds) " +
+          "for adversarial chain graphs")
     }
     freeCheckpoint(sym)
     labels.select(col("id").as("doc_id"), col("component"))
+  }
+
+  /** large-star / small-star alternation — the O(log n)-round connected
+    * components for ADVERSARIAL graphs (long chains), where min-label
+    * propagation needs diameter rounds. Public algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", WSDM 2014): per round,
+    * (1) large-star — every node re-points its LARGER neighbors at its
+    * neighborhood minimum; (2) small-star — every node re-points its
+    * smaller neighbors (and itself) at that minimum. Both steps preserve
+    * connectivity and only ever lower a node's smallest neighbor, and the
+    * joint fixed point is a star forest: every node holds exactly one edge,
+    * straight to its component's minimum id. Per round this is two
+    * (join + min-aggregate) passes shuffled on node id — the same shape and
+    * keys as one propagation round, just twice per round for exponentially
+    * fewer rounds on high-diameter graphs.
+    *
+    * Convergence is detected by an order-independent edge-set checksum
+    * (count + sum of pair hashes) and then VERIFIED structurally — one
+    * out-edge per node, no out-edge target re-pointed elsewhere — so a
+    * checksum collision can fail loudly but can never return intermediate
+    * labels. Returns (labels, rounds); DedupSpec pins the chain-graph round
+    * count at <= ceil(log2 n) + c, and label equality with the propagation
+    * path on the fixture pair graph.
+    */
+  private[graft] def starComponents(pairs: DataFrame, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val nodes = pairs.select(col("doc_id_a").as("id"))
+      .union(pairs.select(col("doc_id_b").as("id"))).distinct()
+    // canonical directed edge list, larger endpoint -> smaller
+    var edges = ckpt(pairs
+      .select(col("doc_id_a").as("x"), col("doc_id_b").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+      .distinct(), checkpointDir, eager = true)
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = checksum(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      // large-star over the full (symmetric) neighborhood: each original
+      // edge {a, b}, a < b, is emitted exactly once, from its smaller
+      // endpoint's star, as (b, min(N(a) ∪ {a})) — so m < b always and the
+      // larger->smaller orientation is preserved
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("m"))
+        .select(col("u"), least(col("u"), col("m")).as("m"))
+      val large = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star on the directed list: per node, smaller neighbors and
+      // the node itself re-point at the smallest neighbor
+      val nm = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(nm, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(nm.select(col("u"), col("m").as("v")))
+        .distinct()
+      // lazy checkpoint: the checksum is the round's materializing action
+      val next = ckpt(small, checkpointDir, eager = false)
+      val nsig = checksum(next)
+      freeCheckpoint(edges)
+      edges = next
+      converged = nsig == sig
+      sig = nsig
+      rounds += 1
+    }
+    if (!converged) {
+      freeCheckpoint(edges)
+      throw new IllegalStateException(
+        s"starComponents did not converge in $maxIters rounds — " +
+          "O(log n) rounds should far undercut this; raise maxIters")
+    }
+    // structural star-forest certificate: the checksum said "unchanged",
+    // this PROVES "final" (labels below are only correct on a star forest)
+    val multi = edges.groupBy("u").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count()
+    val chained = edges.alias("e1")
+      .join(edges.alias("e2"), col("e1.v") === col("e2.u")).count()
+    if (multi > 0 || chained > 0) {
+      freeCheckpoint(edges)
+      throw new IllegalStateException(
+        s"starComponents fixed point is not a star forest ($multi multi-edge " +
+          s"nodes, $chained chained edges) — checksum converged spuriously")
+    }
+    val labels = nodes.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("v"), col("id")).as("component"))
+    (labels, rounds)
   }
 
   /** Frees the executor blocks behind a localCheckpoint'ed frame (the

@@ -28,8 +28,8 @@ object Profile {
     * the per-column scans, whose parquet reads are columnar and whose
     * map-side partial aggs collapse low-cardinality columns before the
     * shuffle. The 1-row results re-join as broadcast crossJoins (the q43
-    * corpus-N trick). At 100 TB swap the distincts for
-    * `approx_count_distinct` folded into the shared pass (q44 pattern).
+    * corpus-N trick). At 100 TB swap to [[numericProfileApprox]] — the
+    * same profile in ONE scan with HLL distincts (q44 pattern).
     *
     * The input is read nCols+1 times, so it must be deterministic across
     * re-reads (any parquet/table scan is; a frame built on rand()/sample
@@ -47,6 +47,33 @@ object Profile {
     val wide = cols.foldLeft(base) { (acc, c) =>
       acc.crossJoin(broadcast(df.agg(count_distinct(col(c)).as(s"${c}__nd"))))
     }
+    val branches = cols.map { c =>
+      s"'$c', `${c}__n`, __n_rows - `${c}__n`, `${c}__nd`, `${c}__min`, `${c}__max`"
+    }.mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $branches) AS " +
+        "(col_name, n_non_null, n_nulls, n_distinct, min_val, max_val)"))
+  }
+
+  /** The 100 TB profile: identical shape to [[numericProfile]] but the
+    * distinct counts are HyperLogLog++ sketches (`approx_count_distinct`,
+    * relative sd 1 %) folded into the SAME aggregate as the counts/min/max
+    * — ONE scan total instead of 1 + nCols, because approximate distincts
+    * need no Expand and no per-column pass. Deterministic: HLL registers
+    * merge by max, so the result is invariant to partitioning (the q44
+    * contract); IntegrationSpec pins the ≤ 2 % error vs the exact profile.
+    * The exact variant stays the declared oracle query (q68) — sketch
+    * internals are engine-specific, so this one is rows-only (q76).
+    */
+  def numericProfileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__n_rows") +: cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      approx_count_distinct(col(c), rsd = 0.01).as(s"${c}__nd"),
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
     val branches = cols.map { c =>
       s"'$c', `${c}__n`, __n_rows - `${c}__n`, `${c}__nd`, `${c}__min`, `${c}__max`"
     }.mkString(", ")

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe stratified selection — the 100 TB path the per-stratum window
+  * queries (q61 token budget, q66 quantile filter, q71 sequence packing)
+  * document: their exact plans run `Window.partitionBy(stratum)`, which
+  * funnels EVERY row of a stratum through one task's sort. Fine at
+  * dimension-sized strata; a cliff when one language holds 40 % of a
+  * 100 TB corpus.
+  *
+  * [[chunkedPrefix]] computes the same running aggregates (prefix sum of a
+  * value column, 1-based rank, stratum row count) with NO single-task
+  * stratum sort, via deterministic range chunking + two-level prefix sums:
+  *
+  *  1. Chunk boundaries: approx quantiles of the primary order column (one
+  *     columnar pass). The chunk id is then a PURE FUNCTION of the row —
+  *     `#boundaries above/below the value` — monotone in the stratum
+  *     order by construction. Correctness does NOT depend on boundary
+  *     quality or sketch determinism: ANY monotone chunking yields the
+  *     same final prefix sums, because step 3's offsets compensate
+  *     exactly; boundaries only balance the partitions.
+  *  2. Local pass: one window over (chunk, stratum) — partitions are
+  *     chunk-bounded (~N/nChunks rows), never stratum-sized — yielding
+  *     intra-chunk running sums in the stratum's exact order.
+  *  3. Offsets: per-(chunk, stratum) totals (a map-side-combined
+  *     aggregation, nChunks x strata rows) get per-stratum running
+  *     offsets via a window over that TINY frame, then broadcast-join
+  *     back; global prefix = offset + local prefix. The only
+  *     stratum-partitioned window in the plan runs over the aggregate,
+  *     not the data (StratifiedSelectSpec pins exactly that shape).
+  *
+  * The boundary array (nChunks-1 doubles) is collected to the driver once
+  * and re-embedded as a literal — the k-means-centroid pattern
+  * (Similarity.scala): a bounded, dimension-sized matrix, never data. It
+  * also makes the chunk id bit-identical across every branch of the plan
+  * (an in-plan sketch could legally re-evaluate per branch; row-level
+  * arithmetic cannot drift).
+  */
+object StratifiedSelect {
+
+  /** Adds to `base` (which must already carry `stratum`, `primary`, the
+    * tie-break columns, and whatever the caller selects downstream):
+    *
+    *  - `cum_before`  — sum of `value` over all STRICTLY EARLIER rows of
+    *    the same stratum, ordered by (`primary` asc/desc, tieBreak...);
+    *  - `rn`          — the row's 1-based rank in that order (long);
+    *  - `n_stratum`   — total row count of the stratum (long).
+    *
+    * Exactly equal to `sum(value).over(Window.partitionBy(stratum)
+    * .orderBy(...).rowsBetween(unboundedPreceding, -1))`,
+    * `row_number()`, and `count().over(partitionBy(stratum))` — the
+    * per-stratum-window formulation — at any data size and any chunk
+    * count (long arithmetic, no float drift). The full order
+    * (primary, tieBreak...) must be a total order within a stratum
+    * (tie-break on a unique id) or ties make both formulations
+    * order-ambiguous. `value` must be non-null.
+    *
+    * Names `cum_before` / `rn` / `n_stratum` / `__pid` are reserved:
+    * `base` must not already contain them.
+    */
+  def chunkedPrefix(base: DataFrame, stratum: String, primary: String,
+                    desc: Boolean, tieBreak: Seq[Column], value: Column,
+                    nChunks: Int): DataFrame = {
+    require(nChunks >= 2, s"need >= 2 chunks, got $nChunks")
+    val reserved = Seq("cum_before", "rn", "n_stratum", "__pid")
+    reserved.foreach { r =>
+      require(!base.columns.contains(r),
+        s"input column '$r' collides with chunkedPrefix's reserved output")
+    }
+    val p = col(primary).cast("double")
+    // one columnar pass for boundaries; a bounded (nChunks-1)-element
+    // array reaches the driver, never data rows
+    val qs = (1 until nChunks).map(_.toDouble / nChunks)
+    val bounds: Seq[Double] = Option(
+      base.select(percentile_approx(p, array(qs.map(lit): _*), lit(10000))
+        .as("b")).head().getSeq[Double](0)).getOrElse(Seq.empty)
+    val bLit = if (bounds.isEmpty) array().cast("array<double>")
+               else array(bounds.map(lit): _*)
+    // chunk id: how many boundaries precede this value in stratum order —
+    // monotone in (primary asc/desc) whatever the boundary values are
+    val withPid = base.withColumn("__pid",
+      if (desc) size(filter(bLit, b => b > p))
+      else size(filter(bLit, b => b <= p)))
+    val ord = (if (desc) col(primary).desc else col(primary).asc) +: tieBreak
+    val localW = Window.partitionBy(col("__pid"), col(stratum)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // tiny per-(chunk, stratum) totals -> per-stratum running offsets.
+    // chunk order in a window is __pid ASC for both directions: pid was
+    // built order-aligned (desc primary => higher quality = lower pid)
+    val tiny = withPid.groupBy(col("__pid"), col(stratum))
+      .agg(sum(value).as("__pv"), count(lit(1)).as("__pc"))
+    val offW = Window.partitionBy(stratum).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tiny.select(
+      col("__pid"), col(stratum),
+      coalesce(sum("__pv").over(offW), lit(0L)).as("__voff"),
+      coalesce(sum("__pc").over(offW), lit(0L)).as("__coff"),
+      sum("__pc").over(Window.partitionBy(stratum)).as("n_stratum"))
+    withPid
+      .withColumn("__vloc", coalesce(sum(value).over(localW), lit(0L)))
+      .withColumn("__cloc", count(lit(1)).over(localW))
+      .join(broadcast(offsets), Seq("__pid", stratum))
+      .withColumn("cum_before", col("__voff") + col("__vloc"))
+      .withColumn("rn", col("__coff") + col("__cloc") + lit(1L))
+      .drop("__pid", "__pv", "__pc", "__voff", "__coff", "__vloc", "__cloc")
+  }
+}

@@ -76,9 +76,12 @@ object Extensions {
       // boilerplate cluster (here ~8 buckets of ~930 of the 2000 en docs at
       // sf0.1 carry 3.5M of the 3.7M candidate-pair mass); enumerating its
       // pairs is the quadratic blowup LSH exists to avoid — such clusters
-      // belong to exact/fingerprint dedup, not pairwise similarity. At
+      // belong to exact/fingerprint dedup — which routeOverCapExact runs
+      // for them inline, unioning identical-set pairs back in (fixture
+      // texts are all distinct, so output is unchanged here; DedupSpec
+      // proves the recovery on a planted boilerplate cluster). At
       // sf0.001 no bucket reaches the cap (recall spec unaffected).
-      maxBucketSize = 200)
+      maxBucketSize = 200, routeOverCapExact = true)
       .orderBy(col("jaccard").desc, col("doc_id_a"), col("doc_id_b"))
       .limit(1000)
 
@@ -211,12 +214,15 @@ object Extensions {
       col("doc_id"),
       TextFunctions.qualityScore(col("text")).as("quality"))
 
-  /** Multimodal plumbing through the gate: synthetic binary payloads ->
-    * per-partition stub decode -> typed metadata. Oracle-checked: the
-    * synthetic payload is deterministic (magic prefix chosen by doc_id % 3
-    * + UTF-8 text bytes), so n_bytes/format/ok are plain SQL over
-    * `documents` (verified against the fixtures: no text is empty or
-    * starts with 'RIFF', so the sniff can never misfire on the raw case).
+  /** Multimodal plumbing through the gate: synthetic binary payloads with
+    * REAL container headers -> per-partition header decode (PNG IHDR /
+    * JPEG SOF walk, operators.Multimodal.MediaDecoder) -> typed metadata.
+    * Oracle-checked: the payload is deterministic (headers + geometry are a
+    * pure function of doc_id, then UTF-8 text bytes), so n_bytes/format/ok
+    * are plain SQL over `documents` (verified against the fixtures: no
+    * text is empty or starts with 'RIFF', so the sniff can never misfire
+    * on the raw case). The doc_id % 12 slice is a truncated PNG — it must
+    * flag ok = false, never throw. Geometry round-trip is the q78 query.
     */
   def q42MediaMeta(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Multimodal
@@ -708,13 +714,18 @@ object Extensions {
         |FROM documents
         |WHERE ('0x' || substr(md5(coalesce(doc_id::VARCHAR, '')), 1, 4))::INT % 100
         |  < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 ELSE 25 END""".stripMargin,
+    // header sizes mirror Multimodal.syntheticMedia: 33-byte PNG header
+    // (signature + IHDR chunk), 39-byte JPEG header (SOI + APP0 + SOF0),
+    // 10-byte truncated-PNG corrupt slice (magic + 'XX', no text)
     "q42_media_meta" ->
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text))
-        |    + CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 3 ELSE 0 END AS INTEGER)
-        |    AS n_bytes,
-        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE NULL END AS format,
-        |  doc_id % 3 IN (0, 1) AS ok
+        |  CAST(CASE WHEN doc_id % 12 = 0 THEN 10
+        |    ELSE octet_length(encode(text))
+        |      + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 0 END
+        |    END AS INTEGER) AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE NULL END AS format,
+        |  doc_id % 3 IN (0, 1) AND doc_id % 12 <> 0 AS ok
         |FROM documents""".stripMargin,
     // Winnowing replicated exactly: FNV-1a 64 per token over UTF-8 bytes,
     // degree-5 polynomial rolling hash (base 1315423911), min of each

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Profile, StratifiedSelect}
+
+/** Round-5 scale-hardening twins: each query here re-runs an ALREADY
+  * DECLARED query's semantics through its documented 100 TB escape hatch,
+  * under the same oracle — proving the scale path is a pure physical
+  * change, not a semantic fork. (q76 and q78 add the two remaining
+  * hardening surfaces: sketch profiling and real header decode.)
+  *
+  *  - q72/q73/q74 — the q61/q66/q71 per-stratum windows re-expressed via
+  *    operators.StratifiedSelect (no single-task stratum sort);
+  *  - q75 — the q03 fact⋈fact join over BUCKETED tables (no shuffle under
+  *    the join);
+  *  - q76 — the q68 column profile in ONE scan via HLL distincts
+  *    (rows-only: sketch values are engine-specific);
+  *  - q77 — q58's dedup resolution through large-star/small-star;
+  *  - q78 — geometry round-trip through the real PNG/JPEG header parser.
+  */
+object Scaled {
+
+  private def nChunks(s: SparkSession): Int =
+    math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt)
+
+  /** q61's token-budget selection with no per-language sort task: same
+    * projection, same (quality desc, doc_id) order, same budget — prefix
+    * sums via chunked two-level aggregation. Oracle: q61's own SQL.
+    */
+  def q72TokenBudgetScaled(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    StratifiedSelect.chunkedPrefix(base, stratum = "lang",
+        primary = "quality", desc = true, tieBreak = Seq(col("doc_id")),
+        value = col("n_tokens").cast("long"), nChunks = nChunks(s))
+      .filter(col("cum_before") < 3000L)
+      .select("doc_id", "lang", "n_tokens", "cum_before")
+  }
+
+  /** q66's per-language top-quartile filter without the stratum sort: the
+    * exact rank comes from the chunked running count (strictly stronger
+    * than the documented approx-quantile pre-bound — no probabilistic
+    * safety margin to verify), the stratum count from the tiny offsets
+    * frame. Same integer-form filter rn*4 <= n+3. Oracle: q66's own SQL.
+    */
+  def q73QuantileFilterScaled(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    StratifiedSelect.chunkedPrefix(base, stratum = "lang",
+        primary = "quality", desc = true, tieBreak = Seq(col("doc_id")),
+        value = lit(1L), nChunks = nChunks(s))
+      .filter(col("rn") * 4 <= col("n_stratum") + 3)
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("rn").cast("int").as("rn"))
+  }
+
+  /** q71's sequence packing with the documented range-partitioned
+    * cumulative sum: chunk by doc_id quantiles, same concat-then-chunk
+    * seq_id arithmetic. Oracle: q71's own SQL.
+    */
+  def q74SequencePackScaled(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    StratifiedSelect.chunkedPrefix(base, stratum = "lang",
+        primary = "doc_id", desc = false, tieBreak = Seq.empty,
+        value = col("n_tokens").cast("long"), nChunks = nChunks(s))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
+      .withColumn("seq_id", expr("cum_before div 2048"))
+  }
+
+  /** The q03 lineitem⋈orders join over tables BUCKETED on the join key
+    * (sources.Sinks.parquetBucketed): both sides pre-shuffled at write
+    * time, so the sort-merge join runs with NO Exchange beneath it —
+    * the pay-the-shuffle-once answer to repeated fact⋈fact joins
+    * (ScaledSpec asserts the shuffle-free join subtree). Result is
+    * bit-identical to q03: bucketing is physical layout only. The merge
+    * hint pins SMJ: at fixture scale Catalyst would broadcast orders and
+    * bypass the bucketed path this query exists to exercise.
+    */
+  def q75BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (lTbl, oTbl) = BucketedTables.ensure(s, dir)
+    s.table(lTbl).hint("merge")
+      .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** q68's profile in ONE scan: HLL distincts folded into the shared
+    * aggregate (operators.Profile.numericProfileApprox). Rows-only —
+    * sketch estimates are engine-specific; IntegrationSpec pins <= 2 %
+    * error vs the exact q68 and partitioning invariance.
+    */
+  def q76ProfileApprox(s: SparkSession, dir: String): DataFrame =
+    Profile.numericProfileApprox(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  /** q58's dedup resolution through the O(log n)-round
+    * large-star/small-star path (adversarial-diameter graphs). Same pair
+    * input, same recursive-CTE oracle — the fixed point (min id per
+    * component) is algorithm-independent.
+    */
+  def q77DedupResolveStar(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8),
+      algorithm = "star")
+
+  /** Geometry round-trip through the REAL header parser: synthetic
+    * payloads carry genuine PNG IHDR / JPEG SOF0 headers whose dimensions
+    * are a pure function of doc_id, so the oracle rebuilds width/height
+    * arithmetically while the engine re-reads them from the container
+    * bytes. The doc_id % 12 slice is a truncated PNG: flagged, not thrown.
+    */
+  def q78MediaDims(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.withMediaMeta(Multimodal.syntheticMedia(s, dir), "payload")
+      .select(col("doc_id"),
+        col("media_meta.format").as("format"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
+        col("media_meta.ok").as("ok"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_token_budget_scaled"   -> (q72TokenBudgetScaled _),
+    "q73_quantile_filter_scaled" -> (q73QuantileFilterScaled _),
+    "q74_sequence_pack_scaled"  -> (q74SequencePackScaled _),
+    "q75_bucketed_join"         -> (q75BucketedJoin _),
+    "q76_profile_approx"        -> (q76ProfileApprox _),
+    "q77_dedup_resolve_star"    -> (q77DedupResolveStar _),
+    "q78_media_dims"            -> (q78MediaDims _))
+
+  /** The twins deliberately REUSE their exact counterpart's oracle string:
+    * one oracle, two plans — the equality proof is the point. q76 has no
+    * oracle (sketch), matching q44's precedent.
+    */
+  val oracles: Map[String, String] = Map(
+    "q72_token_budget_scaled"    -> Extensions.oracles("q61_token_budget"),
+    "q73_quantile_filter_scaled" -> Curation.oracles("q66_quantile_filter"),
+    "q74_sequence_pack_scaled"   -> Curation.oracles("q71_sequence_pack"),
+    "q75_bucketed_join"          -> Relational.oracles("q03_join_agg"),
+    "q77_dedup_resolve_star"     -> Extensions.oracles("q58_dedup_resolve"),
+    "q78_media_dims" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE NULL END AS format,
+        |  CASE WHEN doc_id % 12 = 0 OR doc_id % 3 = 2 THEN NULL
+        |       ELSE CAST(16 + doc_id % 1000 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 12 = 0 OR doc_id % 3 = 2 THEN NULL
+        |       ELSE CAST(16 + (doc_id * 7) % 1000 AS INTEGER) END AS height,
+        |  doc_id % 3 IN (0, 1) AND doc_id % 12 <> 0 AS ok
+        |FROM documents""".stripMargin)
+}
+
+/** Bucketed twins of the fixture fact tables, written once per
+  * (session, sf-dir) through sources.Sinks.parquetBucketed and memoized —
+  * the bench's timed runs then exercise the READ path, the way a
+  * production pipeline pays its ingest shuffle once. Table names embed a
+  * hash of the source dir so two scale factors in one JVM (the test
+  * suite) never collide.
+  */
+private[queries] object BucketedTables {
+  def ensure(s: SparkSession, dir: String): (String, String) = synchronized {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val lTbl = s"graft_lineitem_bkt_$tag"
+    val oTbl = s"graft_orders_bkt_$tag"
+    // catalog-checked, not memoized: table registration is session-scoped,
+    // so a fresh session in the same JVM re-writes rather than trusting a
+    // stale JVM-global flag
+    if (!s.catalog.tableExists(lTbl) || !s.catalog.tableExists(oTbl)) {
+      // a dead JVM leaves the managed location on disk with no catalog
+      // entry (the in-memory catalog dies with it), and saveAsTable
+      // refuses to clobber an unregistered location — these names are
+      // graft-owned and content-deterministic, so clear stale leftovers
+      Seq(lTbl, oTbl).foreach { t =>
+        if (!s.catalog.tableExists(t)) {
+          val wh = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(wh)) fs.delete(wh, true)
+        }
+      }
+      graft.sources.Sinks.parquetBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+        lTbl, "l_orderkey", numBuckets = 8)
+      graft.sources.Sinks.parquetBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+        oTbl, "o_orderkey", numBuckets = 8)
+    }
+    (lTbl, oTbl)
+  }
+}

@@ -50,6 +50,25 @@ class IntegrationSpec extends SparkSpecBase {
     }
   }
 
+  test("q76 approx profile tracks q68's exact profile within 2% at sf0.1") {
+    val sf01 = "/root/testdata/sf0.1"
+    val exact = graft.queries.Curation.q68Profile(spark, sf01).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = graft.queries.Scaled.q76ProfileApprox(spark, sf01).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (c, ar) =>
+      val er = exact(c)
+      // everything except the sketch is exact in both variants
+      assert(ar.getLong(1) == er.getLong(1) && ar.getLong(2) == er.getLong(2),
+        s"$c counts")
+      assert(ar.getDouble(4) == er.getDouble(4) && ar.getDouble(5) == er.getDouble(5),
+        s"$c min/max")
+      val (ad, ed) = (ar.getLong(3).toDouble, er.getLong(3).toDouble)
+      assert(math.abs(ad - ed) / ed <= 0.02, s"$c distinct drift: $ad vs $ed")
+    }
+  }
+
   test("entry smoke: flagship query returns rows on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)

@@ -94,6 +94,28 @@ class DedupSpec extends SparkSpecBase {
     assert(m.getAs[Long]("max_group_size") == 60L)
   }
 
+  test("routeOverCapExact recovers the boilerplate cluster's pairs via the fingerprint route") {
+    val boiler = (1 to 60).map(i =>
+      (200L + i, "same same same boilerplate text here", "en", "s0"))
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val docs = docsDF(Seq((1L, base, "en", "s0"), (2L, nearDup, "en", "s0")) ++ boiler)
+    val routed = Dedup.minhashLsh(docs, shingleSize = 3, numHashes = 32,
+      bands = 8, threshold = 0.5, maxBucketSize = 50, routeOverCapExact = true)
+    val rows = routed.collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all 60*59/2 identical-set pairs come back through the exact route,
+    // the planted near-dup still comes through LSH — nothing duplicated
+    assert(rows.length == 60 * 59 / 2 + 1)
+    assert(pairs.count { case (a, b) => a > 200L && b > 200L } == 60 * 59 / 2)
+    assert(pairs.contains((1L, 2L)))
+    // routed pairs carry their true jaccard: identical sets = exactly 1.0
+    rows.filter(r => r.getLong(0) > 200L).foreach(r => assert(r.getDouble(2) == 1.0))
+    // the cap metrics still observe the dropped candidate volume
+    val m = routed.queryExecution.observedMetrics("graft_q25_bucket_cap")
+    assert(m.getAs[Long]("dropped_rows") == 8L * 60)
+  }
+
   test("jaccardPairs maxBlockSize drops oversized blocks with observed counts") {
     val mega = (1 to 30).map(i =>
       (100L + i, "common words shared by all docs here", "en", "s0"))
@@ -166,6 +188,55 @@ class DedupSpec extends SparkSpecBase {
     intercept[IllegalStateException] {
       Dedup.connectedComponents(chain.toDF("doc_id_a", "doc_id_b"), maxIters = 3)
     }
+  }
+
+  test("star components label chains and clusters identically to propagation") {
+    val pairs = Seq((2L, 5L), (5L, 9L), (9L, 11L), (20L, 21L))
+      .toDF("doc_id_a", "doc_id_b")
+    val out = Dedup.connectedComponents(pairs, algorithm = "star").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 2L,
+                      20L -> 20L, 21L -> 20L))
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, algorithm = "nope")
+    }
+  }
+
+  test("star components converge in O(log n) rounds on the adversarial chain") {
+    // the exact shape propagation's exception message punts on: a 256-node
+    // chain (diameter 255 — propagation would need 255 rounds)
+    val n = 256L
+    val chain = (0L until n).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_id_a", "doc_id_b")
+    val (labels, rounds) = Dedup.starComponents(chain)
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == n && out.forall(_._2 == 0L))
+    // ceil(log2 256) = 8, + slack for seeding and the stability-detection
+    // round (the loop needs one extra pass to observe "unchanged")
+    val bound = math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 4
+    assert(rounds <= bound, s"star took $rounds rounds on a $n-chain (bound $bound)")
+    // propagation at the same maxIters budget fails loudly on this graph
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = bound)
+    }
+  }
+
+  test("reliable-checkpoint mode labels identically for both algorithms") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val pairs = Seq((2L, 5L), (5L, 9L), (9L, 11L), (20L, 21L))
+      .toDF("doc_id_a", "doc_id_b")
+    val expect = Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 2L,
+                     20L -> 20L, 21L -> 20L)
+    for (algo <- Seq("propagation", "star")) {
+      val out = Dedup.connectedComponents(pairs, algorithm = algo,
+        checkpointDir = Some(dir)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(out == expect, s"$algo with reliable checkpoint")
+    }
+    // rounds really checkpointed to the reliable dir (files on disk)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(files > 0, "no reliable checkpoint files were written")
   }
 
   test("decontaminate flags train docs sharing enough shingles with the eval slice") {

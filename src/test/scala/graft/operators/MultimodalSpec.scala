@@ -15,8 +15,53 @@ class MultimodalSpec extends SparkSpecBase {
     assert(byFmt.getOrElse("png", 0L) > 0)
     assert(byFmt.getOrElse("jpeg", 0L) > 0)
     assert(byFmt.getOrElse("raw", 0L) > 0) // unsniffable payloads flagged, not dropped
-    val bad = out.filter(!col("media_meta.ok") && col("media_meta.format").isNotNull).count()
-    assert(bad == 0)
+    // sniffable-but-truncated payloads (the doc_id % 12 PNG slice carries
+    // the signature and no IHDR) keep the sniffed format with ok = false —
+    // flagged by the real parser, never thrown
+    val bad = out.filter(!col("media_meta.ok") && col("media_meta.format").isNotNull)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(bad.nonEmpty && bad.forall(_ % 12 == 0))
+  }
+
+  test("header parser reads real PNG IHDR and JPEG SOF geometry") {
+    // every intact payload's decoded geometry equals the planted formula —
+    // a true container-byte round-trip, not a fabricated hash
+    val out = Multimodal.withMediaMeta(media, "payload")
+      .filter(col("media_meta.ok"))
+      .select("doc_id", "media_meta.width", "media_meta.height").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 16 + (id % 1000).toInt, s"width of doc $id")
+      assert(r.getInt(2) == 16 + ((id * 7) % 1000).toInt, s"height of doc $id")
+    }
+  }
+
+  test("decoder handles hand-built container bytes and corrupt walks") {
+    import Multimodal.MediaDecoder
+    // minimal real PNG: signature + IHDR(640x480)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80.toByte, 0, 0, 0x01, 0xe0.toByte, 8, 6, 0, 0, 0)
+    val m = MediaDecoder.decode(png)
+    assert(m == MediaDecoder.Meta(png.length, Some("png"), Some(640), Some(480), ok = true))
+    // JPEG whose SOF0 sits after a COM segment the walker must skip
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xfe.toByte, 0, 4, 'h', 'i', // COM, length 4
+      0xff.toByte, 0xc0.toByte, 0, 11, 8, 0x01, 0x00, 0x02, 0x00, 1, 0x11, 0, 0)
+    val j = MediaDecoder.decode(jpeg)
+    assert(j.format.contains("jpeg") && j.width.contains(512) &&
+      j.height.contains(256) && j.ok)
+    // DHT (0xC4) must NOT be taken for a SOF; a zero segment length must
+    // fail instead of looping
+    val dhtOnly = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xc4.toByte, 0, 0)
+    assert(!MediaDecoder.decode(dhtOnly).ok)
+    // PNG signature with a non-IHDR first chunk: sniffed, not ok
+    val noIhdr = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'X', 'X', 'X', 'X', 0, 0, 0, 1, 0, 0, 0, 1)
+    val n = MediaDecoder.decode(noIhdr)
+    assert(n.format.contains("png") && !n.ok && n.width.isEmpty)
   }
 
   test("decoded geometry is deterministic") {

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The scale-safe stratified-selection contract: chunked two-level prefix
+  * sums must equal the per-stratum window formulation EXACTLY, and the
+  * plan must never sort a whole stratum in one task.
+  */
+class StratifiedSelectSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("chunkedPrefix equals the per-stratum window formulation") {
+    // strata of very different sizes, heavy primary-order ties (forcing
+    // tie-break correctness across chunk boundaries), values > 0
+    val rows = (0 until 500).map { i =>
+      val stratum = if (i % 11 == 0) "tiny" else if (i % 3 == 0) "mid" else "big"
+      (i.toLong, stratum, (i * 37 % 13).toDouble, (i % 5 + 1).toLong)
+    }
+    val df = rows.toDF("id", "s", "score", "v")
+    for (desc <- Seq(true, false); nChunks <- Seq(2, 8, 64)) {
+      val out = StratifiedSelect.chunkedPrefix(df, "s", "score", desc,
+          Seq(col("id")), col("v"), nChunks)
+        .select("id", "cum_before", "rn", "n_stratum").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val ord = if (desc) Seq(col("score").desc, col("id")) else Seq(col("score").asc, col("id"))
+      val w = Window.partitionBy("s").orderBy(ord: _*)
+      val expect = df
+        .withColumn("cum_before", coalesce(
+          sum("v").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_stratum", count(lit(1)).over(Window.partitionBy("s")))
+        .select("id", "cum_before", "rn", "n_stratum").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(out == expect, s"desc=$desc nChunks=$nChunks")
+    }
+  }
+
+  test("chunkedPrefix rejects reserved column names") {
+    val df = Seq((1L, "a", 1.0, 1L)).toDF("id", "s", "score", "rn")
+    intercept[IllegalArgumentException] {
+      StratifiedSelect.chunkedPrefix(df, "s", "score", desc = false,
+        Seq(col("id")), col("id"), 4)
+    }
+  }
+
+  /** Windows that partition by the stratum ALONE and run over raw data —
+    * the single-task-per-stratum sort. Tiny offset windows (above an
+    * Aggregate) are the design; a window whose subtree has no aggregate
+    * is the cliff.
+    */
+  private def stratumSortCliffs(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window
+          if !w.partitionSpec.exists(_.references.exists(_.name == "__pid")) &&
+            w.child.collectFirst { case _: logical.Aggregate => () }.isEmpty => w
+    }.size
+
+  test("scaled twins plan no single-task-per-stratum sort; exact twins do") {
+    val scaled = Seq(
+      graft.queries.Scaled.q72TokenBudgetScaled(spark, Sf0001),
+      graft.queries.Scaled.q73QuantileFilterScaled(spark, Sf0001),
+      graft.queries.Scaled.q74SequencePackScaled(spark, Sf0001))
+    scaled.foreach(df => assert(stratumSortCliffs(df) == 0, df.columns.mkString(",")))
+    // control: the exact formulations DO carry the stratum window over the
+    // scan — proving the predicate detects what the twins eliminated
+    val exact = Seq(
+      graft.queries.Extensions.q61TokenBudget(spark, Sf0001),
+      graft.queries.Curation.q66QuantileFilter(spark, Sf0001),
+      graft.queries.Curation.q71SequencePack(spark, Sf0001))
+    exact.foreach(df => assert(stratumSortCliffs(df) > 0))
+  }
+
+  test("scaled twins equal their exact counterparts at both fixture sfs") {
+    val twins: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame,
+                    (org.apache.spark.sql.SparkSession, String) => DataFrame)] = Seq(
+      ("q61/q72", graft.queries.Extensions.q61TokenBudget _,
+        graft.queries.Scaled.q72TokenBudgetScaled _),
+      ("q66/q73", graft.queries.Curation.q66QuantileFilter _,
+        graft.queries.Scaled.q73QuantileFilterScaled _),
+      ("q71/q74", graft.queries.Curation.q71SequencePack _,
+        graft.queries.Scaled.q74SequencePackScaled _))
+    for ((name, exact, scaled) <- twins; sf <- Seq(Sf0001, Sf001)) {
+      val e = exact(spark, sf)
+      val s = scaled(spark, sf)
+      assert(e.dtypes.toSeq == s.dtypes.toSeq, s"$name schema at $sf")
+      assert(e.collect().map(_.toSeq).toSet == s.collect().map(_.toSeq).toSet,
+        s"$name rows at $sf")
+    }
+  }
+
+  test("bucketed join (q75) equals q03 with no shuffle beneath the join") {
+    val df = graft.queries.Scaled.q75BucketedJoin(spark, Sf0001)
+    val rows = df.collect().map(_.toSeq).toSet
+    val q03 = graft.queries.Relational.q03JoinAgg(spark, Sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(rows == q03)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // plain collect stops at AQE stage boundaries (QueryStageExec is a
+    // leaf); descend into materialized stage plans explicitly
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(allNodes) ++ (p match {
+        case q: QueryStageExec => allNodes(q.plan)
+        case _ => Seq.empty
+      }))
+    val smjs = allNodes(plan).collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected a sort-merge join in:\n$plan")
+    val shuffles = smjs.flatMap(j => allNodes(j).collect { case e: ShuffleExchangeLike => e })
+    assert(shuffles.isEmpty,
+      s"bucketed join still shuffles: ${shuffles.mkString(", ")}")
+  }
+}
