@@ -64,6 +64,13 @@ object Profile {
     * contract); IntegrationSpec pins the ≤ 2 % error vs the exact profile.
     * The exact variant stays the declared oracle query (q68) — sketch
     * internals are engine-specific, so this one is rows-only (q76).
+    *
+    * Honest local-scale caveat: HLL++ is an imperative (non-codegen)
+    * aggregate, so the single pass runs row-interpreted and costs more
+    * CPU per row than q68's codegen'd columnar passes at fixture scale
+    * (~2.6 s vs 0.5 s at sf0.1). The trade inverts where it matters: at
+    * 100 TB the 1 + nCols scans are I/O-bound and the one-scan sketch
+    * wins on the dominant term.
     */
   def numericProfileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

@@ -70,6 +70,9 @@ object StratifiedSelect {
       require(!base.columns.contains(r),
         s"input column '$r' collides with chunkedPrefix's reserved output")
     }
+    require(nChunks <= 1024,
+      s"$nChunks chunks would inline a $nChunks-term comparison chain " +
+        "per row; size chunks to cluster cores, not data")
     val p = col(primary).cast("double")
     // one columnar pass for boundaries; a bounded (nChunks-1)-element
     // array reaches the driver, never data rows
@@ -77,13 +80,21 @@ object StratifiedSelect {
     val bounds: Seq[Double] = Option(
       base.select(percentile_approx(p, array(qs.map(lit): _*), lit(10000))
         .as("b")).head().getSeq[Double](0)).getOrElse(Seq.empty)
-    val bLit = if (bounds.isEmpty) array().cast("array<double>")
-               else array(bounds.map(lit): _*)
     // chunk id: how many boundaries precede this value in stratum order —
-    // monotone in (primary asc/desc) whatever the boundary values are
-    val withPid = base.withColumn("__pid",
-      if (desc) size(filter(bLit, b => b > p))
-      else size(filter(bLit, b => b <= p)))
+    // monotone in (primary asc/desc) whatever the boundary values are.
+    // Deliberately a flat codegen'd comparison chain, NOT
+    // size(filter(boundsArray, b => cmp)): a lambda references `primary`
+    // ONCE, so CollapseProject may inline an expensive upstream expression
+    // (a quality-score HOF chain) into the lambda body, re-evaluating it
+    // per boundary element — measured 13x slower on q72. The chain
+    // references `primary` once per boundary, which also suppresses the
+    // collapse outright (producers referenced more than once don't inline).
+    val pidExpr =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map { b =>
+        (if (desc) when(lit(b) > p, 1) else when(lit(b) <= p, 1)).otherwise(0)
+      }.reduce(_ + _)
+    val withPid = base.withColumn("__pid", pidExpr)
     val ord = (if (desc) col(primary).desc else col(primary).asc) +: tieBreak
     val localW = Window.partitionBy(col("__pid"), col(stratum)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)

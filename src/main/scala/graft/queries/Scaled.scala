@@ -12,8 +12,9 @@ import graft.operators.{Dedup, Profile, StratifiedSelect}
   * change, not a semantic fork. (q76 and q78 add the two remaining
   * hardening surfaces: sketch profiling and real header decode.)
   *
-  *  - q72/q73/q74 — the q61/q66/q71 per-stratum windows re-expressed via
-  *    operators.StratifiedSelect (no single-task stratum sort);
+  *  - q72/q73/q74/q79 — the q61/q66/q71/q48 per-stratum windows
+  *    re-expressed via operators.StratifiedSelect (no single-task
+  *    stratum sort);
   *  - q75 — the q03 fact⋈fact join over BUCKETED tables (no shuffle under
   *    the join);
   *  - q76 — the q68 column profile in ONE scan via HLL distincts
@@ -116,6 +117,26 @@ object Scaled {
       Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8),
       algorithm = "star")
 
+  /** q48's exact positional median without the per-group sort task — the
+    * last of the four flagged stratum-window cliffs (q48/q61/q66/q71),
+    * closed with the same chunked exact rank: filter to the middle one or
+    * two ranks per group, then average. Oracle: q48's own SQL. (q54's
+    * sketch remains the cheap alternative; this one is EXACT at scale.)
+    */
+  def q79MedianScaled(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    StratifiedSelect.chunkedPrefix(base, stratum = "o_orderpriority",
+        primary = "o_totalprice", desc = false, tieBreak = Seq(col("o_orderkey")),
+        value = lit(1L), nChunks = nChunks(s))
+      // the q48 middle-rank selection verbatim (explicit floor on both
+      // engines — int division semantics differ, see Relational3)
+      .filter(col("rn") === floor((col("n_stratum") + 1) / 2.0) ||
+              col("rn") === floor((col("n_stratum") + 2) / 2.0))
+      .groupBy("o_orderpriority")
+      .agg((sum("o_totalprice") / count(lit(1))).as("median_price"))
+  }
+
   /** Geometry round-trip through the REAL header parser: synthetic
     * payloads carry genuine PNG IHDR / JPEG SOF0 headers whose dimensions
     * are a pure function of doc_id, so the oracle rebuilds width/height
@@ -139,7 +160,8 @@ object Scaled {
     "q75_bucketed_join"         -> (q75BucketedJoin _),
     "q76_profile_approx"        -> (q76ProfileApprox _),
     "q77_dedup_resolve_star"    -> (q77DedupResolveStar _),
-    "q78_media_dims"            -> (q78MediaDims _))
+    "q78_media_dims"            -> (q78MediaDims _),
+    "q79_median_scaled"         -> (q79MedianScaled _))
 
   /** The twins deliberately REUSE their exact counterpart's oracle string:
     * one oracle, two plans — the equality proof is the point. q76 has no
@@ -151,6 +173,7 @@ object Scaled {
     "q74_sequence_pack_scaled"   -> Curation.oracles("q71_sequence_pack"),
     "q75_bucketed_join"          -> Relational.oracles("q03_join_agg"),
     "q77_dedup_resolve_star"     -> Extensions.oracles("q58_dedup_resolve"),
+    "q79_median_scaled"          -> Relational3.oracles("q48_median"),
     "q78_media_dims" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png'

@@ -15,7 +15,7 @@ object ExplainAudit {
     // plan is a trivial scan of the checkpointed result — nothing to
     // audit. Their per-round join/aggregate shape is the q24-style pair
     // plan plus one Exchange per round; see Dedup.connectedComponents.
-    val iterative = Set("q58_dedup_resolve")
+    val iterative = Set("q58_dedup_resolve", "q77_dedup_resolve_star")
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names(n) }
       .foreach { case (name, fn) =>

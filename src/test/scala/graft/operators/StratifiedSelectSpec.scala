@@ -63,14 +63,16 @@ class StratifiedSelectSpec extends SparkSpecBase {
     val scaled = Seq(
       graft.queries.Scaled.q72TokenBudgetScaled(spark, Sf0001),
       graft.queries.Scaled.q73QuantileFilterScaled(spark, Sf0001),
-      graft.queries.Scaled.q74SequencePackScaled(spark, Sf0001))
+      graft.queries.Scaled.q74SequencePackScaled(spark, Sf0001),
+      graft.queries.Scaled.q79MedianScaled(spark, Sf0001))
     scaled.foreach(df => assert(stratumSortCliffs(df) == 0, df.columns.mkString(",")))
     // control: the exact formulations DO carry the stratum window over the
     // scan — proving the predicate detects what the twins eliminated
     val exact = Seq(
       graft.queries.Extensions.q61TokenBudget(spark, Sf0001),
       graft.queries.Curation.q66QuantileFilter(spark, Sf0001),
-      graft.queries.Curation.q71SequencePack(spark, Sf0001))
+      graft.queries.Curation.q71SequencePack(spark, Sf0001),
+      graft.queries.Relational3.q48Median(spark, Sf0001))
     exact.foreach(df => assert(stratumSortCliffs(df) > 0))
   }
 
@@ -82,7 +84,9 @@ class StratifiedSelectSpec extends SparkSpecBase {
       ("q66/q73", graft.queries.Curation.q66QuantileFilter _,
         graft.queries.Scaled.q73QuantileFilterScaled _),
       ("q71/q74", graft.queries.Curation.q71SequencePack _,
-        graft.queries.Scaled.q74SequencePackScaled _))
+        graft.queries.Scaled.q74SequencePackScaled _),
+      ("q48/q79", graft.queries.Relational3.q48Median _,
+        graft.queries.Scaled.q79MedianScaled _))
     for ((name, exact, scaled) <- twins; sf <- Seq(Sf0001, Sf001)) {
       val e = exact(spark, sf)
       val s = scaled(spark, sf)
