@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Relational2.queries ++
       graft.queries.Relational3.queries ++ graft.queries.Extensions.queries ++
-      graft.queries.Curation.queries ++ graft.queries.Scaled.queries
+      graft.queries.Curation.queries ++ graft.queries.Scaled.queries ++
+      graft.queries.Signals.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Relational2.oracles ++
       graft.queries.Relational3.oracles ++ graft.queries.Extensions.oracles ++
-      graft.queries.Curation.oracles ++ graft.queries.Scaled.oracles
+      graft.queries.Curation.oracles ++ graft.queries.Scaled.oracles ++
+      graft.queries.Signals.oracles
 }

@@ -306,6 +306,32 @@ object Dedup {
         s"unknown connected-components algorithm '$other' (propagation | star)")
     }
 
+  /** Canonical-document SELECTION after resolution: given per-doc scores
+    * and a near-dup pair list, keep exactly one document per duplicate
+    * cluster — the highest-scored member, ties broken by minimum doc_id —
+    * plus every unclustered document (its own cluster of one). This is the
+    * final stage of the dedup pipeline: pairs (q24/q25/q55) -> components
+    * ([[connectedComponents]]) -> survivors.
+    *
+    * The argmax is ONE hash aggregate — max over (score, -doc_id) structs —
+    * never a per-cluster window/sort, so no cluster (and no stratum of
+    * clusters) ever funnels through a single task. `scored` must carry
+    * `doc_id` and `scoreCol`; output is (cluster, doc_id, <scoreCol>,
+    * n_docs) with n_docs the cluster size among scored docs.
+    */
+  def keepBest(scored: DataFrame, pairs: DataFrame,
+               scoreCol: String = "quality",
+               algorithm: String = "propagation"): DataFrame = {
+    val labels = connectedComponents(pairs, algorithm = algorithm)
+    scored.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .groupBy("cluster")
+      .agg(max(struct(col(scoreCol), (-col("doc_id")).as("neg_id"))).as("best"),
+           count(lit(1)).as("n_docs"))
+      .select(col("cluster"), (-col("best.neg_id")).as("doc_id"),
+              col(s"best.$scoreCol").as(scoreCol), col("n_docs"))
+  }
+
   /** Truncate lineage between rounds. Default is localCheckpoint — blocks
     * on the executors, freed explicitly per round, NOT executor-loss
     * tolerant. With `checkpointDir` set (the long-cluster-run mode) rounds

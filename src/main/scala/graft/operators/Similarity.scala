@@ -197,4 +197,30 @@ object Similarity {
     sample.unpersist(blocking = false)
     cents.map { case (cid, ce) => cid -> ce.toSeq }
   }
+
+  /** Per-label centroid of an embedding column, order-invariant by
+    * construction: components are quantized to the 2^-20 fixed-point grid
+    * (floor(x * 2^20) — EXACT in double for any float input, since scaling
+    * by a power of two never rounds), so the distributed mean is a BIGINT
+    * sum divided by a count — no IEEE summation order anywhere, no decimal
+    * rounding-mode contract with the oracle engine. One shuffle on
+    * (label, pos) sized labels x dim, then a labels-sized re-assembly; the
+    * raw vectors never shuffle. Precondition: |x| < 2^43 per component
+    * (unit-ish embedding scale), else the quantized value overflows a long.
+    *
+    * The 2^-20 grid shifts each centroid component by < 1e-6 of the exact
+    * float mean — far below embedding noise; downstream cosines are stable
+    * (and cosine is scale-invariant in the centroid anyway).
+    */
+  def labelCentroids(emb: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame = {
+    val quantized = transform(col(vecCol),
+      x => floor(x.cast("double") * lit((1L << 20).toDouble)).cast("long"))
+    emb.select(col(labelCol).as("label"), posexplode(quantized).as(Seq("pos", "q")))
+      .groupBy("label", "pos")
+      .agg((sum("q").cast("double") / count(lit(1))).as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m") / lit((1L << 20).toDouble)).as("centroid"))
+  }
 }

@@ -515,7 +515,7 @@ object Extensions {
     * definition so the pair semantics can never drift between the pair
     * query and the resolution query built on it.
     */
-  private val unigramPairCtes: String =
+  private[queries] val unigramPairCtes: String =
     """t AS (SELECT doc_id, lang, source,
       |    list_distinct(string_split(text, ' ')) AS ts FROM documents),
       |p AS (

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Round-5 additions: corpus-signal and analytics queries a training-data
+  * pipeline runs AFTER the cleaning/dedup families already shipped —
+  * token-rarity scoring, canonical-survivor selection, embedding-drift
+  * distance, funnel analytics, and the partition-pruned scan path.
+  *
+  * Engine-parity contracts (SURVEY.md §8) as everywhere else: integer
+  * aggregates + one final IEEE division (q80/q82), per-row IEEE arithmetic
+  * replicated in the oracle (q81 quality), decimal sums for double
+  * aggregation (q84), fixed-point quantization for float means (q82).
+  */
+object Signals {
+
+  /** q80: token-rarity signal — for every document, the corpus frequency of
+    * its tokens: mean over token OCCURRENCES and the rarest token's count.
+    * Low mean_cf = jargon/gibberish-heavy; very high = boilerplate. The
+    * standard cheap companion to the q39 quality score (a unigram-LM
+    * log-prob is one `ln` away, but transcendental bit-parity across
+    * engines isn't contractual, so the declared signal stays integral).
+    *
+    * Shape: explode -> (doc_id, term) tf agg -> term-keyed cf agg -> join
+    * back -> per-doc agg. Linear in total tokens, never pairwise. The cf
+    * join is keyed on term, a Zipf-skewed key ("the" carries ~5 % of
+    * postings) — exactly what AQE skew-join splitting handles (the join
+    * side is an aggregate output, so salting would have to re-aggregate;
+    * at 100 TB enable spark.sql.adaptive.skewJoin and/or broadcast the
+    * top-K head terms, operators/Skew.scala pattern).
+    */
+  def q80TokenRarity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    tf.join(cf, "term")
+      .groupBy("doc_id")
+      .agg((sum(col("tf") * col("cf")).cast("double") / sum("tf")).as("mean_cf"),
+           min("cf").as("min_cf"))
+  }
+
+  /** q81: the dedup pipeline's LAST stage end-to-end — q24's exact
+    * near-dup pairs, q58's connected components, then ONE survivor per
+    * cluster: highest q39 quality, ties to the smaller doc_id
+    * (operators.Dedup.keepBest — a single hash-agg argmax, no per-cluster
+    * window). Unclustered docs survive as clusters of one. Oracle rebuilds
+    * the identical selection over the recursive-CTE closure.
+    */
+  def q81DedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+    Dedup.keepBest(scored, Dedup.jaccardPairs(docs, threshold = 0.8))
+  }
+
+  /** q82: embedding drift/outlier signal — every vector's cosine to its
+    * label's centroid (operators.Similarity.labelCentroids: 2^-20
+    * fixed-point quantized mean, so the distributed average is a BIGINT
+    * sum — order-invariant with no decimal rounding-mode contract). The
+    * centroid frame is labels x dim scalars, broadcast back against the
+    * corpus: the vectors themselves shuffle once on (label, pos) as
+    * exploded longs and never as whole arrays.
+    */
+  def q82CentroidDist(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cent = Similarity.labelCentroids(emb)
+    emb.select(col("vec_id"), col("label"),
+        VectorFunctions.toDouble(col("embedding")).as("e"))
+      .join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        round(VectorFunctions.cosine(col("e"), col("centroid")), 6)
+          .as("cos_centroid"))
+  }
+
+  /** q83: event-funnel stages — per user, how far the strictly-ordered
+    * first-occurrence chain signup < view < click < purchase progresses
+    * (0..4). One conditional-min aggregate per stage in ONE groupBy pass
+    * over the events — no window, no self-join, no per-user sort; the
+    * classic product-analytics query at its scale-correct shape.
+    */
+  def q83Funnel(s: SparkSession, dir: String): DataFrame = {
+    def firstTs(t: String) = min(when(col("event_type") === t, col("ts")))
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(firstTs("signup").as("t_signup"), firstTs("view").as("t_view"),
+           firstTs("click").as("t_click"), firstTs("purchase").as("t_purchase"))
+      .select(col("user_id"),
+        when(col("t_signup").isNull, 0)
+          .when(col("t_view").isNull || col("t_view") <= col("t_signup"), 1)
+          .when(col("t_click").isNull || col("t_click") <= col("t_view"), 2)
+          .when(col("t_purchase").isNull || col("t_purchase") <= col("t_click"), 3)
+          .otherwise(4).cast("int").as("funnel_stage"))
+  }
+
+  /** q84: the partition-pruning ingest path — events re-written once as
+    * date-partitioned parquet (sources.Sinks.parquetPartitioned), then a
+    * one-day rollup whose scan prunes to that single date directory
+    * (PartitionFilters in the plan; SignalsSpec asserts exactly one
+    * selected partition). At 100 TB this is the difference between
+    * scanning a day and scanning a decade. Result is bit-identical to
+    * filtering the unpartitioned table — partitioning is physical layout
+    * only, which is exactly what the shared oracle proves.
+    */
+  def q84PartitionPruned(s: SparkSession, dir: String): DataFrame = {
+    val path = PartitionedEvents.ensure(s, dir)
+    s.read.parquet(path)
+      .filter(col("d") === to_date(lit("2024-01-15")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("total_value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_token_rarity"    -> (q80TokenRarity _),
+    "q81_dedup_keep_best" -> (q81DedupKeepBest _),
+    "q82_centroid_dist"   -> (q82CentroidDist _),
+    "q83_funnel"          -> (q83Funnel _),
+    "q84_partition_pruned" -> (q84PartitionPruned _))
+
+  val oracles: Map[String, String] = Map(
+    "q80_token_rarity" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |               FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)
+        |SELECT doc_id, CAST(SUM(tf * cf) AS DOUBLE) / SUM(tf) AS mean_cf,
+        |  MIN(cf) AS min_cf
+        |FROM tf JOIN cf USING (term) GROUP BY doc_id""".stripMargin,
+    // same pair CTEs as q24/q58 + the same closure as q58, then the
+    // identical (quality DESC, doc_id) selection
+    "q81_dedup_keep_best" ->
+      s"""WITH RECURSIVE
+        |${Extensions.unigramPairCtes},
+        |edges AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (SELECT a AS doc_id, least(a, min(b)) AS component
+        |           FROM reach GROUP BY a),
+        |scored AS (SELECT doc_id, ${Extensions.qualitySqlExpr} AS quality
+        |           FROM documents WHERE text IS NOT NULL),
+        |cl AS (SELECT s.doc_id, coalesce(l.component, s.doc_id) AS cluster,
+        |              s.quality
+        |       FROM scored s LEFT JOIN labels l USING (doc_id))
+        |SELECT cluster, doc_id, quality, n_docs FROM (
+        |  SELECT cluster, doc_id, quality,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY quality DESC, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY cluster) AS n_docs
+        |  FROM cl) q WHERE rk = 1""".stripMargin,
+    // floor(x * 2^20) is exact in double for any float x; the mean is a
+    // BIGINT sum / count, then the 2^-20 de-scale (power-of-two division,
+    // also exact) — no decimal casts, no rounding-mode dependence
+    "q82_centroid_dist" ->
+      """WITH v AS (SELECT label, vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |pos AS (SELECT label, vec_id, i, CAST(floor(e[i] * 1048576.0) AS BIGINT) AS q
+        |        FROM v, range(1, 65) t(i)),
+        |cent AS (SELECT label, i,
+        |           CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576.0 AS m
+        |         FROM pos GROUP BY 1, 2),
+        |carr AS (SELECT label, list(m ORDER BY i) AS c FROM cent GROUP BY 1)
+        |SELECT v.vec_id, v.label,
+        |  ROUND(list_dot_product(v.e, c.c)
+        |    / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.c, c.c))),
+        |    6) AS cos_centroid
+        |FROM v JOIN carr c USING (label)""".stripMargin,
+    "q83_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(CASE WHEN t_signup IS NULL THEN 0
+        |       WHEN t_view IS NULL OR t_view <= t_signup THEN 1
+        |       WHEN t_click IS NULL OR t_click <= t_view THEN 2
+        |       WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 3
+        |       ELSE 4 END AS INTEGER) AS funnel_stage
+        |FROM per_user""".stripMargin,
+    // the oracle reads the UNPARTITIONED table: partitioning must be
+    // physical layout only
+    "q84_partition_pruned" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY 1""".stripMargin)
+}
+
+/** Date-partitioned twin of the events fixture, written once per
+  * (warehouse, sf-dir) through sources.Sinks.parquetPartitioned — the
+  * partition-pruned-read counterpart of BucketedTables (same dir-hash
+  * naming, same stale-leftover handling via Overwrite semantics).
+  */
+private[queries] object PartitionedEvents {
+  def ensure(s: SparkSession, dir: String): String = synchronized {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_events_bydate_$tag")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // _SUCCESS marks a complete prior write; anything else is re-written
+    // (Overwrite replaces partial leftovers atomically enough for a
+    // fixture twin — content is deterministic from the source dir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      graft.sources.Sinks.parquetPartitioned(
+        Tables.events(s, dir).withColumn("d", to_date(col("ts"))),
+        path.toString, "d")
+    }
+    path.toString
+  }
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Round-5 signal/analytics queries: planted-answer unit tests plus the
+  * physical contracts (partition pruning, quantized-centroid exactness,
+  * argmax-not-window selection).
+  */
+class SignalsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("keepBest keeps the highest-scored doc per cluster, min id on ties") {
+    // clusters {1,2,3} and {10,11}; 20 unclustered
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_id_a", "doc_id_b")
+    val scored = Seq(
+      1L -> 0.5, 2L -> 0.9, 3L -> 0.9, // 2 and 3 tie on score -> 2 wins
+      10L -> 0.4, 11L -> 0.8,          // 11 wins outright
+      20L -> 0.1                       // singleton survives
+    ).toDF("doc_id", "quality")
+    val out = Dedup.keepBest(scored, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 0.9, 3L)),
+      10L -> ((11L, 0.8, 2L)),
+      20L -> ((20L, 0.1, 1L))))
+  }
+
+  test("labelCentroids is the exact quantized mean, invariant to partitioning") {
+    // components chosen so the float mean is NOT exactly representable
+    // (1/3-style) — the quantized contract still gives one exact answer
+    val vecs = Seq(
+      (0, Array(0.25f, 1.0f)), (0, Array(0.5f, 2.0f)), (0, Array(0.5f, -1.0f)),
+      (1, Array(-0.125f, 0.0f))
+    ).toDF("label", "embedding")
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      Similarity.labelCentroids(df).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toList).toMap
+    // hand-compute on the quantized grid: all inputs are exact dyadics
+    // here, so floor() does not truncate and the mean is sum/n/2^20
+    val l0 = List(
+      (math.floor(0.25 * 1048576) + math.floor(0.5 * 1048576) * 2) / 3 / 1048576.0,
+      (math.floor(1.0 * 1048576) + math.floor(2.0 * 1048576) + math.floor(-1.0 * 1048576)) / 3 / 1048576.0)
+    val got1 = cents(vecs.repartition(1))
+    val got8 = cents(vecs.repartition(8))
+    assert(got1 == got8)
+    assert(got1(0) == l0)
+    assert(got1(1) == List(-0.125, 0.0))
+  }
+
+  test("funnel stages classify planted users 0..4") {
+    def ev(u: Long, t: String, sec: Int) =
+      (u, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"), t)
+    val events = Seq(
+      ev(1, "error", 1),                                    // no signup -> 0
+      ev(2, "signup", 1),                                   // signup only -> 1
+      ev(3, "view", 1), ev(3, "signup", 2),                 // view BEFORE signup -> 1
+      ev(4, "signup", 1), ev(4, "view", 2),                 // -> 2
+      ev(5, "signup", 1), ev(5, "view", 2), ev(5, "click", 3), // -> 3
+      ev(6, "signup", 1), ev(6, "view", 2), ev(6, "click", 3), ev(6, "purchase", 4), // -> 4
+      ev(7, "signup", 2), ev(7, "purchase", 1)              // purchase before chain -> 1
+    ).toDF("user_id", "ts", "event_type")
+    def firstTs(t: String) = min(when(col("event_type") === t, col("ts")))
+    val out = events.groupBy("user_id")
+      .agg(firstTs("signup").as("t_signup"), firstTs("view").as("t_view"),
+           firstTs("click").as("t_click"), firstTs("purchase").as("t_purchase"))
+      .select(col("user_id"),
+        when(col("t_signup").isNull, 0)
+          .when(col("t_view").isNull || col("t_view") <= col("t_signup"), 1)
+          .when(col("t_click").isNull || col("t_click") <= col("t_view"), 2)
+          .when(col("t_purchase").isNull || col("t_purchase") <= col("t_click"), 3)
+          .otherwise(4).cast("int").as("funnel_stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3, 6L -> 4, 7L -> 1))
+    // user 7: purchase exists but precedes the chain — the strict ordering
+    // contract (not mere presence) is what the planted case pins
+  }
+
+  test("q84 scan prunes to exactly one date partition and matches the raw filter") {
+    val pruned = Signals.q84PartitionPruned(spark, Sf0001)
+    pruned.collect() // materialize AQE stages before walking the plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(allNodes) ++ (p match {
+        case q: QueryStageExec => allNodes(q.plan)
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case _ => Seq.empty
+      }))
+    val scan = allNodes(pruned.queryExecution.executedPlan).collectFirst {
+      case f: FileSourceScanExec if f.partitionFilters.nonEmpty => f
+    }
+    assert(scan.isDefined, "expected a scan with PartitionFilters")
+    assert(scan.get.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected partition, got ${scan.get.selectedPartitions.partitionCount}")
+    // physical layout only: same result as filtering the unpartitioned table
+    val raw = graft.Tables.events(spark, Sf0001)
+      .filter(to_date(col("ts")) === to_date(lit("2024-01-15")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("total_value"))
+    assert(pruned.collect().map(_.toSeq).toSet == raw.collect().map(_.toSeq).toSet)
+  }
+
+  test("q81 keep-best output is one row per cluster and covers all non-dup docs") {
+    val out = Signals.q81DedupKeepBest(spark, Sf0001)
+    val clusters = out.select("cluster").collect().map(_.getLong(0))
+    assert(clusters.length == clusters.distinct.length)
+    // every kept doc_id belongs to its own cluster's member set: kept == its
+    // cluster id for singletons
+    val singles = out.filter(col("n_docs") === 1)
+    assert(singles.filter(col("cluster") =!= col("doc_id")).count() == 0)
+  }
+
+  test("q80 rarity: planted corpus frequencies") {
+    val docs = Seq(
+      (1L, "aa bb"),   // aa appears 3x in corpus, bb 2x -> mean 2.5, min 2
+      (2L, "aa aa cc"),
+      (3L, "bb")
+    ).toDF("doc_id", "text")
+    val tf = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    val out = tf.join(cf, "term").groupBy("doc_id")
+      .agg((sum(col("tf") * col("cf")).cast("double") / sum("tf")).as("mean_cf"),
+           min("cf").as("min_cf"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> ((2.5, 2L)),       // (3 + 2) / 2
+      2L -> (((3 * 2 + 1).toDouble / 3, 1L)), // aa tf=2 cf=3, cc tf=1 cf=1
+      3L -> ((2.0, 2L))))
+  }
+}
