@@ -223,4 +223,43 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m") / lit((1L << 20).toDouble)).as("centroid"))
   }
+
+  /** Symmetric int8 quantization audit — per vector, quantize each
+    * component to q = clamp(floor(x * 127 / max|x|), -127, 127) and report
+    * the integer code statistics (sum, sum of squares, saturation count).
+    * This is the pre-flight check before shipping an int8-quantized ANN
+    * index: a high saturation count or a degenerate code distribution
+    * flags vectors a symmetric scheme will serve badly.
+    *
+    * Distributed shape: posexplode to (vec_id, pos, x) scalars, per-vector
+    * max|x| as a hash-agg, join back on vec_id, integer re-aggregate. Two
+    * vec_id-keyed exchanges (the agg's and the join's are the same
+    * partitioning, so the exchange is reused); nothing per-vector runs on
+    * one task. The explode shape — rather than an array HOF referencing
+    * max|x| computed in the same projection — is deliberate: lambda
+    * bodies don't participate in subexpression elimination, so an inlined
+    * max|x| would re-reduce the array once per element, O(dim^2) per row
+    * (the q79 lesson, 13x measured).
+    *
+    * All outputs are integers computed from floor() over identical IEEE
+    * double expressions — bit-exact across engines and parallelism.
+    * Zero vectors (max|x| = 0) are excluded, matching SQL's NaN-division
+    * row rather than inventing a code for them.
+    */
+  def int8QuantStats(emb: DataFrame, idCol: String = "vec_id",
+                     labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame = {
+    val pos = emb.select(col(idCol), col(labelCol),
+      posexplode(transform(col(vecCol), _.cast("double"))).as(Seq("pos", "x")))
+    val mx = pos.groupBy(idCol).agg(max(abs(col("x"))).as("maxabs"))
+    pos.join(mx, idCol)
+      .filter(col("maxabs") > 0)
+      .select(col(idCol), col(labelCol),
+        greatest(lit(-127L),
+          least(lit(127L), floor(col("x") * lit(127.0) / col("maxabs")))).as("q"))
+      .groupBy(idCol, labelCol)
+      .agg(sum("q").as("sum_q"),
+           sum(col("q") * col("q")).as("sum_q2"),
+           sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).as("n_sat"))
+  }
 }

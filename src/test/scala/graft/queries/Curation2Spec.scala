@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import graft.operators.{Similarity, TextChunks}
+import org.apache.spark.sql.functions._
+
+class Curation2Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("stripFrequentLines drops exactly the high-df lines, preserves order") {
+    // "footer" appears in 3 docs (df=3 >= maxDf=3); every other line is rare
+    val docs = Seq(
+      (1L, "alpha\nfooter\nbeta"),
+      (2L, "footer\ngamma"),
+      (3L, "delta\nfooter"),
+      (4L, "epsilon\nzeta")
+    ).toDF("doc_id", "text")
+    val got = TextChunks.stripFrequentLines(docs, maxDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    assert(got(1L) == ((2L, 1L, Some("alpha\nbeta"))))
+    assert(got(2L) == ((1L, 1L, Some("gamma"))))
+    assert(got(3L) == ((1L, 1L, Some("delta"))))
+    assert(got(4L) == ((2L, 0L, Some("epsilon\nzeta"))))
+  }
+
+  test("stripFrequentLines: all-boilerplate doc yields NULL cleaned text") {
+    val docs = Seq(
+      (1L, "nav"), (2L, "nav"), (3L, "nav\nunique")
+    ).toDF("doc_id", "text")
+    val got = TextChunks.stripFrequentLines(docs, maxDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.getString(3))))).toMap
+    assert(got(1L) == ((0L, None)))
+    assert(got(2L) == ((0L, None)))
+    assert(got(3L) == ((1L, Some("unique"))))
+  }
+
+  test("slidingChunks: 40 tokens at 32/24 -> two chunks with 8-token overlap") {
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val rows = TextChunks.slidingChunks(docs, chunkSize = 32, stride = 24)
+      .orderBy("chunk_idx").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(1) == 0 && rows(0).getInt(2) == 1 && rows(0).getInt(3) == 32)
+    assert(rows(1).getInt(1) == 1 && rows(1).getInt(2) == 25 && rows(1).getInt(3) == 16)
+    val c0 = rows(0).getString(4).split(" ")
+    val c1 = rows(1).getString(4).split(" ")
+    assert(c0.takeRight(8).sameElements(c1.take(8)), "stride-overlap tokens must repeat")
+    assert(c0.head == "w1" && c1.last == "w40")
+  }
+
+  test("slidingChunks: doc shorter than one chunk emits a single short chunk") {
+    val docs = Seq((7L, "a b c")).toDF("doc_id", "text")
+    val rows = TextChunks.slidingChunks(docs, chunkSize = 32, stride = 24).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getInt(3) == 3 && rows(0).getString(4) == "a b c")
+  }
+
+  test("int8QuantStats: hand-computed codes, saturation, zero-vector exclusion") {
+    val emb = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f), 1),  // zero vector: excluded
+      (3L, Array(-2.0f, 2.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.int8QuantStats(emb)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // vec 1: maxabs=1 -> q = (127, floor(-63.5) = -64, floor(31.75) = 31)
+    assert(got(1L) == ((127L - 64L + 31L, 127L * 127 + 64L * 64 + 31L * 31, 1L)))
+    // vec 3: maxabs=2 -> q = (-127, 127, floor(63.5) = 63)
+    assert(got(3L) == ((63L, 127L * 127 * 2 + 63L * 63, 2L)))
+    assert(!got.contains(2L), "zero vector must be excluded, not fabricated")
+  }
+
+  test("q88 weight is 1e6 ppm when actual share equals target share") {
+    val out = Curation2.q88MixtureWeights(spark, Sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == 20)
+    val total = out.values.map(_._1).sum
+    out.foreach { case (src, (nTok, targetPpm, weightPpm)) =>
+      val n = src.stripPrefix("src").toLong
+      assert(targetPpm == (n % 5 + 1) * 40000L, s"$src target")
+      assert(weightPpm == targetPpm * total / nTok, s"$src weight")
+    }
+  }
+
+  test("q85 plan: frequency agg keys on the 8-byte line hash, not the line") {
+    val plan = Curation2.q85BoilerplateStrip(spark, Sf001)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("xxhash64"), "df agg/join must key on xxhash64(line)")
+  }
+}
