@@ -232,9 +232,12 @@ object Similarity {
     * flags vectors a symmetric scheme will serve badly.
     *
     * Distributed shape: posexplode to (vec_id, pos, x) scalars, per-vector
-    * max|x| as a hash-agg, join back on vec_id, integer re-aggregate. Two
-    * vec_id-keyed exchanges (the agg's and the join's are the same
-    * partitioning, so the exchange is reused); nothing per-vector runs on
+    * max|x| as a hash-agg, join back on vec_id, integer re-aggregate.
+    * At fixture scale the max-abs side is broadcast (observed plan); at
+    * corpus scale it exceeds the broadcast threshold and the join falls
+    * back to a vec_id-keyed shuffle join whose partitioning matches the
+    * agg's exchange (ReuseExchange collapses the identical scan+explode
+    * subplans). Nothing per-vector runs on
     * one task. The explode shape — rather than an array HOF referencing
     * max|x| computed in the same projection — is deliberate: lambda
     * bodies don't participate in subexpression elimination, so an inlined
