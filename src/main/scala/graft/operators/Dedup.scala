@@ -180,7 +180,44 @@ object Dedup {
     val withSig = withSets
       .withColumn("sig", graft.functions.MinHashSig.minhashSig(col("xh"), numHashes))
       .select(col("doc_id"), col("sig"))
-    val candidates = lshCandidates(withSig, bands, rows, minBandCollisions, maxBucketSize)
+    val routed = routeOverCapExact && maxBucketSize != Int.MaxValue
+    // With routing on, the banding feeds TWO consumers (the under-cap
+    // candidate join and the over-cap id set). Left as lineage, each
+    // consumer would re-derive the signatures — a second full
+    // WordGramHashes+MinHashSig pass over the corpus (measured ~70 % on
+    // q25 at sf0.1). Instead band+size ONCE and localCheckpoint the
+    // (doc_id, band, bucket, __gsz) frame: ~40 bytes x bands per doc,
+    // orders of magnitude smaller than the text it derives from; blocks
+    // are freed by the ContextCleaner when the plan is GC'd. Same
+    // executor-loss caveat as the CC loop's localCheckpoint (documented
+    // there, with checkpoint() as the long-cluster-run alternative).
+    val sizedOpt =
+      if (!routed) None
+      else Some(bandedBuckets(withSig, bands, rows)
+        .withColumn("__gsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+        .localCheckpoint())
+    val candidates = sizedOpt match {
+      case None => lshCandidates(withSig, bands, rows, minBandCollisions, maxBucketSize)
+      case Some(sized) =>
+        // capGroups' filter + metrics, inlined over the shared frame so the
+        // window runs once and the observed counts stay identical
+        val banded = sized
+          .observe("graft_q25_bucket_cap",
+            sum(when(col("__gsz") > maxBucketSize, 1L).otherwise(0L)).as("dropped_rows"),
+            round(sum(when(col("__gsz") > maxBucketSize, lit(1.0) / col("__gsz"))
+              .otherwise(0.0)), 0).as("dropped_groups"),
+            max(col("__gsz")).as("max_group_size"))
+          .filter(col("__gsz") <= maxBucketSize)
+          .drop("__gsz")
+        banded.as("a")
+          .join(banded.as("b"), Seq("band", "bucket"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+          .agg(count(lit(1)).as("n_bands"))
+          .filter(col("n_bands") >= minBandCollisions)
+          .select("doc_id_a", "doc_id_b")
+    }
     val verified = candidates
       .join(withSets.select(col("doc_id").as("doc_id_a"), col("xh").as("xh_a")), Seq("doc_id_a"))
       .join(withSets.select(col("doc_id").as("doc_id_b"), col("xh").as("xh_b")), Seq("doc_id_b"))
@@ -190,13 +227,9 @@ object Dedup {
         (size(col("xh_a")) + size(col("xh_b")) - col("ic")))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
-    if (!routeOverCapExact || maxBucketSize == Int.MaxValue) verified
+    if (!routed) verified
     else {
-      // over-cap docs, re-derived with the same banding + window count the
-      // cap filter ran (same keys, the exchange shape is identical)
-      val overIds = bandedBuckets(withSig, bands, rows)
-        .withColumn("__gsz", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      val overIds = sizedOpt.get
         .filter(col("__gsz") > maxBucketSize)
         .select("doc_id").distinct()
       // identical-set pairs among them: equi-join on an 8-byte hash of the

@@ -29,7 +29,7 @@ object Profile {
     * map-side partial aggs collapse low-cardinality columns before the
     * shuffle. The 1-row results re-join as broadcast crossJoins (the q43
     * corpus-N trick). At 100 TB swap to [[numericProfileApprox]] — the
-    * same profile in ONE scan with HLL distincts (q44 pattern).
+    * same profile in TWO scans with HLL distincts (q44 pattern).
     *
     * The input is read nCols+1 times, so it must be deterministic across
     * re-reads (any parquet/table scan is; a frame built on rand()/sample
@@ -55,32 +55,43 @@ object Profile {
         "(col_name, n_non_null, n_nulls, n_distinct, min_val, max_val)"))
   }
 
-  /** The 100 TB profile: identical shape to [[numericProfile]] but the
-    * distinct counts are HyperLogLog++ sketches (`approx_count_distinct`,
-    * relative sd 1 %) folded into the SAME aggregate as the counts/min/max
-    * — ONE scan total instead of 1 + nCols, because approximate distincts
-    * need no Expand and no per-column pass. Deterministic: HLL registers
-    * merge by max, so the result is invariant to partitioning (the q44
-    * contract); IntegrationSpec pins the ≤ 2 % error vs the exact profile.
-    * The exact variant stays the declared oracle query (q68) — sketch
-    * internals are engine-specific, so this one is rows-only (q76).
+  /** The 100 TB profile: identical output shape to [[numericProfile]] but
+    * the distinct counts are HyperLogLog++ sketches
+    * (`approx_count_distinct`) — TWO scans total instead of 1 + nCols,
+    * independent of column count. Deterministic: HLL registers merge by
+    * max, so the result is invariant to partitioning (the q44 contract);
+    * IntegrationSpec pins the ≤ 2 % error vs the exact profile at the
+    * default rsd. The exact variant stays the declared oracle query (q68)
+    * — sketch internals are engine-specific, so this one is rows-only
+    * (q76).
     *
-    * Honest local-scale caveat: HLL++ is an imperative (non-codegen)
-    * aggregate, so the single pass runs row-interpreted and costs more
-    * CPU per row than q68's codegen'd columnar passes at fixture scale
-    * (~2.6 s vs 0.5 s at sf0.1). The trade inverts where it matters: at
-    * 100 TB the 1 + nCols scans are I/O-bound and the one-scan sketch
-    * wins on the dominant term.
+    * Why two aggregates rather than one: a single ImperativeAggregate in
+    * an aggregate list disables whole-stage codegen for the WHOLE
+    * HashAggregate, so folding the sketches into the scalar agg drags the
+    * counts/min/max into the interpreted row loop — measured 4.1 s vs
+    * 0.9 s for the split shape at sf0.1 (tools/Q76Profile). Splitting
+    * keeps the scalar pass codegen'd and confines the interpreted loop to
+    * the sketch-only pass; the two 1-row results meet in a broadcast
+    * crossJoin (the in-plan global-aggregate pattern).
+    *
+    * rsd trades the sketch-pass CPU for distinct-count error: measured at
+    * sf0.1 on l_extendedprice (583 k distinct), rsd 0.01 → 0.27 % err /
+    * 2.8 s, 0.02 → 1.4 % / 0.9 s, 0.03 → 2.6 % / 0.6 s. Default 0.02
+    * stays inside the spec's 2 % bound at a quarter of the rsd-0.01 cost;
+    * tighten it per-call when the profile feeds cardinality-sensitive
+    * planning.
     */
-  def numericProfileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def numericProfileApprox(df: DataFrame, cols: Seq[String],
+                           rsd: Double = 0.02): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = count(lit(1)).as("__n_rows") +: cols.flatMap { c => Seq(
+    val scalarAggs = count(lit(1)).as("__n_rows") +: cols.flatMap { c => Seq(
       count(col(c)).as(s"${c}__n"),
-      approx_count_distinct(col(c), rsd = 0.01).as(s"${c}__nd"),
       min(col(c)).cast("double").as(s"${c}__min"),
       max(col(c)).cast("double").as(s"${c}__max"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val hllAggs = cols.map(c => approx_count_distinct(col(c), rsd).as(s"${c}__nd"))
+    val wide = df.agg(scalarAggs.head, scalarAggs.tail: _*)
+      .crossJoin(broadcast(df.agg(hllAggs.head, hllAggs.tail: _*)))
     val branches = cols.map { c =>
       s"'$c', `${c}__n`, __n_rows - `${c}__n`, `${c}__nd`, `${c}__min`, `${c}__max`"
     }.mkString(", ")

@@ -17,7 +17,7 @@ import graft.operators.{Dedup, Profile, StratifiedSelect}
   *    stratum sort);
   *  - q75 — the q03 fact⋈fact join over BUCKETED tables (no shuffle under
   *    the join);
-  *  - q76 — the q68 column profile in ONE scan via HLL distincts
+  *  - q76 — the q68 column profile in two column-count-independent scans
   *    (rows-only: sketch values are engine-specific);
   *  - q77 — q58's dedup resolution through large-star/small-star;
   *  - q78 — geometry round-trip through the real PNG/JPEG header parser.
@@ -98,9 +98,11 @@ object Scaled {
         count(lit(1)).as("n_items"))
   }
 
-  /** q68's profile in ONE scan: HLL distincts folded into the shared
-    * aggregate (operators.Profile.numericProfileApprox). Rows-only —
-    * sketch estimates are engine-specific; IntegrationSpec pins <= 2 %
+  /** q68's profile in TWO scans (vs exact's 1 + nCols): one codegen'd
+    * counts/min/max pass + one HLL-sketch pass
+    * (operators.Profile.numericProfileApprox — see its docstring for why
+    * folding them into one aggregate is a 4.5x de-codegen trap). Rows-only
+    * — sketch estimates are engine-specific; IntegrationSpec pins <= 2 %
     * error vs the exact q68 and partitioning invariance.
     */
   def q76ProfileApprox(s: SparkSession, dir: String): DataFrame =

@@ -23,6 +23,23 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Small-file control: REBALANCE the frame before writing, so AQE
+    * coalesces tiny output partitions (and splits skewed ones) to the
+    * advisory partition size. A 100 TB pipeline stage that ends in a
+    * 2000-partition shuffle would otherwise write 2000 files per run —
+    * compounding into the millions-of-small-files listing problem
+    * downstream readers pay for forever. The hint is a no-op shuffle
+    * cost-wise when partitions are already well-sized; with an optional
+    * key it also spreads writer skew (one giant partition writing one
+    * giant file).
+    */
+  def parquetCompacted(df: DataFrame, path: String, keys: String*): Unit = {
+    val rebalanced =
+      if (keys.isEmpty) df.hint("rebalance")
+      else df.hint("rebalance", keys.map(org.apache.spark.sql.functions.col): _*)
+    rebalanced.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed parquet table: co-locates rows by `bucketCol` so equi-joins
     * and aggregations on that key run shuffle-free (both sides bucketed with
     * the same count). This is the 100 TB answer to repeated fact⋈fact joins

@@ -43,4 +43,21 @@ class BucketedSinksSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+  test("compacted write coalesces a many-partition frame into few files") {
+    val li = graft.Tables.lineitem(spark, Sf0001).repartition(32)
+    val naive = "/tmp/graft_li_naive"
+    val compact = "/tmp/graft_li_compacted"
+    Sinks.parquet(li, naive)
+    Sinks.parquetCompacted(li, compact)
+    def dataFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet"))
+    val (nNaive, nCompact) = (dataFiles(naive), dataFiles(compact))
+    assert(nNaive == 32, s"expected the naive write to keep 32 files, got $nNaive")
+    assert(nCompact <= 4, s"rebalance should coalesce tiny partitions, got $nCompact files")
+    // physical layout only: identical content
+    assert(spark.read.parquet(compact).count() == spark.read.parquet(naive).count())
+    assert(spark.read.parquet(compact).agg(org.apache.spark.sql.functions.sum("l_quantity")).head ==
+           spark.read.parquet(naive).agg(org.apache.spark.sql.functions.sum("l_quantity")).head)
+  }
+
 }
