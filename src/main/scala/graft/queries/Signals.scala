@@ -116,12 +116,67 @@ object Signals {
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("total_value"))
   }
 
+  /** q89: gaps-and-islands — contiguous runs of the same event_type per
+    * user (the classic state-timeline/SCD build): change flag via lag,
+    * island id via running sum of flags, one groupBy per island. Windows
+    * are user-partitioned (never global), so each key's events sort within
+    * its own task — the q31 per-key-volume contract. Deterministic order:
+    * (ts, event_id) is unique, so RANGE and ROWS frames agree and both
+    * engines number islands identically.
+    */
+  def q89TypeIslands(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("chg",
+        when(lag("event_type", 1).over(w).isNull ||
+             col("event_type") =!= lag("event_type", 1).over(w), 1L).otherwise(0L))
+      .withColumn("island", sum("chg").over(w))
+      .groupBy("user_id", "island")
+      .agg(min("event_type").as("event_type"), count(lit(1)).as("n_events"),
+           min("ts").cast("timestamp_ntz").as("t_start"),
+           max("ts").cast("timestamp_ntz").as("t_end"))
+  }
+
+  /** q90: date-spine gap fill + last-observation-carried-forward — the
+    * time-series densification step before any daily-rollup model input:
+    * per-user daily totals, a complete day spine from each user's first to
+    * last active day, missing days filled by LOCF. Spine explode emits
+    * DATES (integers under the hood), bounded by each user's span; the
+    * LOCF window is user-partitioned. Daily totals go through the
+    * decimal-cast sum (dsum) so the doubles being carried forward are
+    * order-invariant — LOCF then just copies bits.
+    */
+  def q90GapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(dsum(col("value"), 6).as("day_value"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+    spine.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"),
+        // timestamp_ntz rather than date: parquet DATE surfaces as python
+        // objects in the comparison harness while DuckDB DATEs surface as
+        // datetimes — the q45 output convention
+        col("d").cast("timestamp_ntz").as("d"),
+        col("day_value"),
+        last("day_value", ignoreNulls = true).over(w).as("filled"),
+        col("day_value").isNull.as("is_gap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_token_rarity"    -> (q80TokenRarity _),
     "q81_dedup_keep_best" -> (q81DedupKeepBest _),
     "q82_centroid_dist"   -> (q82CentroidDist _),
     "q83_funnel"          -> (q83Funnel _),
-    "q84_partition_pruned" -> (q84PartitionPruned _))
+    "q84_partition_pruned" -> (q84PartitionPruned _),
+    "q89_type_islands"    -> (q89TypeIslands _),
+    "q90_gap_fill"        -> (q90GapFill _))
 
   val oracles: Map[String, String] = Map(
     "q80_token_rarity" ->
@@ -192,7 +247,38 @@ object Signals {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    // (ts, event_id) is unique -> RANGE/ROWS frames agree on both engines
+    "q89_type_islands" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |isl AS (
+        |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS BIGINT) AS island
+        |  FROM flagged)
+        |SELECT user_id, island, MIN(event_type) AS event_type,
+        |  COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
+        |FROM isl GROUP BY 1, 2""".stripMargin,
+    // day_value is the decimal-cast sum on BOTH engines, so the doubles
+    // LOCF copies forward are bit-identical
+    "q90_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id, CAST(t.s AS DATE) AS d
+        |          FROM span, unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |            CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(s))
+        |SELECT s.user_id, CAST(s.d AS TIMESTAMP) AS d, dly.day_value,
+        |  last_value(dly.day_value IGNORE NULLS) OVER (PARTITION BY s.user_id
+        |    ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  dly.day_value IS NULL AS is_gap
+        |FROM spine s LEFT JOIN daily dly
+        |  ON s.user_id = dly.user_id AND s.d = dly.d""".stripMargin)
 }
 
 /** Date-partitioned twin of the events fixture, written once per

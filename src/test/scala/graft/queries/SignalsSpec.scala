@@ -133,4 +133,48 @@ class SignalsSpec extends SparkSpecBase {
       2L -> (((3 * 2 + 1).toDouble / 3, 1L)), // aa tf=2 cf=3, cc tf=1 cf=1
       3L -> ((2.0, 2L))))
   }
+  test("q89 islands: runs split exactly at type changes, in time order") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 7L, "view"), (2L, ts(1), 7L, "view"), (3L, ts(2), 7L, "click"),
+      (4L, ts(3), 7L, "view"), (5L, ts(0), 8L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    ev.write.mode("overwrite").parquet("/tmp/graft_islands_fixture/events.parquet")
+    val out = Signals.q89TypeIslands(spark, "/tmp/graft_islands_fixture")
+      .orderBy("user_id", "island").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (7L, 1L, "view", 2L), (7L, 2L, "click", 1L), (7L, 3L, "view", 1L),
+      (8L, 1L, "click", 1L)))
+  }
+
+  test("q90 gap fill: spine densifies missing days and LOCF carries values") {
+    val out = Signals.q90GapFill(spark, Sf0001)
+    // spine completeness: per user, rows == span days, no duplicate days
+    val spans = out.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), countDistinct("d").as("nd"),
+        (datediff(max("d"), min("d")) + 1).as("span"))
+      .collect()
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), "duplicate spine days")
+      assert(r.getLong(1) == r.getInt(3).toLong, s"spine not dense: $r")
+    }
+    // LOCF: filled is never null, equals day_value on non-gap days
+    assert(out.filter(col("filled").isNull).count() == 0)
+    assert(out.filter(!col("is_gap") && col("filled") =!= col("day_value")).count() == 0)
+    // every gap day's filled value equals the most recent earlier real day
+    val gaps = out.filter(col("is_gap")).limit(5).collect()
+    gaps.foreach { g =>
+      // timestamp_ntz rows surface as LocalDateTime
+      val d = g.getAs[java.time.LocalDateTime]("d")
+      val prev = out.filter(col("user_id") === g.getLong(0) && !col("is_gap") &&
+          col("d") < lit(d))
+        .orderBy(col("d").desc).limit(1).collect()(0).getDouble(2)
+      assert(g.getDouble(3) == prev, s"LOCF mismatch for $g")
+    }
+  }
+
 }
