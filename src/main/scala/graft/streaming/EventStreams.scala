@@ -85,6 +85,59 @@ object EventStreams {
       }
   }
 
+  final case class FunnelState(tSignup: Long, tView: Long, tClick: Long,
+                               tPurchase: Long) // Long.MaxValue = unseen
+
+  final case class FunnelRow(user_id: Long, funnel_stage: Int)
+
+  /** Streaming funnel — the incremental twin of batch q83: per user, track
+    * the FIRST event time of each funnel stage in keyed state (4 longs)
+    * and emit the user's current strictly-ordered stage each time it may
+    * have changed (Update mode). min() over first-times is
+    * arrival-order-independent, so late events can only refine the stage
+    * to the same value the batch query computes — after all input is
+    * processed the last emission per user equals q83 exactly
+    * (EventStreamsSpec proves it against the fixture).
+    *
+    * State is user-cardinality-bounded (32 bytes of times per user), not
+    * volume-bounded — the right shape for a funnel, which must remember
+    * users forever by definition; evicting abandoned users after a
+    * retention horizon is one `GroupStateTimeout.EventTimeTimeout` away
+    * (the sessionize pattern) and changes the product definition, so it is
+    * a caller decision, not a default.
+    */
+  def funnelStream(spark: SparkSession, events: Dataset[Event]): Dataset[FunnelRow] = {
+    import spark.implicits._
+    val unseen = Long.MaxValue
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(unseen, unseen, unseen, unseen))
+          rows.foreach { e =>
+            // exact event-time micros (getTime alone truncates to ms and
+            // could flip a <=-comparison between events in the same ms)
+            val t = math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+            e.event_type match {
+              case "signup"   => s = s.copy(tSignup = math.min(s.tSignup, t))
+              case "view"     => s = s.copy(tView = math.min(s.tView, t))
+              case "click"    => s = s.copy(tClick = math.min(s.tClick, t))
+              case "purchase" => s = s.copy(tPurchase = math.min(s.tPurchase, t))
+              case _          => ()
+            }
+          }
+          state.update(s)
+          // q83's strict-ordering chain over first-occurrence times
+          val stage =
+            if (s.tSignup == unseen) 0
+            else if (s.tView == unseen || s.tView <= s.tSignup) 1
+            else if (s.tClick == unseen || s.tClick <= s.tView) 2
+            else if (s.tPurchase == unseen || s.tPurchase <= s.tClick) 3
+            else 4
+          FunnelRow(userId, stage)
+      }
+  }
+
   /** Streaming exact dedup on event_id bounded by the watermark — the
     * incremental twin of Dedup.exact: state holds only ids newer than the
     * watermark, so memory is bounded at any corpus size.

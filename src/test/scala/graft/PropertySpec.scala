@@ -145,4 +145,58 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+  test("slidingChunks reconstructs every document from its stride prefixes") {
+    val docGen = for {
+      n <- Gen.choose(1, 90)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "dddd"))
+    } yield toks.mkString(" ")
+    val texts = samples(docGen, 20)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val chunks = graft.operators.TextChunks.slidingChunks(docs, chunkSize = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val byDoc = chunks.groupBy(_._1)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split(" ")
+      val cs = byDoc(i.toLong).sortBy(_._2)
+      // contiguous starts, bounded sizes, correct content per chunk
+      cs.foreach { case (_, idx, start, n, text) =>
+        assert(start == idx * 24 + 1)
+        assert(n <= 32 && n >= 1)
+        assert(text == toks.slice(start - 1, start - 1 + 32).mkString(" "))
+      }
+      // stride prefixes (first 24 tokens of each chunk) + the final tail
+      // reassemble the document exactly
+      val rebuilt = cs.init.flatMap { case (_, _, start, _, text) =>
+        text.split(" ").take(24)
+      } ++ cs.last._5.split(" ")
+      assert(rebuilt.sameElements(toks), s"doc $i not reconstructible")
+    }
+  }
+
+  test("stripFrequentLines conserves lines and keeps only sub-threshold ones") {
+    val linePool = Vector("nav", "footer", "l1", "l2", "l3", "l4", "l5", "l6")
+    val docGen = for {
+      n <- Gen.choose(1, 6)
+      ls <- Gen.listOfN(n, Gen.oneOf(linePool))
+    } yield ls.mkString("\n")
+    val texts = samples(docGen, 16)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val maxDf = 4
+    val df = texts.zipWithIndex
+      .flatMap { case (t, i) => t.split("\n").distinct.map(_ -> i) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+    val out = graft.operators.TextChunks.stripFrequentLines(docs, maxDf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val lines = t.split("\n")
+      val (kept, dropped) = lines.partition(l => df(l) < maxDf)
+      val (gotKept, gotDropped, gotClean) = out(i.toLong)
+      assert(gotKept == kept.length && gotDropped == dropped.length,
+        s"doc $i line conservation")
+      assert(gotClean == (if (kept.isEmpty) None else Some(kept.mkString("\n"))),
+        s"doc $i cleaned-order mismatch")
+    }
+  }
+
 }

@@ -140,4 +140,47 @@ class EventStreamsSpec extends SparkSpecBase {
       assert(batch == Set((1L, 101L), (1L, 102L)))
     } finally q.stop()
   }
+  test("funnelStream final stages match batch q83 on the fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = Sf0001
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.funnelStream(spark, input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      val events = graft.Tables.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStreams.Event].collect()
+      input.addData(events.toSeq)
+      q.processAllAvailable()
+      val streaming = spark.table("funnel_out")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = graft.queries.Signals.q83Funnel(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streaming == batch)
+    } finally q.stop()
+  }
+
+  test("funnelStream refines the stage when earlier events arrive late") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.funnelStream(spark, input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_late").start()
+    try {
+      // view first: no signup seen yet -> stage 0
+      input.addData(EventStreams.Event(2L, ts("2024-01-01 10:05:00"), 7L, "view", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("funnel_late").collect().map(r => r.getInt(1)).last == 0)
+      // the signup that PRECEDED it arrives late -> signup < view -> stage 2
+      input.addData(EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 7L, "signup", 0.0))
+      q.processAllAvailable()
+      val stages = spark.table("funnel_late").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(stages.contains((7L, 2)), s"expected refined stage 2, got ${stages.toSeq}")
+    } finally q.stop()
+  }
+
 }
