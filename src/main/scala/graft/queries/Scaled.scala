@@ -155,7 +155,33 @@ object Scaled {
         col("media_meta.ok").as("ok"))
   }
 
+  /** q91: exact equi-depth (decile) histogram of order prices — GLOBAL
+    * exact ranking through the same chunked-prefix machinery, with the
+    * stratum degenerated to a constant: the escape hatch for "order the
+    * whole table" without a single-task global sort. Bucket id is pure
+    * integer arithmetic over (rank, n) — floor((rn-1)*10/n)+1, identical
+    * on both engines — and the oracle computes it from a plain global
+    * row_number window (fine single-node; the cliff it would hit on a
+    * cluster is exactly what the chunked plan removes).
+    */
+  def q91EquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("g", lit(1))
+    StratifiedSelect.chunkedPrefix(base, stratum = "g",
+        primary = "o_totalprice", desc = false,
+        tieBreak = Seq(col("o_orderkey")), value = lit(1L),
+        nChunks = nChunks(s))
+      .withColumn("decile", expr("CAST((rn - 1) * 10 DIV n_stratum AS INT) + 1"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"),
+           min("o_totalprice").as("min_price"),
+           max("o_totalprice").as("max_price"),
+           dsum(col("o_totalprice"), 2).as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_equidepth_hist"        -> (q91EquidepthHist _),
     "q72_token_budget_scaled"   -> (q72TokenBudgetScaled _),
     "q73_quantile_filter_scaled" -> (q73QuantileFilterScaled _),
     "q74_sequence_pack_scaled"  -> (q74SequencePackScaled _),
@@ -170,6 +196,17 @@ object Scaled {
     * oracle (sketch), matching q44's precedent.
     */
   val oracles: Map[String, String] = Map(
+    "q91_equidepth_hist" ->
+      """WITH ranked AS (
+        |  SELECT o_totalprice,
+        |    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM orders)
+        |SELECT CAST((rn - 1) * 10 // n AS INTEGER) + 1 AS decile,
+        |  COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+        |FROM ranked GROUP BY 1""".stripMargin,
     "q72_token_budget_scaled"    -> Extensions.oracles("q61_token_budget"),
     "q73_quantile_filter_scaled" -> Curation.oracles("q66_quantile_filter"),
     "q74_sequence_pack_scaled"   -> Curation.oracles("q71_sequence_pack"),

@@ -66,6 +66,9 @@ class StratifiedSelectSpec extends SparkSpecBase {
       graft.queries.Scaled.q74SequencePackScaled(spark, Sf0001),
       graft.queries.Scaled.q79MedianScaled(spark, Sf0001))
     scaled.foreach(df => assert(stratumSortCliffs(df) == 0, df.columns.mkString(",")))
+    // the global-ranking degeneration (constant stratum) must not smuggle
+    // a whole-table single-task sort back in either
+    assert(stratumSortCliffs(graft.queries.Scaled.q91EquidepthHist(spark, Sf0001)) == 0)
     // control: the exact formulations DO carry the stratum window over the
     // scan — proving the predicate detects what the twins eliminated
     val exact = Seq(
@@ -123,4 +126,22 @@ class StratifiedSelectSpec extends SparkSpecBase {
     assert(shuffles.isEmpty,
       s"bucketed join still shuffles: ${shuffles.mkString(", ")}")
   }
+  test("q91 deciles are balanced and cover the full price range in order") {
+    val out = graft.queries.Scaled.q91EquidepthHist(spark, Sf0001)
+      .orderBy("decile").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val n = graft.Tables.orders(spark, Sf0001).count()
+    assert(out.map(_._1).toSeq == (1 to 10))
+    assert(out.map(_._2).sum == n)
+    // equi-depth: each decile holds floor(n/10) or ceil(n/10) rows
+    out.foreach { case (d, c, _, _) =>
+      assert(c == n / 10 || c == n / 10 + 1, s"decile $d has $c of $n rows")
+    }
+    // contiguous, ordered value ranges
+    out.sliding(2).foreach {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) => assert(hi1 <= lo2)
+      case _ => ()
+    }
+  }
+
 }
