@@ -38,4 +38,30 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol)) < rate)
   }
+
+  /** Parts-per-million bucket in [0, 1e6): first 32 md5 bits mod 1e6 —
+    * the fine-grained twin of [[hashBucket]] for sub-percent keep rates.
+    * 2^32 mod 1e6 = 967296, so the low buckets appear 4295 times in the
+    * hash range vs 4294 for the rest: ≤ 0.024 % selection bias, three
+    * orders below the sampling noise it steers. Same null contract as
+    * hashBucket.
+    */
+  def ppmBucket(id: Column): Column =
+    conv(substring(md5(coalesce(id.cast("string"), lit(""))), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+
+  /** Downsample each stratum toward a target mixture: keep a row iff its
+    * ppm bucket falls under the stratum's weight (1e6 ppm = keep all).
+    * `weights` is a (stratumCol, weight_ppm) frame — dimension-sized, so
+    * it broadcasts; weights above 1e6 (under-represented strata, which
+    * filtering cannot upsample) simply keep everything. Rows whose stratum
+    * has no weight row are dropped — an inner join, because a stratum
+    * missing from a mixture config is a config bug better surfaced as
+    * missing data in the output counts than silently passed through.
+    */
+  def resampleToMixture(df: DataFrame, idCol: String, stratumCol: String,
+                        weights: DataFrame): DataFrame =
+    df.join(broadcast(weights), stratumCol)
+      .filter(ppmBucket(col(idCol)) < col("weight_ppm"))
+      .drop("weight_ppm")
 }

@@ -77,11 +77,30 @@ object Curation2 {
         expr("(target_ppm * total_tokens) DIV n_tokens").as("weight_ppm"))
   }
 
+  /** q92: apply q88's weights — deterministically downsample each source
+    * toward the target mixture by md5-ppm bucket
+    * (operators.Sampling.resampleToMixture). End-to-end: weights are
+    * computed in-plan (q88), broadcast against the corpus, and the keep
+    * decision is a pure function of doc_id — reproducible at any
+    * parallelism, no RNG state, no shuffle of the corpus. Weights over
+    * 1e6 ppm (under-represented sources) keep all rows: filtering cannot
+    * upsample; the q88 weight output is what a repetition-based upsampler
+    * would consume instead.
+    */
+  def q92MixtureResample(s: SparkSession, dir: String): DataFrame = {
+    val weights = q88MixtureWeights(s, dir).select("source", "weight_ppm")
+    graft.operators.Sampling.resampleToMixture(
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source")),
+      idCol = "doc_id", stratumCol = "source", weights = weights)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_boilerplate_strip" -> (q85BoilerplateStrip _),
     "q86_doc_chunks"        -> (q86DocChunks _),
     "q87_embed_quantize"    -> (q87EmbedQuantize _),
-    "q88_mixture_weights"   -> (q88MixtureWeights _))
+    "q88_mixture_weights"   -> (q88MixtureWeights _),
+    "q92_mixture_resample"  -> (q92MixtureResample _))
 
   val oracles: Map[String, String] = Map(
     "q85_boilerplate_strip" ->
@@ -133,5 +152,21 @@ object Curation2 {
         |    AS target_ppm,
         |  ((CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 5 + 1) * 40000
         |    * total_tokens) // n_tokens AS weight_ppm
-        |FROM per, tot""".stripMargin)
+        |FROM per, tot""".stripMargin,
+    // q88's weight CTE + the md5-ppm keep rule (q60's '0x'||hex device,
+    // 8 hex digits for ppm granularity)
+    "q92_mixture_resample" ->
+      """WITH per AS (SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per),
+        |w AS (SELECT source,
+        |  ((CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 5 + 1) * 40000
+        |    * total_tokens) // n_tokens AS weight_ppm
+        |  FROM per, tot)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN w USING (source)
+        |WHERE d.text IS NOT NULL
+        |  AND ('0x' || substr(md5(coalesce(d.doc_id::VARCHAR, '')), 1, 8))::BIGINT
+        |      % 1000000 < w.weight_ppm""".stripMargin)
 }

@@ -91,4 +91,34 @@ class Curation2Spec extends SparkSpecBase {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("xxhash64"), "df agg/join must key on xxhash64(line)")
   }
+  test("resampleToMixture: weight 0 drops all, 1e6 keeps all, missing stratum drops") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else if (i % 3 == 0) "b" else "c"))
+      .toDF("doc_id", "source")
+    val weights = Seq(("a", 0L), ("b", 1000000L)).toDF("source", "weight_ppm")
+    val kept = graft.operators.Sampling.resampleToMixture(df, "doc_id", "source", weights)
+      .collect().map(r => r.getLong(1) -> r.getString(0))
+    assert(!kept.exists(_._2 == "a"), "weight 0 must drop everything")
+    assert(kept.count(_._2 == "b") == df.filter($"source" === "b").count(), "weight 1e6 keeps all")
+    assert(!kept.exists(_._2 == "c"), "stratum missing from the config must not pass through")
+  }
+
+  test("q92 keeps exactly the docs the md5-ppm rule selects, at the q88 weights") {
+    val out = Curation2.q92MixtureResample(spark, Sf001)
+      .collect().map(r => r.getLong(1)).toSet
+    val weights = Curation2.q88MixtureWeights(spark, Sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    def ppm(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val expect = graft.Tables.documents(spark, Sf001)
+      .filter(col("text").isNotNull).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, src) => ppm(id) < weights(src) }
+      .map(_._1).toSet
+    assert(out == expect)
+    assert(out.size < 500, "some over-represented source must actually downsample")
+  }
+
 }
