@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.StratifiedSelect
+
+/** Data-quality audits (round 5): referential-integrity orphan counts and
+  * robust (IQR) outlier detection — the ingest-QA stage a 100 TB warehouse
+  * runs before anything downstream trusts the tables.
+  */
+object Quality {
+
+  /** q93: referential-integrity audit — for each FK edge of the star
+    * schema, how many child rows have no parent (anti-join count) and how
+    * many carry a NULL key. Each edge is one left-anti join aggregated to
+    * a single row; the union is 4 rows. Dimension parents broadcast; the
+    * lineitem→orders edge shuffles both sides on the key — that IS the
+    * check, and it is the same shuffle the production join would pay.
+    * A healthy fixture reports zeros — the value is the CHECK (and the
+    * zeros being hash-verified against an independent engine).
+    */
+  def q93RefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+             parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child.filter(col(childKey).isNotNull)
+        .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val totals = child.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(childKey).isNull, 1L).otherwise(0L)).as("n_null_keys"))
+      totals.crossJoin(broadcast(orphans))
+        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_null_keys"),
+                col("n_orphans"))
+    }
+    edge("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+         Tables.orders(s, dir), "o_orderkey")
+      .unionByName(edge("orders->customer", Tables.orders(s, dir), "o_custkey",
+         Tables.customer(s, dir), "c_custkey"))
+      .unionByName(edge("customer->nation", Tables.customer(s, dir), "c_nationkey",
+         Tables.nation(s, dir), "n_nationkey"))
+      .unionByName(edge("supplier->nation", Tables.supplier(s, dir), "s_nationkey",
+         Tables.nation(s, dir), "n_nationkey"))
+  }
+
+  /** q94: robust outlier counts per order priority — Tukey fences at
+    * 1.5 IQR off the EXACT type-1 quartiles (values at ranks
+    * ceil(n/4), ceil(3n/4)), ranks computed through the chunked-prefix
+    * machinery so no priority group ever sorts in one task (q79's
+    * pattern). The quartile frame is groups-sized and broadcasts back
+    * for the fence count. Fence arithmetic (q1 - 1.5*(q3-q1)) is the
+    * same IEEE expression on both engines over raw stored doubles.
+    */
+  def q94IqrOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ranked = StratifiedSelect.chunkedPrefix(
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")),
+      stratum = "o_orderpriority", primary = "o_totalprice", desc = false,
+      tieBreak = Seq(col("o_orderkey")), value = lit(1L),
+      nChunks = math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt))
+    val quartiles = ranked
+      .filter(col("rn") === expr("(n_stratum + 3) DIV 4") ||
+              col("rn") === expr("(3 * n_stratum + 3) DIV 4"))
+      .groupBy("o_orderpriority")
+      .agg(min(when(col("rn") === expr("(n_stratum + 3) DIV 4"),
+             col("o_totalprice"))).as("q1"),
+           min(when(col("rn") === expr("(3 * n_stratum + 3) DIV 4"),
+             col("o_totalprice"))).as("q3"))
+      .select(col("o_orderpriority"), col("q1"), col("q3"),
+        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .join(broadcast(quartiles), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(min("q1").as("q1"), min("q3").as("q3"),
+           sum(when(col("o_totalprice") < col("lo") ||
+                    col("o_totalprice") > col("hi"), 1L).otherwise(0L))
+             .as("n_outliers"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_ref_integrity" -> (q93RefIntegrity _),
+    "q94_iqr_outliers"  -> (q94IqrOutliers _))
+
+  val oracles: Map[String, String] = Map(
+    "q93_ref_integrity" ->
+      """SELECT 'lineitem->orders' AS fk_edge, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_keys,
+        |  CAST(SUM(CASE WHEN l_orderkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |FROM lineitem l
+        |UNION ALL
+        |SELECT 'orders->customer', COUNT(*),
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders o
+        |UNION ALL
+        |SELECT 'customer->nation', COUNT(*),
+        |  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN c_nationkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM customer c
+        |UNION ALL
+        |SELECT 'supplier->nation', COUNT(*),
+        |  CAST(SUM(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN s_nationkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM supplier s""".stripMargin,
+    "q94_iqr_outliers" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |q AS (
+        |  SELECT o_orderpriority,
+        |    MIN(CASE WHEN rn = (n + 3) // 4 THEN o_totalprice END) AS q1,
+        |    MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN o_totalprice END) AS q3
+        |  FROM ranked GROUP BY 1),
+        |f AS (
+        |  SELECT o_orderpriority, q1, q3,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM q)
+        |SELECT r.o_orderpriority, f.q1, f.q3,
+        |  CAST(SUM(CASE WHEN r.o_totalprice < f.lo OR r.o_totalprice > f.hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  COUNT(*) AS n_rows
+        |FROM ranked r JOIN f USING (o_orderpriority)
+        |GROUP BY 1, 2, 3""".stripMargin)
+}
