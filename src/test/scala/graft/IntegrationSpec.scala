@@ -119,4 +119,36 @@ class IntegrationSpec extends SparkSpecBase {
       assert(cols.distinct.length == cols.length, s"$name has duplicate columns")
     }
   }
+  test("end-to-end curation chain is bit-identical across partition counts") {
+    // normalize -> quality/lang gate -> near-dup survivors -> mixture
+    // resample -> sliding chunks: five operator families composed, run at
+    // 2 and 17 input partitions — identical output row sets proves no
+    // step leaks partitioning into results (RNG, IEEE sum order, window
+    // ambiguity, hash instability would all surface here)
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    def chain(parts: Int): Set[(Long, Int, String)] = {
+      val docs = graft.Tables.documents(spark, Sf0001).repartition(parts)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextFunctions.normalizeWs(col("text")).as("text"))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .filter(col("lang").isin("en", "de") && col("quality") > 0.2)
+      val survivors = graft.operators.Dedup.keepBest(
+          docs.select("doc_id", "quality"),
+          graft.operators.Dedup.jaccardPairs(docs, threshold = 0.8))
+        .select("doc_id")
+      val weights = Seq(("en", 800000L), ("de", 1000000L))
+        .toDF("lang", "weight_ppm")
+      val sampled = graft.operators.Sampling.resampleToMixture(
+        docs.join(survivors, "doc_id").select("doc_id", "lang", "text"),
+        "doc_id", "lang", weights)
+      graft.operators.TextChunks.slidingChunks(sampled, 32, 24)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(4))).toSet
+    }
+    val a = chain(2)
+    val b = chain(17)
+    assert(a.nonEmpty && a == b)
+  }
+
 }
