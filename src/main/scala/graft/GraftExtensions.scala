@@ -65,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "dot_product(a, b) - IEEE-sequential dot product of two double arrays", "2") {
       case Seq(a, b) => graft.functions.DotProduct(a, b)
     }
+    register("hyperplane_sig",
+      "hyperplane_sig(v, nBits) - random-hyperplane LSH signature of a double array",
+      "2") {
+      case Seq(v, n) => graft.functions.HyperplaneSig(v, litInt(n, "hyperplane_sig", 1))
+    }
     register("sorted_intersect_count",
       "sorted_intersect_count(a, b) - intersection size of two sorted distinct long arrays",
       "2") {

@@ -26,8 +26,17 @@ object VectorFunctions {
     * deterministic pseudo-hyperplanes. Instead of materializing random
     * planes, each plane j scores sum_i(v_i * w(i,j)) with
     * w(i,j) = hash-derived ±1 — deterministic, seedable, shuffle-free.
+    * Native codegen kernel (HyperplaneSig); bit-identical to the HOF
+    * formulation it replaced ([[hyperplaneSignatureHof]], kept as the
+    * parity reference SimilaritySpec pins against).
     */
-  def hyperplaneSignature(v: Column, nBits: Int): Column = {
+  def hyperplaneSignature(v: Column, nBits: Int): Column =
+    HyperplaneSig.signature(v, nBits)
+
+  /** The original interpreted formulation — O(nBits x dim) lambda calls
+    * and nBits array allocations per row; retained only as the
+    * bit-parity oracle for the kernel. */
+  private[graft] def hyperplaneSignatureHof(v: Column, nBits: Int): Column = {
     val bits = (0 until nBits).map { j =>
       val score = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),

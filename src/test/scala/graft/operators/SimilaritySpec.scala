@@ -96,4 +96,41 @@ class SimilaritySpec extends SparkSpecBase {
     val recall = km.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"k-means IVF recall@10 = $recall")
   }
+  test("HyperplaneSig kernel is bit-identical to the HOF formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // fixture vectors + adversarial shapes: empty array, a null element,
+    // an exact-zero score candidate (all zeros scores 0.0 >= 0 every bit)
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), graft.functions.VectorFunctions.toDouble(col("embedding")).as("e"))
+    val hand = Seq(
+      (9001L, Seq.empty[java.lang.Double]),
+      (9002L, Seq[java.lang.Double](1.0, null, 2.0)),
+      (9003L, Seq[java.lang.Double](0.0, 0.0, 0.0))
+    ).toDF("vec_id", "e")
+    for (df <- Seq(emb, hand); nBits <- Seq(1, 4, 16)) {
+      val mismatches = df.select(
+          graft.functions.HyperplaneSig.signature(col("e"), nBits).as("kernel"),
+          graft.functions.VectorFunctions.hyperplaneSignatureHof(col("e"), nBits).as("hof"))
+        .filter(col("kernel") =!= col("hof")).count()
+      assert(mismatches == 0, s"nBits=$nBits")
+    }
+    // pinned adversarial expectations (not just self-consistency)
+    val handOut = hand.select(col("vec_id"),
+        graft.functions.HyperplaneSig.signature(col("e"), 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(handOut(9001L) == 0L,
+      "empty array: sequence(0,-1)=[0,-1] null-pads the zip -> null scores -> bucket 0")
+    assert(handOut(9002L) == 0L, "null element poisons every plane score")
+    assert(handOut(9003L) == 15L, "zero vector: 0.0 >= 0 on every plane")
+  }
+
+  test("hyperplane_sig is callable from raw SQL with a foldable bit count") {
+    val r = spark.sql(
+      "SELECT hyperplane_sig(array(1.0D, -2.0D, 0.5D), 2 + 2) AS b").first().getLong(0)
+    val e = graft.functions.HyperplaneSig.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0, -2.0, 0.5)), 4)
+    assert(r == e)
+  }
+
 }
