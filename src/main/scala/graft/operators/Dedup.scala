@@ -553,6 +553,50 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[decontaminate]] with a Bloom pre-screen — the 100 TB shape when the
+    * eval shingle set itself is broadcast-heavy: the corpus posting
+    * explode first filters through a fixed-size Bloom filter (Spark's own
+    * BloomFilterAggregate/BloomFilterMightContain, the runtime-filter
+    * kernels, surfaced here as first-class operators), and only the
+    * survivors reach the exact shingle join. Bloom false POSITIVES are
+    * removed by that exact join; false negatives are impossible — so the
+    * output is IDENTICAL to [[decontaminate]] (q95 ships under q57's
+    * oracle), while the pre-screen prunes the shuffle/join volume by
+    * roughly the corpus's true-negative rate at a few MB of broadcast.
+    *
+    * `numBits` sizes the filter (default 2^23 bits = 1 MiB): fpp ~
+    * (1 - e^(-kn/m))^k; at 1 M eval shingles and 8.4 M bits that is well
+    * under 1 % — and fpp only costs pre-screen efficiency, never
+    * correctness.
+    */
+  def decontaminateBloom(docs: DataFrame, evalSource: String,
+                         shingleSize: Int, minShared: Long,
+                         numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val sh = graft.functions.WordGramHashes.wordGramHashes(col("text"), shingleSize)
+    val evalSh = docs.filter(col("source") === evalSource)
+      .select(explode(sh).as("h")).distinct()
+    // built distributed (treeAggregate), lands on the driver as a
+    // numBits/8-byte sketch — the bounded-matrix contract (k-means
+    // centroids pattern), embedded as the constant BloomFilterMightContain
+    // requires. Same serialized format as BloomFilterAggregate's.
+    val bf = evalSh.stat.bloomFilter("h", math.max(1L, numBits / 16), numBits)
+    val baos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(baos)
+    def mightContain(bloomBytes: Array[Byte], v: Column): Column =
+      GraftColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes),
+          GraftColumnBridge.expression(v)))
+    docs.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), explode(sh).as("h"))
+      .filter(mightContain(baos.toByteArray, col("h")))
+      .join(broadcast(evalSh), Seq("h")) // exact verify: kills false positives
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 4x16-bit band explode of a simhash fingerprint frame — the candidate
     * key for [[simhashPairs]] and [[admitIncremental]]. Pigeonhole: a pair
     * within Hamming distance 3 cannot differ in all 4 bands, so the band

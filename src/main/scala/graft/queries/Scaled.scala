@@ -180,7 +180,18 @@ object Scaled {
            dsum(col("o_totalprice"), 2).as("sum_price"))
   }
 
+  /** q57's benchmark decontamination through the Bloom pre-screen
+    * (operators.Dedup.decontaminateBloom): a fixed-MB filter prunes the
+    * corpus posting explode before the exact shingle join removes the
+    * filter's false positives — output identical to q57 by construction,
+    * declared under q57's own oracle.
+    */
+  def q95DecontamBloom(s: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminateBloom(Tables.documents(s, dir), evalSource = "src0",
+      shingleSize = 3, minShared = 3L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_decontam_bloom"        -> (q95DecontamBloom _),
     "q91_equidepth_hist"        -> (q91EquidepthHist _),
     "q72_token_budget_scaled"   -> (q72TokenBudgetScaled _),
     "q73_quantile_filter_scaled" -> (q73QuantileFilterScaled _),
@@ -196,6 +207,7 @@ object Scaled {
     * oracle (sketch), matching q44's precedent.
     */
   val oracles: Map[String, String] = Map(
+    "q95_decontam_bloom"         -> Extensions.oracles("q57_decontam"),
     "q91_equidepth_hist" ->
       """WITH ranked AS (
         |  SELECT o_totalprice,

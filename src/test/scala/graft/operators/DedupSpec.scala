@@ -315,4 +315,18 @@ class DedupSpec extends SparkSpecBase {
       (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
     assert(approx(r.getAs[Double]("cos_sim"), cos, 1e-4))
   }
+  test("decontaminateBloom equals the exact path even under heavy fpp pressure") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val exact = Dedup.decontaminate(docs, "src0", 3, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // default sizing AND a deliberately tiny 512-bit filter: false
+    // positives flood the pre-screen, the exact join must still kill them
+    for (bits <- Seq(1L << 23, 512L)) {
+      val bloom = Dedup.decontaminateBloom(docs, "src0", 3, 3L, numBits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bloom == exact, s"numBits=$bits")
+    }
+    assert(exact.nonEmpty)
+  }
+
 }
