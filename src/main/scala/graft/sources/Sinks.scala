@@ -40,6 +40,23 @@ object Sinks {
     rebalanced.write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Globally-sorted parquet: range-partition on the sort key, sort within
+    * each partition, write. Total order across files = (file range order)
+    * x (in-file order), with NO single-task global sort — the sampled
+    * range exchange bounds every task at ~N/parts rows. This is how a
+    * 100 TB table gets written in key order (for downstream merge scans,
+    * min/max-pruned range queries, or sequential training-data delivery);
+    * `df.orderBy(...).write` would plan the same exchange but a plain
+    * `sort` before a write is easy to get wrong by coalescing first.
+    * Parquet min/max footer stats then make key-range reads prune files —
+    * the sorted-layout complement of partition pruning (q84).
+    */
+  def parquetSorted(df: DataFrame, path: String, sortCol: String,
+                    parts: Int): Unit =
+    df.repartitionByRange(parts, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Bucketed parquet table: co-locates rows by `bucketCol` so equi-joins
     * and aggregations on that key run shuffle-free (both sides bucketed with
     * the same count). This is the 100 TB answer to repeated fact⋈fact joins

@@ -60,4 +60,34 @@ class BucketedSinksSpec extends SparkSpecBase {
            spark.read.parquet(naive).agg(org.apache.spark.sql.functions.sum("l_quantity")).head)
   }
 
+  test("sorted write yields non-overlapping, totally ordered file ranges") {
+    import spark.implicits._
+    val path = "/tmp/graft_orders_sorted"
+    Sinks.parquetSorted(graft.Tables.orders(spark, Sf0001), path, "o_totalprice", 8)
+    // per-file min/max from the data itself (mirrors the parquet footer
+    // stats a range scan would prune on)
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"),
+           count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._2)
+    assert(perFile.length > 1, "range partitioning must produce multiple files")
+    perFile.sliding(2).foreach {
+      case Array((_, _, hi1, _), (_, lo2, _, _)) =>
+        assert(hi1 <= lo2, "file key ranges must not overlap")
+      case _ => ()
+    }
+    // within-file order + global row preservation
+    val total = perFile.map(_._4).sum
+    assert(total == graft.Tables.orders(spark, Sf0001).count())
+    val unsorted = spark.read.parquet(path)
+      .withColumn("f", input_file_name())
+      .withColumn("prev", lag("o_totalprice", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f")
+          .orderBy(monotonically_increasing_id())))
+      .filter(col("prev") > col("o_totalprice")).count()
+    assert(unsorted == 0, "rows inside every file must be in key order")
+  }
+
 }
