@@ -57,6 +57,57 @@ object Sinks {
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Z-ordered parquet: interleave the bit-codes of two columns' quantile
+    * cells (a Morton curve) and range-partition + sort on that key — the
+    * multi-dimensional data-skipping layout (what table formats call
+    * OPTIMIZE ZORDER BY). A single-column sort prunes range reads on ONE
+    * column; Z-order makes parquet footer min/max stats selective on BOTH:
+    * a file covers a small square of (a, b) space instead of a full-width
+    * slice, so a query box selective in either dimension skips most files.
+    *
+    * Mechanics: per column, 2^bits quantile cells via one approx-quantile
+    * pass (boundaries are a bounded driver-side array re-embedded as
+    * literals — the chunkedPrefix pattern, and like there, boundary
+    * QUALITY only affects balance, never which rows are written); the cell
+    * id is a flat when-chain (q79 lesson), the Morton code is 2*bits
+    * codegen'd bit ops. Files split on ALIGNED z prefixes (`parts` must be
+    * a power of two): file id = z >> k, so every file covers one dyadic
+    * (a, b) rectangle — a SAMPLED range split on z would smear file
+    * boundaries across squares and halve the skipping. `colA` takes the
+    * most-significant interleave bit, so with an odd split it gets the
+    * finer slabs: put the column your queries band on most selectively
+    * first. One exchange total (range on the ~parts-valued file id).
+    */
+  def parquetZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                      parts: Int, bits: Int = 6): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    require(bits >= 2 && bits <= 8, s"bits must be in [2, 8], got $bits")
+    require(parts >= 2 && (parts & (parts - 1)) == 0 && parts <= (1 << (2 * bits)),
+      s"parts must be a power of two in [2, 4^bits], got $parts")
+    val nCells = 1 << bits
+    def cell(c: String): Column = {
+      val qs = (1 until nCells).map(_.toDouble / nCells)
+      val bounds = df.select(percentile_approx(col(c).cast("double"),
+          array(qs.map(lit): _*), lit(10000)).as("b"))
+        .head().getSeq[Double](0)
+      bounds.map(b => when(lit(b) <= col(c).cast("double"), 1).otherwise(0))
+        .reduce(_ + _)
+    }
+    val (ca, cb) = (cell(colA), cell(colB))
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(ca, i).bitwiseAND(lit(1)), 2 * i + 1) +
+        shiftleft(shiftright(cb, i).bitwiseAND(lit(1)), 2 * i)
+    }.reduce(_ + _)
+    val zPerFile = (1 << (2 * bits)) / parts
+    df.withColumn("__z", z)
+      .withColumn("__fid", expr(s"__z DIV $zPerFile"))
+      .repartitionByRange(parts, org.apache.spark.sql.functions.col("__fid"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__fid")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed parquet table: co-locates rows by `bucketCol` so equi-joins
     * and aggregations on that key run shuffle-free (both sides bucketed with
     * the same count). This is the 100 TB answer to repeated fact⋈fact joins

@@ -90,4 +90,43 @@ class BucketedSinksSpec extends SparkSpecBase {
     assert(unsorted == 0, "rows inside every file must be in key order")
   }
 
+  test("z-ordered layout skips more files than a single-column sort for 2-D boxes") {
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, Sf001) // 15k rows
+    val zPath = "/tmp/graft_orders_zorder"
+    val sPath = "/tmp/graft_orders_pricesorted"
+    Sinks.parquetZOrdered(orders, zPath, "o_custkey", "o_totalprice", parts = 32)
+    Sinks.parquetSorted(orders, sPath, "o_totalprice", parts = 32)
+
+    // per-file (min, max) of the SECONDARY column — the footer stats a
+    // custkey-selective scan would prune on
+    def filesTouched(path: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("o_custkey").as("lo"), max("o_custkey").as("hi"))
+        .filter(col("hi") >= lo && col("lo") <= hi)
+        .count()
+    def totalFiles(path: String): Long =
+      spark.read.parquet(path).select(input_file_name()).distinct().count()
+
+    // a box over the full price range but a narrow custkey band: the
+    // price-sorted layout spreads every custkey across every file (no
+    // pruning); z-order confines the band to a subset of files
+    val allCust = orders.agg(max("o_custkey")).head().getLong(0)
+    val (lo, hi) = (allCust / 2, allCust / 2 + allCust / 32)
+    val zTouched = filesTouched(zPath, lo, hi)
+    val sTouched = filesTouched(sPath, lo, hi)
+    assert(totalFiles(zPath) >= 8, "need enough files for pruning to mean anything")
+    assert(sTouched >= totalFiles(sPath) - 1,
+      "price-sorted layout should be unprunable on custkey (control)")
+    assert(zTouched * 2 <= sTouched,
+      s"z-order should touch at most half the files: $zTouched vs $sTouched")
+    // layout only: identical content
+    assert(spark.read.parquet(zPath).count() == orders.count())
+    // decimal-cast sums: IEEE double order differs by layout (by design)
+    def checksum(path: String) = spark.read.parquet(path)
+      .agg(sum(col("o_totalprice").cast("decimal(28,2)"))).head().getDecimal(0)
+    assert(checksum(zPath) == checksum(sPath))
+  }
+
 }
