@@ -680,6 +680,56 @@ object Dedup {
       .withColumn("admitted", !col("exact_dup") && col("n_neardup") === 0L)
   }
 
+  /** [[admitIncremental]] reshaped so the NEW side needs no aggregation —
+    * which makes it run UNCHANGED on a streaming frame (append mode, no
+    * watermark): the corpus pre-aggregates per-(band, bucket) candidate
+    * lists once (static side), each new doc looks up its 4 buckets via 4
+    * stream-static equi-joins, and the exact-Hamming verify happens
+    * per-row inside an array filter — no groupBy on the new side at all.
+    *
+    * Identical output to admitIncremental by construction (same exact-md5
+    * screen, same lossless 4x16 banding, same Hamming verify; candidates
+    * de-duped by (corpus doc, fp) before counting) — DedupSpec pins
+    * batch-vs-batch and stream-vs-batch equality. Corpus-side bucket
+    * lists are bounded by bucket population; a boilerplate mega-bucket
+    * inflates its array the same way it inflates the band join in the
+    * batch shape (same mitigation: cap/route ahead of admission, q25
+    * pattern).
+    */
+  def admitStream(newDocs: DataFrame, corpus: DataFrame,
+                  maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming $maxHamming > 3 breaks the 4-band pigeonhole (lossy candidates)")
+    def bucketOf(fp: Column, b: Int): Column =
+      shiftrightunsigned(fp, b * 16).bitwiseAND(lit(0xffffL))
+    val corpusBase = corpus.select(col("doc_id"), md5(col("text")).as("xfp"),
+      SimHash64.simhash64(col("text")).as("fp"))
+    val exactSet = corpusBase.select("xfp").distinct().withColumn("ex", lit(true))
+    val bandMaps = (0 until 4).map { b =>
+      corpusBase
+        .select(bucketOf(col("fp"), b).as(s"bucket_$b"),
+          struct(col("doc_id").as("cid"), col("fp").as("cfp")).as("c"))
+        .groupBy(s"bucket_$b").agg(collect_list("c").as(s"cands_$b"))
+    }
+    val emptyCands = array().cast("array<struct<cid:bigint,cfp:bigint>>")
+    var s = newDocs
+      .select(col("doc_id"), col("text"))
+      .withColumn("xfp", md5(col("text")))
+      .withColumn("fp", SimHash64.simhash64(col("text")))
+      .join(exactSet, Seq("xfp"), "left")
+    (0 until 4).foreach { b =>
+      s = s.withColumn(s"bucket_$b", bucketOf(col("fp"), b))
+        .join(broadcast(bandMaps(b)), Seq(s"bucket_$b"), "left")
+    }
+    s.withColumn("cands", array_distinct(flatten(array(
+        (0 until 4).map(b => coalesce(col(s"cands_$b"), emptyCands)): _*))))
+      .select(col("doc_id"), coalesce(col("ex"), lit(false)).as("exact_dup"),
+        size(filter(col("cands"),
+          c => SimHash64.hamming(col("fp"), c.getField("cfp")) <= maxHamming))
+          .cast("long").as("n_neardup"))
+      .withColumn("admitted", !col("exact_dup") && col("n_neardup") === 0L)
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by label (IVF-style blocking:
     * at 100 TB the block key would be a coarse-quantizer cell id).
     */

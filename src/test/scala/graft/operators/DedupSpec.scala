@@ -329,4 +329,35 @@ class DedupSpec extends SparkSpecBase {
     assert(exact.nonEmpty)
   }
 
+  test("admitStream equals admitIncremental on batch AND on a real stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+    val isNew = col("doc_id") % 10 === 0
+    val expect = Dedup.admitIncremental(docs, isNew)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getBoolean(3)))).toMap
+
+    val corpus = docs.filter(!isNew)
+    val newDocs = docs.filter(isNew).select("doc_id", "text")
+    // batch-on-batch equality
+    val batch = Dedup.admitStream(newDocs, corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(batch == expect)
+
+    // the SAME operator over a MemoryStream, fed in two batches
+    val input = MemoryStream[(Long, String)]
+    val q = Dedup.admitStream(input.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("admit_stream").start()
+    try {
+      val rows = newDocs.collect().map(r => (r.getLong(0), r.getString(1)))
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      val streamed = spark.table("admit_stream")
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(streamed == expect)
+    } finally q.stop()
+  }
+
 }
