@@ -190,7 +190,20 @@ object Scaled {
     Dedup.decontaminateBloom(Tables.documents(s, dir), evalSource = "src0",
       shingleSize = 3, minShared = 3L)
 
+  /** q67's incremental admission through the aggregation-free
+    * stream-compatible shape (operators.Dedup.admitStream): static band
+    * maps + per-row array-HOF Hamming verify — identical output by
+    * construction, declared under q67's own oracle. The twin that proves
+    * the streaming admission path hash-exact, not just spec-equal.
+    */
+  def q96AdmitMapFree(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val isNew = col("source").isin(Curation.NewBatchSources: _*)
+    Dedup.admitStream(docs.filter(isNew), docs.filter(!isNew))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_admit_map_free"        -> (q96AdmitMapFree _),
     "q95_decontam_bloom"        -> (q95DecontamBloom _),
     "q91_equidepth_hist"        -> (q91EquidepthHist _),
     "q72_token_budget_scaled"   -> (q72TokenBudgetScaled _),
@@ -207,6 +220,7 @@ object Scaled {
     * oracle (sketch), matching q44's precedent.
     */
   val oracles: Map[String, String] = Map(
+    "q96_admit_map_free"         -> Curation.oracles("q67_incremental_admit"),
     "q95_decontam_bloom"         -> Extensions.oracles("q57_decontam"),
     "q91_equidepth_hist" ->
       """WITH ranked AS (
