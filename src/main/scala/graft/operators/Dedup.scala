@@ -191,12 +191,16 @@ object Dedup {
     // are freed by the ContextCleaner when the plan is GC'd. Same
     // executor-loss caveat as the CC loop's localCheckpoint (documented
     // there, with checkpoint() as the long-cluster-run alternative).
+    // eager = false: materialization waits for the first ACTION over the
+    // returned frame — plan construction stays job-free (callers that
+    // build-but-never-run the plan pay nothing), and both consumers still
+    // share the one materialized copy once it runs.
     val sizedOpt =
       if (!routed) None
       else Some(bandedBuckets(withSig, bands, rows)
         .withColumn("__gsz", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-        .localCheckpoint())
+        .localCheckpoint(eager = false))
     val candidates = sizedOpt match {
       case None => lshCandidates(withSig, bands, rows, minBandCollisions, maxBucketSize)
       case Some(sized) =>
@@ -680,12 +684,67 @@ object Dedup {
       .withColumn("admitted", !col("exact_dup") && col("n_neardup") === 0L)
   }
 
+  private def admitBucketOf(fp: Column, b: Int): Column =
+    shiftrightunsigned(fp, b * 16).bitwiseAND(lit(0xffffL))
+
+  /** The static side of [[admitStream]], built once per corpus snapshot:
+    * the exact-md5 fingerprint set plus 4 per-(band, bucket) candidate
+    * maps. Each frame is O(corpus) BUT is only ever the build side of a
+    * SHUFFLED hash join — admitStream never broadcasts it, so corpus size
+    * is bounded by cluster disk, not driver/executor memory.
+    *
+    * [[Dedup.admissionIndex]] keeps the frames as in-plan aggregations
+    * (recomputed per microbatch — fine for tests and one-shot batch
+    * twins); [[Dedup.saveAdmissionIndex]] materializes them as BUCKETED
+    * parquet tables on the join keys, so a long-running stream pays the
+    * corpus-side aggregation once at build time and ZERO corpus-side
+    * shuffle per microbatch (the bucketed scan already satisfies the join
+    * distribution; only the microbatch's own rows shuffle).
+    */
+  final case class AdmissionIndex(exactSet: DataFrame, bandMaps: Seq[DataFrame])
+
+  /** Build the [[AdmissionIndex]] as in-plan frames (no materialization). */
+  def admissionIndex(corpus: DataFrame): AdmissionIndex = {
+    val corpusBase = corpus.select(col("doc_id"), md5(col("text")).as("xfp"),
+      SimHash64.simhash64(col("text")).as("fp"))
+    val exactSet = corpusBase.select("xfp").distinct().withColumn("ex", lit(true))
+    val bandMaps = (0 until 4).map { b =>
+      corpusBase
+        .select(admitBucketOf(col("fp"), b).as(s"bucket_$b"),
+          struct(col("doc_id").as("cid"), col("fp").as("cfp")).as("c"))
+        .groupBy(s"bucket_$b").agg(collect_list("c").as(s"cands_$b"))
+    }
+    AdmissionIndex(exactSet, bandMaps)
+  }
+
+  /** Materialize the [[AdmissionIndex]] as bucketed parquet tables
+    * (`<tableBase>_exact` bucketed on xfp, `<tableBase>_band{0..3}` on
+    * bucket_b) and read them back. The production shape for an unbounded
+    * stream over a corpus that outgrows memory: the one-time build cost is
+    * one pass over the corpus; afterwards every microbatch joins against
+    * the bucketed scans with no corpus-side shuffle and no broadcast.
+    */
+  def saveAdmissionIndex(corpus: DataFrame, tableBase: String,
+                         numBuckets: Int = 32): AdmissionIndex = {
+    val s = corpus.sparkSession
+    val idx = admissionIndex(corpus)
+    graft.sources.Sinks.parquetBucketed(idx.exactSet, s"${tableBase}_exact",
+      "xfp", numBuckets)
+    idx.bandMaps.zipWithIndex.foreach { case (m, b) =>
+      graft.sources.Sinks.parquetBucketed(m, s"${tableBase}_band$b",
+        s"bucket_$b", numBuckets)
+    }
+    AdmissionIndex(s.table(s"${tableBase}_exact"),
+      (0 until 4).map(b => s.table(s"${tableBase}_band$b")))
+  }
+
   /** [[admitIncremental]] reshaped so the NEW side needs no aggregation —
     * which makes it run UNCHANGED on a streaming frame (append mode, no
     * watermark): the corpus pre-aggregates per-(band, bucket) candidate
-    * lists once (static side), each new doc looks up its 4 buckets via 4
-    * stream-static equi-joins, and the exact-Hamming verify happens
-    * per-row inside an array filter — no groupBy on the new side at all.
+    * lists once (the [[AdmissionIndex]] static side), each new doc looks
+    * up its 4 buckets via 4 stream-static equi-joins, and the
+    * exact-Hamming verify happens per-row inside an array filter — no
+    * groupBy on the new side at all.
     *
     * Identical output to admitIncremental by construction (same exact-md5
     * screen, same lossless 4x16 banding, same Hamming verify; candidates
@@ -695,31 +754,28 @@ object Dedup {
     * inflates its array the same way it inflates the band join in the
     * batch shape (same mitigation: cap/route ahead of admission, q25
     * pattern).
+    *
+    * Scale shape: every index join carries a shuffle_hash hint on the
+    * STATIC side — the corpus is NEVER broadcast (an O(corpus) broadcast
+    * is a driver/executor OOM at a billion-doc corpus; this was exactly
+    * the round-5 scale-killer). Per microbatch that costs a shuffle of the
+    * microbatch's own rows on each join key; the static side shuffles too
+    * unless the index came from [[saveAdmissionIndex]], whose bucketed
+    * layout already satisfies the join distribution.
     */
-  def admitStream(newDocs: DataFrame, corpus: DataFrame,
-                  maxHamming: Int = 3): DataFrame = {
+  def admitStream(newDocs: DataFrame, index: AdmissionIndex,
+                  maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       s"maxHamming $maxHamming > 3 breaks the 4-band pigeonhole (lossy candidates)")
-    def bucketOf(fp: Column, b: Int): Column =
-      shiftrightunsigned(fp, b * 16).bitwiseAND(lit(0xffffL))
-    val corpusBase = corpus.select(col("doc_id"), md5(col("text")).as("xfp"),
-      SimHash64.simhash64(col("text")).as("fp"))
-    val exactSet = corpusBase.select("xfp").distinct().withColumn("ex", lit(true))
-    val bandMaps = (0 until 4).map { b =>
-      corpusBase
-        .select(bucketOf(col("fp"), b).as(s"bucket_$b"),
-          struct(col("doc_id").as("cid"), col("fp").as("cfp")).as("c"))
-        .groupBy(s"bucket_$b").agg(collect_list("c").as(s"cands_$b"))
-    }
     val emptyCands = array().cast("array<struct<cid:bigint,cfp:bigint>>")
     var s = newDocs
       .select(col("doc_id"), col("text"))
       .withColumn("xfp", md5(col("text")))
       .withColumn("fp", SimHash64.simhash64(col("text")))
-      .join(exactSet, Seq("xfp"), "left")
+      .join(index.exactSet.hint("shuffle_hash"), Seq("xfp"), "left")
     (0 until 4).foreach { b =>
-      s = s.withColumn(s"bucket_$b", bucketOf(col("fp"), b))
-        .join(broadcast(bandMaps(b)), Seq(s"bucket_$b"), "left")
+      s = s.withColumn(s"bucket_$b", admitBucketOf(col("fp"), b))
+        .join(index.bandMaps(b).hint("shuffle_hash"), Seq(s"bucket_$b"), "left")
     }
     s.withColumn("cands", array_distinct(flatten(array(
         (0 until 4).map(b => coalesce(col(s"cands_$b"), emptyCands)): _*))))
@@ -729,6 +785,14 @@ object Dedup {
           .cast("long").as("n_neardup"))
       .withColumn("admitted", !col("exact_dup") && col("n_neardup") === 0L)
   }
+
+  /** Convenience: build the index in-plan from a corpus frame. Long-running
+    * streams should pass a [[saveAdmissionIndex]] result instead, so the
+    * corpus aggregation is not replayed every microbatch.
+    */
+  def admitStream(newDocs: DataFrame, corpus: DataFrame,
+                  maxHamming: Int = 3): DataFrame =
+    admitStream(newDocs, admissionIndex(corpus), maxHamming)
 
   /** Embedding-cosine near-dup pairs, blocked by label (IVF-style blocking:
     * at 100 TB the block key would be a coarse-quantizer cell id).

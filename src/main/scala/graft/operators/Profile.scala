@@ -100,6 +100,68 @@ object Profile {
         "(col_name, n_non_null, n_nulls, n_distinct, min_val, max_val)"))
   }
 
+  /** Per-column profile of STRING columns — the text half of the ingest
+    * QA the reference runs via `.head()`/`.nunique()` table dumps
+    * (/root/reference/main.py:377-434): non-null count, null count, exact
+    * distinct count, min/max CHARACTER length, and the lexicographic
+    * min/max value, one row per column.
+    *
+    * Same plan shape as [[numericProfile]] (one shared scalar scan + one
+    * single-DISTINCT pass per column, broadcast-crossJoined back — the
+    * Expand-avoidance rationale documented there applies unchanged).
+    * Binary/codepoint collation on both engines makes the lexicographic
+    * min/max hash-comparable; length() counts characters, identical
+    * across engines for the BMP text the fixtures carry.
+    */
+  def stringProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val baseAggs = count(lit(1)).as("__n_rows") +: cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      min(length(col(c))).cast("long").as(s"${c}__minlen"),
+      max(length(col(c))).cast("long").as(s"${c}__maxlen"),
+      min(col(c)).as(s"${c}__min"),
+      max(col(c)).as(s"${c}__max"))
+    }
+    val base = df.agg(baseAggs.head, baseAggs.tail: _*)
+    val wide = cols.foldLeft(base) { (acc, c) =>
+      acc.crossJoin(broadcast(df.agg(count_distinct(col(c)).as(s"${c}__nd"))))
+    }
+    val branches = cols.map { c =>
+      s"'$c', `${c}__n`, __n_rows - `${c}__n`, `${c}__nd`, " +
+        s"`${c}__minlen`, `${c}__maxlen`, `${c}__min`, `${c}__max`"
+    }.mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $branches) AS " +
+        "(col_name, n_non_null, n_nulls, n_distinct, min_len, max_len, min_val, max_val)"))
+  }
+
+  /** Per-column profile of DATE (or date-castable timestamp) columns:
+    * non-null/null/exact-distinct counts plus ISO-rendered min/max day.
+    * Output schema matches [[stringProfile]] (len columns NULL — a date
+    * has no length) so mixed-type table profiles union into one frame,
+    * which is how q98 declares the whole-table audit.
+    */
+  def dateProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val asDate: String => org.apache.spark.sql.Column = c => col(c).cast("date")
+    val baseAggs = count(lit(1)).as("__n_rows") +: cols.flatMap { c => Seq(
+      count(asDate(c)).as(s"${c}__n"),
+      date_format(min(asDate(c)), "yyyy-MM-dd").as(s"${c}__min"),
+      date_format(max(asDate(c)), "yyyy-MM-dd").as(s"${c}__max"))
+    }
+    val base = df.agg(baseAggs.head, baseAggs.tail: _*)
+    val wide = cols.foldLeft(base) { (acc, c) =>
+      acc.crossJoin(broadcast(df.agg(count_distinct(asDate(c)).as(s"${c}__nd"))))
+    }
+    val branches = cols.map { c =>
+      s"'$c', `${c}__n`, __n_rows - `${c}__n`, `${c}__nd`, " +
+        s"CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), `${c}__min`, `${c}__max`"
+    }.mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $branches) AS " +
+        "(col_name, n_non_null, n_nulls, n_distinct, min_len, max_len, min_val, max_val)"))
+  }
+
   /** Fixed-width histogram of a numeric column: bucket i covers
     * [lo + i·width, lo + (i+1)·width), with under/overflow clamped into the
     * first/last bucket. NULLs AND NaNs are excluded — NULLs belong in the

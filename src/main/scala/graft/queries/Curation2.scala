@@ -142,15 +142,19 @@ object Curation2 {
         |  CAST(SUM(q * q) AS BIGINT) AS sum_q2,
         |  CAST(SUM(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat
         |FROM q GROUP BY 1, 2""".stripMargin,
+    // TRY_CAST(NULLIF(...)) mirrors Spark's null-yielding regexp_extract →
+    // cast on a source name WITHOUT trailing digits; plain CAST('' AS
+    // BIGINT) would raise in DuckDB — an engine divergence the srcN
+    // fixture naming otherwise masks
     "q88_mixture_weights" ->
       """WITH per AS (SELECT source, COUNT(*) AS n_docs,
         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per)
         |SELECT source, n_docs, n_tokens,
-        |  (CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 5 + 1) * 40000
+        |  (TRY_CAST(NULLIF(regexp_extract(source, '(\d+)$', 1), '') AS BIGINT) % 5 + 1) * 40000
         |    AS target_ppm,
-        |  ((CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 5 + 1) * 40000
+        |  ((TRY_CAST(NULLIF(regexp_extract(source, '(\d+)$', 1), '') AS BIGINT) % 5 + 1) * 40000
         |    * total_tokens) // n_tokens AS weight_ppm
         |FROM per, tot""".stripMargin,
     // q88's weight CTE + the md5-ppm keep rule (q60's '0x'||hex device,
@@ -161,7 +165,7 @@ object Curation2 {
         |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per),
         |w AS (SELECT source,
-        |  ((CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 5 + 1) * 40000
+        |  ((TRY_CAST(NULLIF(regexp_extract(source, '(\d+)$', 1), '') AS BIGINT) % 5 + 1) * 40000
         |    * total_tokens) // n_tokens AS weight_ppm
         |  FROM per, tot)
         |SELECT d.doc_id, d.source

@@ -80,9 +80,26 @@ object Quality {
            count(lit(1)).as("n_rows"))
   }
 
+  /** q98: whole-table text/date profile — the string half of the ingest
+    * QA (operators.Profile.stringProfile over the documents table's lang /
+    * source / text columns) unioned with the date profile of the events
+    * timestamp (Profile.dateProfile). The reference's first data-quality
+    * ask on any new table is exactly this `.head()`/`.nunique()`-style
+    * dump (/root/reference/main.py:377-434); here every stat is exact and
+    * SQL-expressible, so the whole 4-row audit hash-verifies. Plan shape
+    * per Profile.numericProfile: one shared scalar pass + one
+    * single-DISTINCT pass per column, never an Expand.
+    */
+  def q98TableProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.stringProfile(
+        Tables.documents(s, dir), Seq("lang", "source", "text"))
+      .unionByName(graft.operators.Profile.dateProfile(
+        Tables.events(s, dir), Seq("ts")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_ref_integrity" -> (q93RefIntegrity _),
-    "q94_iqr_outliers"  -> (q94IqrOutliers _))
+    "q94_iqr_outliers"  -> (q94IqrOutliers _),
+    "q98_table_profile" -> (q98TableProfile _))
 
   val oracles: Map[String, String] = Map(
     "q93_ref_integrity" ->
@@ -135,5 +152,32 @@ object Quality {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |  COUNT(*) AS n_rows
         |FROM ranked r JOIN f USING (o_orderpriority)
-        |GROUP BY 1, 2, 3""".stripMargin)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q98_table_profile" ->
+      """SELECT 'lang' AS col_name, COUNT(lang) AS n_non_null,
+        |  COUNT(*) - COUNT(lang) AS n_nulls,
+        |  COUNT(DISTINCT lang) AS n_distinct,
+        |  CAST(MIN(length(lang)) AS BIGINT) AS min_len,
+        |  CAST(MAX(length(lang)) AS BIGINT) AS max_len,
+        |  MIN(lang) AS min_val, MAX(lang) AS max_val
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', COUNT(source), COUNT(*) - COUNT(source),
+        |  COUNT(DISTINCT source),
+        |  CAST(MIN(length(source)) AS BIGINT), CAST(MAX(length(source)) AS BIGINT),
+        |  MIN(source), MAX(source)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'text', COUNT(text), COUNT(*) - COUNT(text),
+        |  COUNT(DISTINCT text),
+        |  CAST(MIN(length(text)) AS BIGINT), CAST(MAX(length(text)) AS BIGINT),
+        |  MIN(text), MAX(text)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'ts', COUNT(CAST(ts AS DATE)), COUNT(*) - COUNT(CAST(ts AS DATE)),
+        |  COUNT(DISTINCT CAST(ts AS DATE)),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  STRFTIME(MIN(CAST(ts AS DATE)), '%Y-%m-%d'),
+        |  STRFTIME(MAX(CAST(ts AS DATE)), '%Y-%m-%d')
+        |FROM events""".stripMargin)
 }

@@ -195,6 +195,10 @@ object Scaled {
     * maps + per-row array-HOF Hamming verify — identical output by
     * construction, declared under q67's own oracle. The twin that proves
     * the streaming admission path hash-exact, not just spec-equal.
+    * Since round 6 the index joins are shuffle_hash-hinted (NEVER
+    * broadcast — the corpus-sized band maps were round 5's one
+    * scale-killer); production streams pre-build the index as bucketed
+    * tables via Dedup.saveAdmissionIndex so only microbatch rows shuffle.
     */
   def q96AdmitMapFree(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("text").isNotNull)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Skew}
 
 /** Round-5 additions: corpus-signal and analytics queries a training-data
   * pipeline runs AFTER the cleaning/dedup families already shipped —
@@ -29,18 +29,34 @@ object Signals {
     * Shape: explode -> (doc_id, term) tf agg -> term-keyed cf agg -> join
     * back -> per-doc agg. Linear in total tokens, never pairwise. The cf
     * join is keyed on term, a Zipf-skewed key ("the" carries ~5 % of
-    * postings) — exactly what AQE skew-join splitting handles (the join
-    * side is an aggregate output, so salting would have to re-aggregate;
-    * at 100 TB enable spark.sql.adaptive.skewJoin and/or broadcast the
-    * top-K head terms, operators/Skew.scala pattern).
+    * postings): the declared query routes it through Skew.saltedJoin —
+    * the tf (postings) side salts deterministically on doc_id, the cf
+    * (vocabulary) side replicates saltBuckets×, so the head term's
+    * postings land on saltBuckets reducers instead of one. Replication
+    * cost is vocabulary-sized (already aggregated, tiny next to
+    * postings); both aggregations around the join are hash-aggs with
+    * map-side partials, so the hot key never funnels into one task
+    * anywhere in the plan. Identical output to the plain join — the
+    * shared oracle proves it, SignalsSpec pins the ≥k-way spread on a
+    * planted Zipf head.
     */
-  def q80TokenRarity(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+  def q80TokenRarity(s: SparkSession, dir: String): DataFrame =
+    tokenRarity(Tables.documents(s, dir).filter(col("text").isNotNull),
+      saltBuckets = 8)
+
+  /** q80's engine. saltBuckets = 0 keeps the plain term join (AQE
+    * skew-join territory); > 0 salts it (the shape that survives a Zipf
+    * head without relying on runtime re-planning).
+    */
+  def tokenRarity(docs: DataFrame, saltBuckets: Int = 0): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
-    tf.join(cf, "term")
+    val joined =
+      if (saltBuckets > 0) Skew.saltedJoin(tf, cf, "term", col("doc_id"), saltBuckets)
+      else tf.join(cf, "term")
+    joined
       .groupBy("doc_id")
       .agg((sum(col("tf") * col("cf")).cast("double") / sum("tf")).as("mean_cf"),
            min("cf").as("min_cf"))
@@ -116,6 +132,28 @@ object Signals {
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("total_value"))
   }
 
+  /** q97: the Z-order data-skipping read path — orders re-written once as
+    * Morton-interleaved parquet on (o_custkey, o_totalprice)
+    * (sources.Sinks.parquetZOrdered), then a 2-D band aggregate whose
+    * scan's pushed min/max predicates skip every file whose dyadic
+    * (custkey, price) rectangle misses the box (BucketedSinksSpec pins
+    * the skipping; SignalsSpec pins it for THIS band). The layout
+    * complement of q84: partition pruning cuts directories on a
+    * partition key, Z-order cuts files on two NON-partition columns —
+    * at 100 TB the dashboard's range reads (reference app.py:231,373)
+    * touch a few dyadic squares instead of the whole table. Result is
+    * bit-identical to the same predicate on the plain table — layout
+    * only, which the shared-oracle comparison proves.
+    */
+  def q97ZOrderRead(s: SparkSession, dir: String): DataFrame = {
+    val path = ZOrderedOrders.ensure(s, dir)
+    s.read.parquet(path)
+      .filter(col("o_custkey").between(40L, 120L) &&
+              col("o_totalprice").between(50000.0, 200000.0))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("total_price"))
+  }
+
   /** q89: gaps-and-islands — contiguous runs of the same event_type per
     * user (the classic state-timeline/SCD build): change flag via lag,
     * island id via running sum of flags, one groupBy per island. Windows
@@ -176,7 +214,8 @@ object Signals {
     "q83_funnel"          -> (q83Funnel _),
     "q84_partition_pruned" -> (q84PartitionPruned _),
     "q89_type_islands"    -> (q89TypeIslands _),
-    "q90_gap_fill"        -> (q90GapFill _))
+    "q90_gap_fill"        -> (q90GapFill _),
+    "q97_zorder_read"     -> (q97ZOrderRead _))
 
   val oracles: Map[String, String] = Map(
     "q80_token_rarity" ->
@@ -278,7 +317,16 @@ object Signals {
         |    ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
         |  dly.day_value IS NULL AS is_gap
         |FROM spine s LEFT JOIN daily dly
-        |  ON s.user_id = dly.user_id AND s.d = dly.d""".stripMargin)
+        |  ON s.user_id = dly.user_id AND s.d = dly.d""".stripMargin,
+    // the oracle reads the PLAIN table: Z-order must be physical layout
+    // only (q84's contract, for the two-column skipping layout)
+    "q97_zorder_read" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_custkey BETWEEN 40 AND 120
+        |  AND o_totalprice BETWEEN 50000 AND 200000
+        |GROUP BY 1""".stripMargin)
 }
 
 /** Date-partitioned twin of the events fixture, written once per
@@ -300,6 +348,29 @@ private[queries] object PartitionedEvents {
       graft.sources.Sinks.parquetPartitioned(
         Tables.events(s, dir).withColumn("d", to_date(col("ts"))),
         path.toString, "d")
+    }
+    path.toString
+  }
+}
+
+/** Z-ordered twin of the orders fixture on (o_custkey, o_totalprice),
+  * written once per (warehouse, sf-dir) through sources.Sinks
+  * .parquetZOrdered — the 2-D data-skipping counterpart of
+  * PartitionedEvents (same dir-hash naming, same _SUCCESS completeness
+  * check). o_custkey first: the q97 band is most selective on it, and the
+  * leading interleave bit gives it the finer dyadic slabs.
+  */
+private[queries] object ZOrderedOrders {
+  def ensure(s: SparkSession, dir: String): String = synchronized {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_orders_zorder_$tag")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      graft.sources.Sinks.parquetZOrdered(
+        Tables.orders(s, dir), path.toString,
+        "o_custkey", "o_totalprice", parts = 8)
     }
     path.toString
   }

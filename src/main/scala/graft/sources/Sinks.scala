@@ -88,10 +88,15 @@ object Sinks {
     val nCells = 1 << bits
     def cell(c: String): Column = {
       val qs = (1 until nCells).map(_.toDouble / nCells)
-      val bounds = df.select(percentile_approx(col(c).cast("double"),
+      // percentile_approx over an empty (or all-null) frame yields a null
+      // array — degrade to a single constant cell (every row in z-cell 0,
+      // one file) instead of NPE-ing; matches the other sinks' behavior of
+      // writing an empty/trivial dataset.
+      val bounds = Option(df.select(percentile_approx(col(c).cast("double"),
           array(qs.map(lit): _*), lit(10000)).as("b"))
-        .head().getSeq[Double](0)
-      bounds.map(b => when(lit(b) <= col(c).cast("double"), 1).otherwise(0))
+        .head().getSeq[Double](0)).getOrElse(Seq.empty)
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(lit(b) <= col(c).cast("double"), 1).otherwise(0))
         .reduce(_ + _)
     }
     val (ca, cb) = (cell(colA), cell(colB))

@@ -360,4 +360,58 @@ class DedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("admitStream never broadcasts the corpus-derived index") {
+    val docs = graft.Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+    val isNew = col("doc_id") % 10 === 0
+    val out = Dedup.admitStream(
+      docs.filter(isNew).select("doc_id", "text"), docs.filter(!isNew))
+    // pre-AQE physical plan: the round-5 scale-killer was an explicit
+    // broadcast() of the band maps — O(corpus) driver/executor memory.
+    // The shuffle_hash-hinted index joins must plan with zero broadcasts
+    // of ANY corpus-derived frame.
+    val plan = out.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastExchange"), s"corpus broadcast in plan:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"corpus broadcast join in plan:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled hash joins:\n$plan")
+  }
+
+  test("saveAdmissionIndex: bucketed static side joins without corpus-side shuffle") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = graft.Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+    val isNew = col("doc_id") % 10 === 0
+    val expect = Dedup.admitIncremental(docs, isNew)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getBoolean(3)))).toMap
+    try {
+      val idx = Dedup.saveAdmissionIndex(docs.filter(!isNew), "graft_admidx",
+        numBuckets = 8)
+      val out = Dedup.admitStream(docs.filter(isNew).select("doc_id", "text"),
+        idx, maxHamming = 3)
+      val got = out.collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(got == expect)
+      val plan = out.queryExecution.sparkPlan
+      assert(!plan.toString.contains("BroadcastExchange"),
+        s"corpus broadcast in plan:\n$plan")
+      // a shuffle whose ENTIRE subtree is an index-table scan would mean
+      // the bucketed layout failed to satisfy the join distribution — the
+      // per-microbatch corpus-side shuffle the bucketing exists to remove
+      val staticShuffles = plan.collect {
+        case e: ShuffleExchangeExec =>
+          val leaves = e.child.collectLeaves()
+          leaves.nonEmpty && leaves.forall {
+            case f: FileSourceScanExec =>
+              f.tableIdentifier.exists(_.table.startsWith("graft_admidx"))
+            case _ => false
+          }
+      }.count(identity)
+      assert(staticShuffles == 0,
+        s"bucketed index side must not re-shuffle:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_admidx_exact")
+      (0 until 4).foreach(b =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_admidx_band$b"))
+    }
+  }
+
 }

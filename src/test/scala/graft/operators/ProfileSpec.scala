@@ -19,6 +19,30 @@ class ProfileSpec extends SparkSpecBase {
     assert(got("b") == ((3L, 2L, 2L, 10.0, 30.0)))
   }
 
+  test("stringProfile: nulls, distincts, lengths and lexicographic extremes") {
+    val df = Seq[(String, String)](
+      ("apple", "x"), ("bee", null), ("apple", "yy"), (null, "x")
+    ).toDF("s", "t")
+    val got = Profile.stringProfile(df, Seq("s", "t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getString(6), r.getString(7)))).toMap
+    assert(got("s") == ((3L, 1L, 2L, 3L, 5L, "apple", "bee")))
+    assert(got("t") == ((3L, 1L, 2L, 1L, 2L, "x", "yy")))
+  }
+
+  test("dateProfile: day-granular counts and ISO min/max, null lens") {
+    val df = Seq[(String, String)](
+      ("2024-01-02 10:00:00", "a"), ("2024-01-02 23:59:59", "b"),
+      ("2024-03-15 00:00:00", "c"), (null, "d")
+    ).toDF("ts", "x").withColumn("ts", col("ts").cast("timestamp"))
+    val r = Profile.dateProfile(df, Seq("ts")).collect()(0)
+    assert(r.getString(0) == "ts")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 1L, 2L)))
+    assert(r.isNullAt(4) && r.isNullAt(5))
+    assert((r.getString(6), r.getString(7)) == (("2024-01-02", "2024-03-15")))
+  }
+
   test("histogram: exact edges, clamped tails, nulls excluded") {
     val vals = Seq[java.lang.Double](-5.0, 0.0, 9.99, 10.0, 15.0, 25.0, 99.0, null)
       .toDF("v")

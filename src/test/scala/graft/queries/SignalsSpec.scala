@@ -104,6 +104,40 @@ class SignalsSpec extends SparkSpecBase {
     assert(pruned.collect().map(_.toSeq).toSet == raw.collect().map(_.toSeq).toSet)
   }
 
+  test("q97 z-order read: band predicate reaches the scan and skips files") {
+    // build the layout via the query's own memoizer, then measure the
+    // footer-stats skipping for q97's exact band (the per-file min/max a
+    // parquet reader prunes row groups on)
+    val out = Signals.q97ZOrderRead(spark, Sf001)
+    val path = ZOrderedOrders.ensure(spark, Sf001)
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_custkey").as("clo"), max("o_custkey").as("chi"),
+           min("o_totalprice").as("plo"), max("o_totalprice").as("phi"))
+    val total = perFile.count()
+    val touched = perFile
+      .filter(col("chi") >= 40L && col("clo") <= 120L &&
+              col("phi") >= 50000.0 && col("plo") <= 200000.0)
+      .count()
+    // parts=8, but repartitionByRange's sampled boundaries may merge
+    // neighbouring dyadic squares into one file
+    assert(total >= 4, s"need enough files for skipping to mean anything: $total")
+    assert(touched < total,
+      s"q97's band must skip at least one file: $touched of $total touched")
+    // the band predicate is pushed to the parquet scan (row-group pruning)
+    val scanStr = out.queryExecution.executedPlan.toString
+    assert(scanStr.contains("PushedFilters") &&
+           scanStr.contains("GreaterThanOrEqual(o_custkey,40)"),
+      s"band filter not pushed:\n$scanStr")
+    // physical layout only: same result as the plain table
+    val raw = graft.Tables.orders(spark, Sf001)
+      .filter(col("o_custkey").between(40L, 120L) &&
+              col("o_totalprice").between(50000.0, 200000.0))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("total_price"))
+    assert(out.collect().map(_.toSeq).toSet == raw.collect().map(_.toSeq).toSet)
+  }
+
   test("q81 keep-best output is one row per cluster and covers all non-dup docs") {
     val out = Signals.q81DedupKeepBest(spark, Sf0001)
     val clusters = out.select("cluster").collect().map(_.getLong(0))
@@ -132,6 +166,27 @@ class SignalsSpec extends SparkSpecBase {
       1L -> ((2.5, 2L)),       // (3 + 2) / 2
       2L -> (((3 * 2 + 1).toDouble / 3, 1L)), // aa tf=2 cf=3, cc tf=1 cf=1
       3L -> ((2.0, 2L))))
+  }
+
+  test("q80 salted join: Zipf head spreads over >= k salt buckets, output unchanged") {
+    val k = 4
+    // planted Zipf head: 'the' appears in all 64 docs (the hot join key);
+    // each doc also carries a unique rare term
+    val docs = (0L until 64L).map(i => (i, s"the the rare_$i")).toDF("doc_id", "text")
+    val plain = Signals.tokenRarity(docs, saltBuckets = 0)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Signals.tokenRarity(docs, saltBuckets = k)
+    val got = salted.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got == plain, "salting must not change the result")
+    // the hot term's postings really land on >= k distinct (term, salt)
+    // reducer keys: doc_id-derived salt over the 64 hot-term postings
+    val spread = docs.select(
+        graft.operators.Skew.saltFor(col("doc_id"), k).as("salt"))
+      .distinct().count()
+    assert(spread == k.toLong, s"expected the hot key on $k buckets, got $spread")
+    // and the plan is a real salted join, not a re-aggregation detour
+    assert(salted.queryExecution.optimizedPlan.toString.contains("__salt"))
   }
   test("q89 islands: runs split exactly at type changes, in time order") {
     import java.sql.Timestamp
