@@ -54,6 +54,33 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // The numbered per-round artifact has twice been snapshotted from a
+    // truncated stdout tail (r4, r5 — lost the map head + total). Write
+    // the lossless line to the NEXT round's numbered file directly: the
+    // current round is max existing BENCH_r*.json + 1 (this main runs
+    // before the round's own snapshot exists).
+    try {
+      val dir = java.nio.file.Paths.get(".")
+      val rx = "BENCH_r(\\d+)\\.json".r
+      val listing = java.nio.file.Files.list(dir)
+      val maxR =
+        try {
+          val it = listing.iterator()
+          var m = 0
+          while (it.hasNext) {
+            it.next().getFileName.toString match {
+              case rx(n) => m = math.max(m, n.toInt)
+              case _     => ()
+            }
+          }
+          m
+        } finally listing.close()
+      if (maxR > 0)
+        java.nio.file.Files.writeString(
+          dir.resolve(f"BENCH_r${maxR + 1}%02d.json"), json + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write numbered artifact: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Similarity, TextChunks}
+import graft.operators.{Dedup, Similarity, TextChunks}
 
 /** Round-5 curation additions: line-level boilerplate removal (CCNet
   * pattern), sliding-window document chunking, int8 embedding
@@ -95,7 +95,65 @@ object Curation2 {
       idCol = "doc_id", stratumCol = "source", weights = weights)
   }
 
+  /** q99: the WHOLE curation pipeline as one declared, hash-verified
+    * composition — admission (q67) → near-dup resolve + survivor
+    * selection (q81) → top-quartile quality gate (q66) → per-lang token
+    * budget (q61) → sequence packing (q71). Each stage is an
+    * already-oracle-checked operator; what this query adds is the
+    * COMPOSITION under a single oracle string, so the driver verifies
+    * that outputs legally feed inputs (the admitted pool is the dedup
+    * universe, survivors are the quantile population, the budget's
+    * admission order is quality-on-the-filtered-set, the packer sees
+    * budget survivors only) — the part unit stages cannot prove.
+    *
+    * Scale shape: every stage keeps its own contract (band-joined
+    * admission, blocked pairs, hash-agg argmax survivors, per-lang
+    * windows over per-key-bounded groups); the chain adds no new shuffle
+    * wider than its widest stage.
+    */
+  def q99CurationChain(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val isNew = col("source").isin(Curation.NewBatchSources: _*)
+    // stage 1: admission — corpus docs plus ADMITTED new docs form the pool
+    val admitted = Dedup.admitIncremental(docs, isNew)
+      .filter(col("admitted")).select("doc_id")
+    val pool = docs.filter(!isNew)
+      .unionByName(docs.filter(isNew).join(admitted, "doc_id"))
+      .select("doc_id", "lang", "source", "text")
+    // stage 2: near-dup resolve + one survivor per cluster (q81 machinery)
+    val scored = pool.select(col("doc_id"), col("lang"), col("text"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    val survivors = Dedup.keepBest(scored.select("doc_id", "quality"),
+        Dedup.jaccardPairs(pool, threshold = 0.8))
+      .select("doc_id")
+    // stage 3: top quartile by quality per lang (q66 shape, over survivors)
+    val wq = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+    val quart = scored.join(survivors, "doc_id")
+      .withColumn("rn", row_number().over(wq))
+      .withColumn("nq", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rn") * 4 <= col("nq") + 3)
+      .drop("rn", "nq")
+    // stage 4: per-lang token budget in quality order (q61 shape)
+    val wb = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budgeted = quart
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens").cast("long")).over(wb), lit(0L)))
+      .filter(col("cum_before") < 3000L)
+    // stage 5: greedy sequence packing at 2048 tokens (q71 shape)
+    val wp = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    budgeted
+      .withColumn("pack_before",
+        coalesce(sum(col("n_tokens").cast("long")).over(wp), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("pack_before DIV 2048").as("seq_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_curation_chain"    -> (q99CurationChain _),
     "q85_boilerplate_strip" -> (q85BoilerplateStrip _),
     "q86_doc_chunks"        -> (q86DocChunks _),
     "q87_embed_quantize"    -> (q87EmbedQuantize _),
@@ -103,6 +161,65 @@ object Curation2 {
     "q92_mixture_resample"  -> (q92MixtureResample _))
 
   val oracles: Map[String, String] = Map(
+    // the five verified stage oracles CTE-chained into one statement:
+    // q67's admission (simhash CTEs + md5/band screens), q81's survivor
+    // closure (pair CTEs re-based onto the admitted pool), q66's
+    // quartile window, q61's budget window, q71's packer
+    "q99_curation_chain" -> {
+      val inList = Curation.NewBatchSources.map(x => s"'$x'").mkString(", ")
+      s"""WITH RECURSIVE ${Extensions.simhashFpCtes},
+        |base AS (
+        |  SELECT d.doc_id, d.lang, d.source, d.text, md5(d.text) AS xfp, f.fp
+        |  FROM documents d JOIN fps f USING (doc_id)
+        |  WHERE d.text IS NOT NULL),
+        |nw AS (SELECT * FROM base WHERE source IN ($inList)),
+        |co AS (SELECT * FROM base WHERE source NOT IN ($inList)),
+        |rej AS (
+        |  SELECT DISTINCT nw.doc_id FROM nw JOIN co ON nw.xfp = co.xfp
+        |  UNION
+        |  SELECT DISTINCT nw.doc_id FROM nw JOIN co
+        |    ON bit_count(xor(nw.fp, co.fp)) <= 3),
+        |pool AS (
+        |  SELECT doc_id, lang, source, text FROM co
+        |  UNION ALL
+        |  SELECT doc_id, lang, source, text FROM nw
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM rej)),
+        |${Extensions.unigramPairCtesOver("pool")},
+        |edges AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (SELECT a AS doc_id, least(a, min(b)) AS component
+        |           FROM reach GROUP BY a),
+        |scored AS (SELECT doc_id, lang, text,
+        |             ${Extensions.qualitySqlExpr} AS quality FROM pool),
+        |cl AS (SELECT s.doc_id, s.lang, s.text, s.quality,
+        |              coalesce(l.component, s.doc_id) AS cluster
+        |       FROM scored s LEFT JOIN labels l USING (doc_id)),
+        |surv AS (SELECT doc_id, lang, text, quality FROM (
+        |  SELECT cl.*, ROW_NUMBER() OVER (PARTITION BY cluster
+        |    ORDER BY quality DESC, doc_id) AS rk
+        |  FROM cl) q1 WHERE rk = 1),
+        |quart AS (SELECT doc_id, lang, text, quality FROM (
+        |  SELECT surv.*, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY quality DESC, doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY lang) AS nq
+        |  FROM surv) q2 WHERE rn * 4 <= nq + 3),
+        |budg AS (SELECT doc_id, lang, n_tokens FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+        |      PARTITION BY lang ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM quart) q3 WHERE cum_before < 3000)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    // 2048 AS seq_id
+        |FROM budg""".stripMargin
+    },
     "q85_boilerplate_strip" ->
       """WITH docs AS (SELECT doc_id,
         |    text || chr(10) || 'boiler_' || CAST(doc_id % 7 AS VARCHAR)

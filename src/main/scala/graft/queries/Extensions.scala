@@ -515,9 +515,13 @@ object Extensions {
     * definition so the pair semantics can never drift between the pair
     * query and the resolution query built on it.
     */
-  private[queries] val unigramPairCtes: String =
-    """t AS (SELECT doc_id, lang, source,
-      |    list_distinct(string_split(text, ' ')) AS ts FROM documents),
+  /** q24's pair CTEs over an arbitrary base relation — q99 reuses them
+    * over its admitted pool; the `documents` instantiation below stays the
+    * single source for the q24/q58/q81 oracles.
+    */
+  private[queries] def unigramPairCtesOver(table: String): String =
+    s"""t AS (SELECT doc_id, lang, source,
+      |    list_distinct(string_split(text, ' ')) AS ts FROM $table),
       |p AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db,
       |    len(list_intersect(a.ts, b.ts))
@@ -526,6 +530,8 @@ object Extensions {
       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
       |  WHERE len(list_intersect(a.ts, b.ts))
       |      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8)""".stripMargin
+
+  private[queries] val unigramPairCtes: String = unigramPairCtesOver("documents")
 
   /** Shared CTE chain computing SimHash64 fingerprints in DuckDB (FNV-1a
     * per token in HUGEINT mod-2^64, 64-bit majority vote, signed BIGINT

@@ -206,7 +206,83 @@ object Scaled {
     Dedup.admitStream(docs.filter(isNew), docs.filter(!isNew))
   }
 
+  /** q100/q101/q102: driver-checkable tolerance gates for the three
+    * sketch queries (q44 HLL distincts, q54 approx median, q76 approx
+    * profile) that are otherwise rows-only. The trick: every EXACT stat
+    * in the output is SQL-expressible, and the sketch estimate appears
+    * only through a BOOLEAN banded-ok column whose oracle value is TRUE —
+    * so the driver's hash compare verifies the band. Spark's sketches are
+    * deterministic (HLL registers merge by max; KLL quantile merge is
+    * order-stable under AQE's fixed partitioning), so the booleans are
+    * stable run-to-run at a given sf.
+    */
+  def q100HllBanded(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    // separate single-DISTINCT passes + broadcast crossJoins: the
+    // Profile.numericProfile Expand-avoidance shape
+    val exact = li.agg(count_distinct(col("l_partkey")).as("n_parts"))
+      .crossJoin(broadcast(li.agg(count_distinct(col("l_orderkey")).as("n_orders"))))
+      .crossJoin(broadcast(li.agg(count(lit(1)).as("n_rows"))))
+    val approx = li.agg(
+      approx_count_distinct(col("l_partkey")).as("ap"),
+      approx_count_distinct(col("l_orderkey")).as("ao"))
+    // default rsd 0.05 -> a 10 % band is 2 sigma; integer arithmetic only
+    exact.crossJoin(broadcast(approx))
+      .select(col("n_parts"), col("n_orders"), col("n_rows"),
+        (abs(col("ap") - col("n_parts")) * 10 <= col("n_parts")).as("parts_ok"),
+        (abs(col("ao") - col("n_orders")) * 10 <= col("n_orders")).as("orders_ok"))
+  }
+
+  /** q54's sketch median gated against the exact p40..p60 VALUE band —
+    * vastly wider than the sketch's 1e-4 rank error, yet still a real
+    * per-group assertion the oracle can state as TRUE.
+    */
+  def q101MedianBanded(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ranked = Tables.orders(s, dir)
+      .select("o_orderpriority", "o_totalprice", "o_orderkey")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+    val med = ranked
+      .filter(col("rn") === expr("(n + 1) DIV 2") || col("rn") === expr("(n + 2) DIV 2"))
+      .groupBy("o_orderpriority")
+      .agg((sum("o_totalprice") / count(lit(1))).as("median_price"))
+    val band = ranked
+      .filter(col("rn") === expr("(2 * n + 4) DIV 5") ||
+              col("rn") === expr("(3 * n + 4) DIV 5"))
+      .groupBy("o_orderpriority")
+      .agg(min(when(col("rn") === expr("(2 * n + 4) DIV 5"), col("o_totalprice"))).as("lo"),
+           min(when(col("rn") === expr("(3 * n + 4) DIV 5"), col("o_totalprice"))).as("hi"))
+    val approx = Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("am"))
+    med.join(band, "o_orderpriority").join(approx, "o_orderpriority")
+      .select(col("o_orderpriority"), col("median_price"),
+        (col("am") >= col("lo") && col("am") <= col("hi")).as("approx_ok"))
+  }
+
+  /** q76's approx profile gated per column: the exact stats ARE the q68
+    * profile (hash-verified directly); the HLL estimate appears only as
+    * the 2 %-band boolean the IntegrationSpec bound promoted into the
+    * driver-visible gate.
+    */
+  def q102ProfileBanded(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val exact = Profile.numericProfile(Tables.lineitem(s, dir), cols)
+    val approx = Profile.numericProfileApprox(Tables.lineitem(s, dir), cols)
+      .select(col("col_name"), col("n_distinct").as("nd_approx"))
+    exact.join(broadcast(approx), "col_name")
+      .select(col("col_name"), col("n_non_null"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"),
+        (abs(col("nd_approx") - col("n_distinct")) * 50 <= col("n_distinct")).as("nd_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_hll_banded"           -> (q100HllBanded _),
+    "q101_median_banded"        -> (q101MedianBanded _),
+    "q102_profile_banded"       -> (q102ProfileBanded _),
     "q96_admit_map_free"        -> (q96AdmitMapFree _),
     "q95_decontam_bloom"        -> (q95DecontamBloom _),
     "q91_equidepth_hist"        -> (q91EquidepthHist _),
@@ -224,6 +300,18 @@ object Scaled {
     * oracle (sketch), matching q44's precedent.
     */
   val oracles: Map[String, String] = Map(
+    // banded sketch gates: exact stats verbatim from the exact oracles,
+    // sketch estimates surfaced ONLY as booleans the oracle states as TRUE
+    "q100_hll_banded" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(*) AS n_rows,
+        |  TRUE AS parts_ok, TRUE AS orders_ok
+        |FROM lineitem""".stripMargin,
+    "q101_median_banded" ->
+      s"SELECT t.*, TRUE AS approx_ok FROM (\n${Relational3.oracles("q48_median")}\n) t",
+    "q102_profile_banded" ->
+      s"SELECT t.*, TRUE AS nd_ok FROM (\n${Curation.oracles("q68_profile")}\n) t",
     "q96_admit_map_free"         -> Curation.oracles("q67_incremental_admit"),
     "q95_decontam_bloom"         -> Extensions.oracles("q57_decontam"),
     "q91_equidepth_hist" ->

@@ -138,6 +138,113 @@ object EventStreams {
       }
   }
 
+  final case class IslandEvent(tsUs: Long, eventId: Long, eventType: String)
+  final case class IslandBuf(events: List[IslandEvent])
+  final case class IslandRow(user_id: Long, island: Long, event_type: String,
+                             n_events: Long, t_start: Timestamp, t_end: Timestamp,
+                             n_islands: Long)
+
+  private def eventMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Streaming gaps-and-islands — the incremental twin of batch q89:
+    * contiguous same-type runs per user, re-derived each time the user
+    * receives events and emitted in Update mode (later emissions
+    * supersede earlier ones per (user_id, island) — funnelStream's
+    * refinement contract). State is the user's compact event history
+    * ((ts, id, type) triples): the SAME per-key-volume bound as the batch
+    * query's user-partitioned window sort, because islands are
+    * non-associative under late data — an out-of-order event can split or
+    * merge runs arbitrarily far from the stream head, so nothing smaller
+    * reproduces batch semantics. A late MERGE shrinks the user's island
+    * count; emissions carry n_islands so an upserting consumer trims
+    * islands > n_islands (retraction-by-counter). Retention for dead
+    * users is one EventTimeTimeout away (sessionize's pattern) and is a
+    * product decision, not a default.
+    */
+  def islandsStream(spark: SparkSession, events: Dataset[Event]): Dataset[IslandRow] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[IslandBuf, IslandRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[IslandBuf]) =>
+          val add = rows.map(e =>
+            IslandEvent(eventMicros(e.ts), e.event_id, e.event_type)).toList
+          val all = (state.getOption.map(_.events).getOrElse(Nil) ++ add)
+            .sortBy(e => (e.tsUs, e.eventId))
+          state.update(IslandBuf(all))
+          // fold the sorted history into runs — the imperative mirror of
+          // the batch lag-change-flag + running-sum window
+          val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+          all.foreach { e =>
+            runs.lastOption match {
+              case Some((t, n, s0, _)) if t == e.eventType =>
+                runs(runs.length - 1) = (t, n + 1L, s0, e.tsUs)
+              case _ => runs += ((e.eventType, 1L, e.tsUs, e.tsUs))
+            }
+          }
+          val total = runs.length.toLong
+          runs.iterator.zipWithIndex.map { case ((t, n, s0, s1), i) =>
+            IslandRow(userId, i + 1L, t, n, microsTs(s0), microsTs(s1), total)
+          }
+      }
+  }
+
+  final case class GapState(days: Map[Int, Long]) // epochDay -> micro-sum
+  final case class GapRow(user_id: Long, d: java.sql.Date, day_value: Option[Double],
+                          filled: Double, is_gap: Boolean)
+
+  /** Streaming date-spine gap fill + LOCF — the incremental twin of batch
+    * q90: per-user daily totals, densified from the user's first to last
+    * active day, gaps carried forward. State per user is the day->total
+    * map (span-bounded, the batch spine's own bound); each update emits
+    * the user's FULL refreshed spine in Update mode. Unlike islands, gap
+    * fill never retracts: late events only extend the spine or fill a
+    * day in place, so (user_id, d) upserts converge to the batch result
+    * with no counter protocol.
+    *
+    * Day totals accumulate as scale-6 fixed-point longs — bit-identical
+    * to the batch dsum's decimal sum (double->decimal(_,6) is
+    * HALF_UP-rounded in both places), so the doubles LOCF copies are the
+    * same bits at any arrival order.
+    */
+  def gapFillStream(spark: SparkSession, events: Dataset[Event]): Dataset[GapRow] = {
+    import spark.implicits._
+    val usPerDay = 86400000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, GapRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[GapState]) =>
+          var days = state.getOption.map(_.days).getOrElse(Map.empty[Int, Long])
+          rows.foreach { e =>
+            val d = math.floorDiv(eventMicros(e.ts), usPerDay).toInt
+            val m = java.math.BigDecimal.valueOf(e.value)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+            days = days.updated(d, days.getOrElse(d, 0L) + m)
+          }
+          state.update(GapState(days))
+          val d0 = days.keys.min
+          val d1 = days.keys.max
+          var lastFilled = 0.0
+          (d0 to d1).iterator.map { d =>
+            val v = days.get(d).map(m =>
+              new java.math.BigDecimal(java.math.BigInteger.valueOf(m), 6).doubleValue())
+            v.foreach(lastFilled = _)
+            GapRow(userId, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong)),
+              v, lastFilled, v.isEmpty)
+          }
+      }
+  }
+
   /** Streaming exact dedup on event_id bounded by the watermark — the
     * incremental twin of Dedup.exact: state holds only ids newer than the
     * watermark, so memory is bounded at any corpus size.

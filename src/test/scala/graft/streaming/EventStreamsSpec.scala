@@ -162,6 +162,94 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("islandsStream final islands match batch q89, fed out of order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = Sf0001
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.islandsStream(spark, input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("islands_out").start()
+    try {
+      val events = graft.Tables.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStreams.Event].collect()
+      // second half first: every batch-1 user receives late batch-2 events
+      val (a, b) = events.partition(_.event_id % 2 == 0)
+      input.addData(b.toSeq); q.processAllAvailable()
+      input.addData(a.toSeq); q.processAllAvailable()
+      // latest emission per (user, island), trimmed by the island counter
+      val rows = spark.table("islands_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getLong(3), r.getTimestamp(4), r.getTimestamp(5),
+            r.getLong(6)))).toMap
+      val counts = rows.collect { case ((u, 1L), (_, _, _, _, total)) => u -> total }
+      val streaming = rows.collect {
+        case ((u, i), (t, n, s0, s1, _)) if i <= counts(u) =>
+          (u, i, t, n, s0.toLocalDateTime, s1.toLocalDateTime)
+      }.toSet
+      val batch = graft.queries.Signals.q89TypeIslands(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getAs[java.time.LocalDateTime](4), r.getAs[java.time.LocalDateTime](5))).toSet
+      assert(streaming == batch)
+    } finally q.stop()
+  }
+
+  test("islandsStream: a late middle event splits a run and renumbers islands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.islandsStream(spark, input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("islands_late").start()
+    try {
+      input.addData(
+        EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 5L, "view", 0.0),
+        EventStreams.Event(3L, ts("2024-01-01 10:10:00"), 5L, "view", 0.0))
+      q.processAllAvailable()
+      val first = spark.table("islands_late").collect()
+      assert(first.map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSet ==
+        Set((1L, "view", 2L)), "one 2-event island before the late arrival")
+      // a CLICK lands between the two views -> three islands
+      input.addData(EventStreams.Event(2L, ts("2024-01-01 10:05:00"), 5L, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("islands_late").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getLong(3), r.getLong(6)))).toMap
+      val total = rows((5L, 1L))._3
+      assert(total == 3L)
+      assert((1L to 3L).map(i => rows((5L, i))._1) == Seq("view", "click", "view"))
+    } finally q.stop()
+  }
+
+  test("gapFillStream converges to batch q90 under out-of-order arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = Sf0001
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.gapFillStream(spark, input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("gapfill_out").start()
+    try {
+      val events = graft.Tables.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStreams.Event].collect()
+      val (a, b) = events.partition(_.event_id % 2 == 0)
+      input.addData(b.toSeq); q.processAllAvailable()
+      input.addData(a.toSeq); q.processAllAvailable()
+      // gap fill never retracts: latest (user, day) row is the answer
+      val streaming = spark.table("gapfill_out").collect()
+        .map(r => (r.getLong(0), r.getDate(1).toLocalDate) ->
+          ((Option(r.get(2)).map(_.asInstanceOf[Double]), r.getDouble(3),
+            r.getBoolean(4)))).toMap
+      val batch = graft.queries.Signals.q90GapFill(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1).toLocalDate) ->
+          ((Option(r.get(2)).map(_.asInstanceOf[Double]), r.getDouble(3),
+            r.getBoolean(4)))).toMap
+      assert(streaming == batch)
+    } finally q.stop()
+  }
+
   test("funnelStream refines the stage when earlier events arrive late") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
