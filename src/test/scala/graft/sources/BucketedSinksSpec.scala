@@ -90,6 +90,20 @@ class BucketedSinksSpec extends SparkSpecBase {
     assert(unsorted == 0, "rows inside every file must be in key order")
   }
 
+  test("z-ordered write degrades to a plain write on empty and all-null input") {
+    import spark.implicits._
+    val path = "/tmp/graft_zorder_degenerate"
+    // empty frame: percentile_approx returns a null array -> constant cell
+    Sinks.parquetZOrdered(
+      Seq.empty[(Long, Double)].toDF("a", "b"), path, "a", "b", parts = 4)
+    assert(spark.read.parquet(path).count() == 0)
+    // all-null quantile column: same degradation, rows preserved
+    val nulls = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, null), (2L, null)).toDF("a", "b")
+    Sinks.parquetZOrdered(nulls, path, "a", "b", parts = 4)
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
   test("z-ordered layout skips more files than a single-column sort for 2-D boxes") {
     import spark.implicits._
     val orders = graft.Tables.orders(spark, Sf001) // 15k rows
