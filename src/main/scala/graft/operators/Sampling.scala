@@ -64,4 +64,32 @@ object Sampling {
     df.join(broadcast(weights), stratumCol)
       .filter(ppmBucket(col(idCol)) < col("weight_ppm"))
       .drop("weight_ppm")
+
+  /** Repetition-based UPsampling to a target mixture — the half of mixture
+    * application [[resampleToMixture]] cannot do: a stratum with
+    * weight_ppm > 1e6 must appear weight/1e6 times per epoch of the
+    * corpus. Each row emits `weight_ppm DIV 1e6` full copies plus one
+    * more iff its ppm bucket falls under `weight_ppm % 1e6` — so expected
+    * copies = weight_ppm/1e6 exactly, per-row deterministic, and a
+    * weight ≤ 1e6 degenerates to resampleToMixture's keep rule with
+    * every survivor at epoch 0. The `epoch` column (0-based copy index)
+    * is what a downstream shuffler salts on so repeated copies don't
+    * co-locate.
+    *
+    * Shape at 100 TB: broadcast weights join + explode(sequence) of an
+    * INTEGER range — map-only, output exactly sized to the mixture, no
+    * shuffle, no RNG. The explode multiplies ROWS, not bytes-per-row,
+    * and never exceeds ceil(max weight) copies; same inner-join
+    * missing-stratum contract as resampleToMixture.
+    */
+  def upsampleToMixture(df: DataFrame, idCol: String, stratumCol: String,
+                        weights: DataFrame): DataFrame =
+    df.join(broadcast(weights), stratumCol)
+      .withColumn("__copies",
+        expr("weight_ppm DIV 1000000") +
+          when(ppmBucket(col(idCol)) < expr("weight_ppm % 1000000"), 1L)
+            .otherwise(0L))
+      .filter(col("__copies") > 0L)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("weight_ppm", "__copies")
 }

@@ -152,8 +152,25 @@ object Curation2 {
         expr("pack_before DIV 2048").as("seq_id"))
   }
 
+  /** q104: apply q88's weights by REPETITION — the upsampling half q92's
+    * filter cannot express (operators.Sampling.upsampleToMixture). An
+    * under-represented source (weight_ppm > 1e6) emits floor(weight/1e6)
+    * full epochs per doc plus an md5-ppm fractional epoch; the epoch
+    * column is the copy index a downstream shuffler salts on. End-to-end
+    * deterministic: weights in-plan (q88), broadcast join, integer
+    * arithmetic, no RNG — the oracle replays copies via generate_series.
+    */
+  def q104MixtureUpsample(s: SparkSession, dir: String): DataFrame = {
+    val weights = q88MixtureWeights(s, dir).select("source", "weight_ppm")
+    graft.operators.Sampling.upsampleToMixture(
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source")),
+      idCol = "doc_id", stratumCol = "source", weights = weights)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_curation_chain"    -> (q99CurationChain _),
+    "q104_mixture_upsample" -> (q104MixtureUpsample _),
     "q85_boilerplate_strip" -> (q85BoilerplateStrip _),
     "q86_doc_chunks"        -> (q86DocChunks _),
     "q87_embed_quantize"    -> (q87EmbedQuantize _),
@@ -289,5 +306,25 @@ object Curation2 {
         |FROM documents d JOIN w USING (source)
         |WHERE d.text IS NOT NULL
         |  AND ('0x' || substr(md5(coalesce(d.doc_id::VARCHAR, '')), 1, 8))::BIGINT
-        |      % 1000000 < w.weight_ppm""".stripMargin)
+        |      % 1000000 < w.weight_ppm""".stripMargin,
+    // q92's weight CTEs + integer copy count + generate_series replay of
+    // the epoch explode
+    "q104_mixture_upsample" ->
+      """WITH per AS (SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per),
+        |w AS (SELECT source,
+        |  ((TRY_CAST(NULLIF(regexp_extract(source, '(\d+)$', 1), '') AS BIGINT) % 5 + 1) * 40000
+        |    * total_tokens) // n_tokens AS weight_ppm
+        |  FROM per, tot),
+        |c AS (SELECT d.doc_id, d.source,
+        |    w.weight_ppm // 1000000
+        |    + CASE WHEN ('0x' || substr(md5(coalesce(d.doc_id::VARCHAR, '')), 1, 8))::BIGINT
+        |        % 1000000 < w.weight_ppm % 1000000 THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN w USING (source)
+        |  WHERE d.text IS NOT NULL)
+        |SELECT doc_id, source, CAST(t.e AS BIGINT) AS epoch
+        |FROM c, unnest(generate_series(0, copies - 1)) AS t(e)
+        |WHERE copies > 0""".stripMargin)
 }

@@ -206,6 +206,23 @@ object Scaled {
     Dedup.admitStream(docs.filter(isNew), docs.filter(!isNew))
   }
 
+  /** q96 through the PRODUCTION static side: the corpus AdmissionIndex
+    * pre-materialized as bucketed parquet tables
+    * (operators.Dedup.saveAdmissionIndex, memoized per (session, sf-dir)
+    * like the q75 bucketed twins) — each admission batch then joins
+    * against bucketed scans with zero corpus-side shuffle and zero
+    * broadcast. Declared under q67's oracle like q96: one semantics,
+    * now THREE hash-equal plans (batch aggregate / in-plan index /
+    * persisted bucketed index), which is exactly the migration path a
+    * 100 TB corpus follows as it outgrows each shape.
+    */
+  def q103AdmitIndexed(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val isNew = col("source").isin(Curation.NewBatchSources: _*)
+    Dedup.admitStream(docs.filter(isNew).select("doc_id", "text"),
+      AdmissionIndexTables.ensure(s, dir), maxHamming = 3)
+  }
+
   /** q100/q101/q102: driver-checkable tolerance gates for the three
     * sketch queries (q44 HLL distincts, q54 approx median, q76 approx
     * profile) that are otherwise rows-only. The trick: every EXACT stat
@@ -283,6 +300,7 @@ object Scaled {
     "q100_hll_banded"           -> (q100HllBanded _),
     "q101_median_banded"        -> (q101MedianBanded _),
     "q102_profile_banded"       -> (q102ProfileBanded _),
+    "q103_admit_indexed"        -> (q103AdmitIndexed _),
     "q96_admit_map_free"        -> (q96AdmitMapFree _),
     "q95_decontam_bloom"        -> (q95DecontamBloom _),
     "q91_equidepth_hist"        -> (q91EquidepthHist _),
@@ -313,6 +331,7 @@ object Scaled {
     "q102_profile_banded" ->
       s"SELECT t.*, TRUE AS nd_ok FROM (\n${Curation.oracles("q68_profile")}\n) t",
     "q96_admit_map_free"         -> Curation.oracles("q67_incremental_admit"),
+    "q103_admit_indexed"         -> Curation.oracles("q67_incremental_admit"),
     "q95_decontam_bloom"         -> Extensions.oracles("q57_decontam"),
     "q91_equidepth_hist" ->
       """WITH ranked AS (
@@ -350,6 +369,36 @@ object Scaled {
   * hash of the source dir so two scale factors in one JVM (the test
   * suite) never collide.
   */
+/** The corpus AdmissionIndex persisted as bucketed tables, written once per
+  * (session, sf-dir) through Dedup.saveAdmissionIndex and memoized — q103's
+  * static side (same dir-hash naming and stale-leftover handling as
+  * BucketedTables below).
+  */
+private[queries] object AdmissionIndexTables {
+  def ensure(s: SparkSession, dir: String): graft.operators.Dedup.AdmissionIndex =
+    synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"graft_admidx_$tag"
+      val names = s"${base}_exact" +: (0 until 4).map(b => s"${base}_band$b")
+      if (!names.forall(s.catalog.tableExists)) {
+        names.foreach { t =>
+          if (!s.catalog.tableExists(t)) {
+            val wh = new org.apache.hadoop.fs.Path(
+              s.conf.get("spark.sql.warehouse.dir"), t)
+            val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+            if (fs.exists(wh)) fs.delete(wh, true)
+          }
+        }
+        val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+        val corpus = docs.filter(!col("source").isin(Curation.NewBatchSources: _*))
+        Dedup.saveAdmissionIndex(corpus, base, numBuckets = 32)
+      }
+      graft.operators.Dedup.AdmissionIndex(
+        s.table(s"${base}_exact"), (0 until 4).map(b => s.table(s"${base}_band$b")))
+    }
+}
+
 private[queries] object BucketedTables {
   def ensure(s: SparkSession, dir: String): (String, String) = synchronized {
     val tag = java.security.MessageDigest.getInstance("MD5")

@@ -25,6 +25,33 @@ class SamplingSpec extends SparkSpecBase {
     assert(k30a == k30b)
   }
 
+  test("upsampleToMixture: integer epochs exact, fractional epoch ~ rate, downweight degenerates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "src")
+    // a: 2.5 epochs -> every doc 2 or 3 copies; b: 0.4 -> resample rule
+    val weights = Seq(("a", 2500000L), ("b", 400000L)).toDF("src", "weight_ppm")
+    val out = Sampling.upsampleToMixture(df, "doc_id", "src", weights)
+    val perDoc = out.filter(col("src") === "a").groupBy("doc_id").count()
+      .collect().map(_.getLong(1))
+    assert(perDoc.forall(n => n == 2L || n == 3L))
+    val aCopies = perDoc.sum.toDouble / perDoc.length
+    assert(aCopies > 2.4 && aCopies < 2.6, s"mean a-copies $aCopies")
+    // epochs are a dense 0..n-1 index per doc
+    val maxEpoch = out.filter(col("src") === "a").groupBy("doc_id")
+      .agg(max("epoch").as("m"), count(lit(1)).as("n"))
+      .filter(col("m") =!= col("n") - 1).count()
+    assert(maxEpoch == 0L)
+    // weight <= 1e6: identical doc set to resampleToMixture, all epoch 0
+    val up = out.filter(col("src") === "b")
+    val down = Sampling.resampleToMixture(df.filter(col("src") === "b"),
+      "doc_id", "src", weights)
+    assert(up.filter(col("epoch") =!= 0L).count() == 0L)
+    assert(up.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      down.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("stratified rates hold per stratum on the fixture") {
     val sample = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 100, "de" -> 50), defaultPct = 25)
