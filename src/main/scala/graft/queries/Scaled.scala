@@ -296,11 +296,80 @@ object Scaled {
         (abs(col("nd_approx") - col("n_distinct")) * 50 <= col("n_distinct")).as("nd_ok"))
   }
 
+  /** q105: the q100-q102 banded trick applied to the LAST rows-only query
+    * family — a driver-checkable RECALL gate for q25's MinHash+LSH
+    * banding (32 hashes, 8 bands, ≥2 collisions). The exact blocked
+    * unigram-Jaccard pair set (q24's semantics) restricted to q25's en
+    * slice is SQL-expressible and appears as the exact column; the LSH
+    * result enters only through the recall_ok boolean (oracle value
+    * TRUE). MinHash signatures are seed-fixed and the band walk
+    * deterministic, so the boolean is stable at a given sf — DedupSpec's
+    * sf0.001 recall assertion promoted into the driver-visible gate at
+    * every sf the driver runs. Measured: 0.974 / 0.955 / 0.973 at
+    * sf0.001/0.01/0.1 against the 0.8 gate.
+    *
+    * Deliberately UNCAPPED (no maxBucketSize): the gate measures the
+    * banding math. The declared q25 additionally caps degenerate
+    * boilerplate buckets out of the candidate walk — a documented trade
+    * that excludes intra-cluster near-dup pairs (only identical-set pairs
+    * come back via routeOverCapExact) precisely because enumerating a
+    * 930-doc cluster's pairs is the quadratic blowup LSH exists to avoid;
+    * its drop volume is observable via the `graft_q25_bucket_cap` metric.
+    *
+    * Scale shape: the exact side keeps q24's O(block²) contract (it IS the
+    * audit — at production scale you run it on a sampled slice); the
+    * comparison is two left-semi joins on (doc_id_a, doc_id_b) and two
+    * single-row aggregates.
+    */
+  def q105LshRecallBanded(s: SparkSession, dir: String): DataFrame = {
+    val en = Tables.documents(s, dir).filter(col("lang") === "en")
+    // blocked exact pairs (q24) restricted to the en slice: blocking is on
+    // (lang, source), so doc_id_a's lang decides the pair's block lang
+    val exactEn = Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8)
+      .join(en.select(col("doc_id").as("doc_id_a")), Seq("doc_id_a"), "left_semi")
+    val lsh = Dedup.minhashLsh(en, shingleSize = 1, numHashes = 32, bands = 8,
+        threshold = 0.8, minBandCollisions = 2)
+      .select("doc_id_a", "doc_id_b")
+    val nExact = exactEn.agg(count(lit(1)).as("n_exact_pairs"))
+    val nFound = exactEn.join(lsh, Seq("doc_id_a", "doc_id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    nExact.crossJoin(broadcast(nFound))
+      .select(col("n_exact_pairs"),
+        (col("n_found") * 10L >= col("n_exact_pairs") * 8L).as("recall_ok"))
+  }
+
+  /** q106: cross-source contamination matrix — for every source pair, how
+    * many distinct winnowing fingerprints (q51's MOSS scheme) they share.
+    * The first question a curation owner asks before mixing sources: which
+    * ones already overlap, and how much. Exact-fingerprint overlap is too
+    * sparse to rank on (8 shared md5s in the whole sf0.1 corpus); winnow
+    * fingerprints measure shared PASSAGES, which is the contamination that
+    * matters.
+    *
+    * Scale shape: distinct (source, fp) is one shuffle; after it each fp
+    * appears at most n_sources times, so the self-join on fp fans out
+    * ≤ n_sources² rows per fingerprint — quadratic in SOURCES (tens), never
+    * in documents. No broadcast of anything corpus-sized.
+    */
+  def q106SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(s, dir).select(
+        col("source"),
+        explode(graft.functions.WinnowFingerprint.winnow(col("text"))).as("fp"))
+      .distinct()
+    fps.select(col("fp"), col("source").as("source_a"))
+      .join(fps.select(col("fp"), col("source").as("source_b")), "fp")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_hll_banded"           -> (q100HllBanded _),
     "q101_median_banded"        -> (q101MedianBanded _),
     "q102_profile_banded"       -> (q102ProfileBanded _),
     "q103_admit_indexed"        -> (q103AdmitIndexed _),
+    "q105_lsh_recall_banded"    -> (q105LshRecallBanded _),
+    "q106_source_overlap"       -> (q106SourceOverlap _),
     "q96_admit_map_free"        -> (q96AdmitMapFree _),
     "q95_decontam_bloom"        -> (q95DecontamBloom _),
     "q91_equidepth_hist"        -> (q91EquidepthHist _),
@@ -332,6 +401,25 @@ object Scaled {
       s"SELECT t.*, TRUE AS nd_ok FROM (\n${Curation.oracles("q68_profile")}\n) t",
     "q96_admit_map_free"         -> Curation.oracles("q67_incremental_admit"),
     "q103_admit_indexed"         -> Curation.oracles("q67_incremental_admit"),
+    // exact blocked en pairs are SQL-expressible; the LSH result enters
+    // only through recall_ok, which the oracle states as TRUE
+    "q105_lsh_recall_banded" ->
+      s"""WITH ${Extensions.unigramPairCtes}
+         |SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok
+         |FROM p JOIN t ON p.da = t.doc_id
+         |WHERE t.lang = 'en'""".stripMargin,
+    // q51's fingerprint CTEs joined back to source, then the tiny
+    // source-pair self-join
+    "q106_source_overlap" ->
+      s"""WITH sf AS (
+         |  SELECT DISTINCT d.source, f.fp
+         |  FROM (
+         |${Extensions.oracles("q51_winnow_fp")}
+         |) f JOIN documents d USING (doc_id))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*) AS n_shared_fps
+         |FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
     "q95_decontam_bloom"         -> Extensions.oracles("q57_decontam"),
     "q91_equidepth_hist" ->
       """WITH ranked AS (
