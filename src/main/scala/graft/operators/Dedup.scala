@@ -106,6 +106,44 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** Asymmetric near-dup: CONTAINMENT |A∩B|/|A| catches what Jaccard
+    * misses — a short doc quoted wholesale inside a long one scores
+    * near-zero Jaccard (union is dominated by the long doc) but
+    * containment ≈ 1 for the short side. The practical dedup question for
+    * quote inclusion / boilerplate supersets. Emits one row per unordered
+    * pair (doc_id_a < doc_id_b) whose LARGER directional containment
+    * clears the threshold, with both directions as columns so the caller
+    * can tell container from contained.
+    *
+    * Same blocked O(block²) contract, kernels, and cap semantics as
+    * [[jaccardPairs]] — one codegen set pass, merge-walk intersect, block
+    * cap observable via `graft_q24_block_cap`'s twin.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       maxBlockSize: Int = Int.MaxValue): DataFrame = {
+    val withSets0 = docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      graft.functions.WordGramHashes.wordGramHashes(col("text"), 1).as("tset"))
+    val withSets =
+      if (maxBlockSize == Int.MaxValue) withSets0
+      else capGroups(withSets0, Seq("lang", "source"), maxBlockSize,
+        "graft_q107_block_cap")
+    val a = withSets.select(
+      col("lang"), col("source"),
+      col("doc_id").as("doc_id_a"), col("tset").as("tset_a"))
+    val b = withSets.select(
+      col("lang"), col("source"),
+      col("doc_id").as("doc_id_b"), col("tset").as("tset_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("ic", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("tset_a"), col("tset_b")))
+      .withColumn("containment_a", col("ic").cast("double") / size(col("tset_a")))
+      .withColumn("containment_b", col("ic").cast("double") / size(col("tset_b")))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select("doc_id_a", "doc_id_b", "containment_a", "containment_b")
+  }
+
   /** Deterministic minhash signature: numHashes permutations approximated by
     * h_j(s) = a_j * xxhash64(s) + b_j (mod 2^64 wraparound), min over the
     * document's shingle set. One pass, map-only.

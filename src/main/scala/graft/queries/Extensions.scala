@@ -60,6 +60,12 @@ object Extensions {
   def q24JaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8)
 
+  /** Asymmetric containment pairs (quote-inclusion dedup) — the directional
+    * overlap Jaccard can't see; operators.Dedup.containmentPairs.
+    */
+  def q107ContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), threshold = 0.9)
+
   /** MinHash+LSH near-dup candidates over the English slice, verified by
     * exact Jaccard, top-1000 by similarity (deterministic tiebreak). The
     * LSH prune is not SQL-expressible -> rows-only check; recall vs the
@@ -455,6 +461,7 @@ object Extensions {
     "q22_lang_id"       -> (q22LangId _),
     "q23_fingerprint"   -> (q23Fingerprint _),
     "q24_jaccard_pairs" -> (q24JaccardPairs _),
+    "q107_containment_pairs" -> (q107ContainmentPairs _),
     "q25_minhash_lsh"   -> (q25MinhashLsh _),
     "q26_simhash_fp"    -> (q26SimhashFp _),
     "q55_simhash_pairs" -> (q55SimhashPairs _),
@@ -853,6 +860,16 @@ object Extensions {
     "q24_jaccard_pairs" ->
       s"""WITH $unigramPairCtes
         |SELECT da AS doc_id_a, db AS doc_id_b, jaccard FROM p""".stripMargin,
+    "q107_containment_pairs" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |    list_distinct(string_split(text, ' ')) AS ts FROM documents)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  len(list_intersect(a.ts, b.ts)) / len(a.ts) AS containment_a,
+        |  len(list_intersect(a.ts, b.ts)) / len(b.ts) AS containment_b
+        |FROM t a JOIN t b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE greatest(len(list_intersect(a.ts, b.ts)) / len(a.ts),
+        |               len(list_intersect(a.ts, b.ts)) / len(b.ts)) >= 0.9""".stripMargin,
     "q27_ann_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |  q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 8),

@@ -154,6 +154,27 @@ object Signals {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("total_price"))
   }
 
+  /** q108: JSONL round-trip under the oracle — documents written once as
+    * newline-delimited JSON (sources.Sinks.jsonLines, memoized like the
+    * other layout twins) and read back through the explicit-schema reader
+    * (sources.JsonSource), then a per-source fidelity aggregate: row
+    * count, character mass, and min(md5(text)) — the last one
+    * content-sensitive, so any escaping loss in the round-trip flips the
+    * hash. Oracle is the SAME aggregate on the parquet table: layout
+    * only, bit-identical text. The reader declares only the 4 fields the
+    * query needs (n_chars stays unparsed) — the JSON analog of column
+    * pruning.
+    */
+  def q108JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = JsonDocuments.ensure(s, dir)
+    graft.sources.JsonSource
+      .jsonLines(s, path, "doc_id LONG, text STRING, lang STRING, source STRING")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        min(md5(col("text"))).as("min_text_md5"))
+  }
+
   /** q89: gaps-and-islands — contiguous runs of the same event_type per
     * user (the classic state-timeline/SCD build): change flag via lag,
     * island id via running sum of flags, one groupBy per island. Windows
@@ -215,7 +236,8 @@ object Signals {
     "q84_partition_pruned" -> (q84PartitionPruned _),
     "q89_type_islands"    -> (q89TypeIslands _),
     "q90_gap_fill"        -> (q90GapFill _),
-    "q97_zorder_read"     -> (q97ZOrderRead _))
+    "q97_zorder_read"     -> (q97ZOrderRead _),
+    "q108_json_roundtrip" -> (q108JsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q80_token_rarity" ->
@@ -326,7 +348,33 @@ object Signals {
         |FROM orders
         |WHERE o_custkey BETWEEN 40 AND 120
         |  AND o_totalprice BETWEEN 50000 AND 200000
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    // the oracle reads the PLAIN parquet table: the JSONL round-trip must
+    // be lossless, and min(md5(text)) makes any escaping loss visible
+    "q108_json_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+        |  MIN(md5(text)) AS min_text_md5
+        |FROM documents GROUP BY 1""".stripMargin)
+}
+
+/** JSONL twin of the documents fixture, written once per (warehouse,
+  * sf-dir) through sources.Sinks.jsonLines — q108's interchange layout
+  * (same dir-hash naming and _SUCCESS completeness check as the other
+  * layout twins).
+  */
+private[queries] object JsonDocuments {
+  def ensure(s: SparkSession, dir: String): String = synchronized {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_documents_jsonl_$tag")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      graft.sources.Sinks.jsonLines(graft.Tables.documents(s, dir), path.toString)
+    }
+    path.toString
+  }
 }
 
 /** Date-partitioned twin of the events fixture, written once per

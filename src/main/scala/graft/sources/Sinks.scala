@@ -155,6 +155,16 @@ object Sinks {
     }
   }
 
+  /** Newline-delimited JSON sink — the interchange layout for handing a
+    * curated slice to a non-Spark consumer (tokenizer workers, labeling
+    * UIs). One JSON object per line, written partition-parallel like every
+    * other sink here; string fields are escaped by the writer, so the
+    * round-trip through [[graft.sources.JsonSource.jsonLines]] is
+    * lossless (q108 proves it under the oracle).
+    */
+  def jsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** PK column naming rule from the reference: `<table>_id` for facts,
     * `dim_x` -> `id_x` for dims (utils/datsetup.py:100-113).
     */

@@ -42,6 +42,22 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("containmentPairs catches quote inclusion that jaccard misses") {
+    val docs = docsDF(Seq(
+      // doc 1's 5 tokens all appear in doc 2's 20 -> containment_a = 1.0
+      // but jaccard = 5/20 = 0.25
+      (1L, "a b c d e", "en", "s0"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t", "en", "s0"),
+      (3L, "z y x w v", "en", "s0"),          // disjoint from both
+      (4L, "a b c d e", "en", "s1")))          // contained but other block
+    val out = Dedup.containmentPairs(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    val (_, _, ca, cb) = out.head
+    assert(ca == 1.0 && approx(cb, 0.25))
+    assert(Dedup.jaccardPairs(docs, 0.9).collect().isEmpty)
+  }
+
   test("minhashLsh finds planted 3-gram near-dups with exact jaccard attached") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
