@@ -56,12 +56,15 @@ object Bench {
     }
     // The numbered per-round artifact has twice been snapshotted from a
     // truncated stdout tail (r4, r5 — lost the map head + total). Write
-    // the lossless line to the NEXT round's numbered file directly: the
-    // current round is max existing BENCH_r*.json + 1 (this main runs
-    // before the round's own snapshot exists).
+    // the lossless line to the current round's numbered file directly.
+    // The round is keyed off CORRECTNESS_r*.json (max + 1), which the
+    // driver writes exactly ONCE per round — so repeated local bench runs
+    // within a round overwrite the same BENCH_r{N}.json instead of
+    // bumping the number each time (the flaw of keying off BENCH_r*
+    // itself).
     try {
       val dir = java.nio.file.Paths.get(".")
-      val rx = "BENCH_r(\\d+)\\.json".r
+      val rx = "CORRECTNESS_r(\\d+)\\.json".r
       val listing = java.nio.file.Files.list(dir)
       val maxR =
         try {

@@ -66,6 +66,16 @@ object Extensions {
   def q107ContainmentPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(Tables.documents(s, dir), threshold = 0.9)
 
+  /** q110: canonical dedup-key normalization (NFC + ascii-lower +
+    * whitespace collapse) through the codegen NormalizeText expression;
+    * the oracle replays it with utf8proc's nfc_normalize — cross-engine
+    * NFC parity is the property under test.
+    */
+  def q110TextNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      graft.functions.NormalizeText.normalizeText(col("text")).as("norm_text"))
+
   /** MinHash+LSH near-dup candidates over the English slice, verified by
     * exact Jaccard, top-1000 by similarity (deterministic tiebreak). The
     * LSH prune is not SQL-expressible -> rows-only check; recall vs the
@@ -374,6 +384,18 @@ object Extensions {
     Dedup.connectedComponents(
       Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8))
 
+  /** q109: the dedup diagnostics view OVER q58's resolution — how big are
+    * the clusters? (cluster_size, n_clusters) histogram: the number a
+    * curation owner reads to decide whether near-dup mass is a long tail
+    * of pairs or a few mega-clusters (and so whether LSH bucket caps /
+    * exact-route thresholds are set right). Two hash-aggs over the
+    * resolve output — the histogram adds nothing to the CC cost.
+    */
+  def q109ClusterSizes(s: SparkSession, dir: String): DataFrame =
+    q58DedupResolve(s, dir)
+      .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
   /** The custom kernels through the RAW SQL surface: GraftExtensions
     * injects simhash64 / word_gram_hashes (and friends) into the function
     * registry via spark.sql.extensions, so this query is plain SQL text —
@@ -462,12 +484,14 @@ object Extensions {
     "q23_fingerprint"   -> (q23Fingerprint _),
     "q24_jaccard_pairs" -> (q24JaccardPairs _),
     "q107_containment_pairs" -> (q107ContainmentPairs _),
+    "q110_text_normalize" -> (q110TextNormalize _),
     "q25_minhash_lsh"   -> (q25MinhashLsh _),
     "q26_simhash_fp"    -> (q26SimhashFp _),
     "q55_simhash_pairs" -> (q55SimhashPairs _),
     "q56_repetition"    -> (q56Repetition _),
     "q57_decontam"      -> (q57Decontam _),
     "q58_dedup_resolve" -> (q58DedupResolve _),
+    "q109_cluster_sizes" -> (q109ClusterSizes _),
     "q59_sql_kernels"   -> (q59SqlKernels _),
     "q60_mixture_sample" -> (q60MixtureSample _),
     "q61_token_budget"  -> (q61TokenBudget _),
@@ -720,6 +744,21 @@ object Extensions {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, least(a, min(b)) AS component
         |FROM reach GROUP BY a""".stripMargin,
+    // q58's closure + the two aggregation levels
+    "q109_cluster_sizes" ->
+      s"""WITH RECURSIVE
+        |$unigramPairCtes,
+        |edges AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (SELECT a AS doc_id, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a),
+        |sizes AS (SELECT component, COUNT(*) AS cluster_size
+        |  FROM labels GROUP BY 1)
+        |SELECT cluster_size, COUNT(*) AS n_clusters
+        |FROM sizes GROUP BY 1""".stripMargin,
     // md5-bucket sampling is a pure function of doc_id on both engines
     // (coalesce matches hashBucket's defined NULL-id behavior)
     "q60_mixture_sample" ->
@@ -870,6 +909,15 @@ object Extensions {
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE greatest(len(list_intersect(a.ts, b.ts)) / len(a.ts),
         |               len(list_intersect(a.ts, b.ts)) / len(b.ts)) >= 0.9""".stripMargin,
+    // the same pipeline in DuckDB: utf8proc NFC, ascii-only translate
+    // lowercase (full case folding is engine/locale-dependent), RE2's
+    // ascii \s class collapsed, trim — see NormalizeText's scaladoc
+    "q110_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(translate(nfc_normalize(text),
+        |    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+        |    '\s+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
     "q27_ann_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |  q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 8),
