@@ -502,7 +502,7 @@ object Extensions {
     "q31_sessionize"    -> (q31Sessionize _),
     "q32_binary_meta"   -> (q32BinaryMeta _))
 
-  private val langCase: String = {
+  private[queries] val langCase: String = {
     val counts = TextFunctions.LangMarkers.map { case (lang, m) =>
       val inList = m.map(w => s"'$w'").mkString(", ")
       lang -> s"len(list_filter(string_split(text, ' '), x -> x IN ($inList)))"
@@ -550,7 +550,8 @@ object Extensions {
     * over its admitted pool; the `documents` instantiation below stays the
     * single source for the q24/q58/q81 oracles.
     */
-  private[queries] def unigramPairCtesOver(table: String): String =
+  private[queries] def unigramPairCtesOver(table: String,
+                                           threshold: Double = 0.8): String =
     s"""t AS (SELECT doc_id, lang, source,
       |    list_distinct(string_split(text, ' ')) AS ts FROM $table),
       |p AS (
@@ -560,7 +561,7 @@ object Extensions {
       |  FROM t a JOIN t b
       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
       |  WHERE len(list_intersect(a.ts, b.ts))
-      |      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8)""".stripMargin
+      |      / len(list_distinct(list_concat(a.ts, b.ts))) >= $threshold)""".stripMargin
 
   private[queries] val unigramPairCtes: String = unigramPairCtesOver("documents")
 

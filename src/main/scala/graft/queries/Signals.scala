@@ -175,6 +175,34 @@ object Signals {
         min(md5(col("text"))).as("min_text_md5"))
   }
 
+  /** q111: out-of-vocabulary rate per doc against the corpus top-N
+    * vocabulary — the coverage signal read before fixing a tokenizer
+    * vocab size (docs stuffed with tokens the vocab won't cover are
+    * UNK-soup after tokenization). Top-N by (corpus frequency DESC, term)
+    * so the cutoff is deterministic in both engines; N = 20 against the
+    * fixtures' 31-term vocabulary (at production scale the same plan
+    * carries N ≈ 50k).
+    *
+    * Scale shape: the vocabulary is an aggregate of the token-frequency
+    * frame (vocab-sized, NOT corpus-sized) cut by a driver-bounded
+    * TakeOrdered(N) — the one place a global sort is fine because N rows
+    * survive it; it then broadcasts to the per-token left join, so the
+    * corpus-side explode never shuffles at all for the membership test.
+    */
+  def q111OovRate(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("term")).limit(20)
+      .select(col("term"), lit(1).as("in_vocab"))
+    terms.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** q89: gaps-and-islands — contiguous runs of the same event_type per
     * user (the classic state-timeline/SCD build): change flag via lag,
     * island id via running sum of flags, one groupBy per island. Windows
@@ -237,7 +265,8 @@ object Signals {
     "q89_type_islands"    -> (q89TypeIslands _),
     "q90_gap_fill"        -> (q90GapFill _),
     "q97_zorder_read"     -> (q97ZOrderRead _),
-    "q108_json_roundtrip" -> (q108JsonRoundtrip _))
+    "q108_json_roundtrip" -> (q108JsonRoundtrip _),
+    "q111_oov_rate"       -> (q111OovRate _))
 
   val oracles: Map[String, String] = Map(
     "q80_token_rarity" ->
@@ -355,7 +384,21 @@ object Signals {
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
         |  MIN(md5(text)) AS min_text_md5
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin,
+    // identical tokenization + (cf DESC, term) cutoff + left-join
+    // membership test
+    "q111_oov_rate" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |               FROM documents WHERE text IS NOT NULL),
+        |v AS (SELECT term FROM (
+        |    SELECT term, COUNT(*) AS cf FROM terms GROUP BY 1)
+        |  ORDER BY cf DESC, term LIMIT 20)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS oov_rate
+        |FROM terms t LEFT JOIN v ON t.term = v.term
+        |GROUP BY 1""".stripMargin)
 }
 
 /** JSONL twin of the documents fixture, written once per (warehouse,

@@ -232,4 +232,27 @@ class SignalsSpec extends SparkSpecBase {
     }
   }
 
+  test("q111 OOV rate: planted top-20 vocabulary, rare terms flagged, vocab broadcast") {
+    // 20 common terms with cf >= 2 fill the top-20 cutoff exactly; two
+    // cf=1 rare terms fall outside it and must count as OOV.
+    val commons = (1 to 20).map(i => f"c$i%02d")
+    val docs = Seq(
+      (1L, commons.mkString(" ")),
+      (2L, commons.mkString(" ")),
+      (3L, s"${commons.head} rare1 rare2")
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft_oov_fixture/documents.parquet")
+    val out = Signals.q111OovRate(spark, "/tmp/graft_oov_fixture")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> ((20L, 0L, 0.0)),
+      2L -> ((20L, 0L, 0.0)),
+      3L -> ((3L, 2L, 2.0 / 3))))
+    // the membership test must be a broadcast join of the bounded vocab,
+    // never a shuffle of the corpus-side token explode
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
+  }
+
 }
