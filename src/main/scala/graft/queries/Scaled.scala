@@ -139,6 +139,25 @@ object Scaled {
       .agg((sum("o_totalprice") / count(lit(1))).as("median_price"))
   }
 
+  /** q16's top-3-per-priority through a BOUNDED aggregation buffer
+    * (functions.BoundedTopK) instead of a rank window — the scale twin
+    * for the top-k-per-group shape. q16's window sorts every order of a
+    * priority on one task (5 groups → 5 tasks carrying the whole table at
+    * 100 TB); the heap aggregate keeps O(k) state per group per partition
+    * and combines map-side, so the shuffle carries at most
+    * groups × partitions × k rows. Same oracle as q16: one semantics, two
+    * plans. posexplode over the best-first array IS the 1-based rank.
+    */
+  def q115TopkHeap(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("o_totalprice"), col("o_orderkey")), k = 3,
+        desc = Seq(true, false)).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.o_orderkey"), col("col.o_totalprice"))
+
   /** Geometry round-trip through the REAL header parser: synthetic
     * payloads carry genuine PNG IHDR / JPEG SOF0 headers whose dimensions
     * are a pure function of doc_id, so the oracle rebuilds width/height
@@ -380,7 +399,8 @@ object Scaled {
     "q76_profile_approx"        -> (q76ProfileApprox _),
     "q77_dedup_resolve_star"    -> (q77DedupResolveStar _),
     "q78_media_dims"            -> (q78MediaDims _),
-    "q79_median_scaled"         -> (q79MedianScaled _))
+    "q79_median_scaled"         -> (q79MedianScaled _),
+    "q115_topk_heap"            -> (q115TopkHeap _))
 
   /** The twins deliberately REUSE their exact counterpart's oracle string:
     * one oracle, two plans — the equality proof is the point. q76 has no
@@ -438,6 +458,7 @@ object Scaled {
     "q75_bucketed_join"          -> Relational.oracles("q03_join_agg"),
     "q77_dedup_resolve_star"     -> Extensions.oracles("q58_dedup_resolve"),
     "q79_median_scaled"          -> Relational3.oracles("q48_median"),
+    "q115_topk_heap"             -> Relational.oracles("q16_topk_per_group"),
     "q78_media_dims" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png'
