@@ -203,6 +203,47 @@ object Signals {
       .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
   }
 
+  /** q116: certified-exact heavy tokens — every token carrying ≥ 1/2000 of
+    * the corpus's token mass, with its EXACT count. The naive shape
+    * (`groupBy(term).count` then filter) shuffles one row per DISTINCT
+    * term: at 100 TB the vocabulary is unbounded (typos, URLs, OOV noise),
+    * so that shuffle grows with data while the answer stays ≤ 2000 rows.
+    * Declared shape: one bounded-state Misra–Gries pass (capacity 8192
+    * counters per partition, merged map-side like any agg) yields a
+    * candidate set that PROVABLY contains every qualifying term — a term
+    * absent from the summary has true count ≤ n/8193 < n/2000 — then an
+    * exact recount restricted to the ≤ 8192 candidates via broadcast
+    * semi-filter, so the second shuffle carries candidate tokens only.
+    * Exact output from a sketch prescreen: which extra candidates MG
+    * happens to keep never changes the answer, so the query is
+    * deterministic and fully oracle-checked.
+    */
+  def q116HeavyTokens(s: SparkSession, dir: String): DataFrame =
+    heavyTokens(Tables.documents(s, dir).filter(col("text").isNotNull),
+      capacity = 8192, denom = 2000L)
+
+  /** q116's engine: exact counts of all terms with count*denom >= n.
+    * Completeness needs capacity > denom (certified at require-time, not
+    * discovered at answer-time).
+    */
+  def heavyTokens(docs: DataFrame, capacity: Int, denom: Long): DataFrame = {
+    require(capacity.toLong > denom,
+      s"capacity $capacity cannot certify threshold n/$denom: a term " +
+        "missing from the summary may still qualify")
+    val terms = docs.select(explode(TextFunctions.tokens(col("text"))).as("term"))
+    val summary = terms.agg(
+      graft.functions.MisraGries.sketch(col("term"), capacity).as("mg"),
+      count(lit(1)).as("n")).head()
+    val n = summary.getLong(1)
+    // bounded-matrix contract: ≤ capacity rows ever reach the driver
+    val cands = summary.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val ss = docs.sparkSession
+    import ss.implicits._
+    terms.join(broadcast(cands.toDF("term")), "term")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(denom) >= lit(n))
+  }
+
   /** q89: gaps-and-islands — contiguous runs of the same event_type per
     * user (the classic state-timeline/SCD build): change flag via lag,
     * island id via running sum of flags, one groupBy per island. Windows
@@ -266,9 +307,17 @@ object Signals {
     "q90_gap_fill"        -> (q90GapFill _),
     "q97_zorder_read"     -> (q97ZOrderRead _),
     "q108_json_roundtrip" -> (q108JsonRoundtrip _),
-    "q111_oov_rate"       -> (q111OovRate _))
+    "q111_oov_rate"       -> (q111OovRate _),
+    "q116_heavy_tokens"   -> (q116HeavyTokens _))
 
   val oracles: Map[String, String] = Map(
+    "q116_heavy_tokens" ->
+      """WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term
+        |               FROM documents WHERE text IS NOT NULL),
+        |tot AS (SELECT COUNT(*) AS n FROM terms)
+        |SELECT term, COUNT(*) AS cnt
+        |FROM terms GROUP BY term
+        |HAVING COUNT(*) * 2000 >= (SELECT n FROM tot)""".stripMargin,
     "q80_token_rarity" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |               FROM documents WHERE text IS NOT NULL),
