@@ -43,6 +43,19 @@ object Relational2 {
       .rollup("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("total"))
 
+  /** q117: cube with grouping_id — q34's rollup completes only the
+    * prefix lattice; CUBE adds the (priority-only) stratum, and gid
+    * (bit i set = column i aggregated away) tells a subtotal row from a
+    * genuinely-NULL group value. One pass, Expand-based like rollup:
+    * partial aggregation still applies, so the shuffle carries
+    * strata × groups rows, not input rows.
+    */
+  def q117Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("total"))
+
   /** Analytic window frames over each customer's order timeline: running
     * total (decimal-exact, so frame-accumulation order cannot drift vs the
     * oracle), previous order price, 3-order moving average.
@@ -115,6 +128,7 @@ object Relational2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_asof_join"        -> (q33AsofJoin _),
     "q34_rollup"           -> (q34Rollup _),
+    "q117_cube"            -> (q117Cube _),
     "q35_window_analytics" -> (q35WindowAnalytics _),
     "q36_semi_join"        -> (q36SemiJoin _),
     "q37_anti_join"        -> (q37AntiJoin _),
@@ -149,6 +163,14 @@ object Relational2 {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    // GROUPING() bit order (first listed column = high bit) matches
+    // Spark's grouping_id() convention
+    "q117_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q35_window_analytics" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER w_run AS DOUBLE)

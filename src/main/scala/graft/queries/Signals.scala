@@ -244,6 +244,54 @@ object Signals {
       .filter(col("cnt") * lit(denom) >= lit(n))
   }
 
+  /** q118: BM25 relevance of every document against a fixed query-term
+    * set — the lexical-retrieval scorer behind quality-targeted corpus
+    * selection ("find docs about X to upweight"). Same distributed shape
+    * as q43's TF-IDF: postings → tf / df / dl aggregates → per-row scoring
+    * at the join, never a doc×query cartesian beyond the |Q| query terms,
+    * and all corpus statistics (N, total tokens) stay in-plan as a
+    * broadcast 1-row aggregate.
+    *
+    * Engine parity: k1 = 1.25 and b = 0.75 so every constant in the
+    * formula (2.25, 1.25, 0.75, 0.25, 0.5) is binary-exact — no
+    * decimal-literal-vs-double-literal rounding gap between engines —
+    * and the classic log-idf is replaced by its rational core
+    * (N − df + 0.5)/(df + 0.5) (monotone in the same argument), keeping
+    * the whole score inside deterministic IEEE arithmetic, q43's
+    * contract. The per-doc sum over matched query terms goes through the
+    * decimal cast (dsum) so term-accumulation order cannot drift.
+    */
+  def q118Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(s, dir).filter(col("text").isNotNull),
+      Seq("query", "join", "scan"))
+
+  /** q118's engine: BM25 with rational idf, k1 = 1.25, b = 0.75. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String]): DataFrame = {
+    val terms = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
+    val tf = terms.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = terms.select("doc_id", "term").distinct()
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    // every operand is an explicit double before any arithmetic, and the
+    // parenthesization is mirrored token-for-token in the oracle SQL —
+    // both engines then run the identical IEEE op sequence
+    val avgdl = col("tot").cast("double") / col("n_docs").cast("double")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val score = idf * ((col("tf").cast("double") * lit(2.25)) /
+      (col("tf").cast("double") +
+        lit(1.25) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+    tf.join(broadcast(df_), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .groupBy("doc_id").agg(dsum(col("score"), 10).as("bm25"))
+  }
+
   /** q89: gaps-and-islands — contiguous runs of the same event_type per
     * user (the classic state-timeline/SCD build): change flag via lag,
     * island id via running sum of flags, one groupBy per island. Windows
@@ -308,7 +356,8 @@ object Signals {
     "q97_zorder_read"     -> (q97ZOrderRead _),
     "q108_json_roundtrip" -> (q108JsonRoundtrip _),
     "q111_oov_rate"       -> (q111OovRate _),
-    "q116_heavy_tokens"   -> (q116HeavyTokens _))
+    "q116_heavy_tokens"   -> (q116HeavyTokens _),
+    "q118_bm25"           -> (q118Bm25 _))
 
   val oracles: Map[String, String] = Map(
     "q116_heavy_tokens" ->
@@ -318,6 +367,29 @@ object Signals {
         |SELECT term, COUNT(*) AS cnt
         |FROM terms GROUP BY term
         |HAVING COUNT(*) * 2000 >= (SELECT n FROM tot)""".stripMargin,
+    // parenthesization mirrors Signals.bm25 token-for-token; every operand
+    // is cast to DOUBLE before arithmetic so DuckDB's decimal literals
+    // can't introduce a different rounding path
+    "q118_bm25" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |               FROM documents WHERE text IS NOT NULL),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+        |       WHERE term IN ('query', 'join', 'scan') GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms
+        |             WHERE term IN ('query', 'join', 'scan')) GROUP BY 1)
+        |SELECT tf.doc_id,
+        |  CAST(SUM(CAST(
+        |    ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |    * ((CAST(tf AS DOUBLE) * 2.25)
+        |       / (CAST(tf AS DOUBLE)
+        |          + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                    / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |    AS DECIMAL(28,10))) AS DOUBLE) AS bm25
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY tf.doc_id""".stripMargin,
     "q80_token_rarity" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |               FROM documents WHERE text IS NOT NULL),

@@ -255,4 +255,24 @@ class SignalsSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
   }
 
+  test("bm25: planted ranking — more hits beats fewer at equal length, shorter doc beats longer at equal tf") {
+    // 4-token docs: d1 has 2 hits of 'q', d2 has 1; d3 repeats d2's tf at
+    // double length. 'z'-only d4 must not appear (no query term).
+    val docs = Seq(
+      (1L, "q q z z"),
+      (2L, "q z z z"),
+      (3L, "q z z z z z z z"),
+      (4L, "z z z z")
+    ).toDF("doc_id", "text")
+    val got = Signals.bm25(docs, Seq("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) > got(2L), s"tf should raise the score: $got")
+    assert(got(2L) > got(3L), s"length should damp the score: $got")
+    // corpus stats and df frames ride broadcasts; the postings explode
+    // itself must never be broadcast
+    val plan = Signals.q118Bm25(spark, Sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"df join not broadcast:\n$plan")
+  }
+
 }
