@@ -47,6 +47,35 @@ object Similarity {
               round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** bruteForceTopK's scale twin: identical scoring join, but the
+    * per-query top-k runs through the bounded heap aggregate
+    * (functions.BoundedTopK) instead of the qid window. The window shape
+    * puts EVERY corpus row scored for a query on that query's one task —
+    * with a billion-vector corpus each query group IS the corpus, so the
+    * rank filter is a per-query single-task sort. The heap aggregate keeps
+    * k rows per query per partition and combines map-side, so the shuffle
+    * carries ≤ queries × partitions × k rows no matter the corpus size.
+    * Same ordering contract (cos DESC, vec_id ASC), same output — q119
+    * proves it under q27's oracle. The same combinator applies to the
+    * lsh/ivf tails; brute force is where the group = corpus cliff bites
+    * first.
+    */
+  def bruteForceTopKHeap(emb: DataFrame, k: Int, maxQueryId: Long): DataFrame = {
+    val v = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val q = v.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qnrm"))
+    v.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
+      .groupBy("qid")
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("cos"), col("vec_id")), k, desc = Seq(true, false)).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vec_id").as("neighbor_id"),
+        round(col("col.cos"), 6).as("cos_sim"))
+  }
+
   /** Hyperplane-LSH bucketed ANN: vectors sharing the sign signature of
     * nBits pseudo-random hyperplanes land in one bucket; queries search only
     * their own bucket. The cheapest scale path when recall can be traded

@@ -158,6 +158,16 @@ object Scaled {
       .select(col("o_orderpriority"), (col("pos") + 1).cast("int").as("rk"),
         col("col.o_orderkey"), col("col.o_totalprice"))
 
+  /** q27's exact ANN baseline through the bounded heap
+    * (operators.Similarity.bruteForceTopKHeap) instead of the per-query
+    * rank window — in brute force each query's window group IS the whole
+    * corpus, so at scale the window is a per-query single-task sort of a
+    * billion rows. Same oracle as q27: one semantics, two plans.
+    */
+  def q119AnnTopkHeap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.bruteForceTopKHeap(
+      Tables.embeddings(s, dir), k = 10, maxQueryId = 8)
+
   /** Geometry round-trip through the REAL header parser: synthetic
     * payloads carry genuine PNG IHDR / JPEG SOF0 headers whose dimensions
     * are a pure function of doc_id, so the oracle rebuilds width/height
@@ -400,7 +410,8 @@ object Scaled {
     "q77_dedup_resolve_star"    -> (q77DedupResolveStar _),
     "q78_media_dims"            -> (q78MediaDims _),
     "q79_median_scaled"         -> (q79MedianScaled _),
-    "q115_topk_heap"            -> (q115TopkHeap _))
+    "q115_topk_heap"            -> (q115TopkHeap _),
+    "q119_ann_topk_heap"        -> (q119AnnTopkHeap _))
 
   /** The twins deliberately REUSE their exact counterpart's oracle string:
     * one oracle, two plans — the equality proof is the point. q76 has no
@@ -459,6 +470,7 @@ object Scaled {
     "q77_dedup_resolve_star"     -> Extensions.oracles("q58_dedup_resolve"),
     "q79_median_scaled"          -> Relational3.oracles("q48_median"),
     "q115_topk_heap"             -> Relational.oracles("q16_topk_per_group"),
+    "q119_ann_topk_heap"         -> Extensions.oracles("q27_ann_topk"),
     "q78_media_dims" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png'

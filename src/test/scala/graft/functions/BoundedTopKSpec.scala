@@ -47,6 +47,16 @@ class BoundedTopKSpec extends SparkSpecBase {
     assert(repart == win)
   }
 
+  test("q119 ANN heap equals the window-based q27 row-for-row, window-free plan") {
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    val win = graft.operators.Similarity.bruteForceTopK(emb, 10, 8)
+      .collect().map(_.toSeq).toSet
+    val heapDf = graft.operators.Similarity.bruteForceTopKHeap(emb, 10, 8)
+    assert(heapDf.collect().map(_.toSeq).toSet == win)
+    val plan = heapDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"heap twin must not plan a window:\n$plan")
+  }
+
   test("q115 plan: bounded aggregate, no rank window, partial merge map-side") {
     val plan = Scaled.q115TopkHeap(spark, Sf0001).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"scale twin must not plan a window:\n$plan")
