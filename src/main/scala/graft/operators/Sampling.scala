@@ -50,6 +50,26 @@ object Sampling {
     conv(substring(md5(coalesce(id.cast("string"), lit(""))), 1, 8), 16, 10)
       .cast("long") % 1000000L
 
+  /** Exactly-k deterministic sample per stratum: rank rows by the salted
+    * md5 of their id (a reproducible uniform-ish priority) and keep each
+    * stratum's k smallest through the bounded heap aggregate
+    * (functions.BoundedTopK) — the per-stratum ROW_NUMBER shape without
+    * the window's whole-stratum single-task sort, so stratum size is
+    * unbounded. Unlike [[hashSample]]'s ~pct% filter this yields EXACTLY
+    * min(k, |stratum|) rows; reruns, engines, and partitionings all agree
+    * on the selection (q120's oracle re-derives it in SQL).
+    */
+  def uniformKPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                         k: Int, seed: String): DataFrame =
+    df.select(col(stratumCol), col(idCol),
+        md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).as("h"))
+      .groupBy(stratumCol)
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("h"), col(idCol)), k, desc = Seq(false, false)).as("top"))
+      .select(col(stratumCol), posexplode(col("top")))
+      .select(col(stratumCol), (col("pos") + 1).cast("int").as("rk"),
+        col(s"col.$idCol"), col("col.h"))
+
   /** Downsample each stratum toward a target mixture: keep a row iff its
     * ppm bucket falls under the stratum's weight (1e6 ppm = keep all).
     * `weights` is a (stratumCol, weight_ppm) frame — dimension-sized, so

@@ -168,7 +168,18 @@ object Curation2 {
       idCol = "doc_id", stratumCol = "source", weights = weights)
   }
 
+  /** q120: exactly-5 reproducible docs per source — the "show me a stable
+    * handful of examples from every slice" curation op (eyeballing,
+    * labeling seeds, regression fixtures). Deterministic md5 priority +
+    * bounded per-stratum heap: no RNG, no per-stratum window.
+    */
+  def q120SampleKPerSource(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.uniformKPerStratum(
+      Tables.documents(s, dir), idCol = "doc_id", stratumCol = "source",
+      k = 5, seed = "seed42")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_sample_k_per_source" -> (q120SampleKPerSource _),
     "q99_curation_chain"    -> (q99CurationChain _),
     "q104_mixture_upsample" -> (q104MixtureUpsample _),
     "q85_boilerplate_strip" -> (q85BoilerplateStrip _),
@@ -178,6 +189,14 @@ object Curation2 {
     "q92_mixture_resample"  -> (q92MixtureResample _))
 
   val oracles: Map[String, String] = Map(
+    "q120_sample_k_per_source" ->
+      """SELECT source, rk, doc_id, h FROM (
+        |  SELECT source, doc_id,
+        |    md5(concat('seed42:', CAST(doc_id AS VARCHAR))) AS h,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(concat('seed42:', CAST(doc_id AS VARCHAR))), doc_id)
+        |      AS INTEGER) AS rk
+        |  FROM documents) t WHERE rk <= 5""".stripMargin,
     // the five verified stage oracles CTE-chained into one statement:
     // q67's admission (simhash CTEs + md5/band screens), q81's survivor
     // closure (pair CTEs re-based onto the admitted pool), q66's

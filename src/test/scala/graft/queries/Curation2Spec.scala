@@ -121,4 +121,23 @@ class Curation2Spec extends SparkSpecBase {
     assert(out.size < 500, "some over-represented source must actually downsample")
   }
 
+  test("q120 yields exactly min(k, stratum size) rows per source, window-free") {
+    val df = Curation2.q120SampleKPerSource(spark, Sf001)
+    val perSource = df.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = graft.Tables.documents(spark, Sf001)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.keySet == sizes.keySet)
+    perSource.foreach { case (src, n) =>
+      assert(n == math.min(5L, sizes(src)), s"$src: $n of ${sizes(src)}") }
+    // rerun selects the identical ids (determinism, not just counts)
+    val ids = df.collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    val ids2 = Curation2.q120SampleKPerSource(spark, Sf001)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(ids == ids2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"per-stratum sample must not window:\n$plan")
+  }
+
 }

@@ -35,6 +35,33 @@ class StreamingCurationSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("MisraGries summary keeps its guarantees across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    // n = 500, capacity 16 -> any term with count > 500/17 ~ 29 survives
+    val toks = Seq.fill(300)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 80).map(i => s"n$i")
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("t")
+      .agg(graft.functions.MisraGries.sketch(col("t"), 16).as("mg"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("mg_stream").start()
+    try {
+      val (a, b) = scala.util.Random.shuffle(toks).splitAt(250)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      val got = spark.table("mg_stream")
+        .select(explode(col("mg")))
+        .select(col("col.term"), col("col.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got.contains("hot") && got.contains("warm"),
+        s"heavy items lost across batches: ${got.keySet}")
+      got.foreach { case (t, e) =>
+        assert(e <= truth(t), s"$t: est $e above truth ${truth(t)}") }
+      assert(got.size <= 16)
+    } finally q.stop()
+  }
+
   test("slidingChunks applies identically to a document stream") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq((1L, (1 to 40).map(i => s"w$i").mkString(" ")),
