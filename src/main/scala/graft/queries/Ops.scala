@@ -99,12 +99,205 @@ object Ops {
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** q121: MERGE/CDC apply (operators.Upsert.applyChanges) — the snapshot
+    * maintenance between q112's diffs: a deterministic change batch
+    * (updates for doc_id%10==3, deletes for %10==7, inserts keyed past
+    * the id range for %10==1) lands on the documents snapshot in ONE
+    * full-outer key join. The update rows carry NULL source — the
+    * partial-update contract (NULL change column keeps the snapshot's
+    * value). Output fingerprints text (md5) so the full merged corpus
+    * stays hash-comparable without shipping megabytes of text.
+    */
+  def q121MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val withText = snap.filter(col("text").isNotNull)
+    val changes = withText.filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), lit(null).cast("string").as("source"),
+        concat(col("text"), lit(" v2")).as("text"), lit("U").as("op"))
+      .unionByName(snap.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), lit(null).cast("string").as("source"),
+          lit(null).cast("string").as("text"), lit("D").as("op")))
+      .unionByName(withText.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+          lit("fresh insert").as("text"), lit("I").as("op")))
+    graft.operators.Upsert.applyChanges(snap, changes, key = "doc_id")
+      .select(col("doc_id"), col("source"),
+        md5(coalesce(col("text"), lit(""))).as("fp"))
+  }
+
+  /** Deterministic multi-op CDC log over the documents snapshot — the
+    * fixture q122/q123 share. Seqs are unique per key; the mod ladder
+    * nests so every D/I/U interplay appears:
+    *   seq 1  U  %4==1   text overlay ' e1', source untouched (NULL)
+    *   seq 2  D  %8==5   (⊂ %4==1: U-then-D — the overlay must die)
+    *   seq 3  I  %16==13 (⊂ %8==5: D-then-I rebirth — replace semantics)
+    *   seq 4  U  %32==29 (⊂ %16==13: I-then-U overlay on the reborn row)
+    *   seq 5  U  %4==1 ∧ %8≠5: source:='s2', text NULL — column-wise
+    *          fold with seq 1 (text from 1, source from 5)
+    */
+  private def changeLog(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "source", "text")
+    val nullS = lit(null).cast("string")
+    def batch(pred: org.apache.spark.sql.Column, seq: Int, op: String,
+              src: org.apache.spark.sql.Column,
+              txt: org.apache.spark.sql.Column): DataFrame =
+      d.filter(pred).select(col("doc_id"), src.as("source"), txt.as("text"),
+        lit(seq).cast("long").as("seq"), lit(op).as("op"))
+    batch(col("doc_id") % 4 === 1, 1, "U", nullS,
+        concat(col("text"), lit(" e1")))
+      .unionByName(batch(col("doc_id") % 8 === 5, 2, "D", nullS, nullS))
+      .unionByName(batch(col("doc_id") % 16 === 13, 3, "I",
+        lit("sys"), lit("reborn")))
+      .unionByName(batch(col("doc_id") % 32 === 29, 4, "U", nullS,
+        lit("reborn e4")))
+      .unionByName(batch(col("doc_id") % 4 === 1 && col("doc_id") % 8 =!= 5,
+        5, "U", lit("s2"), nullS))
+  }
+
+  /** q122: CDC log compaction + merge (operators.Upsert.compactChanges →
+    * applyChanges) — five seq-ordered op batches collapse to ONE change
+    * row per key in a single window-free hash aggregation, then land on
+    * the snapshot in one full-outer join. The mod-ladder fixture makes
+    * every compaction rule observable in the output hash: U-then-D keys
+    * vanish, D-then-I keys are reborn WITHOUT their old source (replace,
+    * not coalesce), I-then-U keys carry the overlay, U+U keys fold
+    * column-wise. Two shuffles total on the same key at any corpus size.
+    */
+  def q122CdcCompact(s: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val compact = graft.operators.Upsert
+      .compactChanges(changeLog(s, dir), key = "doc_id", seqCol = "seq")
+    graft.operators.Upsert.applyChanges(snap, compact, key = "doc_id")
+      .select(col("doc_id"), col("source"),
+        md5(coalesce(col("text"), lit(""))).as("fp"))
+  }
+
+  /** q123: SCD Type-2 dimension history (operators.Upsert.scd2History)
+    * over the same log — every surviving op becomes a version row with
+    * [valid_from, valid_to) bounds, carry-forward of partial-update
+    * columns within its epoch, and an is_current flag. Per-key windows
+    * only (bounded by ops-per-key, the q89/q90 contract); text is
+    * fingerprinted so the history of a TB-scale corpus hashes in bytes.
+    */
+  def q123Scd2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Upsert
+      .scd2History(changeLog(s, dir), key = "doc_id", seqCol = "seq")
+      .select(col("doc_id"), col("valid_from"), col("valid_to"),
+        col("is_current"), col("source"),
+        md5(coalesce(col("text"), lit(""))).as("fp"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_snapshot_diff"  -> (q112SnapshotDiff _),
     "q113_threshold_sweep" -> (q113ThresholdSweep _),
-    "q114_lang_mismatch"  -> (q114LangMismatch _))
+    "q114_lang_mismatch"  -> (q114LangMismatch _),
+    "q121_merge_upsert"   -> (q121MergeUpsert _),
+    "q122_cdc_compact"    -> (q122CdcCompact _),
+    "q123_scd2_history"   -> (q123Scd2 _))
+
+  /** The changeLog fixture as a DuckDB CTE body (shared by q122/q123).
+    * Seqs ≥ 1, so 0 serves as the -infinity sentinel in the boundary
+    * algebra (the Spark side uses Long.MinValue — equivalent here).
+    */
+  private val changeLogSql: String =
+    """d AS (SELECT doc_id, source, text FROM documents
+      |       WHERE text IS NOT NULL),
+      |log AS (
+      |  SELECT doc_id, CAST(NULL AS VARCHAR) AS source,
+      |    text || ' e1' AS text, CAST(1 AS BIGINT) AS seq, 'U' AS op
+      |  FROM d WHERE doc_id % 4 = 1
+      |  UNION ALL
+      |  SELECT doc_id, NULL, NULL, CAST(2 AS BIGINT), 'D'
+      |  FROM d WHERE doc_id % 8 = 5
+      |  UNION ALL
+      |  SELECT doc_id, 'sys', 'reborn', CAST(3 AS BIGINT), 'I'
+      |  FROM d WHERE doc_id % 16 = 13
+      |  UNION ALL
+      |  SELECT doc_id, NULL, 'reborn e4', CAST(4 AS BIGINT), 'U'
+      |  FROM d WHERE doc_id % 32 = 29
+      |  UNION ALL
+      |  SELECT doc_id, 's2', NULL, CAST(5 AS BIGINT), 'U'
+      |  FROM d WHERE doc_id % 4 = 1 AND doc_id % 8 <> 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the compaction algebra re-expressed with FILTERed arg_max
+    "q122_cdc_compact" ->
+      s"""WITH $changeLogSql,
+        |comp AS (
+        |  SELECT doc_id,
+        |    COALESCE(max(seq) FILTER (WHERE op = 'D'), 0) AS last_d,
+        |    COALESCE(max(seq) FILTER (WHERE op = 'I'), 0) AS last_i,
+        |    arg_max(op, seq) AS last_op,
+        |    max(seq) FILTER (WHERE op = 'U' AND source IS NOT NULL)
+        |      AS us_source,
+        |    arg_max(source, seq)
+        |      FILTER (WHERE op = 'U' AND source IS NOT NULL) AS uv_source,
+        |    max(seq) FILTER (WHERE op = 'U' AND text IS NOT NULL) AS us_text,
+        |    arg_max(text, seq)
+        |      FILTER (WHERE op = 'U' AND text IS NOT NULL) AS uv_text,
+        |    arg_max(source, seq) FILTER (WHERE op = 'I') AS iv_source,
+        |    arg_max(text, seq) FILTER (WHERE op = 'I') AS iv_text
+        |  FROM log GROUP BY doc_id),
+        |c2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN us_source > GREATEST(last_d, last_i) THEN uv_source
+        |         WHEN last_i > last_d THEN iv_source END AS source,
+        |    CASE WHEN us_text > GREATEST(last_d, last_i) THEN uv_text
+        |         WHEN last_i > last_d THEN iv_text END AS text,
+        |    CASE WHEN last_op = 'D' THEN 'D'
+        |         WHEN last_d > 0 OR last_i > 0 THEN 'I'
+        |         ELSE 'U' END AS op
+        |  FROM comp),
+        |snap AS (SELECT doc_id, source, text FROM documents)
+        |SELECT COALESCE(s.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN c.op = 'I' THEN c.source
+        |       ELSE COALESCE(c.source, s.source) END AS source,
+        |  md5(COALESCE(CASE WHEN c.op = 'I' THEN c.text
+        |                    ELSE COALESCE(c.text, s.text) END, '')) AS fp
+        |FROM snap s FULL OUTER JOIN c2 c ON s.doc_id = c.doc_id
+        |WHERE COALESCE(c.op, '') <> 'D'""".stripMargin,
+    // lead bounds + epoch-partitioned carry-forward
+    "q123_scd2_history" ->
+      s"""WITH $changeLogSql,
+        |hist AS (
+        |  SELECT doc_id, seq, op, source, text,
+        |    SUM(CASE WHEN op IN ('D','I') THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY seq) AS epoch,
+        |    LEAD(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS valid_to
+        |  FROM log),
+        |filled AS (
+        |  SELECT doc_id, seq AS valid_from, valid_to, op,
+        |    LAST_VALUE(source IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id, epoch ORDER BY seq
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS source,
+        |    LAST_VALUE(text IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id, epoch ORDER BY seq
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS text
+        |  FROM hist)
+        |SELECT doc_id, valid_from, valid_to, valid_to IS NULL AS is_current,
+        |  source, md5(COALESCE(text, '')) AS fp
+        |FROM filled WHERE op <> 'D'""".stripMargin,
+    // same change derivation; the COALESCE chain IS the merge semantics
+    "q121_merge_upsert" ->
+      """WITH snap AS (SELECT doc_id, source, text FROM documents),
+        |ch AS (
+        |  SELECT doc_id, CAST(NULL AS VARCHAR) AS source,
+        |    text || ' v2' AS text, 'U' AS op
+        |  FROM snap WHERE doc_id % 10 = 3 AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'D'
+        |  FROM snap WHERE doc_id % 10 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, source, 'fresh insert', 'I'
+        |  FROM snap WHERE doc_id % 10 = 1 AND text IS NOT NULL)
+        |SELECT COALESCE(s.doc_id, c.doc_id) AS doc_id,
+        |  COALESCE(c.source, s.source) AS source,
+        |  md5(COALESCE(COALESCE(c.text, s.text), '')) AS fp
+        |FROM snap s FULL OUTER JOIN ch c ON s.doc_id = c.doc_id
+        |WHERE COALESCE(c.op, '') <> 'D'""".stripMargin,
     // identical snapshot derivation + md5 classification
     "q112_snapshot_diff" ->
       """WITH old_s AS (

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class UpsertSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("applyChanges: update keeps NULL-change columns, delete drops, insert and upsert land") {
+    val snap = Seq(
+      (1L, "a", "t1"),
+      (2L, "b", "t2"),
+      (3L, "c", "t3")
+    ).toDF("doc_id", "source", "text")
+    val changes = Seq(
+      (2L, null.asInstanceOf[String], "t2x", "U"), // partial update: source kept
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String], "D"),
+      (9L, "z", "t9", "I"),
+      (5L, "y", "t5", "U")                         // U on absent key = upsert insert
+    ).toDF("doc_id", "source", "text", "op")
+    val got = Upsert.applyChanges(snap, changes, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, "a", "t1"),
+      (2L, "b", "t2x"),
+      (9L, "z", "t9"),
+      (5L, "y", "t5")))
+  }
+
+  test("q121 plan: one key join, no window, no cartesian") {
+    val df = graft.queries.Ops.q121MergeUpsert(spark, Sf0001)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"merge must not window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"merge must not cartesian:\n$plan")
+  }
+
+  /** The compaction contract, stated as the equivalence that defines it:
+    * applying the single compacted row per key must land the same
+    * snapshot as replaying the log one seq-batch at a time. The fixture
+    * hits every op interplay: U-then-D (death), D-then-I (rebirth,
+    * replace semantics), I-then-U (overlay on the reborn row), U+U
+    * (column-wise fold), D-then-U without I (upsert onto a deleted row —
+    * old columns must NOT bleed), I with a NULL column (real NULL, not
+    * keep-old), U on an absent key (insert), D on an absent key (no-op).
+    */
+  test("compactChanges then applyChanges ≡ sequential one-batch-at-a-time replay") {
+    val n = null.asInstanceOf[String]
+    val snap = Seq(
+      (1L, "s1", "t1"), (2L, "s2", "t2"), (3L, "s3", "t3"),
+      (4L, "s4", "t4"), (5L, "s5", "t5"), (6L, "s6", "t6")
+    ).toDF("id", "source", "text")
+    val log = Seq(
+      (1L, n, "a1", 1L, "U"), (1L, n, n, 2L, "D"),
+      (2L, n, n, 1L, "D"), (2L, "sys", "re", 2L, "I"), (2L, n, "re2", 3L, "U"),
+      (3L, n, "t1x", 1L, "U"), (3L, "s2b", n, 2L, "U"),
+      (4L, n, n, 1L, "D"), (4L, n, "u4", 2L, "U"),
+      (5L, "x", n, 1L, "I"),
+      (9L, n, "t9", 1L, "U"),
+      (10L, n, n, 1L, "D")
+    ).toDF("id", "source", "text", "seq", "op")
+    val compacted = Upsert
+      .applyChanges(snap, Upsert.compactChanges(log, "id", "seq"), "id")
+    val sequential = (1L to 3L).foldLeft(snap) { (acc, s) =>
+      Upsert.applyChanges(acc, log.filter(col("seq") === s).drop("seq"), "id")
+    }
+    val got = compacted.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = sequential.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want, s"compacted $got\nsequential $want")
+    // the defining cases, pinned explicitly
+    assert(!got.exists(_._1 == 1L), "U-then-D key must be gone")
+    assert(got.contains((2L, "sys", "re2")), "D-then-I-then-U rebirth+overlay")
+    assert(got.contains((3L, "s2b", "t1x")), "U+U column-wise fold")
+    assert(got.contains((4L, null, "u4")), "D-then-U must not bleed old source")
+    assert(got.contains((5L, "x", null)), "I's NULL column is a real NULL")
+    assert(got.contains((9L, null, "t9")), "U on absent key inserts")
+    assert(!got.exists(_._1 == 10L), "D on absent key is a no-op")
+  }
+
+  test("compactChanges plan: one hash aggregation, no window, no join") {
+    val n = null.asInstanceOf[String]
+    val log = Seq((1L, "a", "t", 1L, "U"), (1L, n, n, 2L, "D"))
+      .toDF("id", "source", "text", "seq", "op")
+    val plan = Upsert.compactChanges(log, "id", "seq")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"compaction must not window:\n$plan")
+    assert(!plan.contains("Join"), s"compaction must not join:\n$plan")
+  }
+
+  test("scd2History: bounds, epoch-reset carry-forward, is_current") {
+    val n = null.asInstanceOf[String]
+    val log = Seq(
+      // k2: D@1, I@2 (sys/re), U@3 (text re2) — I starts a new epoch
+      (2L, n, n, 1L, "D"), (2L, "sys", "re", 2L, "I"), (2L, n, "re2", 3L, "U"),
+      // k4: D@1 then U@2 — carry-forward must NOT cross the D
+      (4L, "olds", "oldt", 1L, "U"), (4L, n, n, 2L, "D"), (4L, n, "u4", 3L, "U"),
+      // k3: U@1 then U@2 — plain fold within one epoch
+      (3L, n, "t1x", 1L, "U"), (3L, "s2b", n, 2L, "U")
+    ).toDF("id", "source", "text", "seq", "op")
+    val h = Upsert.scd2History(log, "id", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getString(3), r.getString(4), r.getBoolean(5)))
+      .toSet
+    assert(h == Set(
+      (2L, 2L, 3L, "sys", "re", false),
+      (2L, 3L, -1L, "sys", "re2", true),
+      (4L, 1L, 2L, "olds", "oldt", false), // closed by the D, no successor
+      (4L, 3L, -1L, null, "u4", true),     // post-D version: no olds bleed
+      (3L, 1L, 2L, null, "t1x", false),
+      (3L, 2L, -1L, "s2b", "t1x", true)), s"got $h")
+  }
+}
