@@ -144,6 +144,73 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "containment_a", "containment_b")
   }
 
+  /** EXACT all-pairs Jaccard join without the all-pairs: prefix filtering
+    * (the PPJoin family's prefix principle, public literature) replaces
+    * both the O(n²) scan AND the probabilistic-recall LSH compromise.
+    * Tokens get a global rarest-first total order (document frequency asc,
+    * hash asc); a doc of n distinct tokens exposes only its first
+    * n - ⌈t·n⌉ + 1 ordered tokens as join keys. Two sets with
+    * Jaccard ≥ t MUST collide on at least one exposed token — if their
+    * prefixes were disjoint, even perfect overlap of everything after
+    * both prefixes leaves the intersection below the threshold — so
+    * recall is 1.0 by theorem, not by tuning: the output is the exact
+    * same pair set an all-pairs scan yields (the spec proves equality
+    * against brute force; the oracle replays all-pairs in SQL).
+    *
+    * Scale shape: candidates are generated by joining on PREFIX tokens
+    * only, and the rarest-first order makes those the shortest posting
+    * lists in the corpus — the frequent-token quadratic blowup an
+    * inverted-index join suffers is structurally excluded (a token of
+    * df=d contributes ≤ d² candidates only if it lands in prefixes,
+    * which high-df tokens don't). Shuffles: one token-df aggregation,
+    * one per-doc sort (bounded by doc length — the per-key window
+    * contract), one equi-join on the exposed tokens, one distinct on the
+    * surviving pairs. The length filter (⌈t·|x|⌉ ≤ |y| ≤ |x|/t) prunes
+    * candidates before the merge-walk verification kernel runs.
+    */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val withSets = docs.filter(col("text").isNotNull).select(
+      col("doc_id"),
+      graft.functions.WordGramHashes.wordGramHashes(col("text"), 1).as("tset"))
+    val toks = withSets.select(col("doc_id"), explode(col("tset")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // rarest-first total order, ties broken by hash — deterministic and
+    // identical for every doc, the prefix theorem's only requirement
+    val ordered = toks.join(dfreq, "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), s => s.getField("tok")).as("otoks"))
+    // epsilon before ceil: IEEE slop in t·n must never round UP across an
+    // integer — that would shrink the prefix / tighten the length filter
+    // and silently drop a valid pair; erring low only admits candidates
+    // the exact verification kills anyway
+    def ceilSafe(x: org.apache.spark.sql.Column) = ceil(x - lit(1e-9))
+    val exposed = withSets.join(ordered, "doc_id")
+      .withColumn("n", size(col("tset")))
+      .withColumn("p",
+        (col("n") - ceilSafe(lit(threshold) * col("n")) + 1).cast("int"))
+      .select(col("doc_id"), col("tset"), col("n"),
+        explode(slice(col("otoks"), lit(1), col("p"))).as("tok"))
+    val a = exposed.select(col("tok"), col("doc_id").as("doc_id_a"),
+      col("tset").as("tset_a"), col("n").as("n_a"))
+    val b = exposed.select(col("tok"), col("doc_id").as("doc_id_b"),
+      col("tset").as("tset_b"), col("n").as("n_b"))
+    a.join(b, Seq("tok"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .filter(col("n_b") >= ceilSafe(lit(threshold) * col("n_a")) &&
+              col("n_a") >= ceilSafe(lit(threshold) * col("n_b")))
+      .withColumn("ic", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("tset_a"), col("tset_b")))
+      .withColumn("jaccard", col("ic").cast("double") /
+        (col("n_a") + col("n_b") - col("ic")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+      .distinct()
+  }
+
   /** Deterministic minhash signature: numHashes permutations approximated by
     * h_j(s) = a_j * xxhash64(s) + b_j (mod 2^64 wraparound), min over the
     * document's shingle set. One pass, map-only.

@@ -66,6 +66,20 @@ object Extensions {
   def q107ContainmentPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(Tables.documents(s, dir), threshold = 0.9)
 
+  /** q124: EXACT similarity join via prefix filtering
+    * (operators.Dedup.prefixJaccardPairs) — all-pairs output, never an
+    * all-pairs plan: rarest-first token prefixes are the only join keys,
+    * recall 1.0 by the prefix theorem. Declared over a four-source slice
+    * purely to keep the ORACLE's genuine all-pairs replay quadratic in
+    * something small; the operator itself is corpus-global (DedupSpec
+    * proves brute-force equality with no source filter).
+    */
+  def q124PrefixJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(
+      Tables.documents(s, dir)
+        .filter(col("source").isin("src0", "src1", "src2", "src3")),
+      threshold = 0.9)
+
   /** q110: canonical dedup-key normalization (NFC + ascii-lower +
     * whitespace collapse) through the codegen NormalizeText expression;
     * the oracle replays it with utf8proc's nfc_normalize — cross-engine
@@ -484,6 +498,7 @@ object Extensions {
     "q23_fingerprint"   -> (q23Fingerprint _),
     "q24_jaccard_pairs" -> (q24JaccardPairs _),
     "q107_containment_pairs" -> (q107ContainmentPairs _),
+    "q124_prefix_join"  -> (q124PrefixJoin _),
     "q110_text_normalize" -> (q110TextNormalize _),
     "q25_minhash_lsh"   -> (q25MinhashLsh _),
     "q26_simhash_fp"    -> (q26SimhashFp _),
@@ -900,6 +915,20 @@ object Extensions {
     "q24_jaccard_pairs" ->
       s"""WITH $unigramPairCtes
         |SELECT da AS doc_id_a, db AS doc_id_b, jaccard FROM p""".stripMargin,
+    // the honest quadratic: DuckDB replays ALL pairs on the slice, so a
+    // single pair missed by the prefix pruning breaks the hash
+    "q124_prefix_join" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(string_split(text, ' ')) AS ts
+        |  FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3')
+        |    AND text IS NOT NULL)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  len(list_intersect(a.ts, b.ts))
+        |    / len(list_distinct(list_concat(a.ts, b.ts))) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ts, b.ts))
+        |    / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.9""".stripMargin,
     "q107_containment_pairs" ->
       """WITH t AS (SELECT doc_id, lang, source,
         |    list_distinct(string_split(text, ' ')) AS ts FROM documents)

@@ -42,6 +42,54 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  /** The operator's whole claim is recall 1.0 — so the spec is literal
+    * equality against the brute-force all-pairs scan, corpus-global (no
+    * source slice), at two thresholds to exercise different prefix
+    * lengths. sf0.001's 50 docs make brute force cheap here while the
+    * declared q124 leaves the quadratic to the DuckDB oracle.
+    */
+  test("prefixJaccardPairs equals brute-force all-pairs exactly") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val sets = docs.filter(col("text").isNotNull).select(
+      col("doc_id"),
+      graft.functions.WordGramHashes.wordGramHashes(col("text"), 1).as("ts"))
+    for (t <- Seq(0.7, 0.9)) {
+      val brute = sets.select(col("doc_id").as("doc_id_a"), col("ts").as("ta"))
+        .crossJoin(sets.select(col("doc_id").as("doc_id_b"), col("ts").as("tb")))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .withColumn("ic", graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("ta"), col("tb")))
+        .withColumn("jaccard", col("ic").cast("double") /
+          (size(col("ta")) + size(col("tb")) - col("ic")))
+        .filter(col("jaccard") >= t)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pruned = Dedup.prefixJaccardPairs(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pruned == brute,
+        s"t=$t missed=${brute -- pruned} extra=${pruned -- brute}")
+      assert(brute.nonEmpty, s"fixture must plant pairs at t=$t")
+    }
+  }
+
+  test("prefixJaccardPairs plan has no cartesian and joins on prefix tokens only") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val q = Dedup.prefixJaccardPairs(docs, 0.9)
+    assert(q.count() > 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"must not all-pairs:\n$plan")
+    // prefix exposure must be a strict subset of the full posting index
+    val sets = docs.filter(col("text").isNotNull).select(
+      graft.functions.WordGramHashes.wordGramHashes(col("text"), 1).as("ts"))
+    val allPostings = sets.select(explode(col("ts"))).count()
+    val exposed = sets
+      .withColumn("n", size(col("ts")))
+      .select((col("n") - ceil(col("n") * 0.9 - 1e-9) + 1).as("p"))
+      .agg(sum("p")).head().getLong(0)
+    assert(exposed < allPostings / 3,
+      s"prefix must prune the posting index: $exposed vs $allPostings")
+  }
+
   test("containmentPairs catches quote inclusion that jaccard misses") {
     val docs = docsDF(Seq(
       // doc 1's 5 tokens all appear in doc 2's 20 -> containment_a = 1.0
