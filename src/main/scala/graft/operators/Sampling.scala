@@ -85,6 +85,42 @@ object Sampling {
       .filter(ppmBucket(col(idCol)) < col("weight_ppm"))
       .drop("weight_ppm")
 
+  /** Probability-proportional-to-size systematic sampling (classic survey
+    * sampling): exactly k picks per stratum, a row's pick count
+    * proportional to its weight, in PURE INTEGER arithmetic — no RNG, no
+    * floating point, no u^(1/w) priority whose pow/ln would be at the
+    * mercy of cross-engine libm rounding. Rows are laid on the stratum's
+    * cumulative-weight axis in id order; the k thresholds m·T/k
+    * (m = 0..k-1, T = stratum weight total) each select the row whose
+    * [cum_before, cum_before+w) interval covers them:
+    *   n_hits = ⌊(cum_before + w)·k / T⌋ − ⌊cum_before·k / T⌋,
+    * so Σ n_hits = k exactly and a row wider than T/k is honestly picked
+    * more than once (n_hits is in the output, never collapsed).
+    *
+    * Scale shape: the cumulative sums come from
+    * [[StratifiedSelect.chunkedPrefix]] — per-(chunk, stratum) windows
+    * only, never a whole-stratum sort task — plus one broadcast of the
+    * dimension-sized per-stratum totals. Headroom: cum·k must fit a
+    * BIGINT, i.e. stratum_tokens × k < 9.2e18 — 1e15 tokens at k=1000
+    * still clears it.
+    */
+  def ppsSystematic(df: DataFrame, stratumCol: String, idCol: String,
+                    weight: Column, k: Int, nChunks: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = df.withColumn("__w",
+      coalesce(weight.cast("long"), lit(0L)))
+    val pref = StratifiedSelect.chunkedPrefix(base, stratumCol, idCol,
+      desc = false, tieBreak = Seq.empty, value = col("__w"), nChunks)
+    val totals = base.groupBy(stratumCol).agg(sum("__w").as("__T"))
+    pref.join(broadcast(totals), Seq(stratumCol))
+      .filter(col("__T") > 0)
+      .withColumn("n_hits",
+        expr(s"((cum_before + __w) * $k) DIV __T - (cum_before * $k) DIV __T"))
+      .filter(col("n_hits") >= 1)
+      .drop("rn", "n_stratum", "__T")
+      .withColumnRenamed("__w", "weight")
+  }
+
   /** Repetition-based UPsampling to a target mixture — the half of mixture
     * application [[resampleToMixture]] cannot do: a stratum with
     * weight_ppm > 1e6 must appear weight/1e6 times per epoch of the

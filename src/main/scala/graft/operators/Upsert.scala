@@ -100,6 +100,110 @@ object Upsert {
       } :+ outOp.as(opCol): _*)
   }
 
+  /** Streaming CDC materialization: keep a snapshot table current under
+    * an unbounded change stream. Each microbatch is compacted
+    * ([[compactChanges]], one hash-agg) and merged ([[applyChanges]], one
+    * key join) onto the previous snapshot version, written as
+    * `snapshotDir/v{batchId+1}` — plain parquet, no table format needed.
+    *
+    * Exactly-once across restarts WITHOUT a transaction log: the base
+    * version is resolved as max(v_i ≤ batchId), never "latest", so a
+    * replayed batch re-reads the same base it read the first time and
+    * idempotently overwrites the same output version (changes carry
+    * absolute values, so even a double-apply is a fixpoint). The caller
+    * seeds `snapshotDir/v0` with the initial snapshot; per-key seq order
+    * across microbatches is the CDC source's contract.
+    *
+    * Scale shape per trigger: shuffle of the (small) change batch plus
+    * one join against the snapshot — the snapshot is never shuffled if
+    * both sides are bucketed on the key (q75's proof); state lives in
+    * the filesystem, not executor memory, so corpus size is unbounded.
+    */
+  def applyChangesStream(changes: DataFrame, key: String, seqCol: String,
+                         snapshotDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val base = s.read.parquet(versionAtOrBefore(s, snapshotDir, batchId))
+        applyChanges(base, compactChanges(batch, key, seqCol), key)
+          .write.mode("overwrite").parquet(s"$snapshotDir/v${batchId + 1}")
+      }
+      .start()
+
+  /** Largest committed version directory with index <= batchId (empty
+    * microbatches can skip ids, so "previous" is a search, not an
+    * increment). Driver-side listing of O(#versions) names only.
+    */
+  private def versionAtOrBefore(s: org.apache.spark.sql.SparkSession,
+                                dir: String, batchId: Long): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case nm if nm.matches("v\\d+") => nm.drop(1).toLong }
+      .filter(_ <= batchId)
+    require(vs.nonEmpty, s"no snapshot version <= $batchId under $dir — seed v0")
+    s"$dir/v${vs.max}"
+  }
+
+  /** Read the newest materialized snapshot version (any id). */
+  def latestSnapshot(s: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case nm if nm.matches("v\\d+") => nm.drop(1).toLong }
+    require(vs.nonEmpty, s"no snapshot versions under $dir")
+    s.read.parquet(s"$dir/v${vs.max}")
+  }
+
+  /** Point-in-time (temporal) join: each probe row (key, ts) gets the
+    * [[scd2History]] version whose [valid_from, valid_to) interval covers
+    * ts — the "dimension as of event time" lookup that makes SCD2 worth
+    * building. NOT an inequality join: the probe rides [[AsOfJoin]]'s
+    * union-and-carry-forward on valid_from (one shuffle + per-key sort),
+    * and a post-mask nulls the payload when the carried version was
+    * CLOSED before ts (`valid_to <= ts`) — the deleted-interval gap an
+    * as-of join alone cannot see. ≤1 version covers any ts (intervals
+    * are disjoint by construction), so no dedup pass is needed.
+    */
+  def pointInTime(probe: DataFrame, history: DataFrame, key: String,
+                  tsCol: String): DataFrame = {
+    val payload = history.columns.filterNot(_ == key).toSeq
+    val joined = AsOfJoin(probe, history, key, tsCol, "valid_from", payload)
+    val valid = col("asof_valid_to").isNull ||
+      col(tsCol) < col("asof_valid_to")
+    joined.select(
+      probe.columns.toIndexedSeq.map(col) ++
+      payload.map(p => when(valid, col(s"asof_$p")).as(s"asof_$p")): _*)
+  }
+
+  /** Streaming twin of [[pointInTime]]: enrich an unbounded probe stream
+    * against a STATIC history table. The batch shape (AsOfJoin's window
+    * carry-forward) is not available on streams, so this is the
+    * stream-static join Spark does support: hash on the key, interval
+    * residual as a post-filter. ≤1 history version matches any probe
+    * (disjoint intervals), so the left join preserves stream cardinality.
+    * Scale: per-microbatch join against the history — broadcast when the
+    * dimension is broadcast-sized, shuffled stream side otherwise (the
+    * static side reuses its exchange across batches); UpsertSpec proves
+    * row equality with the batch operator.
+    */
+  def pointInTimeStream(probe: DataFrame, history: DataFrame, key: String,
+                        tsCol: String): DataFrame = {
+    val p = probe.alias("p")
+    val h = history.alias("h")
+    val payload = history.columns.filterNot(_ == key).toSeq
+    p.join(h,
+        col(s"p.$key") === col(s"h.$key") &&
+          col("h.valid_from") <= col(s"p.$tsCol") &&
+          (col("h.valid_to").isNull || col(s"p.$tsCol") < col("h.valid_to")),
+        "left")
+      .select(probe.columns.toIndexedSeq.map(c => col(s"p.$c")) ++
+        payload.map(c => col(s"h.$c").as(s"asof_$c")): _*)
+  }
+
   /** SCD Type-2 dimension history from the same multi-op log: every
     * surviving U/I row becomes a version with `valid_from` = its seq and
     * `valid_to` = the NEXT op's seq on that key (NULL = still current; a

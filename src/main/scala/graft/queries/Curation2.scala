@@ -178,7 +178,24 @@ object Curation2 {
       Tables.documents(s, dir), idCol = "doc_id", stratumCol = "source",
       k = 5, seed = "seed42")
 
+  /** q126: probability-proportional-to-size systematic sample — exactly
+    * 20 picks per source, pick probability ∝ token count, zero floating
+    * point (operators.Sampling.ppsSystematic). The "sample a fixed
+    * review budget per slice, but let big documents carry their weight"
+    * op; a doc wider than T/20 is honestly multi-counted via n_hits.
+    * Cumulative weights ride chunkedPrefix, so no per-source sort task.
+    */
+  def q126PpsSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.ppsSystematic(
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+      stratumCol = "source", idCol = "doc_id",
+      weight = col("n_tokens"), k = 20)
+    .select("source", "doc_id", "weight", "cum_before", "n_hits")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_pps_sample" -> (q126PpsSample _),
     "q120_sample_k_per_source" -> (q120SampleKPerSource _),
     "q99_curation_chain"    -> (q99CurationChain _),
     "q104_mixture_upsample" -> (q104MixtureUpsample _),
@@ -189,6 +206,25 @@ object Curation2 {
     "q92_mixture_resample"  -> (q92MixtureResample _))
 
   val oracles: Map[String, String] = Map(
+    // same integer threshold algebra over a window cumsum; CASTs keep
+    // DuckDB's HUGEINT window sums in the BIGINT domain Spark emits
+    "q126_pps_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, source, wt,
+        |    CAST(COALESCE(SUM(wt) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before,
+        |    CAST(SUM(wt) OVER (PARTITION BY source) AS BIGINT) AS t
+        |  FROM w)
+        |SELECT source, doc_id, wt AS weight, cum_before,
+        |  ((cum_before + wt) * 20) // t - (cum_before * 20) // t AS n_hits
+        |FROM c
+        |WHERE t > 0
+        |  AND ((cum_before + wt) * 20) // t - (cum_before * 20) // t >= 1""".stripMargin,
     "q120_sample_k_per_source" ->
       """SELECT source, rk, doc_id, h FROM (
         |  SELECT source, doc_id,

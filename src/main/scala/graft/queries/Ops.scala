@@ -188,13 +188,36 @@ object Ops {
         col("is_current"), col("source"),
         md5(coalesce(col("text"), lit(""))).as("fp"))
 
+  /** q125: point-in-time join (operators.Upsert.pointInTime) — every
+    * doc_id probed at two instants of the q123 history's seq axis: ts=2
+    * (mid-log, after the deletes landed but before the rebirths) and
+    * ts=10 (after everything). Each probe gets the version row covering
+    * its instant or NULLs — including the deleted-interval gap at ts=2
+    * that a plain as-of join would wrongly bridge. One union+sort pass
+    * (AsOfJoin's carry-forward), never an inequality join.
+    */
+  def q125PointInTime(s: SparkSession, dir: String): DataFrame = {
+    val hist = graft.operators.Upsert
+      .scd2History(changeLog(s, dir), key = "doc_id", seqCol = "seq")
+      .select("doc_id", "valid_from", "valid_to", "source", "text")
+    val keys = Tables.documents(s, dir).select("doc_id")
+    val probe = keys.select(col("doc_id"), lit(2L).as("ts"))
+      .unionByName(keys.select(col("doc_id"), lit(10L).as("ts")))
+    graft.operators.Upsert.pointInTime(probe, hist, "doc_id", "ts")
+      .select(col("doc_id"), col("ts"),
+        col("asof_source").as("source"),
+        md5(coalesce(col("asof_text"), lit(""))).as("fp"),
+        col("asof_valid_from").as("version_from"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_snapshot_diff"  -> (q112SnapshotDiff _),
     "q113_threshold_sweep" -> (q113ThresholdSweep _),
     "q114_lang_mismatch"  -> (q114LangMismatch _),
     "q121_merge_upsert"   -> (q121MergeUpsert _),
     "q122_cdc_compact"    -> (q122CdcCompact _),
-    "q123_scd2_history"   -> (q123Scd2 _))
+    "q123_scd2_history"   -> (q123Scd2 _),
+    "q125_point_in_time"  -> (q125PointInTime _))
 
   /** The changeLog fixture as a DuckDB CTE body (shared by q122/q123).
     * Seqs ≥ 1, so 0 serves as the -infinity sentinel in the boundary
@@ -221,6 +244,38 @@ object Ops {
       |  FROM d WHERE doc_id % 4 = 1 AND doc_id % 8 <> 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the honest interval join: DuckDB probes every (key, ts) against the
+    // covering [valid_from, valid_to) version directly
+    "q125_point_in_time" ->
+      s"""WITH $changeLogSql,
+        |hist AS (
+        |  SELECT doc_id, seq, op, source, text,
+        |    SUM(CASE WHEN op IN ('D','I') THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY seq) AS epoch,
+        |    LEAD(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS valid_to
+        |  FROM log),
+        |filled AS (
+        |  SELECT doc_id, seq AS valid_from, valid_to, op,
+        |    LAST_VALUE(source IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id, epoch ORDER BY seq
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS source,
+        |    LAST_VALUE(text IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id, epoch ORDER BY seq
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS text
+        |  FROM hist),
+        |versions AS (SELECT * FROM filled WHERE op <> 'D'),
+        |probes AS (
+        |  SELECT doc_id, CAST(2 AS BIGINT) AS ts FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(10 AS BIGINT) FROM documents)
+        |SELECT p.doc_id, p.ts, h.source,
+        |  md5(COALESCE(h.text, '')) AS fp,
+        |  h.valid_from AS version_from
+        |FROM probes p LEFT JOIN versions h
+        |  ON p.doc_id = h.doc_id AND h.valid_from <= p.ts
+        |  AND (h.valid_to IS NULL OR p.ts < h.valid_to)""".stripMargin,
     // the compaction algebra re-expressed with FILTERed arg_max
     "q122_cdc_compact" ->
       s"""WITH $changeLogSql,

@@ -345,7 +345,61 @@ object Signals {
         col("day_value").isNull.as("is_gap"))
   }
 
+  /** q127: per-source least-squares trend of token count against char
+    * length — the "is this slice's tokenization drifting" signal (a
+    * changed char-per-token ratio flags encoding or boilerplate shifts).
+    * HASH-SAFE FLOATS BY CONSTRUCTION: every aggregate is an exact
+    * BIGINT moment (n, Σx, Σy, Σxy, Σx², Σy² — order-independent integer
+    * adds), and slope/intercept/r are derived from those integers in a
+    * fixed expression tree of IEEE-correctly-rounded ops (÷, √), so both
+    * engines compute bit-identical doubles; no double ever enters a SUM.
+    * One map-side-combined hash-agg over ~|sources| groups.
+    */
+  def q127SourceTrend(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("source"),
+        length(col("text")).cast("long").as("x"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num  = col("n") * col("sxy") - col("sx") * col("sy")
+    val denx = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = when(denx =!= 0, num.cast("double") / denx.cast("double"))
+    m.select(col("source"), col("n"), col("sx"), col("sy"),
+      slope.as("slope"),
+      when(denx =!= 0, (col("sy").cast("double") -
+        slope * col("sx").cast("double")) / col("n").cast("double"))
+        .as("intercept"),
+      when(denx =!= 0 && deny =!= 0, num.cast("double") /
+        (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))))
+        .as("r"))
+  }
+
+  /** q128: inverted-index AND-containment search — documents containing
+    * EVERY query token, the conjunctive companion to q118's ranked BM25.
+    * Shape: explode only the matching postings (an IN-list filter lands
+    * before the explode output grows), count distinct matched terms per
+    * doc, keep count == |query|. The corpus text never joins anything;
+    * posting lists for absent terms cost nothing.
+    */
+  def q128ContainsAll(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("hash", "join", "scan")
+    Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") === terms.length)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_source_trend"   -> (q127SourceTrend _),
+    "q128_contains_all"   -> (q128ContainsAll _),
     "q80_token_rarity"    -> (q80TokenRarity _),
     "q81_dedup_keep_best" -> (q81DedupKeepBest _),
     "q82_centroid_dist"   -> (q82CentroidDist _),
@@ -360,6 +414,40 @@ object Signals {
     "q118_bm25"           -> (q118Bm25 _))
 
   val oracles: Map[String, String] = Map(
+    // identical integer moments, identical derived-double expression tree
+    "q127_source_trend" ->
+      """WITH m AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+        |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+        |  FROM (SELECT source,
+        |          CAST(length(text) AS BIGINT) AS x,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY source)
+        |SELECT source, n, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+        |  CASE WHEN n*sxx - sx*sx <> 0 THEN
+        |    CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+        |  END AS slope,
+        |  CASE WHEN n*sxx - sx*sx <> 0 THEN
+        |    (CAST(sy AS DOUBLE) -
+        |     (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+        |       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |  END AS intercept,
+        |  CASE WHEN n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0 THEN
+        |    CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |     sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+        |  END AS r
+        |FROM m""".stripMargin,
+    "q128_contains_all" ->
+      """SELECT doc_id, source, COUNT(*) AS n_matched
+        |FROM (SELECT doc_id, source,
+        |        unnest(list_distinct(string_split(text, ' '))) AS term
+        |      FROM documents WHERE text IS NOT NULL)
+        |WHERE term IN ('hash', 'join', 'scan')
+        |GROUP BY doc_id, source
+        |HAVING COUNT(*) = 3""".stripMargin,
     "q116_heavy_tokens" ->
       """WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term
         |               FROM documents WHERE text IS NOT NULL),

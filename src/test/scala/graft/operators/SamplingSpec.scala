@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpecBase {
 
@@ -50,6 +51,41 @@ class SamplingSpec extends SparkSpecBase {
     assert(up.filter(col("epoch") =!= 0L).count() == 0L)
     assert(up.select("doc_id").collect().map(_.getLong(0)).toSet ==
       down.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("ppsSystematic: exactly k hits per stratum, window-equivalent, partition-invariant") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("w"))
+    val k = 7
+    val out = Sampling.ppsSystematic(docs, "source", "doc_id", col("w"), k)
+    // Σ n_hits == k for every stratum — the operator's defining identity
+    val sums = out.groupBy("source").agg(sum("n_hits").as("s"))
+      .filter(col("s") =!= k).count()
+    assert(sums == 0L, "every stratum must get exactly k hits")
+    // equal to the naive per-stratum window cumsum formulation
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("cb", coalesce(sum("w").over(win), lit(0L)))
+      .withColumn("t", sum("w").over(Window.partitionBy("source")))
+      .withColumn("n_hits",
+        expr(s"((cb + w) * $k) DIV t - (cb * $k) DIV t"))
+      .filter(col("n_hits") >= 1)
+      .select("source", "doc_id", "n_hits")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = out.select("source", "doc_id", "n_hits")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive, s"missed=${naive -- got} extra=${got -- naive}")
+    // reproducible at a different parallelism
+    val got2 = Sampling.ppsSystematic(docs.repartition(13), "source",
+        "doc_id", col("w"), k)
+      .select("source", "doc_id", "n_hits")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == got)
   }
 
   test("stratified rates hold per stratum on the fixture") {

@@ -3,6 +3,10 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import graft.SparkSpecBase
 
+/** Top-level so MemoryStream gets a stable product encoder. */
+case class UpsertChange(id: Long, source: String, text: String,
+                        seq: Long, op: String)
+
 class UpsertSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -87,6 +91,108 @@ class UpsertSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"compaction must not window:\n$plan")
     assert(!plan.contains("Join"), s"compaction must not join:\n$plan")
+  }
+
+  test("pointInTime equals a brute-force interval join, including deleted gaps") {
+    val n = null.asInstanceOf[String]
+    val log = Seq(
+      (2L, n, n, 1L, "D"), (2L, "sys", "re", 2L, "I"), (2L, n, "re2", 3L, "U"),
+      (4L, "olds", "oldt", 1L, "U"), (4L, n, n, 2L, "D"), (4L, n, "u4", 3L, "U"),
+      (3L, n, "t1x", 1L, "U"), (3L, "s2b", n, 2L, "U")
+    ).toDF("id", "source", "text", "seq", "op")
+    val hist = Upsert.scd2History(log, "id", "seq")
+      .select("id", "valid_from", "valid_to", "source", "text")
+    val probe = (1L to 5L).flatMap(k => (0L to 4L).map(t => (k, t)))
+      .toDF("id", "ts")
+    val got = Upsert.pointInTime(probe, hist, "id", "ts")
+      .select(col("id"), col("ts"), col("asof_source"), col("asof_text"),
+        col("asof_valid_from"))
+      .collect().map(_.toSeq).toSet
+    val want = probe.alias("p")
+      .join(hist.alias("h"),
+        col("p.id") === col("h.id") && col("h.valid_from") <= col("p.ts") &&
+          (col("h.valid_to").isNull || col("p.ts") < col("h.valid_to")),
+        "left")
+      .select(col("p.id"), col("p.ts"), col("h.source"), col("h.text"),
+        col("h.valid_from"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+    // the gap a plain as-of join would bridge: key 4 deleted over [2,3)
+    assert(got.contains(Seq(4L, 2L, null, null, null)))
+    // and alive again after the post-delete upsert
+    assert(got.contains(Seq(4L, 3L, null, "u4", 3L)))
+  }
+
+  test("applyChangesStream: streamed microbatches land the same snapshot as one batch apply") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val n = null.asInstanceOf[String]
+    val snap = Seq((1L, "s1", "t1"), (2L, "s2", "t2"), (3L, "s3", "t3"))
+      .toDF("id", "source", "text")
+    // batch 1 then batch 2 — the cross-batch interplay (D in b1, U in b2)
+    // must behave like one log replay
+    val b1 = Seq(
+      UpsertChange(1L, n, "t1x", 1L, "U"),
+      UpsertChange(2L, n, n, 2L, "D"),
+      UpsertChange(4L, "x", "t4", 3L, "I"))
+    val b2 = Seq(
+      UpsertChange(2L, n, "re2", 4L, "U"),  // upsert onto the deleted key
+      UpsertChange(1L, "s1b", n, 5L, "U"),
+      UpsertChange(4L, n, n, 6L, "D"))
+    val dir = java.nio.file.Files.createTempDirectory("upsert_stream").toString
+    snap.write.parquet(s"$dir/v0")
+    val input = MemoryStream[UpsertChange]
+    val q = Upsert.applyChangesStream(input.toDF(), "id", "seq",
+      dir, s"$dir/_chk")
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Upsert.latestSnapshot(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val oneShot = Upsert.applyChanges(snap,
+        Upsert.compactChanges((b1 ++ b2).toDF(), "id", "seq"), "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed == oneShot, s"streamed $streamed vs batch $oneShot")
+    assert(streamed == Set(
+      (1L, "s1b", "t1x"),   // folded across batches
+      (2L, null, "re2"),    // deleted in b1, upserted in b2 — no s2 bleed
+      (3L, "s3", "t3")))    // untouched; 4 inserted then deleted
+  }
+
+  test("pointInTimeStream over a probe stream equals the batch pointInTime") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val n = null.asInstanceOf[String]
+    val log = Seq(
+      (2L, n, n, 1L, "D"), (2L, "sys", "re", 2L, "I"), (2L, n, "re2", 3L, "U"),
+      (4L, "olds", "oldt", 1L, "U"), (4L, n, n, 2L, "D"), (4L, n, "u4", 3L, "U")
+    ).toDF("id", "source", "text", "seq", "op")
+    val hist = Upsert.scd2History(log, "id", "seq")
+      .select("id", "valid_from", "valid_to", "source", "text")
+    // static history: materialize once (stream-static joins need a
+    // deterministic static side, and re-planning the window chain per
+    // microbatch would recompute it anyway)
+    val histDir =
+      java.nio.file.Files.createTempDirectory("pit_hist").toString + "/h"
+    hist.write.parquet(histDir)
+    val histStatic = spark.read.parquet(histDir)
+    val probes = for (k <- 1L to 5L; t <- 0L to 4L) yield (k, t)
+    val input = MemoryStream[(Long, Long)]
+    val out = Upsert.pointInTimeStream(
+      input.toDF().toDF("id", "ts"), histStatic, "id", "ts")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("pit_out").start()
+    try {
+      input.addData(probes: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("pit_out").collect().map(_.toSeq).toSet
+    val batch = Upsert.pointInTime(
+        probes.toDF("id", "ts"), histStatic, "id", "ts")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"missed=${batch -- streamed} extra=${streamed -- batch}")
+    assert(streamed.nonEmpty)
   }
 
   test("scd2History: bounds, epoch-reset carry-forward, is_current") {

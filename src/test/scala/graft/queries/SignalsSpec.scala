@@ -275,4 +275,41 @@ class SignalsSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"df join not broadcast:\n$plan")
   }
 
+  test("q127 trend matches a driver-side least-squares fit exactly") {
+    val out = Signals.q127SourceTrend(spark, Sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    // recompute one source's fit from raw rows on the driver
+    val rows = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .filter(col("text").isNotNull && col("source") === "src0")
+      .select(length(col("text")).cast("long"),
+        size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.length.toLong
+    val (sx, sy) = (rows.map(_._1).sum, rows.map(_._2).sum)
+    val sxy = rows.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (rows.map(p => p._1 * p._1).sum, rows.map(p => p._2 * p._2).sum)
+    val num = n * sxy - sx * sy
+    val (dx, dy) = (n * sxx - sx * sx, n * syy - sy * sy)
+    val (slope, r) = (num.toDouble / dx.toDouble,
+      num.toDouble / (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble)))
+    val (gs, gi, gr) = out("src0")
+    assert(gs == slope && gr == r, s"got ($gs, $gr) want ($slope, $r)")
+    assert(gi == (sy.toDouble - slope * sx.toDouble) / n.toDouble)
+    // token-per-char trends must correlate strongly on whitespace text
+    assert(gr > 0.9, s"tokens~chars correlation should be strong, got $gr")
+  }
+
+  test("q128 finds exactly the docs containing every query term") {
+    val got = Signals.q128ContainsAll(spark, Sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .filter(col("text").isNotNull)
+      .filter(array_contains(split(col("text"), " "), "hash") &&
+        array_contains(split(col("text"), " "), "join") &&
+        array_contains(split(col("text"), " "), "scan"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
 }
