@@ -99,6 +99,43 @@ object Similarity {
               round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Mutual top-1 alignment between two embedding sets — the
+    * parallel-corpus / cross-source document-matching op: emit (a, b)
+    * exactly when b is a's cosine-nearest neighbor in B AND a is b's
+    * nearest in A. Mutuality is the standard precision filter for
+    * alignment mining (a one-directional argmax happily pairs every
+    * outlier with SOMETHING; requiring agreement kills those).
+    *
+    * Shape: ONE scored pass (A stays partitioned, B broadcast), then two
+    * bounded-heap argmaxes over the same scored frame — per-partition
+    * k=1 heaps combine map-side, so neither groupBy shuffles more than
+    * |A|+|B| candidate rows regardless of pair count; the mutual check
+    * is a tiny self-join of two argmax tables. Ties break on the lower
+    * partner id, deterministically. For a B too big to broadcast, swap
+    * the scored join for the IVF cell join (ivfTopK's assign/probe) and
+    * keep the same mutual-heap algebra.
+    */
+  def mutualTop1(embA: DataFrame, embB: DataFrame): DataFrame = {
+    val a = embA.select(col("vec_id").as("aid"), toDouble(col("embedding")).as("ae"))
+      .withColumn("anrm", norm(col("ae")))
+    val b = embB.select(col("vec_id").as("bid"), toDouble(col("embedding")).as("be"))
+      .withColumn("bnrm", norm(col("be")))
+    val scored = a.crossJoin(broadcast(b))
+      .withColumn("cos", dot(col("ae"), col("be")) / (col("anrm") * col("bnrm")))
+      .select("aid", "bid", "cos")
+    val aBest = scored.groupBy("aid")
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("cos"), col("bid")), 1, desc = Seq(true, false)).as("t"))
+      .select(col("aid"), col("t")(0).getField("bid").as("bid"),
+        col("t")(0).getField("cos").as("cos"))
+    val bBest = scored.groupBy("bid")
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("cos"), col("aid")), 1, desc = Seq(true, false)).as("t"))
+      .select(col("bid").as("bid2"), col("t")(0).getField("aid").as("aid2"))
+    aBest.join(bBest, col("aid") === col("aid2") && col("bid") === col("bid2"))
+      .select(col("aid"), col("bid"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** IVF-style ANN. Centroids default to the first nList corpus vectors (a
     * deterministic stand-in that keeps the declared query oracle-checkable);
     * `kmeansIters > 0` refines them with that many sampled Lloyd rounds

@@ -210,7 +210,41 @@ object Ops {
         col("asof_valid_from").as("version_from"))
   }
 
+  /** q130: time-travel diff — q112's snapshot audit replayed between two
+    * INSTANTS of the q123 history instead of two materialized snapshots:
+    * reconstruct per-key state at ts=1 and ts=10 via two point-in-time
+    * masks over the SAME history frame (one scd2 build, reused), then
+    * classify added/removed/changed/unchanged per source. The op a CDC
+    * consumer runs when asked "what changed between yesterday's and
+    * today's corpus" WITHOUT having kept either snapshot. Keys absent
+    * from the log at an instant are simply absent that side (the log is
+    * the universe here — this diffs history states, not the snapshot).
+    */
+  def q130TimeTravelDiff(s: SparkSession, dir: String): DataFrame = {
+    val hist = graft.operators.Upsert
+      .scd2History(changeLog(s, dir), key = "doc_id", seqCol = "seq")
+      .select("doc_id", "valid_from", "valid_to", "source", "text")
+    def stateAt(ts: Long) = hist
+      .filter(col("valid_from") <= ts &&
+        (col("valid_to").isNull || lit(ts) < col("valid_to")))
+      .select(col("doc_id"), col("source"),
+        md5(coalesce(col("text"), lit(""))).as("h"))
+    stateAt(1L).select(col("doc_id"), col("source").as("src_old"),
+        col("h").as("h_old"))
+      .join(stateAt(10L).select(col("doc_id"), col("source").as("src_new"),
+        col("h").as("h_new")), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("src_new"), col("src_old")).as("source"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_time_travel_diff" -> (q130TimeTravelDiff _),
     "q112_snapshot_diff"  -> (q112SnapshotDiff _),
     "q113_threshold_sweep" -> (q113ThresholdSweep _),
     "q114_lang_mismatch"  -> (q114LangMismatch _),
@@ -244,6 +278,41 @@ object Ops {
       |  FROM d WHERE doc_id % 4 = 1 AND doc_id % 8 <> 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q123's version CTEs + two interval masks + q112's classification
+    "q130_time_travel_diff" ->
+      s"""WITH $changeLogSql,
+        |hist AS (
+        |  SELECT doc_id, seq, op, source, text,
+        |    SUM(CASE WHEN op IN ('D','I') THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY seq) AS epoch,
+        |    LEAD(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS valid_to
+        |  FROM log),
+        |filled AS (
+        |  SELECT doc_id, seq AS valid_from, valid_to, op,
+        |    LAST_VALUE(source IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id, epoch ORDER BY seq
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS source,
+        |    LAST_VALUE(text IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id, epoch ORDER BY seq
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS text
+        |  FROM hist),
+        |versions AS (SELECT * FROM filled WHERE op <> 'D'),
+        |o AS (SELECT doc_id, source AS src_old, md5(COALESCE(text, '')) AS h_old
+        |      FROM versions
+        |      WHERE valid_from <= 1 AND (valid_to IS NULL OR 1 < valid_to)),
+        |n AS (SELECT doc_id, source AS src_new, md5(COALESCE(text, '')) AS h_new
+        |      FROM versions
+        |      WHERE valid_from <= 10 AND (valid_to IS NULL OR 10 < valid_to))
+        |SELECT COALESCE(src_new, src_old) AS source,
+        |  CASE WHEN h_old IS NULL THEN 'added'
+        |       WHEN h_new IS NULL THEN 'removed'
+        |       WHEN h_old <> h_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  COUNT(*) AS n_docs
+        |FROM o FULL OUTER JOIN n USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
     // the honest interval join: DuckDB probes every (key, ts) against the
     // covering [valid_from, valid_to) version directly
     "q125_point_in_time" ->

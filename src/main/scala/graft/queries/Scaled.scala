@@ -168,6 +168,19 @@ object Scaled {
     graft.operators.Similarity.bruteForceTopKHeap(
       Tables.embeddings(s, dir), k = 10, maxQueryId = 8)
 
+  /** q129: mutual top-1 embedding alignment between two label slices
+    * (operators.Similarity.mutualTop1) — the cross-source document
+    * matcher: a pair survives only when each side is the other's cosine
+    * argmax. One broadcast-scored pass + two k=1 bounded-heap argmaxes;
+    * the oracle replays both directional argmaxes with window ranks and
+    * intersects them.
+    */
+  def q129MutualAlign(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity.mutualTop1(
+      emb.filter(col("label") === 0), emb.filter(col("label") === 1))
+  }
+
   /** Geometry round-trip through the REAL header parser: synthetic
     * payloads carry genuine PNG IHDR / JPEG SOF0 headers whose dimensions
     * are a pure function of doc_id, so the oracle rebuilds width/height
@@ -411,13 +424,35 @@ object Scaled {
     "q78_media_dims"            -> (q78MediaDims _),
     "q79_median_scaled"         -> (q79MedianScaled _),
     "q115_topk_heap"            -> (q115TopkHeap _),
-    "q119_ann_topk_heap"        -> (q119AnnTopkHeap _))
+    "q119_ann_topk_heap"        -> (q119AnnTopkHeap _),
+    "q129_mutual_align"         -> (q129MutualAlign _))
 
   /** The twins deliberately REUSE their exact counterpart's oracle string:
     * one oracle, two plans — the equality proof is the point. q76 has no
     * oracle (sketch), matching q44's precedent.
     */
   val oracles: Map[String, String] = Map(
+    // both directional argmaxes as rank-1 windows, intersected; cosine
+    // formula identical to q27's (list_dot_product fold = aggregate fold)
+    "q129_mutual_align" ->
+      """WITH a AS (SELECT vec_id AS aid, embedding::DOUBLE[] AS ae
+        |           FROM embeddings WHERE label = 0),
+        |b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS be
+        |      FROM embeddings WHERE label = 1),
+        |s AS (
+        |  SELECT aid, bid,
+        |    list_dot_product(ae, be)
+        |      / (sqrt(list_dot_product(ae, ae)) * sqrt(list_dot_product(be, be)))
+        |      AS cos
+        |  FROM a, b),
+        |ab AS (SELECT aid, bid, cos FROM (
+        |    SELECT aid, bid, cos, ROW_NUMBER() OVER (PARTITION BY aid
+        |      ORDER BY cos DESC, bid) AS rk FROM s) WHERE rk = 1),
+        |ba AS (SELECT aid, bid FROM (
+        |    SELECT aid, bid, ROW_NUMBER() OVER (PARTITION BY bid
+        |      ORDER BY cos DESC, aid) AS rk FROM s) WHERE rk = 1)
+        |SELECT ab.aid, ab.bid, ROUND(ab.cos, 6) AS cos_sim
+        |FROM ab JOIN ba ON ab.aid = ba.aid AND ab.bid = ba.bid""".stripMargin,
     // banded sketch gates: exact stats verbatim from the exact oracles,
     // sketch estimates surfaced ONLY as booleans the oracle states as TRUE
     "q100_hll_banded" ->

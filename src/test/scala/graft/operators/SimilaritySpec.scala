@@ -133,4 +133,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r == e)
   }
 
+  test("mutualTop1 equals intersected directional argmaxes, and mutuality prunes") {
+    import org.apache.spark.sql.expressions.Window
+    val a = emb.filter(col("label") === 0)
+    val b = emb.filter(col("label") === 1)
+    val got = Similarity.mutualTop1(a, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: both rank-1 windows over the full scored cross
+    val av = a.select(col("vec_id").as("aid"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("ae"))
+    val bv = b.select(col("vec_id").as("bid"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("be"))
+    val s = av.crossJoin(bv).withColumn("cos",
+      graft.functions.VectorFunctions.dot(col("ae"), col("be")) /
+        (graft.functions.VectorFunctions.norm(col("ae")) * graft.functions.VectorFunctions.norm(col("be"))))
+      .select("aid", "bid", "cos")
+    val ab = s.withColumn("rk", row_number().over(
+        Window.partitionBy("aid").orderBy(col("cos").desc, col("bid"))))
+      .filter(col("rk") === 1).select("aid", "bid")
+    val ba = s.withColumn("rk", row_number().over(
+        Window.partitionBy("bid").orderBy(col("cos").desc, col("aid"))))
+      .filter(col("rk") === 1).select("aid", "bid")
+    val want = ab.intersect(ba)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+    val oneWay = ab.count()
+    assert(got.nonEmpty && got.size < oneWay,
+      s"mutuality must prune one-directional pairs: ${got.size} vs $oneWay")
+  }
+
 }

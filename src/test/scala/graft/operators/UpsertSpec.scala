@@ -195,6 +195,21 @@ class UpsertSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("q130 time-travel diff: statuses partition the log's key universe") {
+    val out = graft.queries.Ops.q130TimeTravelDiff(spark, Sf0001)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val byStatus = out.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // every fixture key exists at ts=1 (all ladders start with U@1 or
+    // D@2-on-U@1), so nothing can read as 'added'
+    assert(!byStatus.contains("added"), s"got $byStatus")
+    // the U-then-D keys (%8==5 without rebirth) must read as removed
+    assert(byStatus.getOrElse("removed", 0L) > 0, s"got $byStatus")
+    // rebirths flip the text hash -> changed
+    assert(byStatus.getOrElse("changed", 0L) > 0, s"got $byStatus")
+    // source-only updates keep the text hash -> unchanged
+    assert(byStatus.getOrElse("unchanged", 0L) > 0, s"got $byStatus")
+  }
+
   test("scd2History: bounds, epoch-reset carry-forward, is_current") {
     val n = null.asInstanceOf[String]
     val log = Seq(
