@@ -168,6 +168,42 @@ object Scaled {
     graft.operators.Similarity.bruteForceTopKHeap(
       Tables.embeddings(s, dir), k = 10, maxQueryId = 8)
 
+  /** q131: per-source MAD (median absolute deviation) robust outlier
+    * fences over token counts — the robust companion to q94's IQR: a
+    * single mega-document shifts a mean/stddev fence but moves MAD not
+    * at all until half the slice is corrupt (50 % breakdown point).
+    * Two EXACT medians per source (x, then |x − median|) through the
+    * same chunkedPrefix ranking q79 uses — never a per-source sort
+    * task — plus one broadcast of the 20-row fence table. Float safety:
+    * medians of integers live on the .5 grid and 3·MAD on the .25 grid,
+    * all exact in IEEE doubles, so the hash gate holds.
+    */
+  def q131MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("x"),
+        col("doc_id"))
+    def medianOf(df: DataFrame, valueCol: String, out: String) =
+      StratifiedSelect.chunkedPrefix(df, stratum = "source",
+          primary = valueCol, desc = false, tieBreak = Seq(col("doc_id")),
+          value = lit(1L), nChunks = nChunks(s))
+        .filter(col("rn") === floor((col("n_stratum") + 1) / 2.0) ||
+                col("rn") === floor((col("n_stratum") + 2) / 2.0))
+        .groupBy("source")
+        .agg((sum(valueCol) / count(lit(1))).as(out))
+    val med = medianOf(b, "x", "median_tokens")
+    val d = b.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("x") - col("median_tokens")))
+    val mad = medianOf(d.select(col("source"), col("dev"), col("doc_id")),
+      "dev", "mad")
+    d.join(broadcast(mad), "source")
+      .groupBy("source")
+      .agg(min("median_tokens").as("median_tokens"), min("mad").as("mad"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** q129: mutual top-1 embedding alignment between two label slices
     * (operators.Similarity.mutualTop1) — the cross-source document
     * matcher: a pair survives only when each side is the other's cosine
@@ -425,13 +461,49 @@ object Scaled {
     "q79_median_scaled"         -> (q79MedianScaled _),
     "q115_topk_heap"            -> (q115TopkHeap _),
     "q119_ann_topk_heap"        -> (q119AnnTopkHeap _),
-    "q129_mutual_align"         -> (q129MutualAlign _))
+    "q129_mutual_align"         -> (q129MutualAlign _),
+    "q131_mad_outliers"         -> (q131MadOutliers _))
 
   /** The twins deliberately REUSE their exact counterpart's oracle string:
     * one oracle, two plans — the equality proof is the point. q76 has no
     * oracle (sketch), matching q44's precedent.
     */
   val oracles: Map[String, String] = Map(
+    // q48's middle-rank formula twice (x, then |x - median|), then the
+    // 3*MAD fence count — same expression shapes on both engines
+    "q131_mad_outliers" ->
+      """WITH b AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        |    doc_id
+        |  FROM documents WHERE text IS NOT NULL),
+        |r1 AS (
+        |  SELECT source, x,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM b),
+        |med AS (
+        |  SELECT source, SUM(x) / COUNT(*) AS m FROM r1
+        |  WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+        |     OR rn = CAST(FLOOR((n + 2) / 2.0) AS BIGINT)
+        |  GROUP BY source),
+        |d AS (
+        |  SELECT b.source, b.doc_id, med.m, ABS(b.x - med.m) AS dev
+        |  FROM b JOIN med USING (source)),
+        |r2 AS (
+        |  SELECT source, dev,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT source, SUM(dev) / COUNT(*) AS mad FROM r2
+        |  WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+        |     OR rn = CAST(FLOOR((n + 2) / 2.0) AS BIGINT)
+        |  GROUP BY source)
+        |SELECT d.source, MIN(d.m) AS median_tokens, MIN(mad.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (source)
+        |GROUP BY d.source""".stripMargin,
     // both directional argmaxes as rank-1 windows, intersected; cosine
     // formula identical to q27's (list_dot_product fold = aggregate fold)
     "q129_mutual_align" ->

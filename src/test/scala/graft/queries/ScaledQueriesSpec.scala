@@ -41,4 +41,41 @@ class ScaledQueriesSpec extends SparkSpecBase {
       .head().getLong(0)
     assert(totalPairs == byFp, s"pair mass $totalPairs != C(k,2) sum $byFp")
   }
+
+  test("q131 MAD agrees with driver-side medians and ignores a planted mega-doc") {
+    import org.apache.spark.sql.functions._
+    val out = Scaled.q131MadOutliers(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    // driver recompute for one source
+    val xs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .filter(col("text").isNotNull && col("source") === "src0")
+      .select(size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    def med(v: Seq[Double]): Double = {
+      val s = v.sorted; val n = s.length
+      (s((n - 1) / 2) + s(n / 2)) / 2.0
+    }
+    val m = med(xs.map(_.toDouble))
+    val madV = med(xs.map(x => math.abs(x - m)))
+    val (gm, gmad, gout) = out("src0")
+    assert(gm == m && gmad == madV, s"got ($gm, $gmad) want ($m, $madV)")
+    assert(gout == xs.count(x => math.abs(x - m) > 3.0 * madV))
+    // robustness (the reason MAD earns its pass): on the pooled corpus
+    // (src0 alone is ~5 docs at sf0.001 — any order statistic moves
+    // there), one 100k-token mega-doc barely moves the median/MAD fence
+    // while it drags the mean by hundreds of tokens
+    val all = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0).toDouble).toSeq
+    val (mAll, spiked) = (med(all), all :+ 100000.0)
+    val m2 = med(spiked)
+    val madAll = med(all.map(x => math.abs(x - mAll)))
+    val mad2 = med(spiked.map(x => math.abs(x - m2)))
+    assert(math.abs(m2 - mAll) <= 2.0 && math.abs(mad2 - madAll) <= 2.0,
+      s"median/MAD moved: ($mAll, $madAll) -> ($m2, $mad2)")
+    val meanShift = spiked.sum / spiked.length - all.sum / all.length
+    assert(meanShift > 100.0, s"mean should have been dragged, shift $meanShift")
+  }
 }
