@@ -85,6 +85,27 @@ object Sampling {
       .filter(ppmBucket(col(idCol)) < col("weight_ppm"))
       .drop("weight_ppm")
 
+  /** Dedup-aware train/val/test split: the split key is the DUPLICATE
+    * CLUSTER's fingerprint, not the row id, so every copy of a document
+    * lands in the same split — the leakage a row-keyed split quietly
+    * commits (a test doc whose duplicate sits in train is a leaked
+    * answer). `clusterKey` is any cluster-constant column: md5(text) for
+    * exact-dup clusters (map-only, used by q132); swap in the resolved CC
+    * label (Dedup.connectedComponents) for near-dup-safe splits — the
+    * assignment algebra is identical. Deterministic md5 bucketing, same
+    * engine-agreement contract as [[hashBucket]]; map-only, no shuffle.
+    */
+  def splitAssign(clusterKey: Column,
+                  trainPct: Int = 90, valPct: Int = 5): Column = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val b = (conv(substring(md5(concat(lit("split:"),
+        coalesce(clusterKey.cast("string"), lit("")))), 1, 4), 16, 10)
+      .cast("int") % 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** Probability-proportional-to-size systematic sampling (classic survey
     * sampling): exactly k picks per stratum, a row's pick count
     * proportional to its weight, in PURE INTEGER arithmetic — no RNG, no

@@ -194,7 +194,24 @@ object Curation2 {
       weight = col("n_tokens"), k = 20)
     .select("source", "doc_id", "weight", "cum_before", "n_hits")
 
+  /** q132: dedup-aware train/val/test split audit
+    * (operators.Sampling.splitAssign) — assignment keyed on the exact-dup
+    * cluster fingerprint md5(text), so duplicates can never straddle
+    * splits. Output is the per-(source, split) doc AND cluster census a
+    * release audit reads; the no-leakage invariant itself is pinned in
+    * SamplingSpec (a fingerprint never maps to two splits — true by
+    * construction, asserted anyway).
+    */
+  def q132SplitAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("text").isNotNull)
+      .withColumn("fp", md5(col("text")))
+      .withColumn("split", graft.operators.Sampling.splitAssign(col("fp")))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("fp").as("n_clusters"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_split_assign" -> (q132SplitAssign _),
     "q126_pps_sample" -> (q126PpsSample _),
     "q120_sample_k_per_source" -> (q120SampleKPerSource _),
     "q99_curation_chain"    -> (q99CurationChain _),
@@ -206,6 +223,20 @@ object Curation2 {
     "q92_mixture_resample"  -> (q92MixtureResample _))
 
   val oracles: Map[String, String] = Map(
+    // q60's md5-bucket formula keyed on the CLUSTER fingerprint
+    "q132_split_assign" ->
+      """WITH d AS (
+        |  SELECT source, md5(text) AS fp,
+        |    ('0x' || substr(md5('split:' || md5(text)), 1, 4))::INT % 100
+        |      AS b
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT source,
+        |  CASE WHEN b < 90 THEN 'train'
+        |       WHEN b < 95 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT fp) AS n_clusters
+        |FROM d GROUP BY 1, 2""".stripMargin,
     // same integer threshold algebra over a window cumsum; CASTs keep
     // DuckDB's HUGEINT window sums in the BIGINT domain Spark emits
     "q126_pps_sample" ->

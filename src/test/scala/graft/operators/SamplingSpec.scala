@@ -88,6 +88,33 @@ class SamplingSpec extends SparkSpecBase {
     assert(got2 == got)
   }
 
+  test("splitAssign: cluster-keyed, leak-free, covers ~90/5/5") {
+    val d = graft.Tables.documents(spark, Sf001)
+      .filter(col("text").isNotNull)
+      .withColumn("fp", md5(col("text")))
+      .withColumn("split", Sampling.splitAssign(col("fp")))
+    // the no-leakage invariant: a cluster fingerprint maps to ONE split
+    val leaked = d.groupBy("fp")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(leaked == 0L, "a duplicate cluster must never straddle splits")
+    // split masses are ballpark-right at the cluster level
+    val bySplit = d.select("fp", "split").distinct()
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = bySplit.values.sum.toDouble
+    assert(bySplit("train") / total > 0.8, s"train share: $bySplit")
+    assert(bySplit.getOrElse("val", 0L) > 0 && bySplit.getOrElse("test", 0L) > 0,
+      s"val/test must be populated: $bySplit")
+    // determinism across partitioning
+    val a = d.select("fp", "split").distinct().collect().map(_.toSeq).toSet
+    val b = graft.Tables.documents(spark, Sf001).repartition(13)
+      .filter(col("text").isNotNull)
+      .withColumn("fp", md5(col("text")))
+      .withColumn("split", Sampling.splitAssign(col("fp")))
+      .select("fp", "split").distinct().collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("stratified rates hold per stratum on the fixture") {
     val sample = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 100, "de" -> 50), defaultPct = 25)
