@@ -21,18 +21,33 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(p(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
 
-  /** `events.parquet` stores TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` the column arrives as a Long of
-    * nanoseconds. Convert to a microsecond timestamp (floor division — same
-    * truncation DuckDB applies when it narrows ns to its native us).
+  /** `events.parquet` has shipped with several on-disk `ts` encodings across
+    * fixture generations; normalize them all to a plain TIMESTAMP so every
+    * downstream consumer (`unix_micros`, `withWatermark`, window functions)
+    * sees one type:
+    *
+    *  - TIMESTAMP(NANOS): with `spark.sql.legacy.parquet.nanosAsLong` the
+    *    column arrives as a Long of nanoseconds → floor-divide to µs (same
+    *    truncation DuckDB applies when it narrows ns to its native us).
+    *  - TIMESTAMP(isAdjustedToUTC=false, µs): Spark 4 reads this as
+    *    TIMESTAMP_NTZ → cast to TIMESTAMP. The session is pinned to UTC
+    *    (GraftSession), so the cast reinterprets the wall-clock value at
+    *    UTC and the stored micros are unchanged — DuckDB reads the same
+    *    naive timestamps, so oracle hashes still match.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = s.read.parquet(p(dir, "events"))
-    import org.apache.spark.sql.types.LongType
-    raw.schema("ts").dataType match {
+  def events(s: SparkSession, dir: String): DataFrame =
+    normalizeTs(s.read.parquet(p(dir, "events")))
+
+  /** ts normalization shared by the batch reader above and the streaming
+    * file source (streaming/EventStreams.readEventStream).
+    */
+  def normalizeTs(raw: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema(tsCol).dataType match {
       // integral `div`, NOT `/` — double division would lose precision on
       // nanosecond epochs (> 2^53)
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType => raw.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
+      case TimestampNTZType => raw.withColumn(tsCol, col(tsCol).cast("timestamp"))
       case _        => raw
     }
   }

@@ -32,7 +32,10 @@ object RangeJoin {
     * (`unix_micros`); `div` truncates toward zero (not floor), but the
     * two-bin covering invariant probe_bin ∈ {build_bin, build_bin + 1}
     * holds for either epoch sign because both sides truncate identically
-    * and the match window is exactly one bin wide.
+    * and the match window is exactly one bin wide. Both ts columns are
+    * cast to TIMESTAMP first (a no-op for TIMESTAMP inputs) so
+    * TIMESTAMP_NTZ columns — which `unix_micros` rejects — are accepted,
+    * interpreted as wall-clock in the session time zone.
     *
     * Join strategy is left to Catalyst/AQE deliberately: unlike a
     * posting-list explode (q38/q64, ~100× under-estimated), this explode
@@ -52,15 +55,17 @@ object RangeJoin {
       .intersect(Set("__bin", "__bbin"))
     require(reserved.isEmpty,
       s"inputs must not contain the operator's temp columns ($reserved)")
-    val p = probe.withColumn("__bin", expr(s"unix_micros(`$probeTs`) div $windowUs"))
+    def us(c: String) = unix_micros(col(c).cast("timestamp"))
+    def bin(c: String) = expr(s"unix_micros(cast(`$c` as timestamp)) div $windowUs")
+    val p = probe.withColumn("__bin", bin(probeTs))
     val b = build
-      .withColumn("__bbin", expr(s"unix_micros(`$buildTs`) div $windowUs"))
+      .withColumn("__bbin", bin(buildTs))
       // a build row in bin c serves probes in bins c and c+1
       .withColumn("__bin", explode(array(col("__bbin"), col("__bbin") + 1)))
       .drop("__bbin")
     p.join(b, Seq(key, "__bin"))
-      .filter(unix_micros(col(buildTs)) >= unix_micros(col(probeTs)) - windowUs &&
-              unix_micros(col(buildTs)) <  unix_micros(col(probeTs)))
+      .filter(us(buildTs) >= us(probeTs) - windowUs &&
+              us(buildTs) <  us(probeTs))
       .drop("__bin")
   }
 }

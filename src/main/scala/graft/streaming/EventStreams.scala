@@ -139,7 +139,9 @@ object EventStreams {
   }
 
   final case class IslandEvent(tsUs: Long, eventId: Long, eventType: String)
-  final case class IslandBuf(events: List[IslandEvent])
+  final case class IslandRun(eventType: String, n: Long, startUs: Long, endUs: Long)
+  final case class IslandCompact(nFinal: Long, carry: Option[IslandRun],
+                                 events: List[IslandEvent], cutUs: Long)
   final case class IslandRow(user_id: Long, island: Long, event_type: String,
                              n_events: Long, t_start: Timestamp, t_end: Timestamp,
                              n_islands: Long)
@@ -157,42 +159,110 @@ object EventStreams {
     * contiguous same-type runs per user, re-derived each time the user
     * receives events and emitted in Update mode (later emissions
     * supersede earlier ones per (user_id, island) — funnelStream's
-    * refinement contract). State is the user's compact event history
-    * ((ts, id, type) triples): the SAME per-key-volume bound as the batch
-    * query's user-partitioned window sort, because islands are
-    * non-associative under late data — an out-of-order event can split or
-    * merge runs arbitrarily far from the stream head, so nothing smaller
-    * reproduces batch semantics. A late MERGE shrinks the user's island
-    * count; emissions carry n_islands so an upserting consumer trims
-    * islands > n_islands (retraction-by-counter). Retention for dead
-    * users is one EventTimeTimeout away (sessionize's pattern) and is a
-    * product decision, not a default.
+    * refinement contract).
+    *
+    * State is BOUNDED by the retention watermark, not the stream length:
+    * events are only ever ADDED to a user's sorted history, so a run can
+    * be split or extended by late data but two existing runs can never
+    * merge (the separating events never go away) — island count per user
+    * is monotone non-decreasing and no emission is ever retracted. A run
+    * is immutable ("final") once the NEXT run's first event is older than
+    * the watermark: any still-admissible event (ts ≥ watermark) sorts
+    * after that successor's start and so can no longer touch it. Each
+    * batch finalizes the maximal such prefix, emits those islands one
+    * last time, and drops their events from state; what remains is
+    *
+    *   - `nFinal`   — how many islands are already final (numbering base);
+    *   - `carry`    — O(1) summary (type, n, start, end) of the oldest
+    *     NON-final run's sub-watermark portion, still extendable;
+    *   - `events`   — only events newer than the cutoff, i.e. at most
+    *     `retention` worth of stream per user — the bound.
+    *
+    * An EventTimeTimeout at watermark + retention compacts users that go
+    * idle (their kept events finalize into `carry` and are released), so
+    * a dead user's state settles at O(1) — the funnelStream tail, not the
+    * full history. Events arriving later than `retention` are dropped
+    * (the standard watermark trade; pick the horizon to match the
+    * source's real out-of-orderness).
     */
-  def islandsStream(spark: SparkSession, events: Dataset[Event]): Dataset[IslandRow] = {
+  def islandsStream(spark: SparkSession, events: Dataset[Event],
+                    retention: String = "30 days"): Dataset[IslandRow] = {
     import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(retention))
+    require(iv != null && iv.months >= 0 && iv.days >= 0 && iv.microseconds >= 0 &&
+        (iv.months > 0 || iv.days > 0 || iv.microseconds > 0),
+      s"retention must be a positive interval, got '$retention'")
+    // timeout horizon only (not event-time arithmetic): months ≈ 30 days
+    val retentionMs = iv.months * 30L * 86400000L + iv.days * 86400000L +
+      iv.microseconds / 1000L
     events
+      .withWatermark("ts", retention)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[IslandBuf, IslandRow](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[IslandBuf]) =>
+      .flatMapGroupsWithState[IslandCompact, IslandRow](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[IslandCompact]) =>
+          val st = state.getOption.getOrElse(IslandCompact(0L, None, Nil, Long.MinValue))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val cutoffUs = math.max(st.cutUs, wmUs)
+          // guard against any late row the engine let through: an event
+          // older than the previous cutoff would re-order history that
+          // finalized islands already depend on
           val add = rows.map(e =>
-            IslandEvent(eventMicros(e.ts), e.event_id, e.event_type)).toList
-          val all = (state.getOption.map(_.events).getOrElse(Nil) ++ add)
-            .sortBy(e => (e.tsUs, e.eventId))
-          state.update(IslandBuf(all))
-          // fold the sorted history into runs — the imperative mirror of
-          // the batch lag-change-flag + running-sum window
-          val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
-          all.foreach { e =>
+            IslandEvent(eventMicros(e.ts), e.event_id, e.event_type))
+            .filter(_.tsUs >= st.cutUs).toList
+          val evs = (st.events ++ add).sortBy(e => (e.tsUs, e.eventId)).toVector
+          // fold the sorted kept history into runs — the imperative mirror
+          // of the batch lag-change-flag + running-sum window; run 0 starts
+          // as the carry summary and extends when the types line up (every
+          // kept event is >= the carry's end by construction). firstIdx
+          // tracks each run's first event index into evs (-1 = pure carry).
+          val runs = scala.collection.mutable.ArrayBuffer.empty[IslandRun]
+          val firstIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+          st.carry.foreach { c => runs += c; firstIdx += -1 }
+          evs.zipWithIndex.foreach { case (e, i) =>
             runs.lastOption match {
-              case Some((t, n, s0, _)) if t == e.eventType =>
-                runs(runs.length - 1) = (t, n + 1L, s0, e.tsUs)
-              case _ => runs += ((e.eventType, 1L, e.tsUs, e.tsUs))
+              case Some(r) if r.eventType == e.eventType =>
+                runs(runs.length - 1) =
+                  r.copy(n = r.n + 1L, endUs = math.max(r.endUs, e.tsUs))
+                if (firstIdx(runs.length - 1) < 0) firstIdx(runs.length - 1) = i
+              case _ =>
+                runs += IslandRun(e.eventType, 1L, e.tsUs, e.tsUs)
+                firstIdx += i
             }
           }
-          val total = runs.length.toLong
-          runs.iterator.zipWithIndex.map { case ((t, n, s0, s1), i) =>
-            IslandRow(userId, i + 1L, t, n, microsTs(s0), microsTs(s1), total)
+          // maximal final prefix: run i is immutable iff run i+1 starts
+          // below the cutoff (runs 0..m-1 are final; m is the first open)
+          var m = 0
+          while (m + 1 < runs.length && runs(m + 1).startUs < cutoffUs) m += 1
+          val nFinal = st.nFinal + m
+          // K: first kept index — everything before it leaves state. All
+          // dropped events belong to runs 0..m (run m+1 starts >= cutoff),
+          // and run m's dropped slice is contiguous from its firstIdx.
+          val kIdx = {
+            val i = evs.indexWhere(_.tsUs >= cutoffUs); if (i < 0) evs.length else i
+          }
+          val keptEvs = evs.drop(kIdx)
+          // the first open run's sub-cutoff portion becomes the new carry
+          val carry = (if (runs.isEmpty) None else Some(runs(m))).flatMap { r =>
+            if (r.startUs >= cutoffUs) None
+            else {
+              val aM = firstIdx(m)
+              val dropped = if (aM >= 0) math.max(0, kIdx - aM).toLong else 0L
+              val oldCarryN = if (m == 0) st.carry.map(_.n).getOrElse(0L) else 0L
+              val end =
+                if (dropped > 0) evs(kIdx - 1).tsUs
+                else st.carry.map(_.endUs).getOrElse(r.startUs) // pure carry (m == 0)
+              Some(IslandRun(r.eventType, oldCarryN + dropped, r.startUs, end))
+            }
+          }
+          state.update(IslandCompact(nFinal, carry, keptEvs.toList, cutoffUs))
+          if (keptEvs.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + retentionMs)
+          val total = st.nFinal + runs.length.toLong
+          runs.iterator.zipWithIndex.map { case (r, i) =>
+            IslandRow(userId, st.nFinal + i + 1L, r.eventType, r.n,
+              microsTs(r.startUs), microsTs(r.endUs), total)
           }
       }
   }
@@ -291,20 +361,18 @@ object EventStreams {
   }
 
   /** File-source entry: stream the events parquet with the raw on-disk
-    * schema (nanos ride as Long under nanosAsLong), then apply the same
-    * ns -> us conversion the batch Tables.events performs.
+    * schema (Long nanos under nanosAsLong, or TIMESTAMP_NTZ for naive-µs
+    * fixtures), then apply the same ts normalization the batch
+    * Tables.events performs so `withWatermark("ts", ...)` always sees a
+    * plain TIMESTAMP.
     */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
     val path = s"$sfDir/events.parquet"
     val rawSchema = spark.read.parquet(path).schema
     // FileStreamSource wants a directory basePath; glob-filter to the
     // events file within the fixture dir.
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    rawSchema("ts").dataType match {
-      case LongType => stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => stream
-    }
+    graft.Tables.normalizeTs(stream)
   }
 }

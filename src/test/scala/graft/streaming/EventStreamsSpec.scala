@@ -167,7 +167,9 @@ class EventStreamsSpec extends SparkSpecBase {
     implicit val sqlCtx = spark.sqlContext
     val sf = Sf0001
     val input = MemoryStream[EventStreams.Event]
-    val q = EventStreams.islandsStream(spark, input.toDS())
+    // retention wider than the fixture's 30-day span: the deliberately
+    // out-of-order halves must not be dropped as beyond-horizon late rows
+    val q = EventStreams.islandsStream(spark, input.toDS(), retention = "90 days")
       .writeStream.outputMode("update")
       .format("memory").queryName("islands_out").start()
     try {
@@ -219,6 +221,48 @@ class EventStreamsSpec extends SparkSpecBase {
       val total = rows((5L, 1L))._3
       assert(total == 3L)
       assert((1L to 3L).map(i => rows((5L, i))._1) == Seq("view", "click", "view"))
+    } finally q.stop()
+  }
+
+  test("islandsStream finalizes runs behind the watermark and keeps O(retention) state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.islandsStream(spark, input.toDS(), retention = "30 days")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("islands_compact").start()
+    try {
+      // two islands in January, then a view in April that pushes the
+      // watermark (Apr 1 - 30 d = Mar 2) past both January runs
+      input.addData(
+        EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 7L, "view", 0.0),
+        EventStreams.Event(2L, ts("2024-01-01 10:05:00"), 7L, "view", 0.0),
+        EventStreams.Event(3L, ts("2024-01-01 10:20:00"), 7L, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(4L, ts("2024-04-01 10:00:00"), 7L, "view", 0.0))
+      q.processAllAvailable()
+      // watermark applies on the NEXT batch: an unrelated user's event
+      // triggers it, and user 7 compacts via its event-time timeout
+      input.addData(EventStreams.Event(9L, ts("2024-04-02 09:00:00"), 8L, "view", 0.0))
+      q.processAllAvailable()
+      // post-compaction continuation: island numbering and the carry run
+      // must survive the dropped history
+      input.addData(
+        EventStreams.Event(5L, ts("2024-04-01 10:07:00"), 7L, "view", 0.0),
+        EventStreams.Event(6L, ts("2024-04-01 10:30:00"), 7L, "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("islands_compact").collect()
+        .filter(_.getLong(0) == 7L)
+        .map(r => (r.getLong(1), (r.getString(2), r.getLong(3), r.getLong(6))))
+        // per-island n_events and totals are monotone (events only ever
+        // added), so the island's final state is its max emission
+        .groupBy(_._1).map { case (i, v) => i -> v.map(_._2).maxBy(t => (t._2, t._3)) }
+      assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+      assert(rows(1L)._1 == "view" && rows(1L)._2 == 2L)
+      assert(rows(2L)._1 == "click" && rows(2L)._2 == 1L)
+      assert(rows(3L)._1 == "view" && rows(3L)._2 == 2L, s"carry continuation: ${rows(3L)}")
+      assert(rows(4L)._1 == "purchase" && rows(4L)._2 == 1L)
+      assert(rows(4L)._3 == 4L, "final total island count")
     } finally q.stop()
   }
 
