@@ -331,25 +331,30 @@ object Scaled {
   /** q54's sketch median gated against the exact p40..p60 VALUE band —
     * vastly wider than the sketch's 1e-4 rank error, yet still a real
     * per-group assertion the oracle can state as TRUE.
+    *
+    * Exact ranks ride [[StratifiedSelect.chunkedPrefix]] (the q79 shape),
+    * NOT `Window.partitionBy(o_orderpriority)`: the priority column has 5
+    * values, so the window formulation is five single-task sorts of the
+    * whole orders table — the exact stratum-sort cliff chunkedPrefix
+    * exists to remove.
     */
   def q101MedianBanded(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val ranked = Tables.orders(s, dir)
+    val base = Tables.orders(s, dir)
       .select("o_orderpriority", "o_totalprice", "o_orderkey")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+    val ranked = StratifiedSelect.chunkedPrefix(base,
+      stratum = "o_orderpriority", primary = "o_totalprice", desc = false,
+      tieBreak = Seq(col("o_orderkey")), value = lit(1L), nChunks = nChunks(s))
     val med = ranked
-      .filter(col("rn") === expr("(n + 1) DIV 2") || col("rn") === expr("(n + 2) DIV 2"))
+      .filter(col("rn") === expr("(n_stratum + 1) DIV 2") ||
+              col("rn") === expr("(n_stratum + 2) DIV 2"))
       .groupBy("o_orderpriority")
       .agg((sum("o_totalprice") / count(lit(1))).as("median_price"))
     val band = ranked
-      .filter(col("rn") === expr("(2 * n + 4) DIV 5") ||
-              col("rn") === expr("(3 * n + 4) DIV 5"))
+      .filter(col("rn") === expr("(2 * n_stratum + 4) DIV 5") ||
+              col("rn") === expr("(3 * n_stratum + 4) DIV 5"))
       .groupBy("o_orderpriority")
-      .agg(min(when(col("rn") === expr("(2 * n + 4) DIV 5"), col("o_totalprice"))).as("lo"),
-           min(when(col("rn") === expr("(3 * n + 4) DIV 5"), col("o_totalprice"))).as("hi"))
+      .agg(min(when(col("rn") === expr("(2 * n_stratum + 4) DIV 5"), col("o_totalprice"))).as("lo"),
+           min(when(col("rn") === expr("(3 * n_stratum + 4) DIV 5"), col("o_totalprice"))).as("hi"))
     val approx = Tables.orders(s, dir)
       .groupBy("o_orderpriority")
       .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("am"))
@@ -365,8 +370,17 @@ object Scaled {
     */
   def q102ProfileBanded(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val exact = Profile.numericProfile(Tables.lineitem(s, dir), cols)
-    val approx = Profile.numericProfileApprox(Tables.lineitem(s, dir), cols)
+    // ONE projected scan persisted across all 7 aggregate passes (shared
+    // scalar pass + 4 exact DISTINCTs + the approx twin's 2): without it
+    // the query re-reads lineitem per pass, and the repeated IO dominates
+    // under contention (measured ×17 on a loaded host). The projection is
+    // 4 doubles/row, so the cache is a small fraction of the source table
+    // at any sf; at 100 TB this is exactly the "project then profile"
+    // shape the Profile scaladoc prescribes.
+    val proj = Tables.lineitem(s, dir).select(cols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = Profile.numericProfile(proj, cols)
+    val approx = Profile.numericProfileApprox(proj, cols)
       .select(col("col_name"), col("n_distinct").as("nd_approx"))
     exact.join(broadcast(approx), "col_name")
       .select(col("col_name"), col("n_non_null"), col("n_nulls"),

@@ -64,7 +64,10 @@ class StratifiedSelectSpec extends SparkSpecBase {
       graft.queries.Scaled.q72TokenBudgetScaled(spark, Sf0001),
       graft.queries.Scaled.q73QuantileFilterScaled(spark, Sf0001),
       graft.queries.Scaled.q74SequencePackScaled(spark, Sf0001),
-      graft.queries.Scaled.q79MedianScaled(spark, Sf0001))
+      graft.queries.Scaled.q79MedianScaled(spark, Sf0001),
+      // q101's exact median/band ranks ride chunkedPrefix too (r8): the
+      // former Window.partitionBy(o_orderpriority) was 5 single-task sorts
+      graft.queries.Scaled.q101MedianBanded(spark, Sf0001))
     scaled.foreach(df => assert(stratumSortCliffs(df) == 0, df.columns.mkString(",")))
     // the global-ranking degeneration (constant stratum) must not smuggle
     // a whole-table single-task sort back in either
