@@ -19,8 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - lowercase ONLY A-Z: full Unicode case-folding is locale- and
   *    engine-dependent (final sigma, Turkish I), which would silently fork
   *    dedup keys between engines;
-  *  - whitespace = the RE2 `\s` ASCII class {space, \t, \n, \v, \f, \r},
-  *    so the oracle's regexp_replace sees the identical class.
+  *  - whitespace = the RE2 `\s` ASCII class {space, \t, \n, \f, \r} —
+  *    NOTE: RE2's `\s` does NOT include vertical tab (\x0B), unlike Java's
+  *    `\s` — so the oracle's regexp_replace sees the identical class and a
+  *    literal \x0B survives into the key on both engines.
   *
   * Codegen: static call, same shape as [[SimHash64]] — the loop is
   * char-bound, one pass, no regex engine on the hot path.
@@ -47,8 +49,11 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
 }
 
 object NormalizeText {
+  // exactly RE2 `\s` ([\t\n\f\r ]): no \u000B -- DuckDB's regex engine
+  // (RE2) excludes vertical tab from \s, and cross-engine key parity
+  // outranks Java's wider Character.isWhitespace set
   private def isAsciiSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   def compute(text: String): String = {
     val nfc = java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFC)

@@ -17,10 +17,20 @@ class NormalizeTextSpec extends SparkSpecBase {
 
   test("ascii whitespace runs collapse, edges trim, case folds A-Z only") {
     assert(norm("  Hello\t\tWORLD \r\n") == "hello world")
-    assert(norm("ab\fc") == "a b c")
+    assert(norm("a\fb\nc") == "a b c")
     assert(norm(" \t\r\n") == "")
     // non-ascii uppercase is left alone (engine-dependent folding excluded)
     assert(norm("ÉTÉ Straße") == "ÉtÉ straße")
+  }
+
+  test("vertical tab is NOT whitespace (RE2 \\s parity with the oracle)") {
+    // RE2's \s is [\t\n\f\r ] — no \x0B. A vertical tab must survive as a
+    // literal char so Spark and DuckDB derive the same dedup key.
+    val vt = 11.toChar.toString // \x0B, vertical tab
+    assert(norm(s"a${vt}b") == s"a${vt}b")
+    assert(norm(s"A $vt B") == s"a $vt b")
+    // and it does not trim at the edges either
+    assert(norm(s"${vt}x$vt") == s"${vt}x$vt")
   }
 
   test("expression matches the kernel over the fixture and preserves nulls") {
