@@ -106,14 +106,19 @@ object Similarity {
     * alignment mining (a one-directional argmax happily pairs every
     * outlier with SOMETHING; requiring agreement kills those).
     *
-    * Shape: ONE scored pass (A stays partitioned, B broadcast), then two
-    * bounded-heap argmaxes over the same scored frame — per-partition
-    * k=1 heaps combine map-side, so neither groupBy shuffles more than
-    * |A|+|B| candidate rows regardless of pair count; the mutual check
-    * is a tiny self-join of two argmax tables. Ties break on the lower
-    * partner id, deterministically. For a B too big to broadcast, swap
-    * the scored join for the IVF cell join (ivfTopK's assign/probe) and
-    * keep the same mutual-heap algebra.
+    * Shape: ONE scored pass (A stays partitioned, B broadcast), evaluated
+    * ONCE — each scored row is exploded into both argmax directions
+    * (side 0 = "best b for this a", side 1 = "best a for this b") and a
+    * single bounded-heap groupBy on (side, id) computes both argmax
+    * tables in one shuffle. Map-side k=1 heaps collapse the 2× exploded
+    * rows to ≤ 2·(|A|+|B|) partials per partition before the shuffle,
+    * and only the tiny (|A|+|B|)-row argmax frame is persisted for the
+    * mutual self-join — never the A×B pair frame, which at scale dwarfs
+    * both inputs. (The earlier two-groupBy formulation recomputed the
+    * whole cross-join per direction — measured ~2× the total cost.)
+    * Ties break on the lower partner id, deterministically. For a B too
+    * big to broadcast, swap the scored join for the IVF cell join
+    * (ivfTopK's assign/probe) and keep the same mutual-heap algebra.
     */
   def mutualTop1(embA: DataFrame, embB: DataFrame): DataFrame = {
     val a = embA.select(col("vec_id").as("aid"), toDouble(col("embedding")).as("ae"))
@@ -123,15 +128,24 @@ object Similarity {
     val scored = a.crossJoin(broadcast(b))
       .withColumn("cos", dot(col("ae"), col("be")) / (col("anrm") * col("bnrm")))
       .select("aid", "bid", "cos")
-    val aBest = scored.groupBy("aid")
+    val best = scored.select(explode(array(
+        struct(lit(0).as("side"), col("aid").as("id"), col("cos"),
+          col("bid").as("partner")),
+        struct(lit(1).as("side"), col("bid").as("id"), col("cos"),
+          col("aid").as("partner")))).as("r"))
+      .select(col("r.side").as("side"), col("r.id").as("id"),
+        col("r.cos").as("cos"), col("r.partner").as("partner"))
+      .groupBy("side", "id")
       .agg(graft.functions.BoundedTopK.topK(
-        struct(col("cos"), col("bid")), 1, desc = Seq(true, false)).as("t"))
-      .select(col("aid"), col("t")(0).getField("bid").as("bid"),
+        struct(col("cos"), col("partner")), 1, desc = Seq(true, false)).as("t"))
+      .select(col("side"), col("id"),
+        col("t")(0).getField("partner").as("partner"),
         col("t")(0).getField("cos").as("cos"))
-    val bBest = scored.groupBy("bid")
-      .agg(graft.functions.BoundedTopK.topK(
-        struct(col("cos"), col("aid")), 1, desc = Seq(true, false)).as("t"))
-      .select(col("bid").as("bid2"), col("t")(0).getField("aid").as("aid2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aBest = best.filter(col("side") === 0)
+      .select(col("id").as("aid"), col("partner").as("bid"), col("cos"))
+    val bBest = best.filter(col("side") === 1)
+      .select(col("id").as("bid2"), col("partner").as("aid2"))
     aBest.join(bBest, col("aid") === col("aid2") && col("bid") === col("bid2"))
       .select(col("aid"), col("bid"), round(col("cos"), 6).as("cos_sim"))
   }
