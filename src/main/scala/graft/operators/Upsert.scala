@@ -212,6 +212,12 @@ object Upsert {
     * — but only within an "epoch": each D or I resets the carry-forward,
     * so recreated rows never inherit a dead row's columns.
     *
+    * D rows contribute NO payload: a delete marks the key dead, so any
+    * column values riding on the D row are semantically void and are
+    * nulled before the carry-forward window — otherwise a non-null D
+    * payload would bleed into same-epoch successors (the D opens the
+    * epoch it increments into).
+    *
     * Scale shape: per-key windows only — bounded by ops-per-key (the
     * q89/q90 contract), never a global sort. The epoch counter is a
     * running conditional sum over the same window; carry-forward is
@@ -222,8 +228,11 @@ object Upsert {
     import org.apache.spark.sql.expressions.Window
     val dataCols = changes.columns
       .filterNot(c => c == key || c == seqCol || c == opCol).toSeq
+    val sanitized = dataCols.foldLeft(changes) { (df, c) =>
+      df.withColumn(c, when(col(opCol) === "D", lit(null)).otherwise(col(c)))
+    }
     val wKey   = Window.partitionBy(key).orderBy(seqCol)
-    val epochd = changes.withColumn("__epoch",
+    val epochd = sanitized.withColumn("__epoch",
       sum(when(col(opCol).isin("D", "I"), 1).otherwise(0)).over(wKey))
     val wRun = Window.partitionBy(col(key), col("__epoch")).orderBy(seqCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -15,6 +15,26 @@ import graft.operators.Dedup
   */
 object Ops {
 
+  /** Key offset used to synthesize "other snapshot" rows (q112's retired
+    * ids, q121's inserts) outside the real id range.
+    */
+  private[queries] val SyntheticIdOffset = 10000000L
+
+  /** Guard the synthetic-key fixtures: if the corpus's own ids ever reach
+    * [[SyntheticIdOffset]], the offset rows would alias onto real docs and
+    * silently corrupt the diff/CDC results — fail loudly instead. The
+    * max() is a metadata-cheap columnar aggregate (parquet footer stats),
+    * run once at query construction.
+    */
+  private[queries] def requireKeyDomain(docs: DataFrame): DataFrame = {
+    val mx = docs.agg(max("doc_id")).head()
+    require(mx.isNullAt(0) || mx.getLong(0) < SyntheticIdOffset,
+      s"documents doc_id domain [..${if (mx.isNullAt(0)) "∅" else mx.getLong(0)}] " +
+        s"collides with the synthetic snapshot offset $SyntheticIdOffset; " +
+        "raise the offset above max(doc_id) before using the CDC fixtures")
+    docs
+  }
+
   /** The "previous" corpus snapshot, derived deterministically from the
     * current documents table so every engine (and every scale factor)
     * reconstructs the identical frame with no extra fixture:
@@ -26,14 +46,14 @@ object Ops {
     *     at doc_id + 10_000_000 (absent from the new one → REMOVED).
     */
   private def oldSnapshot(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = requireKeyDomain(Tables.documents(s, dir))
     val kept = docs.filter(col("doc_id") % 11 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 7 === 3, concat(col("text"), lit(" v0")))
           .otherwise(col("text")).as("text"),
         col("source"))
     val retired = docs.filter(col("doc_id") % 13 === 0)
-      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+      .select((col("doc_id") + SyntheticIdOffset).as("doc_id"), col("text"),
         col("source"))
     kept.unionByName(retired)
   }
@@ -109,7 +129,8 @@ object Ops {
     * stays hash-comparable without shipping megabytes of text.
     */
   def q121MergeUpsert(s: SparkSession, dir: String): DataFrame = {
-    val snap = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val snap = requireKeyDomain(Tables.documents(s, dir))
+      .select("doc_id", "source", "text")
     val withText = snap.filter(col("text").isNotNull)
     val changes = withText.filter(col("doc_id") % 10 === 3)
       .select(col("doc_id"), lit(null).cast("string").as("source"),
@@ -118,7 +139,7 @@ object Ops {
         .select(col("doc_id"), lit(null).cast("string").as("source"),
           lit(null).cast("string").as("text"), lit("D").as("op")))
       .unionByName(withText.filter(col("doc_id") % 10 === 1)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+        .select((col("doc_id") + SyntheticIdOffset).as("doc_id"), col("source"),
           lit("fresh insert").as("text"), lit("I").as("op")))
     graft.operators.Upsert.applyChanges(snap, changes, key = "doc_id")
       .select(col("doc_id"), col("source"),

@@ -218,7 +218,11 @@ class UpsertSpec extends SparkSpecBase {
       // k4: D@1 then U@2 — carry-forward must NOT cross the D
       (4L, "olds", "oldt", 1L, "U"), (4L, n, n, 2L, "D"), (4L, n, "u4", 3L, "U"),
       // k3: U@1 then U@2 — plain fold within one epoch
-      (3L, n, "t1x", 1L, "U"), (3L, "s2b", n, 2L, "U")
+      (3L, n, "t1x", 1L, "U"), (3L, "s2b", n, 2L, "U"),
+      // k5: the D row itself carries a (void) payload — it must be nulled
+      // before carry-forward, not bleed into the post-D version
+      (5L, "s5", "t5", 1L, "U"), (5L, "ghost", "ghostt", 2L, "D"),
+      (5L, n, "u5", 3L, "U")
     ).toDF("id", "source", "text", "seq", "op")
     val h = Upsert.scd2History(log, "id", "seq").collect()
       .map(r => (r.getLong(0), r.getLong(1),
@@ -231,6 +235,8 @@ class UpsertSpec extends SparkSpecBase {
       (4L, 1L, 2L, "olds", "oldt", false), // closed by the D, no successor
       (4L, 3L, -1L, null, "u4", true),     // post-D version: no olds bleed
       (3L, 1L, 2L, null, "t1x", false),
-      (3L, 2L, -1L, "s2b", "t1x", true)), s"got $h")
+      (3L, 2L, -1L, "s2b", "t1x", true),
+      (5L, 1L, 2L, "s5", "t5", false),
+      (5L, 3L, -1L, null, "u5", true)), s"got $h") // no ghost/ghostt bleed
   }
 }
