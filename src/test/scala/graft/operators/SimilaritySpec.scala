@@ -162,4 +162,34 @@ class SimilaritySpec extends SparkSpecBase {
       s"mutuality must prune one-directional pairs: ${got.size} vs $oneWay")
   }
 
+  test("mutualTop1 plans the A×B cross-join once, behind the persisted argmax") {
+    val a = emb.filter(col("label") === 0)
+    val b = emb.filter(col("label") === 1)
+    val df = Similarity.mutualTop1(a, b)
+    df.collect() // materialize the argmax cache
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // AQE wraps stages as leaf nodes; walk through them but stop at the
+    // cache scan (its InMemoryRelation legitimately CONTAINS the one
+    // cross-join evaluation)
+    def deep(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(deep)
+    }
+    val nodes = deep(df.queryExecution.executedPlan)
+    // the final plan above the cache is the tiny mutual self-join reading
+    // the SAME cache twice — the cross never re-evaluates per direction
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"A×B cross-join must not appear above the cache:\n${nodes.head}")
+    val cacheScans = nodes.count(_.isInstanceOf[InMemoryTableScanExec])
+    assert(cacheScans == 2,
+      s"expected both argmax branches to read the cache, saw $cacheScans:\n${nodes.head}")
+  }
+
 }
