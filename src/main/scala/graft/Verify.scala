@@ -15,6 +15,10 @@ object Verify {
     GraftSession.attachMetricsLogger(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // cache isolation: a few queries persist intra-query intermediates
+      // (q102/q129/q131, Dashboard); clear between queries so no query
+      // reads another's cache and memory doesn't accumulate over 130 dumps
+      spark.sharedState.cacheManager.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -179,11 +179,16 @@ object Scaled {
     * all exact in IEEE doubles, so the hash gate holds.
     */
   def q131MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    // persist the tokenized projection: the median, MAD, and fence passes
+    // each re-evaluate this frame (x2 inside chunkedPrefix's boundary
+    // sketch), and tokenCount over full text is the dominant per-pass
+    // cost; the cached frame is 3 narrow columns — the q102 share shape
     val b = Tables.documents(s, dir).filter(col("text").isNotNull)
       .select(col("source"),
         graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
           .as("x"),
         col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def medianOf(df: DataFrame, valueCol: String, out: String) =
       StratifiedSelect.chunkedPrefix(df, stratum = "source",
           primary = valueCol, desc = false, tieBreak = Seq(col("doc_id")),

@@ -101,40 +101,63 @@ object EventStreams {
     *
     * State is user-cardinality-bounded (32 bytes of times per user), not
     * volume-bounded — the right shape for a funnel, which must remember
-    * users forever by definition; evicting abandoned users after a
-    * retention horizon is one `GroupStateTimeout.EventTimeTimeout` away
-    * (the sessionize pattern) and changes the product definition, so it is
-    * a caller decision, not a default.
+    * users forever by definition. Passing `retention` OPTS IN to evicting
+    * users idle beyond that event-time horizon (EventTimeTimeout — the
+    * sessionize pattern): their state is dropped after one final stage
+    * emission, and a user who returns later restarts from stage 0. That
+    * CHANGES the metric's definition (a funnel with amnesia), which is
+    * why it is a caller decision, never a default.
     */
-  def funnelStream(spark: SparkSession, events: Dataset[Event]): Dataset[FunnelRow] = {
+  def funnelStream(spark: SparkSession, events: Dataset[Event],
+                   retention: Option[String] = None): Dataset[FunnelRow] = {
     import spark.implicits._
     val unseen = Long.MaxValue
-    events
+    val retentionMs = retention.map { r =>
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r))
+      require(iv != null && iv.months >= 0 && iv.days >= 0 && iv.microseconds >= 0 &&
+          (iv.months > 0 || iv.days > 0 || iv.microseconds > 0),
+        s"retention must be a positive interval, got '$r'")
+      iv.months * 30L * 86400000L + iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    val src = retention.fold(events)(events.withWatermark("ts", _))
+    val timeoutConf = if (retention.isDefined) GroupStateTimeout.EventTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    def stageOf(s: FunnelState): Int =
+      // q83's strict-ordering chain over first-occurrence times
+      if (s.tSignup == unseen) 0
+      else if (s.tView == unseen || s.tView <= s.tSignup) 1
+      else if (s.tClick == unseen || s.tClick <= s.tView) 2
+      else if (s.tPurchase == unseen || s.tPurchase <= s.tClick) 3
+      else 4
+    src
       .groupByKey(_.user_id)
-      .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[FunnelState, FunnelRow](timeoutConf) {
         (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(unseen, unseen, unseen, unseen))
-          rows.foreach { e =>
-            // exact event-time micros (getTime alone truncates to ms and
-            // could flip a <=-comparison between events in the same ms)
-            val t = math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
-            e.event_type match {
-              case "signup"   => s = s.copy(tSignup = math.min(s.tSignup, t))
-              case "view"     => s = s.copy(tView = math.min(s.tView, t))
-              case "click"    => s = s.copy(tClick = math.min(s.tClick, t))
-              case "purchase" => s = s.copy(tPurchase = math.min(s.tPurchase, t))
-              case _          => ()
+          if (state.hasTimedOut) {
+            // idle beyond the horizon: final stage emission, then forget
+            val s = state.get
+            state.remove()
+            FunnelRow(userId, stageOf(s))
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(unseen, unseen, unseen, unseen))
+            rows.foreach { e =>
+              // exact event-time micros (getTime alone truncates to ms and
+              // could flip a <=-comparison between events in the same ms)
+              val t = math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+              e.event_type match {
+                case "signup"   => s = s.copy(tSignup = math.min(s.tSignup, t))
+                case "view"     => s = s.copy(tView = math.min(s.tView, t))
+                case "click"    => s = s.copy(tClick = math.min(s.tClick, t))
+                case "purchase" => s = s.copy(tPurchase = math.min(s.tPurchase, t))
+                case _          => ()
+              }
             }
+            state.update(s)
+            retentionMs.foreach(ms =>
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ms))
+            FunnelRow(userId, stageOf(s))
           }
-          state.update(s)
-          // q83's strict-ordering chain over first-occurrence times
-          val stage =
-            if (s.tSignup == unseen) 0
-            else if (s.tView == unseen || s.tView <= s.tSignup) 1
-            else if (s.tClick == unseen || s.tClick <= s.tView) 2
-            else if (s.tPurchase == unseen || s.tPurchase <= s.tClick) 3
-            else 4
-          FunnelRow(userId, stage)
       }
   }
 

@@ -162,6 +162,38 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("funnelStream with retention evicts idle users; returning users restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.funnelStream(spark, input.toDS(), retention = Some("30 days"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_evict").start()
+    try {
+      // user 7 reaches stage 2 in January
+      input.addData(
+        EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 7L, "signup", 0.0),
+        EventStreams.Event(2L, ts("2024-01-02 10:00:00"), 7L, "view", 0.0))
+      q.processAllAvailable()
+      // an April event pushes the watermark past Jan + 30 d; the next
+      // batch fires user 7's timeout and drops the state
+      input.addData(EventStreams.Event(3L, ts("2024-04-01 10:00:00"), 8L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(4L, ts("2024-04-02 10:00:00"), 8L, "view", 0.0))
+      q.processAllAvailable()
+      // user 7 returns with a view only: with retained state this would
+      // still read stage 2 — post-eviction it restarts at 0 (no signup)
+      input.addData(EventStreams.Event(5L, ts("2024-04-03 10:00:00"), 7L, "view", 0.0))
+      q.processAllAvailable()
+      val emissions = spark.table("funnel_evict").collect()
+        .filter(_.getLong(0) == 7L).map(_.getInt(1)).toSeq
+      assert(emissions.contains(2), s"pre-eviction stage reached 2: $emissions")
+      // a 0 emission is only possible from a fresh state (the retained
+      // state would still hold January's signup+view → stage 2)
+      assert(emissions.contains(0), s"returning user must restart at 0: $emissions")
+    } finally q.stop()
+  }
+
   test("islandsStream final islands match batch q89, fed out of order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
