@@ -256,6 +256,63 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("islandsStream compaction equals the full-history fold on random batched streams") {
+    // adversarial equivalence check for the finalization/carry index
+    // arithmetic: random events over several users and batches, each batch
+    // one retention-window ahead of the last (so finalization fires
+    // between batches and nothing is dropped as late), must reproduce
+    // exactly the runs a single fold over the complete history yields.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(20260813L)
+    val types = Array("view", "click", "buy")
+    val nBatches = 4
+    val batches: Seq[Seq[EventStreams.Event]] = (0 until nBatches).map { b =>
+      // batch b lives in [b*2h, b*2h+1h): next batch's min (b+1)*2h is
+      // always >= this batch's max - 1h retention, so no admitted event is
+      // ever behind the watermark when it arrives
+      val base = ts("2024-01-01 00:00:00").getTime + b.toLong * 2 * 3600 * 1000
+      (0 until 60).map { i =>
+        val t = new Timestamp(base + rnd.nextInt(3600 * 1000).toLong)
+        EventStreams.Event(b.toLong * 1000 + i, t, rnd.nextInt(4).toLong,
+          types(rnd.nextInt(types.length)), 0.0)
+      }
+    }
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.islandsStream(spark, input.toDS(), retention = "1 hour")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("islands_rand").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      // expected: one fold over the COMPLETE sorted history per user
+      val expected = batches.flatten.groupBy(_.user_id).flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+        sorted.foreach { e =>
+          runs.lastOption match {
+            case Some((t, n, s0, _)) if t == e.event_type =>
+              runs(runs.length - 1) = (t, n + 1L, s0, e.ts.getTime)
+            case _ => runs += ((e.event_type, 1L, e.ts.getTime, e.ts.getTime))
+          }
+        }
+        runs.zipWithIndex.map { case ((t, n, s0, s1), i) =>
+          (u, i + 1L) -> ((t, n, s0, s1))
+        }
+      }
+      // streamed: per (user, island) the max emission (n_events monotone)
+      val got = spark.table("islands_rand").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getLong(3), r.getTimestamp(4).getTime,
+            r.getTimestamp(5).getTime)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).maxBy(_._2) }
+      assert(got.keySet == expected.keySet,
+        s"island keys: missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+      expected.foreach { case (k, e) =>
+        assert(got(k) == e, s"island $k: got ${got(k)}, expected $e")
+      }
+    } finally q.stop()
+  }
+
   test("islandsStream finalizes runs behind the watermark and keeps O(retention) state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
