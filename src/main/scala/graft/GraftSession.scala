@@ -32,8 +32,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.compression.codec", "zstd")
-      // events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
-      // read as Long and convert explicitly (Tables.events).
+      // some events.parquet generations store TIMESTAMP(NANOS), which
+      // vanilla Spark rejects; read as Long and convert explicitly
+      // (Tables.normalizeTs — which also handles the naive-µs/NTZ
+      // generation).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Write timestamps as TIMESTAMP_MICROS (not INT96) so downstream
       // readers (incl. the DuckDB oracle compare) see matching physical types.
