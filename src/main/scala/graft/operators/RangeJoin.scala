@@ -32,10 +32,12 @@ object RangeJoin {
     * (`unix_micros`); `div` truncates toward zero (not floor), but the
     * two-bin covering invariant probe_bin ∈ {build_bin, build_bin + 1}
     * holds for either epoch sign because both sides truncate identically
-    * and the match window is exactly one bin wide. Both ts columns are
-    * cast to TIMESTAMP first (a no-op for TIMESTAMP inputs) so
-    * TIMESTAMP_NTZ columns — which `unix_micros` rejects — are accepted,
-    * interpreted as wall-clock in the session time zone.
+    * and the match window is exactly one bin wide. A TIMESTAMP_NTZ ts
+    * column — which `unix_micros` rejects — is cast to TIMESTAMP
+    * (wall-clock in the session time zone); ONLY that case is widened, so
+    * any other type (a raw nanosAsLong Long, a string) still fails
+    * analysis loudly instead of being silently reinterpreted as epoch
+    * seconds by a blanket cast.
     *
     * Join strategy is left to Catalyst/AQE deliberately: unlike a
     * posting-list explode (q38/q64, ~100× under-estimated), this explode
@@ -55,17 +57,21 @@ object RangeJoin {
       .intersect(Set("__bin", "__bbin"))
     require(reserved.isEmpty,
       s"inputs must not contain the operator's temp columns ($reserved)")
-    def us(c: String) = unix_micros(col(c).cast("timestamp"))
-    def bin(c: String) = expr(s"unix_micros(cast(`$c` as timestamp)) div $windowUs")
-    val p = probe.withColumn("__bin", bin(probeTs))
+    import org.apache.spark.sql.types.TimestampNTZType
+    def usSql(df: DataFrame, c: String) =
+      if (df.schema(c).dataType == TimestampNTZType)
+        s"unix_micros(cast(`$c` as timestamp))"
+      else s"unix_micros(`$c`)"
+    val pUs = usSql(probe, probeTs)
+    val bUs = usSql(build, buildTs)
+    val p = probe.withColumn("__bin", expr(s"$pUs div $windowUs"))
     val b = build
-      .withColumn("__bbin", bin(buildTs))
+      .withColumn("__bbin", expr(s"$bUs div $windowUs"))
       // a build row in bin c serves probes in bins c and c+1
       .withColumn("__bin", explode(array(col("__bbin"), col("__bbin") + 1)))
       .drop("__bbin")
     p.join(b, Seq(key, "__bin"))
-      .filter(us(buildTs) >= us(probeTs) - windowUs &&
-              us(buildTs) <  us(probeTs))
+      .filter(expr(s"$bUs >= $pUs - $windowUs AND $bUs < $pUs"))
       .drop("__bin")
   }
 }

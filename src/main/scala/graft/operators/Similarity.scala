@@ -119,6 +119,13 @@ object Similarity {
     * Ties break on the lower partner id, deterministically. For a B too
     * big to broadcast, swap the scored join for the IVF cell join
     * (ivfTopK's assign/probe) and keep the same mutual-heap algebra.
+    *
+    * Cache lifetime: the persisted argmax frame ((|A|+|B|) rows × 4
+    * columns) stays registered for the session — the operator cannot
+    * unpersist it without forcing eager execution at construction.
+    * Long-lived sessions calling this repeatedly should release between
+    * calls (`spark.catalog.clearCache()` or the cache manager), as the
+    * Bench/Verify drivers do between queries.
     */
   def mutualTop1(embA: DataFrame, embB: DataFrame): DataFrame = {
     val a = embA.select(col("vec_id").as("aid"), toDouble(col("embedding")).as("ae"))

@@ -23,15 +23,26 @@ object Ops {
   /** Guard the synthetic-key fixtures: if the corpus's own ids ever reach
     * [[SyntheticIdOffset]], the offset rows would alias onto real docs and
     * silently corrupt the diff/CDC results — fail loudly instead. The
-    * max() is a metadata-cheap columnar aggregate (parquet footer stats),
-    * run once at query construction.
+    * max() is an eager single-column scan (Spark's v1 parquet reader does
+    * NOT push aggregates to footer stats), so when `cacheKey` names the
+    * fixture dir the verdict is memoized per session — one scan per dir,
+    * not one per query construction (Bench constructs each query 4×).
     */
-  private[queries] def requireKeyDomain(docs: DataFrame): DataFrame = {
-    val mx = docs.agg(max("doc_id")).head()
-    require(mx.isNullAt(0) || mx.getLong(0) < SyntheticIdOffset,
-      s"documents doc_id domain [..${if (mx.isNullAt(0)) "∅" else mx.getLong(0)}] " +
-        s"collides with the synthetic snapshot offset $SyntheticIdOffset; " +
-        "raise the offset above max(doc_id) before using the CDC fixtures")
+  private val checkedDomains =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[queries] def requireKeyDomain(docs: DataFrame,
+                                        cacheKey: String = ""): DataFrame = {
+    def check(): java.lang.Boolean = {
+      val mx = docs.agg(max("doc_id")).head()
+      require(mx.isNullAt(0) || mx.getLong(0) < SyntheticIdOffset,
+        s"documents doc_id domain [..${if (mx.isNullAt(0)) "∅" else mx.getLong(0)}] " +
+          s"collides with the synthetic snapshot offset $SyntheticIdOffset; " +
+          "raise the offset above max(doc_id) before using the CDC fixtures")
+      java.lang.Boolean.TRUE
+    }
+    if (cacheKey.isEmpty) check()
+    else checkedDomains.computeIfAbsent(cacheKey, _ => check())
     docs
   }
 
@@ -46,7 +57,7 @@ object Ops {
     *     at doc_id + 10_000_000 (absent from the new one → REMOVED).
     */
   private def oldSnapshot(s: SparkSession, dir: String): DataFrame = {
-    val docs = requireKeyDomain(Tables.documents(s, dir))
+    val docs = requireKeyDomain(Tables.documents(s, dir), cacheKey = dir)
     val kept = docs.filter(col("doc_id") % 11 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 7 === 3, concat(col("text"), lit(" v0")))
@@ -129,7 +140,7 @@ object Ops {
     * stays hash-comparable without shipping megabytes of text.
     */
   def q121MergeUpsert(s: SparkSession, dir: String): DataFrame = {
-    val snap = requireKeyDomain(Tables.documents(s, dir))
+    val snap = requireKeyDomain(Tables.documents(s, dir), cacheKey = dir)
       .select("doc_id", "source", "text")
     val withText = snap.filter(col("text").isNotNull)
     val changes = withText.filter(col("doc_id") % 10 === 3)

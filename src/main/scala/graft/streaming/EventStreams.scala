@@ -141,10 +141,12 @@ object EventStreams {
             FunnelRow(userId, stageOf(s))
           } else {
             var s = state.getOption.getOrElse(FunnelState(unseen, unseen, unseen, unseen))
+            var lastMs = Long.MinValue
             rows.foreach { e =>
               // exact event-time micros (getTime alone truncates to ms and
               // could flip a <=-comparison between events in the same ms)
               val t = math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+              lastMs = math.max(lastMs, e.ts.getTime)
               e.event_type match {
                 case "signup"   => s = s.copy(tSignup = math.min(s.tSignup, t))
                 case "view"     => s = s.copy(tView = math.min(s.tView, t))
@@ -154,8 +156,15 @@ object EventStreams {
               }
             }
             state.update(s)
+            // arm the timeout off the user's own latest EVENT time, not the
+            // watermark: during the first micro-batch the watermark is still
+            // 0, and 0 + retention is in 1970 — the very next batch would
+            // evict every batch-1 user "immediately". max() with the
+            // watermark keeps the timestamp legal for barely-admitted late
+            // events (setTimeoutTimestamp requires a value > watermark).
             retentionMs.foreach(ms =>
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ms))
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs(), lastMs) + ms))
             FunnelRow(userId, stageOf(s))
           }
       }
@@ -280,8 +289,14 @@ object EventStreams {
             }
           }
           state.update(IslandCompact(nFinal, carry, keptEvs.toList, cutoffUs))
+          // arm off the newest kept EVENT (when the watermark passes it, all
+          // kept events are finalizable) — not the bare watermark, which is
+          // 0 during the first micro-batch and would fire a useless (if
+          // harmless) compaction immediately
           if (keptEvs.nonEmpty)
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + retentionMs)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(),
+                keptEvs.last.tsUs / 1000L) + retentionMs)
           val total = st.nFinal + runs.length.toLong
           runs.iterator.zipWithIndex.map { case (r, i) =>
             IslandRow(userId, st.nFinal + i + 1L, r.eventType, r.n,

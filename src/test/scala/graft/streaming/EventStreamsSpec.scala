@@ -175,10 +175,17 @@ class EventStreamsSpec extends SparkSpecBase {
         EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 7L, "signup", 0.0),
         EventStreams.Event(2L, ts("2024-01-02 10:00:00"), 7L, "view", 0.0))
       q.processAllAvailable()
-      // an April event pushes the watermark past Jan + 30 d; the next
-      // batch fires user 7's timeout and drops the state
-      input.addData(EventStreams.Event(3L, ts("2024-04-01 10:00:00"), 8L, "view", 0.0))
+      // a mid-January event moves the watermark to Dec 21 — PAST the
+      // epoch-based timeout a bug arming off the batch-1 watermark
+      // (0 + 30 d = Feb 1970) would have set, but BEFORE the correct
+      // last-event + retention horizon (Jan 2 + 30 d = Feb 1): user 7
+      // must not be evicted yet
+      input.addData(EventStreams.Event(3L, ts("2024-01-20 10:00:00"), 8L, "view", 0.0))
       q.processAllAvailable()
+      assert(spark.table("funnel_evict").collect().count(_.getLong(0) == 7L) == 1,
+        "user must not be evicted before last-event + retention")
+      // an April event pushes the watermark past Feb 1; the timeout fires
+      // and drops the state
       input.addData(EventStreams.Event(4L, ts("2024-04-02 10:00:00"), 8L, "view", 0.0))
       q.processAllAvailable()
       // user 7 returns with a view only: with retained state this would
