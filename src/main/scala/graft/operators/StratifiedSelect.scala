@@ -38,6 +38,17 @@ import org.apache.spark.sql.functions._
   * also makes the chunk id bit-identical across every branch of the plan
   * (an in-plan sketch could legally re-evaluate per branch; row-level
   * arithmetic cannot drift).
+  *
+  * COST CAVEAT — the boundary sketch is a separate ACTION over `base`.
+  * When `base` is a cheap table scan (every Scaled twin), that is one
+  * extra columnar pass. When `base` is the tail of a deep pipeline, the
+  * sketch re-executes the whole upstream chain OUTSIDE the main query's
+  * DAG, forfeiting AQE exchange reuse — measured 4.3 s → 10 s when q99's
+  * chained quartile/budget/packing stages were routed through here even
+  * WITH the stage input persisted (its dedup prefix runs eagerly at
+  * construction and re-runs per boundary action). For pipeline tails,
+  * either materialize `base` to storage first or keep the per-stratum
+  * window when the stratum input is already reduced.
   */
 object StratifiedSelect {
 
