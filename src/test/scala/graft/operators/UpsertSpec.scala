@@ -210,6 +210,45 @@ class UpsertSpec extends SparkSpecBase {
     assert(byStatus.getOrElse("unchanged", 0L) > 0, s"got $byStatus")
   }
 
+  test("scd2History equals a driver-side reference fold on random op logs") {
+    // adversarial randomized check of the epoch/carry-forward algebra:
+    // random U/I/D ladders per key, payload columns independently null,
+    // D rows deliberately carrying (void) payloads
+    val rnd = new scala.util.Random(8138L)
+    val ops = Array("U", "I", "D")
+    val log: Seq[UpsertChange] = (0 until 40).flatMap { k =>
+      (1 to rnd.nextInt(9)).map { s =>
+        def v(p: String) = if (rnd.nextBoolean()) null else s"${p}_${k}_$s"
+        UpsertChange(k.toLong, v("s"), v("t"), s.toLong, ops(rnd.nextInt(3)))
+      }
+    }
+    // reference: per key in seq order — epoch bumps on D/I (the op row
+    // belongs to the epoch it bumps into), D contributes no payload,
+    // carry = last non-null per column within the epoch
+    val expected = log.groupBy(_.id).flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(_.seq)
+      var src: String = null; var txt: String = null
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Option[Long], String, String, Boolean)]
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        if (r.op == "D" || r.op == "I") { src = null; txt = null } // epoch reset
+        if (r.op != "D") {
+          if (r.source != null) src = r.source
+          if (r.text != null) txt = r.text
+          val validTo = sorted.lift(i + 1).map(_.seq)
+          out += ((k, r.seq, validTo, src, txt, validTo.isEmpty))
+        }
+      }
+      out
+    }.toSet
+    val got = Upsert.scd2History(log.toDF(), "id", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getString(3), r.getString(4), r.getBoolean(5))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got}\nextra=${got -- expected}")
+  }
+
   test("scd2History: bounds, epoch-reset carry-forward, is_current") {
     val n = null.asInstanceOf[String]
     val log = Seq(
