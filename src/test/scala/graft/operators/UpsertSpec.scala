@@ -83,6 +83,34 @@ class UpsertSpec extends SparkSpecBase {
     assert(!got.exists(_._1 == 10L), "D on absent key is a no-op")
   }
 
+  test("compactChanges ≡ sequential replay on random logs") {
+    // seeded-random companion to the hand-crafted interplay cases: any
+    // U/I/D ladder over any snapshot must compact to the same final
+    // state the one-batch-per-seq replay reaches
+    val rnd = new scala.util.Random(99173L)
+    val ops = Array("U", "I", "D")
+    val snap = (0 until 25).filter(_ => rnd.nextBoolean())
+      .map(k => (k.toLong, s"s$k", s"t$k")).toDF("id", "source", "text")
+    val maxSeq = 5L
+    val log = (0 until 25).flatMap { k =>
+      (1L to maxSeq).flatMap { s =>
+        if (rnd.nextInt(3) == 0) None
+        else {
+          def v(p: String) = if (rnd.nextBoolean()) null else s"${p}_${k}_$s"
+          Some((k.toLong, v("s"), v("t"), s, ops(rnd.nextInt(3))))
+        }
+      }
+    }.toDF("id", "source", "text", "seq", "op")
+    val compacted = Upsert
+      .applyChanges(snap, Upsert.compactChanges(log, "id", "seq"), "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val sequential = (1L to maxSeq).foldLeft(snap) { (acc, s) =>
+      Upsert.applyChanges(acc, log.filter(col("seq") === s).drop("seq"), "id")
+    }.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(compacted == sequential,
+      s"missing=${sequential -- compacted}\nextra=${compacted -- sequential}")
+  }
+
   test("compactChanges plan: one hash aggregation, no window, no join") {
     val n = null.asInstanceOf[String]
     val log = Seq((1L, "a", "t", 1L, "U"), (1L, n, n, 2L, "D"))
