@@ -64,6 +64,25 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(pairs.length == pairs.distinct.length)
   }
 
+  test("TIMESTAMP_NTZ ts columns are widened; other types still fail loudly") {
+    // NTZ inputs (the naive-µs fixture encoding) must produce the same
+    // pairs as the TIMESTAMP formulation — the UTC session makes the
+    // cast value-preserving
+    val pNtz = probe.withColumn("ts", $"ts".cast("timestamp_ntz"))
+    val bNtz = build.withColumn("p_ts", $"p_ts".cast("timestamp_ntz"))
+    val got = RangeJoin.trailingWindowJoin(pNtz, bNtz, "user_id", "ts", "p_ts", W)
+      .select("event_id", "p_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((101L, 201L), (101L, 203L), (102L, 205L)))
+    // a raw Long ts (e.g. nanosAsLong leaking past Tables.normalizeTs)
+    // must NOT be silently reinterpreted as epoch seconds
+    val pLong = probe.withColumn("ts", unix_micros($"ts"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      RangeJoin.trailingWindowJoin(pLong, build, "user_id", "ts", "p_ts", W)
+        .collect()
+    }
+  }
+
   test("rejects shadowed column names and non-positive windows") {
     intercept[IllegalArgumentException] {
       RangeJoin.trailingWindowJoin(probe, probe, "user_id", "ts", "ts", W)
