@@ -32,6 +32,19 @@ object Bench {
         -1.0
       }
     }
+    // Host-contention forensics: two driver-run benches have now produced
+    // scary 2-17x per-query spikes that reproduced at 1x on an idle host
+    // (rounds 7 and 8) — each costing a round of re-measurement to
+    // diagnose. Stamp the artifact with wall-clock + /proc/loadavg at
+    // start/end and keep ALL timed runs per query (not just the min), so
+    // a contended capture is self-diagnosing: spiky max/min ratios within
+    // a query + a high loadavg say "machine", flat runs say "code".
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "[]" }
+    def nowIso(): String = java.time.Instant.now().toString
+    val (tsStart, loadStart) = (nowIso(), loadavg())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // cache isolation BETWEEN queries (not between runs): queries that
       // persist intra-query intermediates (q102/q129/q131, Dashboard) keep
@@ -41,16 +54,24 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       val runs = Seq(time(name, fn), time(name, fn), time(name, fn), time(name, fn))
       val timed = runs.drop(1) // first run is warm-up, never reported
-      name -> (if (runs.exists(_ < 0)) -1.0 else timed.min)
+      (name, if (runs.exists(_ < 0)) -1.0 else timed.min, timed)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val (tsEnd, loadEnd) = (nowIso(), loadavg())
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runsJson = results.map { case (k, _, timed) =>
+      "\"" + k + "\":" + timed.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only; failures are listed explicitly so
     // a broken query can never read as a speedup.
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":[${failed.mkString(",")}],"sf":"$sfDir",""" +
+        s""""runs":$runsJson,"cpus":$cpus,""" +
+        s""""ts_start":"$tsStart","ts_end":"$tsEnd",""" +
+        s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
     println(json)
     // Also persist the line to a file: log tailing truncated a round's
     // BENCH json once (lost the head queries + total), so the artifact is

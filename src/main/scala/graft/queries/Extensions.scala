@@ -12,10 +12,14 @@ import graft.operators.{Dedup, Similarity}
   * decontamination, mixture sampling, event-time analytics. Everything
   * deterministic carries a full DuckDB oracle — including the IVF/LSH ANN
   * paths (fixed centroids/hyperplanes) and the lossless-banded SimHash
-  * pairs; only the genuinely sketch/probabilistic three (q25 band-prune,
-  * q44 HLL, q54 percentile sketch) are rows-only, each spec-anchored
-  * against its exact counterpart (DedupSpec / SimilaritySpec /
-  * IntegrationSpec).
+  * pairs. The genuinely sketch/probabilistic queries (q25 band-prune, q44
+  * HLL, q54 percentile sketch) are hash-gated through the banded trick
+  * pioneered by q100-q102/q105: every exact stat in the output is
+  * SQL-expressible, and the sketch estimate appears only through a
+  * boolean band whose oracle value is TRUE (sketches are deterministic
+  * for a given dataset, so the booleans are stable at a given sf); each
+  * is additionally spec-anchored against its exact counterpart
+  * (DedupSpec / SimilaritySpec / IntegrationSpec).
   */
 object Extensions {
 
@@ -90,30 +94,37 @@ object Extensions {
       col("doc_id"),
       graft.functions.NormalizeText.normalizeText(col("text")).as("norm_text"))
 
-  /** MinHash+LSH near-dup candidates over the English slice, verified by
-    * exact Jaccard, top-1000 by similarity (deterministic tiebreak). The
-    * LSH prune is not SQL-expressible -> rows-only check; recall vs the
-    * exact operator is asserted in DedupSpec.
+  /** MinHash+LSH near-dup recall gate over the FULL corpus — the q105
+    * banded trick (exact pair count SQL-expressible, the LSH result
+    * entering only through a boolean the oracle states as TRUE) widened
+    * from q105's English slice to every (lang, source) block: the gate
+    * that proves the banding math holds across the corpus's language mix,
+    * not just its largest slice. MinHash signatures are seed-fixed and the
+    * band walk deterministic, so recall_ok is stable at a given sf.
+    *
+    * Deliberately UNCAPPED, like q105: a capped walk (maxBucketSize=200 +
+    * routeOverCapExact — the production configuration for degenerate
+    * boilerplate buckets) measurably trades recall on THIS pathologically
+    * self-similar corpus (at sf0.1 the over-cap buckets carry most of the
+    * true near-dup pairs, not just candidate noise — measured recall well
+    * under the 0.8 gate), so the cap is an explicit curation decision to
+    * route such clusters to exact/fingerprint dedup, never a default; its
+    * drop volume stays observable via the `graft_q25_bucket_cap` metric
+    * and DedupSpec's planted-cluster recovery spec.
     */
-  def q25MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(
-      Tables.documents(s, dir).filter(col("lang") === "en"),
-      shingleSize = 1, numHashes = 32, bands = 8, threshold = 0.8,
-      // opt-in candidate prune: this corpus is pathologically self-similar,
-      // and at j=0.8 P(>=2 of 8 bands) ~ 0.90 — see Dedup.lshCandidates
-      minBandCollisions = 2,
-      // bucket cap: a (band,bucket) holding >200 docs is a degenerate
-      // boilerplate cluster (here ~8 buckets of ~930 of the 2000 en docs at
-      // sf0.1 carry 3.5M of the 3.7M candidate-pair mass); enumerating its
-      // pairs is the quadratic blowup LSH exists to avoid — such clusters
-      // belong to exact/fingerprint dedup — which routeOverCapExact runs
-      // for them inline, unioning identical-set pairs back in (fixture
-      // texts are all distinct, so output is unchanged here; DedupSpec
-      // proves the recovery on a planted boilerplate cluster). At
-      // sf0.001 no bucket reaches the cap (recall spec unaffected).
-      maxBucketSize = 200, routeOverCapExact = true)
-      .orderBy(col("jaccard").desc, col("doc_id_a"), col("doc_id_b"))
-      .limit(1000)
+  def q25MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.8)
+    val lsh = Dedup.minhashLsh(docs, shingleSize = 1, numHashes = 32,
+        bands = 8, threshold = 0.8, minBandCollisions = 2)
+      .select("doc_id_a", "doc_id_b")
+    val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
+    val nFound = exact.join(lsh, Seq("doc_id_a", "doc_id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    nExact.crossJoin(broadcast(nFound))
+      .select(col("n_exact_pairs"),
+        (col("n_found") * 10L >= col("n_exact_pairs") * 8L).as("recall_ok"))
+  }
 
   /** SimHash fingerprints (custom Catalyst expression) — the map stage of
     * simhash dedup; banding/pair tests live in DedupSpec.
@@ -287,14 +298,32 @@ object Extensions {
   }
 
   /** Deterministic approximate distinct counting (HLL merge is
-    * order-independent) — the 100 TB substitute for exact countDistinct.
-    * Rows-only: DuckDB's approx sketch differs by construction.
+    * order-independent) — the 100 TB substitute for exact countDistinct,
+    * promoted to the hash gate via the q100 banded trick, PER GROUP: the
+    * exact per-returnflag distincts are SQL-expressible and the HLL
+    * estimate enters only through booleans the oracle states as TRUE.
+    * q100 gates the global HLL aggregate; this one gates the grouped
+    * HashAggregate path (per-group register merge). rsd 0.02 against a
+    * 10 % band is 5 sigma — and HLL is deterministic for a given dataset,
+    * so the booleans are stable at every sf. The two exact distincts run
+    * as separate single-DISTINCT passes (the Profile Expand-avoidance
+    * shape) meeting on the 3-row group keys.
     */
-  def q44ApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-      count(lit(1)).as("n_rows"))
+  def q44ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val exactSupp = li.groupBy("l_returnflag")
+      .agg(count_distinct(col("l_suppkey")).as("n_supp"),
+        count(lit(1)).as("n_rows"))
+    val exactParts = li.groupBy("l_returnflag")
+      .agg(count_distinct(col("l_partkey")).as("n_parts"))
+    val approx = li.groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_suppkey"), 0.02).as("a_supp"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("a_parts"))
+    exactSupp.join(exactParts, "l_returnflag").join(broadcast(approx), "l_returnflag")
+      .select(col("l_returnflag"), col("n_supp"), col("n_parts"), col("n_rows"),
+        (abs(col("a_supp") - col("n_supp")) * 10 <= col("n_supp")).as("supp_ok"),
+        (abs(col("a_parts") - col("n_parts")) * 10 <= col("n_parts")).as("parts_ok"))
+  }
 
   /** Built-in session_window: 30-minute-gap sessions per user as a batch
     * aggregation (the stateful streaming twin lives in EventStreams).
@@ -470,16 +499,47 @@ object Extensions {
   }
 
   /** Approximate per-group median (approx_percentile sketch) — the 100 TB
-    * companion to q48's exact positional median, whose
-    * one-task-per-group window does not scale past dimension-sized groups.
-    * Rows-only (sketch internals are engine-specific); closeness to the
-    * exact median is asserted in IntegrationSpec.
+    * companion to q48's exact positional median, promoted to the hash gate
+    * via the q101 banded trick on a SECOND (table, stratum) pair: exact
+    * per-returnflag medians of l_extendedprice ride
+    * [[graft.operators.StratifiedSelect.chunkedPrefix]] (never a
+    * per-stratum sort task), the sketch estimate enters only through the
+    * approx_ok boolean gated against the exact p40..p60 VALUE band — vastly
+    * wider than the sketch's 10000-accuracy rank error (≤ n/10000 ranks),
+    * yet a real per-group assertion the oracle states as TRUE. q101 gates
+    * the sketch on orders/o_orderpriority; this one on the 4x-larger
+    * lineitem with a 3-value stratum.
     */
-  def q54ApproxMedian(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .groupBy("o_orderpriority")
-      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
-        .as("approx_median_price"))
+  def q54ApproxMedian(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.StratifiedSelect
+    val nChunks = math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ranked = StratifiedSelect.chunkedPrefix(base,
+      stratum = "l_returnflag", primary = "l_extendedprice", desc = false,
+      tieBreak = Seq(col("l_orderkey"), col("l_linenumber")),
+      value = lit(1L), nChunks = nChunks)
+    val med = ranked
+      .filter(col("rn") === expr("(n_stratum + 1) DIV 2") ||
+              col("rn") === expr("(n_stratum + 2) DIV 2"))
+      .groupBy("l_returnflag")
+      .agg((sum("l_extendedprice") / count(lit(1))).as("median_price"))
+    val band = ranked
+      .filter(col("rn") === expr("(2 * n_stratum + 4) DIV 5") ||
+              col("rn") === expr("(3 * n_stratum + 4) DIV 5"))
+      .groupBy("l_returnflag")
+      .agg(min(when(col("rn") === expr("(2 * n_stratum + 4) DIV 5"),
+          col("l_extendedprice"))).as("lo"),
+        min(when(col("rn") === expr("(3 * n_stratum + 4) DIV 5"),
+          col("l_extendedprice"))).as("hi"))
+    val approx = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("am"))
+    med.join(band, "l_returnflag").join(approx, "l_returnflag")
+      .select(col("l_returnflag"), col("median_price"),
+        (col("am") >= col("lo") && col("am") <= col("hi")).as("approx_ok"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_salted_join"    -> (q52SaltedJoin _),
@@ -628,6 +688,34 @@ object Extensions {
     }.mkString("[", ", ", "]::DOUBLE[]")
 
   val oracles: Map[String, String] = Map(
+    // banded sketch gates (the q100-q102/q105 trick): exact stats are
+    // SQL-expressible, the sketch estimate enters only through booleans
+    // the oracle states as TRUE
+    "q25_minhash_lsh" ->
+      s"""WITH $unigramPairCtes
+         |SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok
+         |FROM p""".stripMargin,
+    "q44_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(*) AS n_rows,
+        |  TRUE AS supp_ok, TRUE AS parts_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q54_approx_median" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  SUM(l_extendedprice) / COUNT(*) AS median_price,
+        |  TRUE AS approx_ok
+        |FROM ranked
+        |WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+        |   OR rn = CAST(FLOOR((n + 2) / 2.0) AS BIGINT)
+        |GROUP BY l_returnflag""".stripMargin,
     // IVF replicated end-to-end: centroids = first 16 vectors, every corpus
     // vector assigned to its max-cosine centroid (tie -> smallest cid,
     // matching max_by(cid, struct(cdist, -cid))), queries probe their 4

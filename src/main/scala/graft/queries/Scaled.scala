@@ -98,16 +98,28 @@ object Scaled {
         count(lit(1)).as("n_items"))
   }
 
-  /** q68's profile in TWO scans (vs exact's 1 + nCols): one codegen'd
-    * counts/min/max pass + one HLL-sketch pass
-    * (operators.Profile.numericProfileApprox — see its docstring for why
-    * folding them into one aggregate is a 4.5x de-codegen trap). Rows-only
-    * — sketch estimates are engine-specific; IntegrationSpec pins <= 2 %
-    * error vs the exact q68 and partitioning invariance.
+  /** The two-scan approx profile (operators.Profile.numericProfileApprox —
+    * see its docstring for why folding the sketch pass into the scalar
+    * aggregate is a 4.5x de-codegen trap), promoted to the hash gate via
+    * the q102 banded trick on a SECOND table: the exact stats over the
+    * orders numeric columns are SQL-expressible, the HLL estimate enters
+    * only through the nd_ok boolean (5 % band at rsd 0.02 = 2.5 sigma;
+    * deterministic for a given dataset). q102 gates the lineitem profile;
+    * this one adds a full-key column (o_orderkey, distinct == rows) where
+    * the HLL dense path carries the most registers. IntegrationSpec still
+    * pins the <= 2 % error of the approx profile vs exact on lineitem.
     */
-  def q76ProfileApprox(s: SparkSession, dir: String): DataFrame =
-    Profile.numericProfileApprox(Tables.lineitem(s, dir),
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+  def q76ProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_totalprice", "o_custkey", "o_orderkey")
+    val proj = Tables.orders(s, dir).select(cols.map(col): _*)
+    val exact = Profile.numericProfile(proj, cols)
+    val approx = Profile.numericProfileApprox(proj, cols)
+      .select(col("col_name"), col("n_distinct").as("nd_approx"))
+    exact.join(broadcast(approx), "col_name")
+      .select(col("col_name"), col("n_non_null"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"),
+        (abs(col("nd_approx") - col("n_distinct")) * 20 <= col("n_distinct")).as("nd_ok"))
+  }
 
   /** q58's dedup resolution through the O(log n)-round
     * large-star/small-star path (adversarial-diameter graphs). Same pair
@@ -556,6 +568,18 @@ object Scaled {
       s"SELECT t.*, TRUE AS approx_ok FROM (\n${Relational3.oracles("q48_median")}\n) t",
     "q102_profile_banded" ->
       s"SELECT t.*, TRUE AS nd_ok FROM (\n${Curation.oracles("q68_profile")}\n) t",
+    // the q68 per-column profile shape over the orders numeric columns,
+    // with the sketch estimate surfaced only as the TRUE nd_ok boolean
+    "q76_profile_approx" -> Seq("o_totalprice", "o_custkey", "o_orderkey")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, COUNT($c) AS n_non_null,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_val,
+           |  CAST(MAX($c) AS DOUBLE) AS max_val,
+           |  TRUE AS nd_ok
+           |FROM orders""".stripMargin)
+      .mkString("\nUNION ALL\n"),
     "q96_admit_map_free"         -> Curation.oracles("q67_incremental_admit"),
     "q103_admit_indexed"         -> Curation.oracles("q67_incremental_admit"),
     // exact blocked en pairs are SQL-expressible; the LSH result enters
