@@ -42,13 +42,22 @@ object Tables {
     * file source (streaming/EventStreams.readEventStream).
     */
   def normalizeTs(raw: DataFrame, tsCol: String = "ts"): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema(tsCol).dataType match {
       // integral `div`, NOT `/` — double division would lose precision on
       // nanosecond epochs (> 2^53)
       case LongType => raw.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
       case TimestampNTZType => raw.withColumn(tsCol, col(tsCol).cast("timestamp"))
-      case _        => raw
+      case TimestampType => raw
+      // schema-drift canary: the fixtures have already shipped three `ts`
+      // encodings across generations; a FOURTH must be handled
+      // deliberately (truncation/zone semantics decided, oracle parity
+      // re-proven), never allowed to flow through un-normalized
+      case other => throw new IllegalStateException(
+        s"events.`$tsCol` arrived as unhandled type ${other.sql} — known " +
+          "encodings are BIGINT nanos (nanosAsLong), TIMESTAMP_NTZ µs, and " +
+          "TIMESTAMP; extend Tables.normalizeTs for the new fixture " +
+          "encoding and re-verify oracle hash parity before relying on it")
     }
   }
 

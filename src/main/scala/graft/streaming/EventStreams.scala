@@ -86,9 +86,32 @@ object EventStreams {
   }
 
   final case class FunnelState(tSignup: Long, tView: Long, tClick: Long,
-                               tPurchase: Long) // Long.MaxValue = unseen
+                               tPurchase: Long, // Long.MaxValue = unseen
+                               lastSeen: Long)  // max event-time ms ever seen
 
   final case class FunnelRow(user_id: Long, funnel_stage: Int)
+
+  /** Retention interval → eviction-horizon milliseconds, shared by the
+    * stateful operators. Month-bearing intervals are REJECTED rather than
+    * approximated: `withWatermark` applies true calendar months to the
+    * late-row admission cutoff while any fixed horizon must pick a month
+    * length (≈30 d), so the two boundaries would diverge by up to
+    * ~1.5 d/month — a window where an event is still admitted for a user
+    * whose state already timed out (silent stage-0 restart). Day/hour
+    * units keep both boundaries on the same fixed arithmetic.
+    */
+  private[streaming] def retentionHorizonMs(r: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(r))
+    require(iv != null && iv.months >= 0 && iv.days >= 0 && iv.microseconds >= 0 &&
+        (iv.months > 0 || iv.days > 0 || iv.microseconds > 0),
+      s"retention must be a positive interval, got '$r'")
+    require(iv.months == 0,
+      s"month-denominated retention ('$r') is ambiguous: the watermark " +
+        "counts calendar months while the eviction horizon must fix a " +
+        "month length — express retention in days/hours instead")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
 
   /** Streaming funnel — the incremental twin of batch q83: per user, track
     * the FIRST event time of each funnel stage in keyed state (4 longs)
@@ -112,14 +135,7 @@ object EventStreams {
                    retention: Option[String] = None): Dataset[FunnelRow] = {
     import spark.implicits._
     val unseen = Long.MaxValue
-    val retentionMs = retention.map { r =>
-      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-        org.apache.spark.unsafe.types.UTF8String.fromString(r))
-      require(iv != null && iv.months >= 0 && iv.days >= 0 && iv.microseconds >= 0 &&
-          (iv.months > 0 || iv.days > 0 || iv.microseconds > 0),
-        s"retention must be a positive interval, got '$r'")
-      iv.months * 30L * 86400000L + iv.days * 86400000L + iv.microseconds / 1000L
-    }
+    val retentionMs = retention.map(retentionHorizonMs)
     val src = retention.fold(events)(events.withWatermark("ts", _))
     val timeoutConf = if (retention.isDefined) GroupStateTimeout.EventTimeTimeout
                       else GroupStateTimeout.NoTimeout
@@ -140,13 +156,13 @@ object EventStreams {
             state.remove()
             FunnelRow(userId, stageOf(s))
           } else {
-            var s = state.getOption.getOrElse(FunnelState(unseen, unseen, unseen, unseen))
-            var lastMs = Long.MinValue
+            var s = state.getOption.getOrElse(
+              FunnelState(unseen, unseen, unseen, unseen, Long.MinValue))
             rows.foreach { e =>
               // exact event-time micros (getTime alone truncates to ms and
               // could flip a <=-comparison between events in the same ms)
               val t = math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
-              lastMs = math.max(lastMs, e.ts.getTime)
+              s = s.copy(lastSeen = math.max(s.lastSeen, e.ts.getTime))
               e.event_type match {
                 case "signup"   => s = s.copy(tSignup = math.min(s.tSignup, t))
                 case "view"     => s = s.copy(tView = math.min(s.tView, t))
@@ -156,15 +172,19 @@ object EventStreams {
               }
             }
             state.update(s)
-            // arm the timeout off the user's own latest EVENT time, not the
-            // watermark: during the first micro-batch the watermark is still
-            // 0, and 0 + retention is in 1970 — the very next batch would
-            // evict every batch-1 user "immediately". max() with the
-            // watermark keeps the timestamp legal for barely-admitted late
-            // events (setTimeoutTimestamp requires a value > watermark).
+            // arm the timeout off the user's latest event time EVER SEEN
+            // (state.lastSeen, a monotone max across batches) — a
+            // late-but-admissible straggler batch must not SHRINK the
+            // horizon to straggler-ts + retention and evict a still-active
+            // user early. Not the bare watermark either: during the first
+            // micro-batch the watermark is still 0, and 0 + retention is in
+            // 1970 — the very next batch would evict every batch-1 user
+            // "immediately". max() with the watermark keeps the timestamp
+            // legal for barely-admitted late events (setTimeoutTimestamp
+            // requires a value > watermark).
             retentionMs.foreach(ms =>
               state.setTimeoutTimestamp(
-                math.max(state.getCurrentWatermarkMs(), lastMs) + ms))
+                math.max(state.getCurrentWatermarkMs(), s.lastSeen) + ms))
             FunnelRow(userId, stageOf(s))
           }
       }
@@ -215,19 +235,14 @@ object EventStreams {
     * a dead user's state settles at O(1) — the funnelStream tail, not the
     * full history. Events arriving later than `retention` are dropped
     * (the standard watermark trade; pick the horizon to match the
-    * source's real out-of-orderness).
+    * source's real out-of-orderness). `retention` is deliberately
+    * REQUIRED — it bounds state by dropping too-late events, a semantic
+    * trade the caller must own, never a silent default.
     */
   def islandsStream(spark: SparkSession, events: Dataset[Event],
-                    retention: String = "30 days"): Dataset[IslandRow] = {
+                    retention: String): Dataset[IslandRow] = {
     import spark.implicits._
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-      org.apache.spark.unsafe.types.UTF8String.fromString(retention))
-    require(iv != null && iv.months >= 0 && iv.days >= 0 && iv.microseconds >= 0 &&
-        (iv.months > 0 || iv.days > 0 || iv.microseconds > 0),
-      s"retention must be a positive interval, got '$retention'")
-    // timeout horizon only (not event-time arithmetic): months ≈ 30 days
-    val retentionMs = iv.months * 30L * 86400000L + iv.days * 86400000L +
-      iv.microseconds / 1000L
+    val retentionMs = retentionHorizonMs(retention)
     events
       .withWatermark("ts", retention)
       .groupByKey(_.user_id)

@@ -201,6 +201,56 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("funnelStream: a late straggler must not shrink the eviction horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.funnelStream(spark, input.toDS(), retention = Some("30 days"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_straggler").start()
+    try {
+      // user 7's true latest activity is Feb 15 (stage 2)
+      input.addData(
+        EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 7L, "signup", 0.0),
+        EventStreams.Event(2L, ts("2024-02-15 10:00:00"), 7L, "view", 0.0))
+      q.processAllAvailable()
+      // an admissible straggler (Jan 20 >= watermark Jan 16). A timeout
+      // re-armed from only THIS batch's max event time would shrink the
+      // horizon to Jan 20 + 30 d = Feb 19; the correct horizon stays at
+      // last-activity + retention = Feb 15 + 30 d = Mar 16
+      input.addData(EventStreams.Event(3L, ts("2024-01-20 10:00:00"), 7L, "click", 0.0))
+      q.processAllAvailable()
+      // push the watermark to Feb 23 — past the buggy Feb 19 horizon,
+      // before the correct Mar 16 one: user 7 must survive
+      input.addData(EventStreams.Event(4L, ts("2024-03-25 10:00:00"), 8L, "view", 0.0))
+      q.processAllAvailable()
+      // the returning view must merge into RETAINED state (stage 2);
+      // post-eviction it would read a fresh state's stage 0
+      input.addData(EventStreams.Event(5L, ts("2024-03-26 10:00:00"), 7L, "view", 0.0))
+      q.processAllAvailable()
+      val emissions = spark.table("funnel_straggler").collect()
+        .filter(_.getLong(0) == 7L).map(_.getInt(1)).toSeq
+      assert(!emissions.contains(0),
+        s"straggler shrank the horizon — user was evicted early: $emissions")
+      assert(emissions.last == 2, s"retained state must still read stage 2: $emissions")
+    } finally q.stop()
+  }
+
+  test("month-denominated retention is rejected up front") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val e1 = intercept[IllegalArgumentException](
+      EventStreams.funnelStream(spark, input.toDS(), retention = Some("1 month")))
+    assert(e1.getMessage.contains("month"))
+    val e2 = intercept[IllegalArgumentException](
+      EventStreams.islandsStream(spark, input.toDS(), retention = "2 months"))
+    assert(e2.getMessage.contains("month"))
+    // day/hour forms still pass validation (construction only)
+    EventStreams.islandsStream(spark, input.toDS(), retention = "36 hours")
+    EventStreams.funnelStream(spark, input.toDS(), retention = Some("45 days"))
+  }
+
   test("islandsStream final islands match batch q89, fed out of order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -240,7 +290,7 @@ class EventStreamsSpec extends SparkSpecBase {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
-    val q = EventStreams.islandsStream(spark, input.toDS())
+    val q = EventStreams.islandsStream(spark, input.toDS(), retention = "30 days")
       .writeStream.outputMode("update")
       .format("memory").queryName("islands_late").start()
     try {
