@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Scoped cache release for declared queries that persist an intermediate
+  * frame consumed again by the FINAL plan (q131's tokenized projection,
+  * q102's profiled projection, mutualTop1's argmax frame).
+  *
+  * The problem: such a query returns a LAZY DataFrame, so the operator
+  * cannot `unpersist()` before returning — the caller's terminal action
+  * still needs the cache. But never unpersisting leaks a CacheManager
+  * entry per invocation in a long-lived session (the Bench/Verify drivers
+  * clear between queries; a library caller looping the query does not, and
+  * gets "already cached" warnings plus unbounded MEMORY_AND_DISK growth).
+  *
+  * [[releaseAfterConsumed]] closes the gap with a QueryExecutionListener:
+  * after the first completed action whose analyzed plan CONTAINS the
+  * returned query's plan (`sameResult` subtree match — `df.count()`,
+  * `df.write...`, and further narrow transformations all qualify), the
+  * cached intermediates are unpersisted (non-blocking) and the listener
+  * unregisters itself. One listener per query construction; if the caller
+  * never runs an action, the entry stays registered — exactly today's
+  * behavior, no worse.
+  *
+  * Register AFTER construction-time eager work (boundary sketches,
+  * convergence loops): the listener only matches actions consuming the
+  * final frame, so intermediate actions fired while BUILDING the query
+  * never release the cache early — but any action on the session between
+  * construction and consumption is also safely ignored for the same
+  * reason. Unmatched unrelated actions cost one subtree scan each.
+  */
+object Caching {
+
+  /** Arrange for `cached` frames to be unpersisted after the first
+    * completed (success or failure) action that consumes `result`'s plan.
+    * Returns `result` unchanged.
+    */
+  def releaseAfterConsumed(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val session = result.sparkSession
+    val target = result.queryExecution.analyzed
+    val listener = new QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def release(qe: QueryExecution): Unit = {
+        val consumed =
+          try qe.analyzed.exists(_.sameResult(target))
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (consumed && done.compareAndSet(false, true)) {
+          cached.foreach(_.unpersist(blocking = false))
+          session.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = release(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = release(qe)
+    }
+    session.listenerManager.register(listener)
+    result
+  }
+}

@@ -116,25 +116,51 @@ object Similarity {
     * mutual self-join — never the A×B pair frame, which at scale dwarfs
     * both inputs. (The earlier two-groupBy formulation recomputed the
     * whole cross-join per direction — measured ~2× the total cost.)
-    * Ties break on the lower partner id, deterministically. For a B too
-    * big to broadcast, swap the scored join for the IVF cell join
-    * (ivfTopK's assign/probe) and keep the same mutual-heap algebra.
+    * Ties break on the lower partner id, deterministically.
+    *
+    * `strategy` picks the scoring join:
+    *  - "broadcast" — the exact A×broadcast(B) pass above; right whenever
+    *    B fits the broadcast budget.
+    *  - "ivf" — B no longer broadcasts: both sides are assigned to
+    *    coarse cells (first-nList-of-B centroids, ivfTopK's quantizer),
+    *    each side probes its nProbe closest cells, and the scored pair
+    *    set is the UNION of (A-probes ⋈ B-cells) and (A-cells ⋈
+    *    B-probes) — keyed shuffle joins, never a broadcast, feeding the
+    *    SAME mutual-heap algebra. With nProbe = nList the candidate set
+    *    is provably all pairs (every cell probed) and the output is
+    *    bit-identical to "broadcast" (SimilaritySpec pins it); with
+    *    nProbe < nList it is the standard IVF recall trade.
+    *  - "auto" — probe |B| with a LIMIT-bounded count (scans at most
+    *    broadcastRowLimit+1 rows) and pick accordingly.
     *
     * Cache lifetime: the persisted argmax frame ((|A|+|B|) rows × 4
-    * columns) stays registered for the session — the operator cannot
-    * unpersist it without forcing eager execution at construction.
-    * Long-lived sessions calling this repeatedly should release between
-    * calls (`spark.catalog.clearCache()` or the cache manager), as the
-    * Bench/Verify drivers do between queries.
+    * columns) releases itself after the caller's terminal action
+    * (Caching.releaseAfterConsumed); if no action ever runs, the entry
+    * stays registered exactly as an unmanaged persist would.
     */
-  def mutualTop1(embA: DataFrame, embB: DataFrame): DataFrame = {
+  def mutualTop1(embA: DataFrame, embB: DataFrame,
+                 strategy: String = "auto",
+                 broadcastRowLimit: Long = 100000L,
+                 nList: Int = 16, nProbe: Int = 4): DataFrame = {
     val a = embA.select(col("vec_id").as("aid"), toDouble(col("embedding")).as("ae"))
       .withColumn("anrm", norm(col("ae")))
     val b = embB.select(col("vec_id").as("bid"), toDouble(col("embedding")).as("be"))
       .withColumn("bnrm", norm(col("be")))
-    val scored = a.crossJoin(broadcast(b))
-      .withColumn("cos", dot(col("ae"), col("be")) / (col("anrm") * col("bnrm")))
-      .select("aid", "bid", "cos")
+    val useBroadcast = strategy match {
+      case "broadcast" => true
+      case "ivf"       => false
+      case "auto" =>
+        val cap = math.min(broadcastRowLimit + 1L, Int.MaxValue.toLong).toInt
+        embB.select(lit(1)).limit(cap).count() <= broadcastRowLimit
+      case other => throw new IllegalArgumentException(
+        s"strategy must be broadcast|ivf|auto, got '$other'")
+    }
+    val scored =
+      if (useBroadcast)
+        a.crossJoin(broadcast(b))
+          .withColumn("cos", dot(col("ae"), col("be")) / (col("anrm") * col("bnrm")))
+          .select("aid", "bid", "cos")
+      else ivfScoredPairs(a, b, nList, nProbe)
     val best = scored.select(explode(array(
         struct(lit(0).as("side"), col("aid").as("id"), col("cos"),
           col("bid").as("partner")),
@@ -153,8 +179,49 @@ object Similarity {
       .select(col("id").as("aid"), col("partner").as("bid"), col("cos"))
     val bBest = best.filter(col("side") === 1)
       .select(col("id").as("bid2"), col("partner").as("aid2"))
-    aBest.join(bBest, col("aid") === col("aid2") && col("bid") === col("bid2"))
+    val res = aBest.join(bBest, col("aid") === col("aid2") && col("bid") === col("bid2"))
       .select(col("aid"), col("bid"), round(col("cos"), 6).as("cos_sim"))
+    Caching.releaseAfterConsumed(res, best)
+  }
+
+  /** mutualTop1's non-broadcast scoring join: IVF cell-keyed candidate
+    * pairs with cos evaluated in-branch. Centroids are the nList
+    * smallest-bid vectors of B (a TakeOrderedAndProject — bounded,
+    * deterministic, never data-sized); cell assignment is the same
+    * broadcast-centroid max_by fold ivfTopK uses, so the only
+    * data-sized shuffles are the two cid-keyed candidate joins. The
+    * union double-generates pairs whose members probe each other's
+    * cells; cos is bit-identical in both branches (same expression over
+    * the same doubles), so distinct() dedups exactly.
+    */
+  private def ivfScoredPairs(a: DataFrame, b: DataFrame,
+                             nList: Int, nProbe: Int): DataFrame = {
+    require(nList >= 1 && nProbe >= 1,
+      s"need nList >= 1 and nProbe >= 1, got nList=$nList nProbe=$nProbe")
+    val cents = b.orderBy("bid").limit(nList)
+      .select(col("bid").as("cid"), col("be").as("ce"), col("bnrm").as("cnrm"))
+    def assign(df: DataFrame, id: String, vec: String, nrm: String): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("csim", dot(col(vec), col("ce")) / (col(nrm) * col("cnrm")))
+        .groupBy(id)
+        .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+             first(col(vec)).as(vec), first(col(nrm)).as(nrm))
+    def probes(df: DataFrame, id: String, vec: String, nrm: String): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(col("csim").desc, col("cid"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("csim", dot(col(vec), col("ce")) / (col(nrm) * col("cnrm")))
+        .withColumn("prank", row_number().over(w))
+        .filter(col("prank") <= nProbe)
+        .select(col(id), col(vec), col(nrm), col("cid"))
+    }
+    val cos = dot(col("ae"), col("be")) / (col("anrm") * col("bnrm"))
+    val aProbesB = probes(a, "aid", "ae", "anrm")
+      .join(assign(b, "bid", "be", "bnrm"), Seq("cid"))
+      .select(col("aid"), col("bid"), cos.as("cos"))
+    val bProbesA = assign(a, "aid", "ae", "anrm")
+      .join(probes(b, "bid", "be", "bnrm"), Seq("cid"))
+      .select(col("aid"), col("bid"), cos.as("cos"))
+    aProbesB.unionByName(bProbesA).distinct()
   }
 
   /** IVF-style ANN. Centroids default to the first nList corpus vectors (a

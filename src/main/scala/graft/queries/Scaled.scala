@@ -184,41 +184,66 @@ object Scaled {
     * fences over token counts — the robust companion to q94's IQR: a
     * single mega-document shifts a mean/stddev fence but moves MAD not
     * at all until half the slice is corrupt (50 % breakdown point).
-    * Two EXACT medians per source (x, then |x − median|) through the
-    * same chunkedPrefix ranking q79 uses — never a per-source sort
-    * task — plus one broadcast of the 20-row fence table. Float safety:
-    * medians of integers live on the .5 grid and 3·MAD on the .25 grid,
-    * all exact in IEEE doubles, so the hash gate holds.
+    *
+    * Both exact medians (x, then |x − median|) come from per-source VALUE
+    * HISTOGRAMS: groupBy(source, value) first (map-side-combined, sized
+    * by distinct values — token counts are integers bounded by document
+    * length, so the histogram is orders smaller than the corpus at any
+    * sf), then the middle ranks are read off cumulative counts with a
+    * window over that histogram-sized frame. No data-row window, no
+    * per-source sort task, and — unlike the earlier chunkedPrefix
+    * formulation — NO construction-time boundary actions: the whole
+    * query is ONE lazy plan, so its cost can't be held hostage to cache
+    * residency across multiple driver actions (the round-8 contention
+    * lesson: 6 actions × an evictable cache = a 60× tail). For
+    * real-valued metrics where a histogram won't collapse, q79's
+    * chunkedPrefix ranking remains the right shape.
+    *
+    * The tokenized 2-column projection IS persisted (it feeds both
+    * histograms plus the fence count) and released after the caller's
+    * terminal action (Caching.releaseAfterConsumed). Float safety:
+    * medians of integers live on the .5 grid, deviations on the .5 grid,
+    * MAD on the .25 grid — all exact in IEEE doubles, so the hash gate
+    * holds.
     */
   def q131MadOutliers(s: SparkSession, dir: String): DataFrame = {
-    // persist the tokenized projection: the median, MAD, and fence passes
-    // each re-evaluate this frame (x2 inside chunkedPrefix's boundary
-    // sketch), and tokenCount over full text is the dominant per-pass
-    // cost; the cached frame is 3 narrow columns — the q102 share shape
+    import org.apache.spark.sql.expressions.Window
     val b = Tables.documents(s, dir).filter(col("text").isNotNull)
       .select(col("source"),
         graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
-          .as("x"),
-        col("doc_id"))
+          .as("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def medianOf(df: DataFrame, valueCol: String, out: String) =
-      StratifiedSelect.chunkedPrefix(df, stratum = "source",
-          primary = valueCol, desc = false, tieBreak = Seq(col("doc_id")),
-          value = lit(1L), nChunks = nChunks(s))
-        .filter(col("rn") === floor((col("n_stratum") + 1) / 2.0) ||
-                col("rn") === floor((col("n_stratum") + 2) / 2.0))
+    // exact per-source median via the value histogram: rank r's value is
+    // the histogram row whose [cum − c + 1, cum] interval covers r; the
+    // median is the mean of the values at ranks ⌊(n+1)/2⌋ and ⌊(n+2)/2⌋
+    // (equal for odd n) — identical to the rank-filter formulation the
+    // oracle replays, at histogram cost
+    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val cumW = Window.partitionBy("source").orderBy(valueCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hist = df.groupBy(col("source"), col(valueCol))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(cumW))
+        .withColumn("n", sum("c").over(Window.partitionBy("source")))
+      def covers(r: org.apache.spark.sql.Column) =
+        col("cum") - col("c") < r && r <= col("cum")
+      val lo = floor((col("n") + 1) / 2.0)
+      val hi = floor((col("n") + 2) / 2.0)
+      hist.filter(covers(lo) || covers(hi))
         .groupBy("source")
-        .agg((sum(valueCol) / count(lit(1))).as(out))
+        .agg(((min(when(covers(lo), col(valueCol))) +
+               min(when(covers(hi), col(valueCol)))) / 2.0).as(out))
+    }
     val med = medianOf(b, "x", "median_tokens")
     val d = b.join(broadcast(med), "source")
       .withColumn("dev", abs(col("x") - col("median_tokens")))
-    val mad = medianOf(d.select(col("source"), col("dev"), col("doc_id")),
-      "dev", "mad")
-    d.join(broadcast(mad), "source")
+    val mad = medianOf(d.select(col("source"), col("dev")), "dev", "mad")
+    val res = d.join(broadcast(mad), "source")
       .groupBy("source")
       .agg(min("median_tokens").as("median_tokens"), min("mad").as("mad"),
         sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
           .as("n_outliers"))
+    graft.operators.Caching.releaseAfterConsumed(res, b)
   }
 
   /** q129: mutual top-1 embedding alignment between two label slices
@@ -232,6 +257,45 @@ object Scaled {
     val emb = Tables.embeddings(s, dir)
     graft.operators.Similarity.mutualTop1(
       emb.filter(col("label") === 0), emb.filter(col("label") === 1))
+  }
+
+  /** The two directional rank-1 windows intersected — the oracle q129 and
+    * q134 share (both plans must reproduce it bit-exactly).
+    */
+  private val MutualAlignOracle: String =
+    """WITH a AS (SELECT vec_id AS aid, embedding::DOUBLE[] AS ae
+      |           FROM embeddings WHERE label = 0),
+      |b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS be
+      |      FROM embeddings WHERE label = 1),
+      |s AS (
+      |  SELECT aid, bid,
+      |    list_dot_product(ae, be)
+      |      / (sqrt(list_dot_product(ae, ae)) * sqrt(list_dot_product(be, be)))
+      |      AS cos
+      |  FROM a, b),
+      |ab AS (SELECT aid, bid, cos FROM (
+      |    SELECT aid, bid, cos, ROW_NUMBER() OVER (PARTITION BY aid
+      |      ORDER BY cos DESC, bid) AS rk FROM s) WHERE rk = 1),
+      |ba AS (SELECT aid, bid FROM (
+      |    SELECT aid, bid, ROW_NUMBER() OVER (PARTITION BY bid
+      |      ORDER BY cos DESC, aid) AS rk FROM s) WHERE rk = 1)
+      |SELECT ab.aid, ab.bid, ROUND(ab.cos, 6) AS cos_sim
+      |FROM ab JOIN ba ON ab.aid = ba.aid AND ab.bid = ba.bid""".stripMargin
+
+  /** q129's mutual alignment re-run through the NON-BROADCAST scoring
+    * path (strategy = "ivf" with a full probe, nProbe = nList) — the
+    * fallback for a B side too big to broadcast, proven under q129's own
+    * oracle: with every cell probed the candidate union is provably all
+    * pairs, so the output is bit-identical while the plan swaps the
+    * broadcast cross-join for two cid-keyed shuffle joins (q119/q96's
+    * one-semantics-two-plans pattern). At real scale nProbe < nList turns
+    * the same plan into the standard IVF recall trade.
+    */
+  def q134MutualAlignIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity.mutualTop1(
+      emb.filter(col("label") === 0), emb.filter(col("label") === 1),
+      strategy = "ivf", nList = 8, nProbe = 8)
   }
 
   /** Geometry round-trip through the REAL header parser: synthetic
@@ -399,10 +463,13 @@ object Scaled {
     val exact = Profile.numericProfile(proj, cols)
     val approx = Profile.numericProfileApprox(proj, cols)
       .select(col("col_name"), col("n_distinct").as("nd_approx"))
-    exact.join(broadcast(approx), "col_name")
+    val res = exact.join(broadcast(approx), "col_name")
       .select(col("col_name"), col("n_non_null"), col("n_nulls"),
         col("n_distinct"), col("min_val"), col("max_val"),
         (abs(col("nd_approx") - col("n_distinct")) * 50 <= col("n_distinct")).as("nd_ok"))
+    // scoped release: the projection cache frees itself after the
+    // caller's terminal action instead of leaking per invocation
+    graft.operators.Caching.releaseAfterConsumed(res, proj)
   }
 
   /** q105: the q100-q102 banded trick applied to the LAST rows-only query
@@ -493,6 +560,7 @@ object Scaled {
     "q115_topk_heap"            -> (q115TopkHeap _),
     "q119_ann_topk_heap"        -> (q119AnnTopkHeap _),
     "q129_mutual_align"         -> (q129MutualAlign _),
+    "q134_mutual_align_ivf"     -> (q134MutualAlignIvf _),
     "q131_mad_outliers"         -> (q131MadOutliers _))
 
   /** The twins deliberately REUSE their exact counterpart's oracle string:
@@ -537,25 +605,10 @@ object Scaled {
         |GROUP BY d.source""".stripMargin,
     // both directional argmaxes as rank-1 windows, intersected; cosine
     // formula identical to q27's (list_dot_product fold = aggregate fold)
-    "q129_mutual_align" ->
-      """WITH a AS (SELECT vec_id AS aid, embedding::DOUBLE[] AS ae
-        |           FROM embeddings WHERE label = 0),
-        |b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS be
-        |      FROM embeddings WHERE label = 1),
-        |s AS (
-        |  SELECT aid, bid,
-        |    list_dot_product(ae, be)
-        |      / (sqrt(list_dot_product(ae, ae)) * sqrt(list_dot_product(be, be)))
-        |      AS cos
-        |  FROM a, b),
-        |ab AS (SELECT aid, bid, cos FROM (
-        |    SELECT aid, bid, cos, ROW_NUMBER() OVER (PARTITION BY aid
-        |      ORDER BY cos DESC, bid) AS rk FROM s) WHERE rk = 1),
-        |ba AS (SELECT aid, bid FROM (
-        |    SELECT aid, bid, ROW_NUMBER() OVER (PARTITION BY bid
-        |      ORDER BY cos DESC, aid) AS rk FROM s) WHERE rk = 1)
-        |SELECT ab.aid, ab.bid, ROUND(ab.cos, 6) AS cos_sim
-        |FROM ab JOIN ba ON ab.aid = ba.aid AND ab.bid = ba.bid""".stripMargin,
+    "q129_mutual_align" -> MutualAlignOracle,
+    // the IVF-path twin replays the IDENTICAL mutual-argmax oracle —
+    // one semantics, two plans (broadcast cross vs cell-keyed union)
+    "q134_mutual_align_ivf" -> MutualAlignOracle,
     // banded sketch gates: exact stats verbatim from the exact oracles,
     // sketch estimates surfaced ONLY as booleans the oracle states as TRUE
     "q100_hll_banded" ->

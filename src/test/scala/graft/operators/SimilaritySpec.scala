@@ -162,6 +162,25 @@ class SimilaritySpec extends SparkSpecBase {
       s"mutuality must prune one-directional pairs: ${got.size} vs $oneWay")
   }
 
+  test("mutualTop1 IVF path with a full probe is pair-identical to broadcast") {
+    val a = emb.filter(col("label") === 0)
+    val b = emb.filter(col("label") === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bc = rows(Similarity.mutualTop1(a, b, strategy = "broadcast"))
+    // nProbe = nList ⇒ every cell probed ⇒ candidate set = all pairs —
+    // the scale fallback must reproduce the broadcast result exactly
+    val ivf = rows(Similarity.mutualTop1(a, b, strategy = "ivf",
+      nList = 4, nProbe = 4))
+    assert(ivf == bc, s"missed=${bc -- ivf} extra=${ivf -- bc}")
+    // auto with a zero broadcast budget routes through the same IVF path
+    val auto = rows(Similarity.mutualTop1(a, b, broadcastRowLimit = 0L,
+      nList = 4, nProbe = 4))
+    assert(auto == bc)
+    intercept[IllegalArgumentException](
+      Similarity.mutualTop1(a, b, strategy = "bogus"))
+  }
+
   test("mutualTop1 plans the A×B cross-join once, behind the persisted argmax") {
     val a = emb.filter(col("label") === 0)
     val b = emb.filter(col("label") === 1)

@@ -42,6 +42,36 @@ class ScaledQueriesSpec extends SparkSpecBase {
     assert(totalPairs == byFp, s"pair mass $totalPairs != C(k,2) sum $byFp")
   }
 
+  test("q131 constructs as ONE lazy plan — zero construction-time jobs") {
+    // the round-8 contention lesson: q131's cost must not be spread over
+    // multiple driver actions whose cache residency a loaded host can
+    // break. The histogram-median formulation runs no boundary sketches:
+    // building the query fires NO Spark job (the single job belongs to
+    // the caller's terminal action).
+    // spark.read.parquet fires a schema-inference job per call (stage
+    // "parquet at Tables.scala") — inherent to any schemaless table read,
+    // not query work. The assertion: construction runs NOTHING else.
+    val work = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val stages = jobStart.stageInfos.map(_.name).mkString(" / ")
+        if (!stages.contains("parquet at Tables.scala")) work.add(stages)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Scaled.q131MadOutliers(spark, Sf0001)
+      Thread.sleep(1500) // async listener bus drain
+      assert(work.isEmpty,
+        s"q131 construction fired query-work job(s): ${work.toArray.mkString("; ")}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      // the abandoned construction's persist was never consumed; drop it
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q131 MAD agrees with driver-side medians and ignores a planted mega-doc") {
     import org.apache.spark.sql.functions._
     val out = Scaled.q131MadOutliers(spark, Sf0001).collect()
