@@ -275,7 +275,60 @@ object Ops {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** q133: the CDC-family composed chain — q99's wiring-level verification
+    * applied to the Upsert operators. Four individually-gated stages run
+    * END TO END, each load-bearing in the output:
+    *
+    *  1. ADMIT (Dedup.admitIncremental, q67's gate): the new-batch
+    *     sources are screened against the corpus; only admitted docs
+    *     (no exact or SimHash near-dup) proceed.
+    *  2. APPLY (compactChanges → applyChanges, q122's gate): the admitted
+    *     docs extend the q122 mod-ladder log as seq-6 inserts keyed past
+    *     the id range, the log compacts to one change row per key, and
+    *     lands on the snapshot in one full-outer key join.
+    *  3. SCD2 (scd2History, q123's gate): the SAME extended log builds
+    *     the version history.
+    *  4. PIT (pointInTime, q125's gate): every merged row is probed at
+    *     the log horizon (ts=10) and annotated with the valid_from of the
+    *     covering version — "when did this key last change", NULL for
+    *     keys the log never touched.
+    *
+    * A doc REJECTED at admission is absent from the output (its offset
+    * key never inserts); a compaction or history bug shifts fp/source or
+    * version_from — so the single hash gate covers the whole composition,
+    * the cross-stage wiring no individual gate sees. Scale shape: the
+    * admission screen's broadcast corpus-band join + two key-shuffle
+    * joins (merge, PIT union) — each stage's individually-audited plan,
+    * composed.
+    */
+  def q133CdcChain(s: SparkSession, dir: String): DataFrame = {
+    val docs = requireKeyDomain(Tables.documents(s, dir), cacheKey = dir)
+      .filter(col("text").isNotNull)
+    val admitted = Dedup.admitIncremental(docs,
+        isNew = col("source").isin(Curation.NewBatchSources: _*), maxHamming = 3)
+      .filter(col("admitted")).select("doc_id")
+    val inserts = docs.join(admitted, "doc_id")
+      .select((col("doc_id") + SyntheticIdOffset).as("doc_id"), col("source"),
+        col("text"), lit(6L).as("seq"), lit("I").as("op"))
+    val log = changeLog(s, dir).unionByName(inserts)
+    val snap = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val merged = graft.operators.Upsert.applyChanges(snap,
+      graft.operators.Upsert.compactChanges(log, key = "doc_id", seqCol = "seq"),
+      key = "doc_id")
+    val hist = graft.operators.Upsert
+      .scd2History(log, key = "doc_id", seqCol = "seq")
+      .select("doc_id", "valid_from", "valid_to")
+    val probe = merged
+      .select(col("doc_id"), col("source"),
+        md5(coalesce(col("text"), lit(""))).as("fp"))
+      .withColumn("ts", lit(10L))
+    graft.operators.Upsert.pointInTime(probe, hist, "doc_id", "ts")
+      .select(col("doc_id"), col("source"), col("fp"),
+        col("asof_valid_from").as("version_from"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_cdc_chain"      -> (q133CdcChain _),
     "q130_time_travel_diff" -> (q130TimeTravelDiff _),
     "q112_snapshot_diff"  -> (q112SnapshotDiff _),
     "q113_threshold_sweep" -> (q113ThresholdSweep _),
@@ -310,6 +363,81 @@ object Ops {
       |  FROM d WHERE doc_id % 4 = 1 AND doc_id % 8 <> 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the four gated stages composed: q67's admission CTEs feed seq-6
+    // inserts into the q122/q123 log, whose compaction+merge and
+    // history+PIT mask reproduce the engine's chain end to end
+    "q133_cdc_chain" -> {
+      val inList = Curation.NewBatchSources.map(x => s"'$x'").mkString(", ")
+      s"""WITH ${Extensions.simhashFpCtes},
+        |base AS (
+        |  SELECT dd.doc_id, dd.source, md5(dd.text) AS xfp, f.fp
+        |  FROM documents dd JOIN fps f USING (doc_id)
+        |  WHERE dd.text IS NOT NULL),
+        |n AS (SELECT * FROM base WHERE source IN ($inList)),
+        |c AS (SELECT * FROM base WHERE source NOT IN ($inList)),
+        |ex AS (SELECT DISTINCT n.doc_id FROM n JOIN c ON n.xfp = c.xfp),
+        |nd AS (SELECT n.doc_id, COUNT(*) AS n_neardup
+        |       FROM n JOIN c ON bit_count(xor(n.fp, c.fp)) <= 3
+        |       GROUP BY n.doc_id),
+        |adm AS (
+        |  SELECT b.doc_id FROM n b
+        |  LEFT JOIN ex ON b.doc_id = ex.doc_id
+        |  LEFT JOIN nd ON b.doc_id = nd.doc_id
+        |  WHERE ex.doc_id IS NULL AND COALESCE(nd.n_neardup, 0) = 0),
+        |$changeLogSql,
+        |log2 AS (
+        |  SELECT * FROM log
+        |  UNION ALL
+        |  SELECT d.doc_id + 10000000, d.source, d.text,
+        |    CAST(6 AS BIGINT), 'I'
+        |  FROM d JOIN adm ON d.doc_id = adm.doc_id),
+        |comp AS (
+        |  SELECT doc_id,
+        |    COALESCE(max(seq) FILTER (WHERE op = 'D'), 0) AS last_d,
+        |    COALESCE(max(seq) FILTER (WHERE op = 'I'), 0) AS last_i,
+        |    arg_max(op, seq) AS last_op,
+        |    max(seq) FILTER (WHERE op = 'U' AND source IS NOT NULL)
+        |      AS us_source,
+        |    arg_max(source, seq)
+        |      FILTER (WHERE op = 'U' AND source IS NOT NULL) AS uv_source,
+        |    max(seq) FILTER (WHERE op = 'U' AND text IS NOT NULL) AS us_text,
+        |    arg_max(text, seq)
+        |      FILTER (WHERE op = 'U' AND text IS NOT NULL) AS uv_text,
+        |    arg_max(source, seq) FILTER (WHERE op = 'I') AS iv_source,
+        |    arg_max(text, seq) FILTER (WHERE op = 'I') AS iv_text
+        |  FROM log2 GROUP BY doc_id),
+        |c2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN us_source > GREATEST(last_d, last_i) THEN uv_source
+        |         WHEN last_i > last_d THEN iv_source END AS source,
+        |    CASE WHEN us_text > GREATEST(last_d, last_i) THEN uv_text
+        |         WHEN last_i > last_d THEN iv_text END AS text,
+        |    CASE WHEN last_op = 'D' THEN 'D'
+        |         WHEN last_d > 0 OR last_i > 0 THEN 'I'
+        |         ELSE 'U' END AS op
+        |  FROM comp),
+        |snap AS (SELECT doc_id, source, text FROM documents),
+        |merged AS (
+        |  SELECT COALESCE(s.doc_id, c.doc_id) AS doc_id,
+        |    CASE WHEN c.op = 'I' THEN c.source
+        |         ELSE COALESCE(c.source, s.source) END AS source,
+        |    CASE WHEN c.op = 'I' THEN c.text
+        |         ELSE COALESCE(c.text, s.text) END AS text
+        |  FROM snap s FULL OUTER JOIN c2 c ON s.doc_id = c.doc_id
+        |  WHERE COALESCE(c.op, '') <> 'D'),
+        |hist AS (
+        |  SELECT doc_id, seq, op,
+        |    LEAD(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS valid_to
+        |  FROM log2),
+        |versions AS (
+        |  SELECT doc_id, seq AS valid_from, valid_to
+        |  FROM hist WHERE op <> 'D')
+        |SELECT m.doc_id, m.source, md5(COALESCE(m.text, '')) AS fp,
+        |  h.valid_from AS version_from
+        |FROM merged m LEFT JOIN versions h
+        |  ON m.doc_id = h.doc_id AND h.valid_from <= 10
+        |  AND (h.valid_to IS NULL OR 10 < h.valid_to)""".stripMargin
+    },
     // q123's version CTEs + two interval masks + q112's classification
     "q130_time_travel_diff" ->
       s"""WITH $changeLogSql,
