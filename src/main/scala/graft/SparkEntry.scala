@@ -21,12 +21,14 @@ object SparkEntry {
       graft.queries.Relational3.queries ++ graft.queries.Extensions.queries ++
       graft.queries.Curation.queries ++ graft.queries.Scaled.queries ++
       graft.queries.Signals.queries ++ graft.queries.Curation2.queries ++
-      graft.queries.Quality.queries ++ graft.queries.Ops.queries
+      graft.queries.Quality.queries ++ graft.queries.Ops.queries ++
+      graft.queries.Exports.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Relational2.oracles ++
       graft.queries.Relational3.oracles ++ graft.queries.Extensions.oracles ++
       graft.queries.Curation.oracles ++ graft.queries.Scaled.oracles ++
       graft.queries.Signals.oracles ++ graft.queries.Curation2.oracles ++
-      graft.queries.Quality.oracles ++ graft.queries.Ops.oracles
+      graft.queries.Quality.oracles ++ graft.queries.Ops.oracles ++
+      graft.queries.Exports.oracles
 }
