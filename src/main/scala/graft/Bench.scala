@@ -88,8 +88,10 @@ object Bench {
     // driver writes exactly ONCE per round — so repeated local bench runs
     // within a round overwrite the same BENCH_r{N}.json instead of
     // bumping the number each time (the flaw of keying off BENCH_r*
-    // itself).
-    try {
+    // itself). An explicit SPARK_GRAFT_BENCH_OUT marks a dev-loop run
+    // (subset sf, drive-by timing) — those must NOT clobber the round
+    // artifact, so the numbered write is skipped.
+    try if (sys.env.contains("SPARK_GRAFT_BENCH_OUT")) () else {
       val dir = java.nio.file.Paths.get(".")
       val rx = "CORRECTNESS_r(\\d+)\\.json".r
       val listing = java.nio.file.Files.list(dir)

@@ -14,7 +14,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.attachMetricsLogger(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only subset switch (unset for driver runs): dump just the named
+    // queries — the fast loop for gating a NEW query before a full sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    selected.foreach { case (name, fn) =>
       // cache isolation: a few queries persist intra-query intermediates
       // (q102/q129/q131, Dashboard); clear between queries so no query
       // reads another's cache and memory doesn't accumulate over 130 dumps

@@ -86,6 +86,105 @@ object Export {
         max("shuffle_key").as("last_key"))
   }
 
+  /** The (shard, source)-grained partial manifest of an [[assignShards]]
+    * frame. Strictly finer than [[manifest]]: every statistic is a
+    * commutative monoid over inserts (sums add, min/max combine), so
+    * partials from disjoint document batches MERGE exactly — the property
+    * [[manifestStream]] relies on. [[manifest]] itself cannot be
+    * incrementally merged at shard grain (n_sources is a COUNT DISTINCT),
+    * which is why the streaming state keeps this finer key.
+    */
+  def partialManifest(assigned: DataFrame, textCol: String = "text"): DataFrame =
+    assigned
+      .select(col("shard"), col("shuffle_key"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col(textCol))
+          .cast("long").as("__tok"),
+        length(col(textCol)).cast("long").as("__bytes"),
+        conv(substring(md5(col(textCol)), 1, 8), 16, 10)
+          .cast("long").as("__ck"))
+      .groupBy("shard", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__tok").as("tok_sum"),
+        sum("__bytes").as("byte_sum"),
+        sum("__ck").as("checksum"),
+        min("shuffle_key").as("first_key"),
+        max("shuffle_key").as("last_key"))
+
+  /** Merge two [[partialManifest]] frames (associative + commutative). */
+  def mergePartials(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("shard", "source")
+      .agg(
+        sum("n_docs").as("n_docs"),
+        sum("tok_sum").as("tok_sum"),
+        sum("byte_sum").as("byte_sum"),
+        sum("checksum").as("checksum"),
+        min("first_key").as("first_key"),
+        max("last_key").as("last_key"))
+
+  /** Roll a [[partialManifest]] state up to [[manifest]]'s shape — each
+    * (shard, source) state row is one distinct source, so n_sources is a
+    * plain COUNT. O(nShards × nSources) input rows; free.
+    */
+  def manifestFromPartials(partials: DataFrame): DataFrame =
+    partials.groupBy("shard")
+      .agg(
+        sum("n_docs").as("n_docs"),
+        sum("tok_sum").as("tok_sum"),
+        sum("byte_sum").as("byte_sum"),
+        count(lit(1)).as("n_sources"),
+        sum("checksum").as("checksum"),
+        min("first_key").as("first_key"),
+        max("last_key").as("last_key"))
+
+  /** Streaming manifest maintenance: keep the export manifest current
+    * while an INSERT-ONLY document stream (e.g. Dedup.admitStream's
+    * admitted output — admission guarantees each doc_id arrives once) is
+    * being accumulated, so the trainer hand-off needs no full-corpus
+    * re-scan when the export cut is taken.
+    *
+    * State is the (shard, source) [[partialManifest]] under versioned
+    * parquet (`stateDir/v{batchId+1}` — the Upsert.applyChangesStream
+    * device): each microbatch merges its partial into the last committed
+    * version and writes the next one, so a replayed batch id OVERWRITES
+    * its own version instead of double-counting — exactly-once
+    * materialization without a table format. Per batch the work is one
+    * partial agg over the batch plus a merge with O(nShards × nSources)
+    * state rows; the corpus itself is never re-read. Read the current
+    * manifest at any time with
+    * `manifestFromPartials(Upsert.latestSnapshot(spark, stateDir))`.
+    *
+    * `docsStream` must carry (`idCol`, source, `textCol`); null-text rows
+    * are dropped to match [[manifest]]'s contract.
+    */
+  def manifestStream(docsStream: DataFrame, idCol: String, nShards: Int,
+                     stateDir: String, checkpointDir: String,
+                     textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val part = partialManifest(
+          assignShards(batch.filter(col(textCol).isNotNull), idCol, nShards),
+          textCol)
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val prev = if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
+          fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
+            .map(_.getPath.getName)
+            .collect { case nm if nm.matches("v\\d+") => nm.drop(1).toLong }
+            .filter(_ <= batchId).sorted.lastOption
+        else None
+        val merged = prev match {
+          case Some(v) => mergePartials(s.read.parquet(s"$stateDir/v$v"), part)
+          case None    => part
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v${batchId + 1}")
+      }
+      .start()
+
   /** Physically write one sorted parquet file per shard under
     * `path/shard=N/`. `repartition(nShards, shard)` puts each shard id in
     * its own task (ids are already dense in [0, nShards), so the hash

@@ -65,29 +65,71 @@ object Exports {
     Export.manifest(Export.assignShards(survivors, "doc_id", NShards))
   }
 
+  /** q137: incremental-export audit — which shards changed between two
+    * corpus versions, i.e. exactly what a trainer (or a shard mirror) must
+    * re-fetch after a corpus update. Both versions' manifests are built
+    * with the SAME deterministic shard algebra (q135's), so a shard whose
+    * audit quadruple (n_docs, tok_sum, byte_sum, checksum) is unchanged is
+    * byte-identical on disk (up to checksum collision — deterministic,
+    * hence gate-safe) and need not be re-exported; `dirty` marks the rest.
+    * The previous version is q112's synthetic old snapshot — the
+    * adds/changes/removes exercise all three ways a shard can go dirty.
+    *
+    * Scale shape: two manifest aggregations (each one shuffle of
+    * fixed-width rows — text is reduced map-side to its token/byte/md5
+    * stats by the projection inside Export.manifest) and an O(nShards)
+    * full-outer join the planner broadcasts. The corpus is never joined
+    * to itself; only the two 16-row manifests meet.
+    */
+  def q137ExportDelta(s: SparkSession, dir: String): DataFrame = {
+    def man(docs: DataFrame): DataFrame =
+      Export.manifest(Export.assignShards(
+        docs.filter(col("text").isNotNull).select("doc_id", "source", "text"),
+        "doc_id", NShards))
+    val o = man(Ops.oldSnapshot(s, dir)).select(
+      col("shard"), col("n_docs").as("n_old"), col("tok_sum").as("t_old"),
+      col("byte_sum").as("b_old"), col("checksum").as("c_old"))
+    val n = man(Tables.documents(s, dir)).select(
+      col("shard"), col("n_docs").as("n_new"), col("tok_sum").as("t_new"),
+      col("byte_sum").as("b_new"), col("checksum").as("c_new"))
+    o.join(n, Seq("shard"), "full_outer")
+      .select(
+        col("shard"),
+        coalesce(col("n_old"), lit(0L)).as("n_docs_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_docs_new"),
+        (coalesce(col("t_new"), lit(0L)) - coalesce(col("t_old"), lit(0L)))
+          .as("tok_delta"),
+        (coalesce(col("b_new"), lit(0L)) - coalesce(col("b_old"), lit(0L)))
+          .as("byte_delta"),
+        (!(col("n_old") <=> col("n_new") && col("t_old") <=> col("t_new") &&
+           col("b_old") <=> col("b_new") && col("c_old") <=> col("c_new")))
+          .as("dirty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_shard_manifest" -> (q135ShardManifest _),
-    "q136_export_chain"   -> (q136ExportChain _))
+    "q136_export_chain"   -> (q136ExportChain _),
+    "q137_export_delta"   -> (q137ExportDelta _))
 
-  /** The manifest rollup as DuckDB SQL over a prepared relation `a` that
-    * carries (shard, shuffle_key, source, text, n_tokens). SUM widens to
+  /** The manifest rollup as DuckDB SQL over a prepared relation `from`
+    * carrying (shard, shuffle_key, source, text, n_tokens). SUM widens to
     * HUGEINT in DuckDB → cast back to BIGINT to match Spark's long.
     */
-  private val manifestSelect: String =
-    """SELECT shard, COUNT(*) AS n_docs,
+  private def manifestSelect(from: String = "a"): String =
+    s"""SELECT shard, COUNT(*) AS n_docs,
       |  CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
       |  CAST(SUM(LENGTH(text)) AS BIGINT) AS byte_sum,
       |  COUNT(DISTINCT source) AS n_sources,
       |  CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
       |    AS checksum,
       |  MIN(shuffle_key) AS first_key, MAX(shuffle_key) AS last_key
-      |FROM a GROUP BY shard""".stripMargin
+      |FROM $from GROUP BY shard""".stripMargin
 
   /** Shard/order-key assignment as DuckDB SQL — the md5 device of the
     * sampling family (operators.Sampling), so both engines agree bit-wise.
     */
-  private def assignSql(from: String): String =
-    s"""a AS (
+  private def assignSql(from: String, name: String = "a"): String =
+    s"""$name AS (
       |  SELECT doc_id, source, text,
       |    CAST(('0x' || substr(md5('shard:' || doc_id), 1, 8))::BIGINT
       |      % $NShards AS INT) AS shard,
@@ -100,7 +142,7 @@ object Exports {
       s"""WITH d AS (SELECT doc_id, source, text FROM documents
         |        WHERE text IS NOT NULL),
         |${assignSql("d")}
-        |$manifestSelect""".stripMargin,
+        |${manifestSelect()}""".stripMargin,
     // q20's keep-min-id dedup + q39's scoring expression + q135's rollup
     "q136_export_chain" ->
       s"""WITH k AS (
@@ -113,5 +155,26 @@ object Exports {
         |  SELECT doc_id, source, text FROM s
         |  WHERE ${Extensions.qualitySqlExpr.linesIterator.mkString(" ")} >= 0.5),
         |${assignSql("q")}
-        |$manifestSelect""".stripMargin)
+        |${manifestSelect()}""".stripMargin,
+    // q112's old-snapshot CTE + two q135 manifest chains + the O(nShards)
+    // full-outer audit join
+    "q137_export_delta" ->
+      s"""WITH ${graft.queries.Ops.oldSnapshotCte},
+        |od AS (SELECT doc_id, source, text FROM old_s WHERE text IS NOT NULL),
+        |nd AS (SELECT doc_id, source, text FROM documents
+        |       WHERE text IS NOT NULL),
+        |${assignSql("od", "ao")},
+        |${assignSql("nd", "an")},
+        |mo AS (${manifestSelect("ao").linesIterator.mkString(" ")}),
+        |mn AS (${manifestSelect("an").linesIterator.mkString(" ")})
+        |SELECT COALESCE(mo.shard, mn.shard) AS shard,
+        |  COALESCE(mo.n_docs, 0) AS n_docs_old,
+        |  COALESCE(mn.n_docs, 0) AS n_docs_new,
+        |  COALESCE(mn.tok_sum, 0) - COALESCE(mo.tok_sum, 0) AS tok_delta,
+        |  COALESCE(mn.byte_sum, 0) - COALESCE(mo.byte_sum, 0) AS byte_delta,
+        |  NOT (mo.n_docs IS NOT DISTINCT FROM mn.n_docs
+        |    AND mo.tok_sum IS NOT DISTINCT FROM mn.tok_sum
+        |    AND mo.byte_sum IS NOT DISTINCT FROM mn.byte_sum
+        |    AND mo.checksum IS NOT DISTINCT FROM mn.checksum) AS dirty
+        |FROM mo FULL OUTER JOIN mn ON mo.shard = mn.shard""".stripMargin)
 }

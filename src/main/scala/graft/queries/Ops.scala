@@ -56,7 +56,7 @@ object Ops {
     *   - for every doc_id % 13 == 0 the old snapshot holds an extra row
     *     at doc_id + 10_000_000 (absent from the new one → REMOVED).
     */
-  private def oldSnapshot(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def oldSnapshot(s: SparkSession, dir: String): DataFrame = {
     val docs = requireKeyDomain(Tables.documents(s, dir), cacheKey = dir)
     val kept = docs.filter(col("doc_id") % 11 =!= 0)
       .select(col("doc_id"),
@@ -362,6 +362,20 @@ object Ops {
       |  SELECT doc_id, 's2', NULL, CAST(5 AS BIGINT), 'U'
       |  FROM d WHERE doc_id % 4 = 1 AND doc_id % 8 <> 5)""".stripMargin
 
+  /** [[oldSnapshot]] as a DuckDB CTE (named `old_s`) — shared by the q112
+    * oracle and the export-delta oracle (queries.Exports) so the synthetic
+    * previous-snapshot arithmetic cannot drift between them.
+    */
+  private[queries] val oldSnapshotCte: String =
+    """old_s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 3 THEN text || ' v0' ELSE text END AS text,
+      |    source
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id, text, source
+      |  FROM documents WHERE doc_id % 13 = 0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the four gated stages composed: q67's admission CTEs feed seq-6
     // inserts into the q122/q123 log, whose compaction+merge and
@@ -584,14 +598,7 @@ object Ops {
         |WHERE COALESCE(c.op, '') <> 'D'""".stripMargin,
     // identical snapshot derivation + md5 classification
     "q112_snapshot_diff" ->
-      """WITH old_s AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 3 THEN text || ' v0' ELSE text END AS text,
-        |    source
-        |  FROM documents WHERE doc_id % 11 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 10000000 AS doc_id, text, source
-        |  FROM documents WHERE doc_id % 13 = 0),
+      s"""WITH $oldSnapshotCte,
         |o AS (SELECT doc_id, md5(COALESCE(text, '')) AS h_old,
         |        source AS src_old FROM old_s),
         |n AS (SELECT doc_id, md5(COALESCE(text, '')) AS h_new,

@@ -92,8 +92,58 @@ class ExportSpec extends SparkSpecBase {
     } finally deleteRec(new java.io.File(out))
   }
 
+  test("manifestStream over 3 microbatches equals the one-shot batch manifest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = 8
+    val rows = docs.collect().map(r =>
+      ExportDoc(r.getLong(0), r.getString(1), r.getString(2)))
+    // include a null-text row: manifestStream must drop it like manifest's
+    // callers do (q135's isNotNull fence)
+    val withNull = rows :+ ExportDoc(999999999L, rows.head.source, null)
+    val batches = withNull.groupBy(d => (d.doc_id % 3).toInt)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-manstream").toString
+    val input = MemoryStream[ExportDoc]
+    val q = Export.manifestStream(input.toDF(), "doc_id", n,
+      s"$dir/state", s"$dir/_chk")
+    try {
+      (0 to 2).foreach { i =>
+        input.addData(batches(i): _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6),
+        r.getString(7))).toSet
+    val streamed = canon(Export.manifestFromPartials(
+      Upsert.latestSnapshot(spark, s"$dir/state")))
+    val oneShot = canon(Export.manifest(Export.assignShards(docs, "doc_id", n)))
+    assert(streamed === oneShot,
+      "incrementally merged manifest must equal the batch manifest")
+    deleteRec(new java.io.File(dir))
+  }
+
+  test("mergePartials is order-insensitive (commutative merge)") {
+    val n = 8
+    val assigned = Export.assignShards(docs, "doc_id", n)
+    val pa = Export.partialManifest(assigned.filter(col("doc_id") % 2 === 0))
+    val pb = Export.partialManifest(assigned.filter(col("doc_id") % 2 =!= 0))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(canon(Export.mergePartials(pa, pb)) ===
+      canon(Export.mergePartials(pb, pa)))
+    assert(canon(Export.manifestFromPartials(Export.mergePartials(pa, pb))) ===
+      canon(Export.manifest(assigned)))
+  }
+
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRec)
     f.delete(); ()
   }
 }
+
+/** MemoryStream row type for the manifestStream spec. */
+final case class ExportDoc(doc_id: Long, source: String, text: String)
