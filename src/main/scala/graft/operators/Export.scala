@@ -165,25 +165,38 @@ object Export {
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val part = partialManifest(
-          assignShards(batch.filter(col(textCol).isNotNull), idCol, nShards),
-          textCol)
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val prev = if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
-          fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
-            .map(_.getPath.getName)
-            .collect { case nm if nm.matches("v\\d+") => nm.drop(1).toLong }
-            .filter(_ <= batchId).sorted.lastOption
-        else None
-        val merged = prev match {
-          case Some(v) => mergePartials(s.read.parquet(s"$stateDir/v$v"), part)
-          case None    => part
-        }
-        merged.write.mode("overwrite").parquet(s"$stateDir/v${batchId + 1}")
+        mergeBatchIntoState(batch, batchId, idCol, nShards, stateDir, textCol)
       }
       .start()
+
+  /** One micro-batch of [[manifestStream]]: merge the batch's partial into
+    * the newest state version AT OR BEFORE batchId and write version
+    * batchId+1. Reading strictly-older state is what makes a REPLAYED
+    * batch id idempotent — it re-reads the same predecessor and overwrites
+    * its own version instead of compounding (ExportSpec pins it).
+    */
+  private[operators] def mergeBatchIntoState(batch: DataFrame, batchId: Long,
+      idCol: String, nShards: Int, stateDir: String, textCol: String): Unit = {
+    val s = batch.sparkSession
+    val part = partialManifest(
+      assignShards(batch.filter(col(textCol).isNotNull), idCol, nShards),
+      textCol)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prev = if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
+      fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
+        .map(_.getPath.getName)
+        .collect { case nm if nm.matches("v\\d+") => nm.drop(1).toLong }
+        .filter(_ <= batchId).sorted.lastOption
+    else None
+    val merged = prev match {
+      case Some(v) => mergePartials(s.read.parquet(s"$stateDir/v$v"), part)
+      case None    => part
+    }
+    // The predecessor version is materialized before the overwrite can
+    // touch it (different version dirs), so no read-under-write hazard.
+    merged.write.mode("overwrite").parquet(s"$stateDir/v${batchId + 1}")
+  }
 
   /** Physically write one sorted parquet file per shard under
     * `path/shard=N/`. `repartition(nShards, shard)` puts each shard id in

@@ -123,6 +123,15 @@ class ExportSpec extends SparkSpecBase {
     val oneShot = canon(Export.manifest(Export.assignShards(docs, "doc_id", n)))
     assert(streamed === oneShot,
       "incrementally merged manifest must equal the batch manifest")
+
+    // Replay idempotence: re-delivering the LAST micro-batch under its own
+    // id (the foreachBatch at-least-once case) must overwrite, not
+    // double-count.
+    Export.mergeBatchIntoState(batches(2).toSeq.toDF("doc_id", "source", "text"),
+      batchId = 2L, "doc_id", n, s"$dir/state", "text")
+    val replayed = canon(Export.manifestFromPartials(
+      Upsert.latestSnapshot(spark, s"$dir/state")))
+    assert(replayed === oneShot, "batch replay must be idempotent")
     deleteRec(new java.io.File(dir))
   }
 
