@@ -327,15 +327,7 @@ object Dedup {
           .filter(col("n_bands") >= minBandCollisions)
           .select("doc_id_a", "doc_id_b")
     }
-    val verified = candidates
-      .join(withSets.select(col("doc_id").as("doc_id_a"), col("xh").as("xh_a")), Seq("doc_id_a"))
-      .join(withSets.select(col("doc_id").as("doc_id_b"), col("xh").as("xh_b")), Seq("doc_id_b"))
-      .withColumn("ic", graft.functions.SortedIntersectCount
-        .sortedIntersectCount(col("xh_a"), col("xh_b")))
-      .withColumn("jaccard", col("ic").cast("double") /
-        (size(col("xh_a")) + size(col("xh_b")) - col("ic")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_id_a", "doc_id_b", "jaccard")
+    val verified = verifiedPairs(candidates, withSets, threshold)
     if (!routed) verified
     else {
       val overIds = sizedOpt.get
@@ -357,6 +349,116 @@ object Dedup {
       // union dedups cleanly
       verified.union(exactPairs).distinct()
     }
+  }
+
+  /** Exact-Jaccard verification of an LSH candidate pair list: join the
+    * shingle sets back, merge-walk intersect, keep pairs at or above the
+    * threshold. Shared by [[minhashLsh]] and [[minhashLshDistinct]] so the
+    * two paths cannot drift.
+    */
+  private def verifiedPairs(candidates: DataFrame, withSets: DataFrame,
+                            threshold: Double): DataFrame =
+    candidates
+      .join(withSets.select(col("doc_id").as("doc_id_a"), col("xh").as("xh_a")), Seq("doc_id_a"))
+      .join(withSets.select(col("doc_id").as("doc_id_b"), col("xh").as("xh_b")), Seq("doc_id_b"))
+      .withColumn("ic", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("xh_a"), col("xh_b")))
+      .withColumn("jaccard", col("ic").cast("double") /
+        (size(col("xh_a")) + size(col("xh_b")) - col("ic")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+
+  /** [[minhashLsh]] computed over DISTINCT shingle sets — the shape that
+    * survives boilerplate clusters at 100 TB.
+    *
+    * Uncapped LSH is quadratic per (band, bucket) in DOCUMENTS: a cluster
+    * of k identical/near-identical texts oversizes every band's bucket and
+    * contributes O(k²) candidate rows PLUS O(k²) verification merge-walks,
+    * even though the distinct CONTENT in the bucket may be tiny. Here the
+    * corpus is first collapsed to identity groups (same shingle set ⇒ same
+    * signature ⇒ same buckets ⇒ pairwise Jaccard exactly 1): banding,
+    * candidate generation, and verification all run on one REPRESENTATIVE
+    * per distinct set, and the result expands back through the groups —
+    * cross-group pairs inherit the representative pair's (identical, by
+    * construction) Jaccard; within-group pairs are emitted directly at
+    * 1.0. The expansion is OUTPUT-sized (those pairs are the answer, not a
+    * candidate blowup), so the quadratic term falls from documents to
+    * distinct contents — on the q25 corpus at sf0.1 that halves in-bucket
+    * pair mass; on a 100 TB crawl where boilerplate multiplicity is 10³+,
+    * it is the difference between feasible and not.
+    *
+    * A size-ratio prescreen runs between candidates and verification:
+    * J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose set sizes differ
+    * by more than the threshold ratio cannot pass and is dropped BEFORE
+    * its (potentially KB-sized) shingle arrays ship to the verify join —
+    * the PPJoin length-filter bound, exactness-neutral by construction.
+    *
+    * Output is row-identical to uncapped [[minhashLsh]] (DedupSpec pins
+    * it): every candidate the doc-level walk generates corresponds to the
+    * same representative-level candidate (signatures are functions of the
+    * set), and verification computes the same Jaccard. Identity grouping
+    * keys on xxhash64 of the set — the same per-pair 2⁻⁶⁴ collision odds
+    * the shingle hashing itself already accepts. `maxBucketSize` caps
+    * bucket size in REPRESENTATIVES; identical-text clusters no longer
+    * need the over-cap exact route (collapse handles them for free).
+    */
+  def minhashLshDistinct(
+      docs: DataFrame,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      minBandCollisions: Int = 1,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val rows = numHashes / bands
+    val withSets = docs.select(
+        col("doc_id"),
+        graft.functions.WordGramHashes.wordGramHashes(col("text"), shingleSize).as("xh"))
+      // no signature exists for null/empty sets (MinHashSig contract):
+      // the doc-level walk drops them in banding, so drop them before
+      // grouping or empty-text docs would pair with each other at "1.0"
+      .filter(col("xh").isNotNull && size(col("xh")) > 0)
+    val members = withSets.select(col("doc_id"), xxhash64(col("xh")).as("k"))
+    val reps = members.groupBy("k").agg(min("doc_id").as("doc_id"))
+    val repSets = reps.join(withSets, "doc_id")
+      .select(col("doc_id"), col("k"), col("xh"))
+    val withSig = repSets
+      .withColumn("sig", graft.functions.MinHashSig.minhashSig(col("xh"), numHashes))
+      .select(col("doc_id"), col("sig"))
+    val candidates =
+      lshCandidates(withSig, bands, rows, minBandCollisions, maxBucketSize)
+    // PPJoin-style length prescreen: ship two ints per candidate, not two
+    // shingle arrays, and verify only pairs whose size ratio allows the
+    // threshold
+    val sizes = repSets.select(col("doc_id"), size(col("xh")).as("sz"))
+    val pruned = candidates
+      .join(sizes.select(col("doc_id").as("doc_id_a"), col("sz").as("sz_a")),
+        Seq("doc_id_a"))
+      .join(sizes.select(col("doc_id").as("doc_id_b"), col("sz").as("sz_b")),
+        Seq("doc_id_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .select("doc_id_a", "doc_id_b")
+    val repPairs =
+      verifiedPairs(pruned, repSets.select(col("doc_id"), col("xh")), threshold)
+    // expand representative pairs through the identity groups: every
+    // (member of A's group, member of B's group) pair shares A×B's Jaccard
+    val cross = repPairs
+      .join(repSets.select(col("doc_id").as("doc_id_a"), col("k").as("k_a")),
+        Seq("doc_id_a"))
+      .join(repSets.select(col("doc_id").as("doc_id_b"), col("k").as("k_b")),
+        Seq("doc_id_b"))
+      .join(members.select(col("k").as("k_a"), col("doc_id").as("a")), Seq("k_a"))
+      .join(members.select(col("k").as("k_b"), col("doc_id").as("b")), Seq("k_b"))
+      .select(least(col("a"), col("b")).as("doc_id_a"),
+        greatest(col("a"), col("b")).as("doc_id_b"), col("jaccard"))
+    // within-group pairs: identical sets, Jaccard exactly 1.0 (what the
+    // doc-level walk verifies to 1.0 through every shared bucket)
+    val within = members.select(col("k"), col("doc_id").as("doc_id_a"))
+      .join(members.select(col("k"), col("doc_id").as("doc_id_b")), Seq("k"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** LSH candidate generation: explode each signature into `bands` bucket

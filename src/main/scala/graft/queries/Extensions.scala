@@ -103,25 +103,33 @@ object Extensions {
     * band walk deterministic, so recall_ok is stable at a given sf.
     *
     * Deliberately UNCAPPED, like q105: a capped walk (maxBucketSize=200 +
-    * routeOverCapExact — the production configuration for degenerate
-    * boilerplate buckets) measurably trades recall on THIS pathologically
+    * routeOverCapExact) measurably trades recall on THIS pathologically
     * self-similar corpus (at sf0.1 the over-cap buckets carry most of the
-    * true near-dup pairs, not just candidate noise — measured recall well
-    * under the 0.8 gate), so the cap is an explicit curation decision to
-    * route such clusters to exact/fingerprint dedup, never a default; its
-    * drop volume stays observable via the `graft_q25_bucket_cap` metric
-    * and DedupSpec's planted-cluster recovery spec.
+    * true near-dup pairs — measured recall well under the 0.8 gate).
+    * Uncapped used to mean bucket² in DOCUMENTS (the 955-member
+    * boilerplate buckets put ~3.7 M pairs through candidate generation +
+    * verification — measured 9.4 s at sf0.1); the declared path is now
+    * [[graft.operators.Dedup.minhashLshDistinct]], which runs the whole
+    * walk over DISTINCT shingle sets and expands pairs through the
+    * identity groups — row-identical output (DedupSpec), bucket² falls to
+    * distinct contents, and the cap/recall dilemma disappears for
+    * identical-text clusters. The capped configuration and its
+    * `graft_q25_bucket_cap` drop metrics remain available on both walks.
     */
   def q25MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val exact = Dedup.jaccardPairs(docs, threshold = 0.8)
-    val lsh = Dedup.minhashLsh(docs, shingleSize = 1, numHashes = 32,
+    // the distinct-content walk (Dedup.minhashLshDistinct): row-identical
+    // to uncapped minhashLsh, but the bucket² term runs in distinct
+    // shingle sets, not documents — the boilerplate cluster that makes
+    // the cap/recall dilemma disappears at the source. One pass counts
+    // both the exact pair set and its LSH-found subset (the LSH pair list
+    // is duplicate-free, so the left join cannot multiply exact rows).
+    val lsh = Dedup.minhashLshDistinct(docs, shingleSize = 1, numHashes = 32,
         bands = 8, threshold = 0.8, minBandCollisions = 2)
-      .select("doc_id_a", "doc_id_b")
-    val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
-    val nFound = exact.join(lsh, Seq("doc_id_a", "doc_id_b"), "left_semi")
-      .agg(count(lit(1)).as("n_found"))
-    nExact.crossJoin(broadcast(nFound))
+      .select(col("doc_id_a"), col("doc_id_b"), lit(1).as("__f"))
+    exact.join(lsh, Seq("doc_id_a", "doc_id_b"), "left_outer")
+      .agg(count(lit(1)).as("n_exact_pairs"), count(col("__f")).as("n_found"))
       .select(col("n_exact_pairs"),
         (col("n_found") * 10L >= col("n_exact_pairs") * 8L).as("recall_ok"))
   }

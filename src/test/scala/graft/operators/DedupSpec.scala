@@ -343,6 +343,42 @@ class DedupSpec extends SparkSpecBase {
     assert(lshPairs.subsetOf(exactPairs))
   }
 
+  test("minhashLshDistinct is row-identical to the uncapped doc-level walk") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // q25's parameters over the full fixture corpus (jaccard compared as
+    // raw doubles: both walks compute the identical ic/(a+b-ic) division)
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val doc = canon(Dedup.minhashLsh(docs, shingleSize = 1, numHashes = 32,
+      bands = 8, threshold = 0.8, minBandCollisions = 2))
+    val dis = canon(Dedup.minhashLshDistinct(docs, shingleSize = 1,
+      numHashes = 32, bands = 8, threshold = 0.8, minBandCollisions = 2))
+    assert(doc.nonEmpty, "fixture corpus should produce pairs at 0.8")
+    assert(dis === doc)
+    // planted adversary: identical-text cluster + a near-dup pair + null
+    // and empty texts (no signature exists for them — neither walk may
+    // pair them)
+    val boiler = (1 to 12).map(i =>
+      (200L + i, "same same same boilerplate text here", "en", "s0"))
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val planted = docsDF(Seq(
+      (1L, base, "en", "s0"), (2L, nearDup, "en", "s0"),
+      (3L, null, "en", "s0"), (4L, null, "en", "s0"),
+      (5L, "", "en", "s0"), (6L, "", "en", "s0")) ++ boiler)
+    val docP = canon(Dedup.minhashLsh(planted, shingleSize = 3,
+      numHashes = 32, bands = 8, threshold = 0.5))
+    val disP = canon(Dedup.minhashLshDistinct(planted, shingleSize = 3,
+      numHashes = 32, bands = 8, threshold = 0.5))
+    // cluster pairs + the planted pair + the empty-text pair ("" still
+    // yields one shingle, so (5,6) is a legitimate identical-set pair on
+    // BOTH walks; null texts yield no set and never pair)
+    assert(docP.size == 12 * 11 / 2 + 2, s"got ${docP.size}")
+    assert(disP === docP)
+    assert(!docP.exists { case (a, b, _) => a == 3L || b == 3L || a == 4L || b == 4L },
+      "null-text docs must never pair")
+  }
+
   test("simhash expression is deterministic and near-dups have small hamming") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy cat again and again"
