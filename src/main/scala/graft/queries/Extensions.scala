@@ -528,23 +528,27 @@ object Extensions {
       stratum = "l_returnflag", primary = "l_extendedprice", desc = false,
       tieBreak = Seq(col("l_orderkey"), col("l_linenumber")),
       value = lit(1L), nChunks = nChunks)
-    val med = ranked
-      .filter(col("rn") === expr("(n_stratum + 1) DIV 2") ||
-              col("rn") === expr("(n_stratum + 2) DIV 2"))
+    // ONE consumption of the ranking: the median rows and the p40/p60
+    // band rows come out of the same filter + conditional aggregates, so
+    // the chunkedPrefix pipeline (and its boundary actions) runs once,
+    // not once per statistic. A row satisfying both a median and a band
+    // rank (tiny strata) contributes to both aggregates independently —
+    // identical to the two-pass formulation.
+    val isMed = col("rn") === expr("(n_stratum + 1) DIV 2") ||
+      col("rn") === expr("(n_stratum + 2) DIV 2")
+    val isLo = col("rn") === expr("(2 * n_stratum + 4) DIV 5")
+    val isHi = col("rn") === expr("(3 * n_stratum + 4) DIV 5")
+    val marks = ranked.filter(isMed || isLo || isHi)
       .groupBy("l_returnflag")
-      .agg((sum("l_extendedprice") / count(lit(1))).as("median_price"))
-    val band = ranked
-      .filter(col("rn") === expr("(2 * n_stratum + 4) DIV 5") ||
-              col("rn") === expr("(3 * n_stratum + 4) DIV 5"))
-      .groupBy("l_returnflag")
-      .agg(min(when(col("rn") === expr("(2 * n_stratum + 4) DIV 5"),
-          col("l_extendedprice"))).as("lo"),
-        min(when(col("rn") === expr("(3 * n_stratum + 4) DIV 5"),
-          col("l_extendedprice"))).as("hi"))
+      .agg(
+        (sum(when(isMed, col("l_extendedprice"))) /
+          count(when(isMed, lit(1)))).as("median_price"),
+        min(when(isLo, col("l_extendedprice"))).as("lo"),
+        min(when(isHi, col("l_extendedprice"))).as("hi"))
     val approx = Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("am"))
-    med.join(band, "l_returnflag").join(approx, "l_returnflag")
+    marks.join(approx, "l_returnflag")
       .select(col("l_returnflag"), col("median_price"),
         (col("am") >= col("lo") && col("am") <= col("hi")).as("approx_ok"))
   }
