@@ -503,13 +503,14 @@ object Scaled {
     // (lang, source), so doc_id_a's lang decides the pair's block lang
     val exactEn = Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8)
       .join(en.select(col("doc_id").as("doc_id_a")), Seq("doc_id_a"), "left_semi")
-    val lsh = Dedup.minhashLsh(en, shingleSize = 1, numHashes = 32, bands = 8,
-        threshold = 0.8, minBandCollisions = 2)
-      .select("doc_id_a", "doc_id_b")
-    val nExact = exactEn.agg(count(lit(1)).as("n_exact_pairs"))
-    val nFound = exactEn.join(lsh, Seq("doc_id_a", "doc_id_b"), "left_semi")
-      .agg(count(lit(1)).as("n_found"))
-    nExact.crossJoin(broadcast(nFound))
+    // q25's devices: the distinct-content LSH walk (row-identical to the
+    // doc-level one, bucket² in distinct sets) and the one-pass
+    // exact/found count over the duplicate-free pair list
+    val lsh = Dedup.minhashLshDistinct(en, shingleSize = 1, numHashes = 32,
+        bands = 8, threshold = 0.8, minBandCollisions = 2)
+      .select(col("doc_id_a"), col("doc_id_b"), lit(1).as("__f"))
+    exactEn.join(lsh, Seq("doc_id_a", "doc_id_b"), "left_outer")
+      .agg(count(lit(1)).as("n_exact_pairs"), count(col("__f")).as("n_found"))
       .select(col("n_exact_pairs"),
         (col("n_found") * 10L >= col("n_exact_pairs") * 8L).as("recall_ok"))
   }
