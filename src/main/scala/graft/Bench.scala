@@ -46,11 +46,13 @@ object Bench {
     def nowIso(): String = java.time.Instant.now().toString
     val (tsStart, loadStart) = (nowIso(), loadavg())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // cache isolation BETWEEN queries (not between runs): queries that
-      // persist intra-query intermediates (q102/q129/q131, Dashboard) keep
-      // the historical warm-min semantics across their own runs, but no
-      // query may ride a cache another query built, and the 130-query run
-      // doesn't accumulate executor memory.
+      // cache isolation BETWEEN queries: no query may ride a cache another
+      // query built, and the full run doesn't accumulate executor memory.
+      // Since Caching.releaseAfterConsumed (round 9), self-persisting
+      // queries (q102/q129/q131/q134) ALSO release their own cache after
+      // each run's terminal action — so every timed run prices one full
+      // cache build (cache-cold, deterministic), rather than runs 2..n
+      // riding run 1's entries. Min-of-3 absorbs the async-release jitter.
       spark.sharedState.cacheManager.clearCache()
       val runs = Seq(time(name, fn), time(name, fn), time(name, fn), time(name, fn))
       val timed = runs.drop(1) // first run is warm-up, never reported

@@ -18,6 +18,12 @@ object Verify {
     // queries — the fast loop for gating a NEW query before a full sweep.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")} " +
+          "— a typo here would dump nothing and read as a passing gate")
+    }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     selected.foreach { case (name, fn) =>

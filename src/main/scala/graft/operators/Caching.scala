@@ -20,9 +20,12 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * returned query's plan (`sameResult` subtree match — `df.count()`,
   * `df.write...`, and further narrow transformations all qualify), the
   * cached intermediates are unpersisted (non-blocking) and the listener
-  * unregisters itself. One listener per query construction; if the caller
-  * never runs an action, the entry stays registered — exactly today's
-  * behavior, no worse.
+  * unregisters itself. One listener per query construction. A
+  * construction whose result is ABANDONED (no action ever consumes it)
+  * leaks its cache entry exactly as an unmanaged persist would — but not
+  * the listener: the target plan is held through a WeakReference, so once
+  * the abandoned frame is GC'd the listener unregisters itself on the
+  * next action instead of scanning every future plan forever.
   *
   * Register AFTER construction-time eager work (boundary sketches,
   * convergence loops): the listener only matches actions consuming the
@@ -39,10 +42,23 @@ object Caching {
     */
   def releaseAfterConsumed(result: DataFrame, cached: DataFrame*): DataFrame = {
     val session = result.sparkSession
-    val target = result.queryExecution.analyzed
+    // Weak: the listener must not keep an abandoned result's plan
+    // reachable forever — result itself holds the strong reference for as
+    // long as the caller can still run an action. The `cached` handles
+    // stay STRONG (they are what unpersist needs); once the listener
+    // unregisters, they become unreachable with it.
+    val targetRef =
+      new java.lang.ref.WeakReference(result.queryExecution.analyzed)
     val listener = new QueryExecutionListener {
       private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       private def release(qe: QueryExecution): Unit = {
+        val target = targetRef.get()
+        if (target == null) {
+          // result was abandoned and GC'd: nothing can consume it anymore
+          if (done.compareAndSet(false, true))
+            session.listenerManager.unregister(this)
+          return
+        }
         val consumed =
           try qe.analyzed.exists(_.sameResult(target))
           catch { case scala.util.control.NonFatal(_) => false }

@@ -64,27 +64,15 @@ object Export {
     * the first 32 md5 bits of each text — commutative, so partial
     * aggregation and shard-internal order don't matter), and the
     * [first_key, last_key] order-bounds the reader can verify per file.
+    *
+    * Defined as the [[manifestFromPartials]] rollup of [[partialManifest]]
+    * — ONE projection/aggregation algebra for the batch, streaming, and
+    * oracle paths, so they cannot drift (a reviewer caught the duplicated
+    * version disagreeing on NULL sources).
     */
   def manifest(assigned: DataFrame, textCol: String = "text",
-               tokenCol: Column = null): DataFrame = {
-    val toks = Option(tokenCol).getOrElse(
-      graft.functions.TextFunctions.tokenCount(col(textCol)))
-    assigned
-      .select(col("shard"), col("shuffle_key"), col("source"),
-        toks.cast("long").as("__tok"),
-        length(col(textCol)).cast("long").as("__bytes"),
-        conv(substring(md5(col(textCol)), 1, 8), 16, 10)
-          .cast("long").as("__ck"))
-      .groupBy("shard")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("__tok").as("tok_sum"),
-        sum("__bytes").as("byte_sum"),
-        countDistinct("source").as("n_sources"),
-        sum("__ck").as("checksum"),
-        min("shuffle_key").as("first_key"),
-        max("shuffle_key").as("last_key"))
-  }
+               tokenCol: Column = null): DataFrame =
+    manifestFromPartials(partialManifest(assigned, textCol, tokenCol))
 
   /** The (shard, source)-grained partial manifest of an [[assignShards]]
     * frame. Strictly finer than [[manifest]]: every statistic is a
@@ -94,10 +82,12 @@ object Export {
     * incrementally merged at shard grain (n_sources is a COUNT DISTINCT),
     * which is why the streaming state keeps this finer key.
     */
-  def partialManifest(assigned: DataFrame, textCol: String = "text"): DataFrame =
+  def partialManifest(assigned: DataFrame, textCol: String = "text",
+                      tokenCol: Column = null): DataFrame =
     assigned
       .select(col("shard"), col("shuffle_key"), col("source"),
-        graft.functions.TextFunctions.tokenCount(col(textCol))
+        Option(tokenCol).getOrElse(
+          graft.functions.TextFunctions.tokenCount(col(textCol)))
           .cast("long").as("__tok"),
         length(col(textCol)).cast("long").as("__bytes"),
         conv(substring(md5(col(textCol)), 1, 8), 16, 10)
@@ -125,7 +115,9 @@ object Export {
 
   /** Roll a [[partialManifest]] state up to [[manifest]]'s shape — each
     * (shard, source) state row is one distinct source, so n_sources is a
-    * plain COUNT. O(nShards × nSources) input rows; free.
+    * count of NON-NULL source rows (matching COUNT(DISTINCT source)'s
+    * null-skipping on both engines). O(nShards × nSources) input rows;
+    * free.
     */
   def manifestFromPartials(partials: DataFrame): DataFrame =
     partials.groupBy("shard")
@@ -133,7 +125,7 @@ object Export {
         sum("n_docs").as("n_docs"),
         sum("tok_sum").as("tok_sum"),
         sum("byte_sum").as("byte_sum"),
-        count(lit(1)).as("n_sources"),
+        count(col("source")).as("n_sources"),
         sum("checksum").as("checksum"),
         min("first_key").as("first_key"),
         max("last_key").as("last_key"))

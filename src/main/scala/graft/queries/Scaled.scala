@@ -111,14 +111,19 @@ object Scaled {
     */
   def q76ProfileApprox(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("o_totalprice", "o_custkey", "o_orderkey")
+    // the exact profile + the approx profile's own passes consume this
+    // projection three times — share one in-memory copy and release it
+    // after the caller's terminal action (q102's pattern)
     val proj = Tables.orders(s, dir).select(cols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = Profile.numericProfile(proj, cols)
     val approx = Profile.numericProfileApprox(proj, cols)
       .select(col("col_name"), col("n_distinct").as("nd_approx"))
-    exact.join(broadcast(approx), "col_name")
+    val res = exact.join(broadcast(approx), "col_name")
       .select(col("col_name"), col("n_non_null"), col("n_nulls"),
         col("n_distinct"), col("min_val"), col("max_val"),
         (abs(col("nd_approx") - col("n_distinct")) * 20 <= col("n_distinct")).as("nd_ok"))
+    graft.operators.Caching.releaseAfterConsumed(res, proj)
   }
 
   /** q58's dedup resolution through the O(log n)-round

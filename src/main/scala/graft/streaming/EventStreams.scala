@@ -85,6 +85,14 @@ object EventStreams {
       }
   }
 
+  /** NOTE on checkpoint compatibility: `lastSeen` was ADDED in round 9
+    * (straggler-proof retention arming). mapGroupsWithState state rows
+    * written by the earlier 4-field encoder cannot be decoded by this one
+    * — a funnelStream restarted on an old checkpoint fails Spark's state
+    * schema check and must start from a fresh checkpoint (replaying the
+    * source gives the exact same final stages; the operator is
+    * deterministic in event time).
+    */
   final case class FunnelState(tSignup: Long, tView: Long, tClick: Long,
                                tPurchase: Long, // Long.MaxValue = unseen
                                lastSeen: Long)  // max event-time ms ever seen

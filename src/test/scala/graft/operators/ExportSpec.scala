@@ -135,6 +135,18 @@ class ExportSpec extends SparkSpecBase {
     deleteRec(new java.io.File(dir))
   }
 
+  test("manifest counts NULL-source docs but not a NULL 'source'") {
+    import spark.implicits._
+    val df = Seq((1L, "s1", "hello world"), (2L, null.asInstanceOf[String], "foo bar"),
+      (3L, "s2", "baz qux")).toDF("doc_id", "source", "text")
+    val m = Export.manifest(Export.assignShards(df, "doc_id", 1)).collect()
+    assert(m.length === 1)
+    assert(m.head.getAs[Long]("n_docs") === 3L, "null-source doc still a doc")
+    assert(m.head.getAs[Long]("n_sources") === 2L,
+      "COUNT(DISTINCT source) skips nulls on both engines; the partials " +
+        "rollup must too")
+  }
+
   test("mergePartials is order-insensitive (commutative merge)") {
     val n = 8
     val assigned = Export.assignShards(docs, "doc_id", n)
