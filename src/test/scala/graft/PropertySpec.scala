@@ -118,6 +118,33 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("minhashLshDistinct equals the doc-level walk on random duplicated corpora") {
+    // corpora drawn from a small vocab so that duplicates, near-dups, and
+    // unrelated docs all occur; document MULTIPLICITY is the property
+    // under test (the distinct walk collapses identical sets)
+    val docGen = Gen.listOfN(24, for {
+      base <- Gen.choose(0, 4)                 // 5 base templates
+      words <- Gen.choose(6, 10)
+      mut <- Gen.choose(0, 2)                  // 0 = exact copy of template
+    } yield (0 until words).map(w =>
+      if (w < mut) s"m${base}_$w" else s"t${base}_$w").mkString(" "))
+    for ((texts, i) <- samples(docGen, 6).zipWithIndex if texts.nonEmpty) {
+      val docs = texts.zipWithIndex
+        .map { case (t, j) => (i * 1000L + j, t, "en", "s0") }
+        .toDF("doc_id", "text", "lang", "source")
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      for (mbc <- Seq(1, 2)) {
+        val doc = canon(graft.operators.Dedup.minhashLsh(docs, shingleSize = 2,
+          numHashes = 16, bands = 4, threshold = 0.6, minBandCollisions = mbc))
+        val dis = canon(graft.operators.Dedup.minhashLshDistinct(docs,
+          shingleSize = 2, numHashes = 16, bands = 4, threshold = 0.6,
+          minBandCollisions = mbc))
+        assert(dis === doc, s"walks diverged on corpus $i (mbc=$mbc)")
+      }
+    }
+  }
+
   test("capGroups drops exactly the oversized groups with exact metrics") {
     val gen = for {
       nGroups <- Gen.choose(1, 8)
