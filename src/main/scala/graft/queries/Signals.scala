@@ -397,7 +397,44 @@ object Signals {
       .filter(col("n_matched") === terms.length)
   }
 
+  /** q138: SemDeDup-style semantic deduplication composed end to end —
+    * embedding-cosine near-dup pairs (q29's label-blocked exact pass) →
+    * connected-component resolution (q58's min-label fixed point) →
+    * highest-quality survivor per cluster (q81's keepBest argmax), run
+    * over the embedded slice of the corpus (vec_id keys documents; q93
+    * audits that contract). The flow a curation team runs when textual
+    * dedup has already collapsed exact/near-text copies and what remains
+    * is SEMANTIC redundancy — paraphrases and re-renderings that no
+    * shingle overlap catches but embeddings place within a tight cone.
+    *
+    * Each stage's plan is its individually-gated one (pairs: one
+    * label-blocked join, never corpus²; CC: O(log n) rounds; keepBest:
+    * one hash-agg argmax); what this gate adds is the WIRING — pair ids
+    * flowing into labels, labels into clusters, the embedded-slice
+    * restriction, and the quality tie-break — which no single-stage
+    * oracle sees. At 100 TB the label blocking becomes IVF-cell blocking
+    * (Similarity.ivfTopK's quantizer), everything downstream unchanged.
+    */
+  def q138SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pairs = graft.operators.Dedup.embeddingNearDups(emb, threshold = 0.3)
+      .select(col("vec_id_a").as("doc_id_a"), col("vec_id_b").as("doc_id_b"))
+    val scored = Tables.documents(s, dir)
+      .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+    // star CC, not propagation: cosine is not transitive, so semantic
+    // clusters are CHAINS (a~b~c with cos(a,c) < t) and min-label
+    // propagation needs diameter rounds; large/small-star alternation
+    // converges in O(log n) — 6 rounds on sf0.1's 151-member chain
+    // cluster (Q138Profile). Cost is round-bound (~0.6 s/round of
+    // fixed stage latency at local[32]), the q77/q99 composed-chain
+    // price class; every per-round shuffle is a keyed hash-agg/join.
+    graft.operators.Dedup.keepBest(scored, pairs, algorithm = "star")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_semantic_dedup" -> (q138SemanticDedup _),
     "q127_source_trend"   -> (q127SourceTrend _),
     "q128_contains_all"   -> (q128ContainsAll _),
     "q80_token_rarity"    -> (q80TokenRarity _),
@@ -414,6 +451,36 @@ object Signals {
     "q118_bm25"           -> (q118Bm25 _))
 
   val oracles: Map[String, String] = Map(
+    // q29's pair CTE (same unrounded-cos threshold), q58's recursive
+    // closure, q81's (quality DESC, doc_id) argmax — over the embedded
+    // document slice
+    "q138_semantic_dedup" ->
+      s"""WITH RECURSIVE
+        |v AS (SELECT label, vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (SELECT a.vec_id AS da, b.vec_id AS db
+        |      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |      WHERE list_dot_product(a.e, b.e)
+        |        / (sqrt(list_dot_product(a.e, a.e))
+        |           * sqrt(list_dot_product(b.e, b.e))) >= 0.3),
+        |edges AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (SELECT a AS doc_id, least(a, min(b)) AS component
+        |           FROM reach GROUP BY a),
+        |scored AS (SELECT d.doc_id, ${Extensions.qualitySqlExpr} AS quality
+        |           FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id
+        |           WHERE d.text IS NOT NULL),
+        |cl AS (SELECT s.doc_id, coalesce(l.component, s.doc_id) AS cluster,
+        |              s.quality
+        |       FROM scored s LEFT JOIN labels l USING (doc_id))
+        |SELECT cluster, doc_id, quality, n_docs FROM (
+        |  SELECT cluster, doc_id, quality,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY quality DESC, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY cluster) AS n_docs
+        |  FROM cl) q WHERE rk = 1""".stripMargin,
     // identical integer moments, identical derived-double expression tree
     "q127_source_trend" ->
       """WITH m AS (
