@@ -49,10 +49,14 @@ object Bench {
       // cache isolation BETWEEN queries: no query may ride a cache another
       // query built, and the full run doesn't accumulate executor memory.
       // Since Caching.releaseAfterConsumed (round 9), self-persisting
-      // queries (q102/q129/q131/q134) ALSO release their own cache after
-      // each run's terminal action — so every timed run prices one full
-      // cache build (cache-cold, deterministic), rather than runs 2..n
-      // riding run 1's entries. Min-of-3 absorbs the async-release jitter.
+      // queries (q76/q102/q129/q131/q134) also release their own cache
+      // after each run's terminal action. The release is ASYNC
+      // (non-blocking listener), so an individual timed run may still
+      // ride the previous run's entry or rebuild from scratch depending
+      // on listener-bus timing — min-of-3 reports the warmest observed
+      // run either way, which is the stable statistic across
+      // invocations; per-run spread for these queries measures cache
+      // pricing, not code.
       spark.sharedState.cacheManager.clearCache()
       val runs = Seq(time(name, fn), time(name, fn), time(name, fn), time(name, fn))
       val timed = runs.drop(1) // first run is warm-up, never reported

@@ -19,6 +19,10 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      require(names.nonEmpty,
+        "SPARK_GRAFT_ONLY is set but names no queries (empty/whitespace " +
+          "value) — unset it for a full run; an empty selection would dump " +
+          "nothing and read as a passing gate")
       val unknown = names.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")} " +

@@ -454,14 +454,16 @@ object Dedup {
         greatest(col("a"), col("b")).as("doc_id_b"), col("jaccard"))
     // within-group pairs: identical sets, Jaccard exactly 1.0 (what the
     // doc-level walk verifies to 1.0 through every shared bucket). An
-    // identical pair collides in exactly `bands` bands, so it survives
-    // the doc-level walk iff minBandCollisions <= bands — the guard keeps
-    // the row-identity contract for the (degenerate) larger settings.
+    // identical pair collides in exactly `bands` bands and verifies at
+    // exactly 1.0, so it survives the doc-level walk iff
+    // minBandCollisions <= bands AND threshold <= 1.0 — the guard keeps
+    // the row-identity contract for the degenerate settings outside that
+    // range.
     val within = members.select(col("k"), col("doc_id").as("doc_id_a"))
       .join(members.select(col("k"), col("doc_id").as("doc_id_b")), Seq("k"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"), lit(1.0).as("jaccard"))
-      .where(lit(minBandCollisions <= bands))
+      .where(lit(minBandCollisions <= bands && threshold <= 1.0))
     cross.unionByName(within)
   }
 

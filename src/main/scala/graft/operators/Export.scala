@@ -148,16 +148,19 @@ object Export {
     * `manifestFromPartials(Upsert.latestSnapshot(spark, stateDir))`.
     *
     * `docsStream` must carry (`idCol`, source, `textCol`); null-text rows
-    * are dropped to match [[manifest]]'s contract.
+    * are dropped to match [[manifest]]'s contract. `tokenCol` is the same
+    * override [[manifest]] takes — pass the SAME expression to both paths
+    * or their tok_sums will (correctly) disagree.
     */
   def manifestStream(docsStream: DataFrame, idCol: String, nShards: Int,
                      stateDir: String, checkpointDir: String,
-                     textCol: String = "text")
+                     textCol: String = "text", tokenCol: Column = null)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatchIntoState(batch, batchId, idCol, nShards, stateDir, textCol)
+        mergeBatchIntoState(batch, batchId, idCol, nShards, stateDir, textCol,
+          tokenCol)
       }
       .start()
 
@@ -168,11 +171,12 @@ object Export {
     * its own version instead of compounding (ExportSpec pins it).
     */
   private[operators] def mergeBatchIntoState(batch: DataFrame, batchId: Long,
-      idCol: String, nShards: Int, stateDir: String, textCol: String): Unit = {
+      idCol: String, nShards: Int, stateDir: String, textCol: String,
+      tokenCol: Column = null): Unit = {
     val s = batch.sparkSession
     val part = partialManifest(
       assignShards(batch.filter(col(textCol).isNotNull), idCol, nShards),
-      textCol)
+      textCol, tokenCol)
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val prev = if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))

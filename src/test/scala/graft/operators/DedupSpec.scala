@@ -377,6 +377,14 @@ class DedupSpec extends SparkSpecBase {
     assert(disP === docP)
     assert(!docP.exists { case (a, b, _) => a == 3L || b == 3L || a == 4L || b == 4L },
       "null-text docs must never pair")
+    // degenerate settings where the doc walk returns NOTHING: within-group
+    // expansion must not leak identical pairs past them
+    assert(canon(Dedup.minhashLshDistinct(planted, shingleSize = 3,
+      numHashes = 32, bands = 8, threshold = 1.5)).isEmpty,
+      "threshold > 1.0 admits no pair on either walk")
+    assert(canon(Dedup.minhashLshDistinct(planted, shingleSize = 3,
+      numHashes = 32, bands = 8, threshold = 0.5, minBandCollisions = 9)).isEmpty,
+      "minBandCollisions > bands admits no pair on either walk")
   }
 
   test("simhash expression is deterministic and near-dups have small hamming") {
