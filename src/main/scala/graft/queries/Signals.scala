@@ -418,19 +418,22 @@ object Signals {
   def q138SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val pairs = graft.operators.Dedup.embeddingNearDups(emb, threshold = 0.3)
-      .select(col("vec_id_a").as("doc_id_a"), col("vec_id_b").as("doc_id_b"))
+      .select(col("label"), col("vec_id_a").as("doc_id_a"),
+        col("vec_id_b").as("doc_id_b"))
     val scored = Tables.documents(s, dir)
       .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
-    // star CC, not propagation: cosine is not transitive, so semantic
-    // clusters are CHAINS (a~b~c with cos(a,c) < t) and min-label
-    // propagation needs diameter rounds; large/small-star alternation
-    // converges in O(log n) — 6 rounds on sf0.1's 151-member chain
-    // cluster (Q138Profile). Cost is round-bound (~0.6 s/round of
-    // fixed stage latency at local[32]), the q77/q99 composed-chain
-    // price class; every per-round shuffle is a keyed hash-agg/join.
-    graft.operators.Dedup.keepBest(scored, pairs, algorithm = "star")
+    // BLOCKED resolution, not the iterative resolvers: embeddingNearDups
+    // pairs are label-local by construction (a doc has one label; at
+    // 100 TB the label is an IVF cell), so each block's subgraph resolves
+    // in one in-task union-find pass — no per-round join+checkpoint loop.
+    // Matters here because cosine is not transitive: semantic clusters
+    // are CHAINS, which cost the global resolvers diameter (propagation)
+    // or log n (star) rounds of fixed stage latency — measured 4.5 s of
+    // rounds collapsing to one 0.3 s job at sf0.1 (Q138Profile).
+    val labels = graft.operators.Dedup.blockedComponents(pairs, "label")
+    graft.operators.Dedup.keepBestLabeled(scored, labels)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

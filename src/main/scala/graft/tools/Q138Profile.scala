@@ -33,6 +33,13 @@ object Q138Profile {
     t("scored")(scored.count())
     t("keepBest star")(graft.operators.Dedup
       .keepBest(scored, pairs, algorithm = "star").count())
+    val blockedPairs = graft.operators.Dedup.embeddingNearDups(emb, 0.3)
+      .select(col("label"), col("vec_id_a").as("doc_id_a"),
+        col("vec_id_b").as("doc_id_b"))
+    t("cc blocked")(graft.operators.Dedup
+      .blockedComponents(blockedPairs, "label").count())
+    t("keepBest blocked")(graft.operators.Dedup.keepBestLabeled(scored,
+      graft.operators.Dedup.blockedComponents(blockedPairs, "label")).count())
     spark.stop()
   }
 }

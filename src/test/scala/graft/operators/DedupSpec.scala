@@ -387,6 +387,31 @@ class DedupSpec extends SparkSpecBase {
       "minBandCollisions > bands admits no pair on either walk")
   }
 
+  test("blockedComponents equals the iterative resolvers on block-local graphs") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixture: embedding near-dup pairs are label-local by construction
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    val pairs = Dedup.embeddingNearDups(emb, 0.3)
+      .select($"label", $"vec_id_a".as("doc_id_a"), $"vec_id_b".as("doc_id_b"))
+    val blocked = canon(Dedup.blockedComponents(pairs, "label"))
+    val global = canon(Dedup.connectedComponents(
+      pairs.select("doc_id_a", "doc_id_b")))
+    val star = canon(Dedup.connectedComponents(
+      pairs.select("doc_id_a", "doc_id_b"), algorithm = "star"))
+    assert(blocked.nonEmpty && blocked === global && blocked === star)
+    // planted adversary: a CHAIN inside one block (the worst case for
+    // propagation) + a separate clique + an isolated pair in another block
+    val planted = Seq(
+      ("b0", 1L, 2L), ("b0", 2L, 3L), ("b0", 3L, 4L), ("b0", 4L, 5L),
+      ("b0", 10L, 11L), ("b0", 10L, 12L), ("b0", 11L, 12L),
+      ("b1", 20L, 21L))
+      .toDF("blk", "doc_id_a", "doc_id_b")
+    val got = canon(Dedup.blockedComponents(planted, "blk"))
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)))
+  }
+
   test("simhash expression is deterministic and near-dups have small hamming") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy cat again and again"
