@@ -78,7 +78,8 @@ object Dedup {
     * are all dimension-sized.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
-                   maxBlockSize: Int = Int.MaxValue): DataFrame = {
+                   maxBlockSize: Int = Int.MaxValue,
+                   keepBlock: Boolean = false): DataFrame = {
     // sorted hashed token sets (one codegen kernel — bit-identical to the
     // HOF chain, see WordGramHashes): cardinalities (and so the Jaccard
     // values) match the string-set computation; the pairwise hot loop is
@@ -96,14 +97,20 @@ object Dedup {
     val b = withSets.select(
       col("lang"), col("source"),
       col("doc_id").as("doc_id_b"), col("tset").as("tset_b"))
-    a.join(b, Seq("lang", "source"))
+    val pairs = a.join(b, Seq("lang", "source"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .withColumn("ic", graft.functions.SortedIntersectCount
         .sortedIntersectCount(col("tset_a"), col("tset_b")))
       .withColumn("jaccard", col("ic").cast("double") /
         (size(col("tset_a")) + size(col("tset_b")) - col("ic")))
       .filter(col("jaccard") >= threshold)
-      .select("doc_id_a", "doc_id_b", "jaccard")
+    // keepBlock: expose the (lang|source) block key the pair was generated
+    // in — every edge is block-local by construction, which is exactly
+    // the precondition [[blockedComponents]] needs
+    if (keepBlock)
+      pairs.select(concat_ws("|", col("lang"), col("source")).as("block"),
+        col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+    else pairs.select("doc_id_a", "doc_id_b", "jaccard")
   }
 
   /** Asymmetric near-dup: CONTAINMENT |A∩B|/|A| catches what Jaccard

@@ -435,15 +435,19 @@ object Extensions {
     Dedup.connectedComponents(
       Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8))
 
-  /** q109: the dedup diagnostics view OVER q58's resolution — how big are
-    * the clusters? (cluster_size, n_clusters) histogram: the number a
-    * curation owner reads to decide whether near-dup mass is a long tail
-    * of pairs or a few mega-clusters (and so whether LSH bucket caps /
-    * exact-route thresholds are set right). Two hash-aggs over the
-    * resolve output — the histogram adds nothing to the CC cost.
+  /** q109: the dedup diagnostics view over q58's resolution fixed point —
+    * how big are the clusters? (cluster_size, n_clusters) histogram: the
+    * number a curation owner reads to decide whether near-dup mass is a
+    * long tail of pairs or a few mega-clusters (and so whether LSH bucket
+    * caps / exact-route thresholds are set right). Labels come from the
+    * one-pass blocked union-find (jaccardPairs edges are block-local;
+    * identical labels to q58's iterative resolution, DedupSpec-pinned);
+    * the histogram is two bounded hash-aggs on top.
     */
   def q109ClusterSizes(s: SparkSession, dir: String): DataFrame =
-    q58DedupResolve(s, dir)
+    Dedup.blockedComponents(
+        Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8,
+          keepBlock = true), "block")
       .groupBy("component").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
 

@@ -73,7 +73,12 @@ object Signals {
     val docs = Tables.documents(s, dir)
     val scored = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
-    Dedup.keepBest(scored, Dedup.jaccardPairs(docs, threshold = 0.8))
+    // jaccardPairs edges are (lang, source)-block-local, so resolution is
+    // the one-pass blocked union-find (same fixed point as the iterative
+    // resolvers q58/q77 gate — DedupSpec pins the equality)
+    val labels = Dedup.blockedComponents(
+      Dedup.jaccardPairs(docs, threshold = 0.8, keepBlock = true), "block")
+    Dedup.keepBestLabeled(scored, labels)
   }
 
   /** q82: embedding drift/outlier signal — every vector's cosine to its
