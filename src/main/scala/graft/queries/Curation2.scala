@@ -124,8 +124,9 @@ object Curation2 {
     // stage 2: near-dup resolve + one survivor per cluster (q81 machinery)
     val scored = pool.select(col("doc_id"), col("lang"), col("text"),
       TextFunctions.qualityScore(col("text")).as("quality"))
-    val survivors = Dedup.keepBest(scored.select("doc_id", "quality"),
-        Dedup.jaccardPairs(pool, threshold = 0.8))
+    val survivors = Dedup.keepBestLabeled(scored.select("doc_id", "quality"),
+        Dedup.blockedComponents(
+          Dedup.jaccardPairs(pool, threshold = 0.8, keepBlock = true), "block"))
       .select("doc_id")
     // stage 3: top quartile by quality per lang (q66 shape, over survivors)
     val wq = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
