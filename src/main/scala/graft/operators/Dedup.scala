@@ -606,24 +606,38 @@ object Dedup {
     * an in-memory union-find labels them in a single pass. Cost is one
     * job instead of [[connectedComponents]]'s per-round join+checkpoint
     * loop (measured: q138's 6-round star resolution 4.5 s → 0.3 s at
-    * sf0.1), and the memory bound is the block's EDGE set — the same
-    * bound the blocked pair generator already enforces upstream (its
-    * blockSize/bucket caps), so a block that fits pair generation fits
-    * resolution.
+    * sf0.1).
+    *
+    * Memory: one task holds one block's NODE map and streams its edges —
+    * so the operator is only safe when block sizes are bounded. The pair
+    * GENERATOR caps are that bound (`jaccardPairs(maxBlockSize)`,
+    * `minhashLsh(maxBucketSize)`) — but they default to UNCAPPED, so this
+    * operator enforces its own loud `maxBlockEdges` fence (default 100 M
+    * edge rows ≈ a few GB of task memory): a degenerate block fails with
+    * a pointed message instead of silently straggling or OOMing one
+    * executor. Production callers at 100 TB should cap the generator AND
+    * size the fence; the declared fixture queries run inside it by orders
+    * of magnitude.
     *
     * Same fixed point as [[connectedComponents]] (min doc_id per
-    * component, unclustered docs absent — DedupSpec pins equality);
-    * callers whose pairs may CROSS blocks (simhashPairs, containment,
-    * decontamination overlaps) must keep the global iterative resolvers.
+    * component, unclustered docs absent — DedupSpec pins equality).
+    * PRECONDITION, verified at execution: a document appears in at most
+    * one block. Callers whose pairs may CROSS blocks (simhashPairs,
+    * containment, decontamination overlaps, multi-probe IVF cells) must
+    * keep the global iterative resolvers — here a doc labeled from two
+    * blocks raises an error through the final per-doc aggregate (the
+    * one-pass analog of the star resolver's star-forest certificate)
+    * rather than silently duplicating the doc across clusters.
     */
-  def blockedComponents(pairs: DataFrame, blockCol: String): DataFrame = {
+  def blockedComponents(pairs: DataFrame, blockCol: String,
+                        maxBlockEdges: Long = 100000000L): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
-    pairs.select(col(blockCol).cast("string").as("b"),
+    val perBlock = pairs.select(col(blockCol).cast("string").as("b"),
         col("doc_id_a").as("a"), col("doc_id_b").as("k"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (blk, it) =>
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x: Long): Long = {
           var r = x
@@ -634,7 +648,13 @@ object Dedup {
           }
           r
         }
+        var edges = 0L
         it.foreach { case (_, a, b) =>
+          edges += 1
+          if (edges > maxBlockEdges) throw new IllegalStateException(
+            s"blockedComponents: block '$blk' exceeds maxBlockEdges=" +
+              s"$maxBlockEdges — cap the pair generator (maxBlockSize/" +
+              "maxBucketSize) or resolve globally with connectedComponents")
           parent.getOrElseUpdate(a, a) // every endpoint gets labeled,
           parent.getOrElseUpdate(b, b) // self-loops included (CC parity)
           val (ra, rb) = (find(a), find(b))
@@ -646,6 +666,18 @@ object Dedup {
         ids.iterator.map(id => (id, find(id)))
       }
       .toDF("doc_id", "component")
+    // disjointness certificate: a doc labeled by two blocks violates the
+    // precondition — raise DURING execution (no construction-time action),
+    // one doc-keyed map-side-combinable aggregate over the label frame
+    perBlock.groupBy("doc_id")
+      .agg(min("component").as("component"), count(lit(1)).as("__n"))
+      .select(col("doc_id"),
+        when(col("__n") === 1, col("component"))
+          .otherwise(raise_error(concat(
+            lit("blockedComponents: doc_id "), col("doc_id"),
+            lit(" appears in multiple blocks — the pair graph is not " +
+              "block-local; use connectedComponents"))))
+          .as("component"))
   }
 
   /** Truncate lineage between rounds. Default is localCheckpoint — blocks

@@ -412,6 +412,25 @@ class DedupSpec extends SparkSpecBase {
       (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)))
   }
 
+  test("blockedComponents guards: cross-block docs and edge caps fail loudly") {
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    // doc 2 bridges b0 and b1 — the precondition violation must raise,
+    // never silently duplicate the doc across clusters
+    val bridged = Seq(("b0", 1L, 2L), ("b1", 2L, 3L))
+      .toDF("blk", "doc_id_a", "doc_id_b")
+    val e1 = intercept[Exception](
+      Dedup.blockedComponents(bridged, "blk").collect())
+    assert(messages(e1).contains("multiple blocks"), messages(e1).take(300))
+    // a block over the edge fence must name the fence, not OOM quietly
+    val big = Seq(("b0", 1L, 2L), ("b0", 2L, 3L))
+      .toDF("blk", "doc_id_a", "doc_id_b")
+    val e2 = intercept[Exception](
+      Dedup.blockedComponents(big, "blk", maxBlockEdges = 1L).collect())
+    assert(messages(e2).contains("maxBlockEdges"), messages(e2).take(300))
+  }
+
   test("simhash expression is deterministic and near-dups have small hamming") {
     val a = "the quick brown fox jumps over the lazy dog again and again"
     val b = "the quick brown fox jumps over the lazy cat again and again"
