@@ -490,17 +490,20 @@ object Scaled {
     * sf0.001/0.01/0.1 against the 0.8 gate.
     *
     * Deliberately UNCAPPED (no maxBucketSize): the gate measures the
-    * banding math. The declared q25 additionally caps degenerate
-    * boilerplate buckets out of the candidate walk — a documented trade
-    * that excludes intra-cluster near-dup pairs (only identical-set pairs
-    * come back via routeOverCapExact) precisely because enumerating a
-    * 930-doc cluster's pairs is the quadratic blowup LSH exists to avoid;
-    * its drop volume is observable via the `graft_q25_bucket_cap` metric.
+    * banding math over every true pair. Uncapped is affordable because
+    * the walk is Dedup.minhashLshDistinct (round 9): bucket² runs in
+    * DISTINCT shingle sets, so the fixture's ~930-member boilerplate
+    * buckets collapse to their distinct contents and the full-recall
+    * configuration stops being the quadratic blowup it was with the
+    * doc-level walk (q25's history: 9.4 s capped-vs-recall dilemma →
+    * 0.4 s with no dilemma). The cap + `graft_q25_bucket_cap` metrics
+    * remain available on both walks for corpora whose distinct-content
+    * clusters are themselves degenerate.
     *
     * Scale shape: the exact side keeps q24's O(block²) contract (it IS the
     * audit — at production scale you run it on a sampled slice); the
-    * comparison is two left-semi joins on (doc_id_a, doc_id_b) and two
-    * single-row aggregates.
+    * comparison is ONE left join on (doc_id_a, doc_id_b) counting exact
+    * and found in the same aggregate.
     */
   def q105LshRecallBanded(s: SparkSession, dir: String): DataFrame = {
     val en = Tables.documents(s, dir).filter(col("lang") === "en")
