@@ -45,7 +45,22 @@ object Bench {
       catch { case _: Throwable => "[]" }
     def nowIso(): String = java.time.Instant.now().toString
     val (tsStart, loadStart) = (nowIso(), loadavg())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only subset switch (same contract as Verify's): time just the
+    // named queries. Guarded the same way — a typo must fail, not time
+    // nothing and read as a healthy bench. Subset runs print their JSON
+    // but never write the numbered round artifact (see below) unless
+    // SPARK_GRAFT_BENCH_OUT redirects them anyway.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY set but names no queries")
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // cache isolation BETWEEN queries: no query may ride a cache another
       // query built, and the full run doesn't accumulate executor memory.
       // Since Caching.releaseAfterConsumed (round 9), self-persisting
@@ -97,7 +112,7 @@ object Bench {
     // itself). An explicit SPARK_GRAFT_BENCH_OUT marks a dev-loop run
     // (subset sf, drive-by timing) — those must NOT clobber the round
     // artifact, so the numbered write is skipped.
-    try if (sys.env.contains("SPARK_GRAFT_BENCH_OUT")) () else {
+    try if (sys.env.contains("SPARK_GRAFT_BENCH_OUT") || only.isDefined) () else {
       val dir = java.nio.file.Paths.get(".")
       val rx = "CORRECTNESS_r(\\d+)\\.json".r
       val listing = java.nio.file.Files.list(dir)

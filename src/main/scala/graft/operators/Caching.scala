@@ -22,10 +22,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * cached intermediates are unpersisted (non-blocking) and the listener
   * unregisters itself. One listener per query construction. A
   * construction whose result is ABANDONED (no action ever consumes it)
-  * leaks its cache entry exactly as an unmanaged persist would — but not
-  * the listener: the target plan is held through a WeakReference, so once
-  * the abandoned frame is GC'd the listener unregisters itself on the
-  * next action instead of scanning every future plan forever.
+  * does NOT leak: the target plan is held through a WeakReference, and
+  * once the abandoned frame is GC'd the listener releases the cache and
+  * unregisters itself on the next action — nothing can legitimately
+  * consume a cache whose result plan is unreachable, so releasing there
+  * is always safe.
   *
   * Register AFTER construction-time eager work (boundary sketches,
   * convergence loops): the listener only matches actions consuming the
@@ -54,9 +55,16 @@ object Caching {
       private def release(qe: QueryExecution): Unit = {
         val target = targetRef.get()
         if (target == null) {
-          // result was abandoned and GC'd: nothing can consume it anymore
-          if (done.compareAndSet(false, true))
+          // Result plan unreachable: nothing can legitimately consume the
+          // cache anymore, so releasing it here is always safe. This both
+          // converts the abandoned-frame leak into a clean release AND
+          // covers the consumed-but-raced path (async listener bus + a
+          // structurally-equal analyzed copy in the consuming action can
+          // let a GC clear the ref between action and callback).
+          if (done.compareAndSet(false, true)) {
+            cached.foreach(_.unpersist(blocking = false))
             session.listenerManager.unregister(this)
+          }
           return
         }
         val consumed =

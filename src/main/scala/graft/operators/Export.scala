@@ -154,37 +154,40 @@ object Export {
     */
   def manifestStream(docsStream: DataFrame, idCol: String, nShards: Int,
                      stateDir: String, checkpointDir: String,
-                     textCol: String = "text", tokenCol: Column = null)
+                     textCol: String = "text", tokenCol: Column = null,
+                     retainVersions: Int = 3)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatchIntoState(batch, batchId, idCol, nShards, stateDir, textCol,
-          tokenCol)
+          tokenCol, retainVersions)
       }
       .start()
 
   /** One micro-batch of [[manifestStream]]: merge the batch's partial into
-    * the newest state version AT OR BEFORE batchId and write version
-    * batchId+1. Reading strictly-older state is what makes a REPLAYED
-    * batch id idempotent — it re-reads the same predecessor and overwrites
-    * its own version instead of compounding (ExportSpec pins it).
+    * the newest COMPLETE (`_SUCCESS`-carrying) state version AT OR BEFORE
+    * batchId and write version batchId+1. Reading strictly-older state is
+    * what makes a REPLAYED batch id idempotent — it re-reads the same
+    * predecessor and overwrites its own version instead of compounding
+    * (ExportSpec pins it); the completeness filter keeps a crash-truncated
+    * overwrite from ever becoming a merge base. After the write commits,
+    * complete versions older than the newest `retainVersions` are pruned —
+    * without pruning the state dir grows one full copy per micro-batch
+    * forever. `retainVersions >= 2` keeps the replay predecessor: Spark
+    * replays at most the one uncommitted trailing batch, whose base is the
+    * immediately preceding version.
     */
   private[operators] def mergeBatchIntoState(batch: DataFrame, batchId: Long,
       idCol: String, nShards: Int, stateDir: String, textCol: String,
-      tokenCol: Column = null): Unit = {
+      tokenCol: Column = null, retainVersions: Int = 3): Unit = {
+    require(retainVersions >= 2,
+      s"retainVersions must be >= 2 (replay needs the predecessor), got $retainVersions")
     val s = batch.sparkSession
     val part = partialManifest(
       assignShards(batch.filter(col(textCol).isNotNull), idCol, nShards),
       textCol, tokenCol)
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val prev = if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
-      fs.listStatus(new org.apache.hadoop.fs.Path(stateDir)).toSeq
-        .map(_.getPath.getName)
-        .collect { case nm if nm.matches("v\\d+") => nm.drop(1).toLong }
-        .filter(_ <= batchId).sorted.lastOption
-    else None
+    val prev = Upsert.completeVersions(s, stateDir).filter(_ <= batchId).lastOption
     val merged = prev match {
       case Some(v) => mergePartials(s.read.parquet(s"$stateDir/v$v"), part)
       case None    => part
@@ -192,6 +195,11 @@ object Export {
     // The predecessor version is materialized before the overwrite can
     // touch it (different version dirs), so no read-under-write hazard.
     merged.write.mode("overwrite").parquet(s"$stateDir/v${batchId + 1}")
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Upsert.completeVersions(s, stateDir).dropRight(retainVersions).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true)
+    }
   }
 
   /** Physically write one sorted parquet file per shard under

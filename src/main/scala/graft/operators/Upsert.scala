@@ -136,25 +136,42 @@ object Upsert {
     * microbatches can skip ids, so "previous" is a search, not an
     * increment). Driver-side listing of O(#versions) names only.
     */
-  private def versionAtOrBefore(s: org.apache.spark.sql.SparkSession,
-                                dir: String, batchId: Long): String = {
+  /** Version ids under `dir` whose directory carries `_SUCCESS` — the
+    * parquet committer's completeness marker. Only COMPLETE versions
+    * participate in base resolution and latest-read: a reader concurrent
+    * with a writer (or arriving after a crash mid-overwrite during
+    * replay) must never see a partially-written version, and the
+    * max-numbered directory is exactly the one that can be mid-write.
+    * Driver-side listing of O(#versions) names + one marker probe each.
+    */
+  private[operators] def completeVersions(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val vs = fs.listStatus(p).toSeq.map(_.getPath.getName)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
       .collect { case nm if nm.matches("v\\d+") => nm.drop(1).toLong }
-      .filter(_ <= batchId)
-    require(vs.nonEmpty, s"no snapshot version <= $batchId under $dir — seed v0")
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v$v/_SUCCESS")))
+      .sorted
+  }
+
+  private def versionAtOrBefore(s: org.apache.spark.sql.SparkSession,
+                                dir: String, batchId: Long): String = {
+    val vs = completeVersions(s, dir).filter(_ <= batchId)
+    require(vs.nonEmpty,
+      s"no complete snapshot version <= $batchId under $dir — seed v0")
     s"$dir/v${vs.max}"
   }
 
-  /** Read the newest materialized snapshot version (any id). */
+  /** Read the newest COMPLETE materialized snapshot version (any id):
+    * the max-numbered version carrying `_SUCCESS`, so a version still
+    * being overwritten by a concurrent or replayed microbatch is skipped
+    * in favor of its committed predecessor.
+    */
   def latestSnapshot(s: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val vs = fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .collect { case nm if nm.matches("v\\d+") => nm.drop(1).toLong }
-    require(vs.nonEmpty, s"no snapshot versions under $dir")
+    val vs = completeVersions(s, dir)
+    require(vs.nonEmpty, s"no complete snapshot versions under $dir")
     s.read.parquet(s"$dir/v${vs.max}")
   }
 

@@ -430,10 +430,15 @@ object Extensions {
     * minimum doc_id (the canonical survivor). Oracle: transitive closure
     * via a recursive CTE over the same pair SQL (the engine never builds
     * the closure; the oracle may — fixture clusters are block-bounded).
+    * Routed blocked-first since round 10: one-pass per-partition
+    * union-find contraction, then min-label propagation rounds only on
+    * the contracted forest (Dedup.contractedComponents) — the fixed
+    * point is algorithm-independent, the round count is not.
     */
   def q58DedupResolve(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-      Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8))
+    Dedup.contractedComponents(
+      Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8),
+      stitch = "propagation")
 
   /** q109: the dedup diagnostics view over q58's resolution fixed point —
     * how big are the clusters? (cluster_size, n_clusters) histogram: the

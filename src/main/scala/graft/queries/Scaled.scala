@@ -126,15 +126,18 @@ object Scaled {
     graft.operators.Caching.releaseAfterConsumed(res, proj)
   }
 
-  /** q58's dedup resolution through the O(log n)-round
-    * large-star/small-star path (adversarial-diameter graphs). Same pair
-    * input, same recursive-CTE oracle — the fixed point (min id per
-    * component) is algorithm-independent.
+  /** q58's dedup resolution through the large-star/small-star path
+    * (adversarial-diameter graphs). Same pair input, same recursive-CTE
+    * oracle — the fixed point (min id per component) is
+    * algorithm-independent. Routed blocked-first since round 10: the
+    * one-pass contraction collapses in-partition structure to depth-1
+    * stars, so the O(log n) star rounds run only on the residual
+    * cross-partition graph (Dedup.contractedComponents).
     */
   def q77DedupResolveStar(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
+    Dedup.contractedComponents(
       Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8),
-      algorithm = "star")
+      stitch = "star")
 
   /** q48's exact positional median without the per-group sort task — the
     * last of the four flagged stratum-window cliffs (q48/q61/q66/q71),

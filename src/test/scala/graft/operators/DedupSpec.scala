@@ -387,6 +387,33 @@ class DedupSpec extends SparkSpecBase {
       "minBandCollisions > bands admits no pair on either walk")
   }
 
+  test("contractedComponents equals direct resolvers, handles chains and self-loops") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixture pair graph: both stitches must match the direct resolvers
+    val pairs = Dedup.jaccardPairs(graft.Tables.documents(spark, Sf0001), 0.8)
+      .select("doc_id_a", "doc_id_b")
+    val direct = canon(Dedup.connectedComponents(pairs))
+    for (stitch <- Seq("propagation", "star")) {
+      assert(canon(Dedup.contractedComponents(pairs, stitch)) == direct,
+        s"contract+$stitch diverges from direct propagation")
+      assert(canon(Dedup.connectedComponents(pairs,
+        algorithm = s"contract-$stitch")) == direct)
+    }
+    // adversarial 256-node chain: the contraction must leave a residual
+    // the star stitch still resolves (and collapse most of the diameter)
+    val chain = (0L until 256L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_id_a", "doc_id_b")
+    val out = Dedup.contractedComponents(chain, "star").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 256 && out.forall(_._2 == 0L))
+    // a self-loop-only node must keep its own label (direct-path parity)
+    val selfy = Seq((7L, 7L), (1L, 2L)).toDF("doc_id_a", "doc_id_b")
+    for (stitch <- Seq("propagation", "star"))
+      assert(canon(Dedup.contractedComponents(selfy, stitch)) ==
+        Set((7L, 7L), (1L, 1L), (2L, 1L)), s"self-loop under $stitch")
+  }
+
   test("blockedComponents equals the iterative resolvers on block-local graphs") {
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
