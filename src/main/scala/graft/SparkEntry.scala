@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Curation.queries ++ graft.queries.Scaled.queries ++
       graft.queries.Signals.queries ++ graft.queries.Curation2.queries ++
       graft.queries.Quality.queries ++ graft.queries.Ops.queries ++
-      graft.queries.Exports.queries ++ graft.queries.EtlGate.queries
+      graft.queries.Exports.queries ++ graft.queries.EtlGate.queries ++
+      graft.queries.UnicodeText.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Relational2.oracles ++
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.Curation.oracles ++ graft.queries.Scaled.oracles ++
       graft.queries.Signals.oracles ++ graft.queries.Curation2.oracles ++
       graft.queries.Quality.oracles ++ graft.queries.Ops.oracles ++
-      graft.queries.Exports.oracles ++ graft.queries.EtlGate.oracles
+      graft.queries.Exports.oracles ++ graft.queries.EtlGate.oracles ++
+      graft.queries.UnicodeText.oracles
 }

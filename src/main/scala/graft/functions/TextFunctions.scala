@@ -18,7 +18,34 @@ object TextFunctions {
     */
   def tokens(c: Column): Column = split(c, " ")
 
+  /** Enumerated Unicode whitespace (scalac resolves the \\u escapes, so
+    * both regex engines receive literal characters) — identical
+    * class membership in Java regex (Spark) and RE2 (the DuckDB oracle),
+    * sidestepping both engines' divergent `\s` (Java: ASCII-only without
+    * UNICODE_CHARACTER_CLASS; RE2: `[\t\n\f\r ]`). Covers the ASCII
+    * controls plus NEL, NBSP, OGHAM, the U+2000-200A run, LS/PS, NNBSP,
+    * MMSP and IDEOGRAPHIC SPACE.
+    */
+  val UnicodeWsChars: String =
+    "\t\n\u000B\u000C\r \u0085\u00A0\u1680\u2000-\u200A\u2028\u2029\u202F\u205F\u3000"
+
+
+  /** Unicode-aware tokens: split on RUNS of any [[UnicodeWsChars]] member,
+    * empty fragments dropped (leading/trailing separators produce them
+    * under split). The opt-in twin of [[tokens]] — the single-space
+    * default is oracle-pinned across a dozen queries, so real-corpus
+    * callers (tabs, newlines, NBSP) opt in per call instead of a default
+    * flip; composing [[normalizeWs]] first is no longer load-bearing.
+    */
+  def tokensUnicode(c: Column): Column =
+    filter(split(c, s"[$UnicodeWsChars]+"), t => t =!= "")
+
+  def tokens(c: Column, unicode: Boolean): Column =
+    if (unicode) tokensUnicode(c) else tokens(c)
+
   def tokenCount(c: Column): Column = size(tokens(c))
+
+  def tokenCount(c: Column, unicode: Boolean): Column = size(tokens(c, unicode))
 
   /** Distinct token set — the unit for unigram Jaccard similarity. */
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
@@ -51,20 +78,30 @@ object TextFunctions {
     (length(c) - length(regexp_replace(c, "[\\.,;:!\\?]", ""))).cast("double") /
       length(c)
 
-  def stopwordRatio(c: Column): Column = {
-    val t = tokens(c)
+  def stopwordRatio(c: Column): Column = stopwordRatio(c, unicode = false)
+
+  def stopwordRatio(c: Column, unicode: Boolean): Column = {
+    val t = tokens(c, unicode)
     size(filter(t, x => x.isin("the", "a", "and", "of", "to", "in"))).cast("double") /
       size(t)
   }
 
-  def meanTokenLen(c: Column): Column = {
-    val t = tokens(c)
+  def meanTokenLen(c: Column): Column = meanTokenLen(c, unicode = false)
+
+  def meanTokenLen(c: Column, unicode: Boolean): Column = {
+    val t = tokens(c, unicode)
     aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t)
   }
 
-  def qualityScore(c: Column): Column =
+  def qualityScore(c: Column): Column = qualityScore(c, unicode = false)
+
+  /** `unicode` switches only the token-derived component (stopword
+    * ratio); length and punctuation terms are character-level and
+    * tokenizer-independent.
+    */
+  def qualityScore(c: Column, unicode: Boolean): Column =
     least(length(c).cast("double") / 500.0, lit(1.0)) * 0.4 +
-      stopwordRatio(c) * 0.3 +
+      stopwordRatio(c, unicode) * 0.3 +
       (lit(1.0) - punctRatio(c)) * 0.3
 
   /** Language-ID by marker-token counting with a fixed-priority argmax.

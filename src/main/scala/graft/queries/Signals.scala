@@ -270,10 +270,14 @@ object Signals {
     bm25(Tables.documents(s, dir).filter(col("text").isNotNull),
       Seq("query", "join", "scan"))
 
-  /** q118's engine: BM25 with rational idf, k1 = 1.25, b = 0.75. */
-  def bm25(docs: DataFrame, queryTerms: Seq[String]): DataFrame = {
+  /** q118's engine: BM25 with rational idf, k1 = 1.25, b = 0.75.
+    * `unicode` switches the tokenizer to TextFunctions.tokensUnicode
+    * (q144's dirty-whitespace twin); the scoring algebra is unchanged.
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+           unicode: Boolean = false): DataFrame = {
     val terms = docs.select(col("doc_id"),
-      explode(TextFunctions.tokens(col("text"))).as("term"))
+      explode(TextFunctions.tokens(col("text"), unicode)).as("term"))
     val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
     val tf = terms.filter(col("term").isin(queryTerms: _*))

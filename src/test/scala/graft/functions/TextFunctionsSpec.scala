@@ -77,6 +77,26 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(SimHash64.fnv1a("a") == 0xaf63dc4c8601ec8cL)
   }
 
+  test("tokensUnicode: splits on Unicode whitespace runs, drops empties") {
+    def tok(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TextFunctions.tokensUnicode($"t"))
+        .head().getSeq[String](0)
+    // tab, NBSP, ideographic space, NEL, thin space, CRLF, runs, ends
+    assert(tok("a\tb c　d") == Seq("a", "b", "c", "d"))
+    assert(tok("\t a  b  c\r\nd e ") == Seq("a", "b", "c", "d", "e"))
+    assert(tok("") == Seq.empty)
+    assert(tok(" \t 　 ") == Seq.empty)    // all-whitespace doc
+    // the recovery property q142-q144 gate end-to-end: unicode tokens of
+    // dirtied text equal plain tokens of the clean text
+    val clean = "the quick brown fox"
+    val dirty = "\t" + clean.replace(" ", "\u00A0") + " "
+    assert(tok(dirty) == clean.split(" ").toSeq)
+    // and the single-space tokenizer demonstrably fails on the same input
+    val plain = Seq(dirty).toDF("t")
+      .select(TextFunctions.tokens($"t")).head().getSeq[String](0)
+    assert(plain.size != 4)
+  }
+
   test("normalizeWs: C0 controls to spaces, runs collapsed, ends trimmed") {
     def norm(s: String): String =
       Seq(s).toDF("t").select(TextFunctions.normalizeWs($"t")).head().getString(0)
