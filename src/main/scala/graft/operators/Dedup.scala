@@ -1208,6 +1208,99 @@ object Dedup {
                   maxHamming: Int = 3): DataFrame =
     admitStream(newDocs, admissionIndex(corpus), maxHamming)
 
+  /** Static side of [[admitStreamMinhash]]: per MinHash band, the corpus
+    * pre-grouped as (bucket, candidate list) where each candidate carries
+    * its doc id AND its sorted hashed shingle set (the verify side needs
+    * the set — unlike the SimHash index, whose 8-byte fingerprints verify
+    * by Hamming). Memory per bucket row is bucket-population x set-size:
+    * the same bucket-boundedness contract the q25 band join has (cap or
+    * collapse boilerplate ahead of admission — [[minhashLshDistinct]]'s
+    * identity grouping makes exact-duplicate clusters cost ONE entry).
+    * Banding is bit-identical to [[minhashLsh]]'s `bandedBuckets`
+    * (murmur3 hash of each rows-sized signature slice).
+    */
+  final case class MinhashAdmissionIndex(bandMaps: Seq[DataFrame],
+      shingleSize: Int, numHashes: Int, bands: Int)
+
+  def minhashAdmissionIndex(corpus: DataFrame, shingleSize: Int = 3,
+                            numHashes: Int = 32, bands: Int = 8)
+      : MinhashAdmissionIndex = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val rows = numHashes / bands
+    val withSig = corpus.select(
+        col("doc_id"),
+        graft.functions.WordGramHashes.wordGramHashes(col("text"), shingleSize).as("xh"))
+      .withColumn("sig",
+        graft.functions.MinHashSig.minhashSig(col("xh"), numHashes))
+      .filter(col("sig").isNotNull)
+    val maps = (0 until bands).map { b =>
+      withSig
+        .select(hash(slice(col("sig"), lit(b * rows + 1), lit(rows))).as(s"mbucket_$b"),
+          struct(col("doc_id").as("cid"), col("xh").as("cxh")).as("c"))
+        .groupBy(s"mbucket_$b").agg(collect_list("c").as(s"mcands_$b"))
+    }
+    MinhashAdmissionIndex(maps, shingleSize, numHashes, bands)
+  }
+
+  /** Near-dup ADMISSION by MinHash banding — the streaming twin of the
+    * q25/q105 semantics, completing [[admitStream]]'s exact-md5 + SimHash
+    * screens with the shingle-Jaccard screen: a new doc is rejected when
+    * any corpus doc shares >= `minBandCollisions` band buckets AND passes
+    * the exact Jaccard verify at `threshold` (identical formula and
+    * kernels to [[minhashLsh]]'s verification — DedupSpec pins
+    * batch-vs-batch and MemoryStream-vs-batch equality against the
+    * [[minhashLsh]] pair list).
+    *
+    * Same append-mode streaming shape as [[admitStream]]: no new-side
+    * aggregation at all — `bands` stream-static equi-joins pull each
+    * bucket's candidate list, and collision counting + Jaccard verify run
+    * per-row inside array HOFs (the collision count is quadratic in the
+    * row's CANDIDATE entries — bucket-bounded, see the index scaladoc).
+    * The static side is shuffle_hash-hinted and never broadcast: an
+    * O(corpus) broadcast is the round-5 scale-killer, and at a
+    * billion-doc corpus the band maps only fit as shuffled (or
+    * pre-bucketed) build sides.
+    */
+  def admitStreamMinhash(newDocs: DataFrame, index: MinhashAdmissionIndex,
+                         threshold: Double,
+                         minBandCollisions: Int = 1): DataFrame = {
+    val rows = index.numHashes / index.bands
+    var s = newDocs
+      .select(col("doc_id"), col("text"))
+      .withColumn("xh", graft.functions.WordGramHashes
+        .wordGramHashes(col("text"), index.shingleSize))
+      .withColumn("sig",
+        graft.functions.MinHashSig.minhashSig(col("xh"), index.numHashes))
+    (0 until index.bands).foreach { b =>
+      s = s.withColumn(s"mbucket_$b",
+          hash(slice(col("sig"), lit(b * rows + 1), lit(rows))))
+        .join(index.bandMaps(b).hint("shuffle_hash"), Seq(s"mbucket_$b"), "left")
+    }
+    val emptyCands = array().cast("array<struct<cid:bigint,cxh:array<bigint>>>")
+    // one entry per (candidate, colliding band); distinct entries are one
+    // per candidate (cxh is a function of cid, so struct-distinct == cid-
+    // distinct)
+    val all = flatten(array(
+      (0 until index.bands).map(b => coalesce(col(s"mcands_$b"), emptyCands)): _*))
+    def jaccardOk(c: Column): Column = {
+      val ic = graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("xh"), c.getField("cxh")).cast("double")
+      // the exact verify formula of minhashLsh/verifiedPairs, token for
+      // token — a rearranged inequality would round differently on
+      // borderline pairs and break stream==batch equality
+      ic / (size(col("xh")) + size(c.getField("cxh")) - ic) >= lit(threshold)
+    }
+    s.withColumn("cands", array_distinct(all))
+      .withColumn("near", filter(col("cands"), c =>
+        c.getField("cid") =!= col("doc_id") &&
+          size(filter(all, x => x.getField("cid") === c.getField("cid")))
+            >= minBandCollisions &&
+          jaccardOk(c)))
+      .select(col("doc_id"),
+        size(col("near")).cast("long").as("n_neardup"))
+      .withColumn("admitted", col("n_neardup") === 0L)
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by label (IVF-style blocking:
     * at 100 TB the block key would be a coarse-quantizer cell id).
     */

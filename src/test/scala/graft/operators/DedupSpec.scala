@@ -539,6 +539,61 @@ class DedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("admitStreamMinhash equals the minhashLsh pair list, batch and MemoryStream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+    val isNew = col("doc_id") % 5 === 0
+    // ground truth: the batch q25 walk over the whole corpus, restricted
+    // to (new x corpus) pairs -> expected near-dup count per new doc
+    val newIds = docs.filter(isNew).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val pairCounts = Dedup.minhashLsh(docs, shingleSize = 3, numHashes = 32,
+        bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (n, c) => newIds.contains(n) && !newIds.contains(c) }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expect = newIds.map(id => id -> pairCounts.getOrElse(id, 0L)).toMap
+
+    val idx = Dedup.minhashAdmissionIndex(docs.filter(!isNew),
+      shingleSize = 3, numHashes = 32, bands = 8)
+    val newDocs = docs.filter(isNew).select("doc_id", "text")
+    val batch = Dedup.admitStreamMinhash(newDocs, idx, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == expect)
+    assert(expect.values.exists(_ > 0L), "fixture planted no cross near-dups")
+    assert(expect.values.exists(_ == 0L), "every new doc rejected — degenerate")
+
+    // the SAME operator over a MemoryStream, fed in two batches
+    val input = MemoryStream[(Long, String)]
+    val q = Dedup.admitStreamMinhash(input.toDF().toDF("doc_id", "text"),
+        idx, threshold = 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("admit_minhash_stream").start()
+    try {
+      val rowsIn = newDocs.collect().map(r => (r.getLong(0), r.getString(1)))
+      val (a, b) = rowsIn.splitAt(rowsIn.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      val streamed = spark.table("admit_minhash_stream")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == expect)
+    } finally q.stop()
+  }
+
+  test("admitStreamMinhash never broadcasts the corpus-derived index") {
+    val docs = graft.Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+    val isNew = col("doc_id") % 5 === 0
+    val out = Dedup.admitStreamMinhash(
+      docs.filter(isNew).select("doc_id", "text"),
+      Dedup.minhashAdmissionIndex(docs.filter(!isNew)), threshold = 0.5)
+    val plan = out.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastExchange"), s"corpus broadcast in plan:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"corpus broadcast join in plan:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled hash joins:\n$plan")
+  }
+
   test("admitStream never broadcasts the corpus-derived index") {
     val docs = graft.Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
     val isNew = col("doc_id") % 10 === 0

@@ -115,4 +115,38 @@ class MultimodalSpec extends SparkSpecBase {
     val out = Multimodal.withMediaMeta(df, "payload").select("media_meta.ok").collect()
     assert(!out(0).getBoolean(0))
   }
+
+  test("dhashBits: 64 bits, deterministic, 1-byte edit moves <= 1 bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Perceptual
+    val body = ("abcdefgh" * 20).getBytes("US-ASCII") // 160-byte body
+    val hdr = Array.fill[Byte](10)(0x7f)
+    val edited = body.clone(); edited(0) = 'Z'
+    val far = body.map(b => (255 - b).toByte) // inverted: differences flip
+    val df = Seq(
+      (1L, hdr ++ body), (2L, hdr ++ body), (3L, hdr ++ edited),
+      (4L, hdr ++ far)).toDF("id", "bin")
+      .select($"id", Perceptual.dhashBits($"bin", lit(10)).as("bits"))
+    val bits = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bits.values.forall(b => b.length == 64 && b.forall(c => c == '0' || c == '1')))
+    def ham(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(bits(1L) == bits(2L))              // identical payloads
+    assert(ham(bits(1L), bits(3L)) <= 1)      // first-body-byte edit
+    assert(ham(bits(1L), bits(4L)) > 16)      // inversion flips comparisons
+  }
+
+  test("q145 pairs include every planted (original, variant) near-dup") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.Media.q145ImageDhash(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = out.filter { case (a, b, _) => b == a + 1000000000L }
+    val eligible = graft.Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull && length(col("text")) > 0 &&
+        length(col("text")) === octet_length(col("text")) &&
+        col("doc_id") % 12 =!= 0 &&
+        (col("doc_id") % 3 === 0 || col("doc_id") % 3 === 1)).count()
+    assert(planted.length == eligible.toInt, "a planted near-dup pair was missed")
+    assert(planted.forall(_._3 <= 1))
+  }
 }
