@@ -110,6 +110,65 @@ object Relational2 {
     s.sql(SqlSurfaceText)
   }
 
+  /** q146-q148 (round-9 verdict stretch ask): three more ANSI texts in
+    * TPC-H shapes — Q1 (pricing summary), Q6 (forecast revenue change),
+    * Q18 (large-volume customer with a HAVING subquery) — each ONE string
+    * executed verbatim by Catalyst here and by DuckDB as its own oracle.
+    * Float discipline as everywhere on the SQL surface: sums through
+    * DECIMAL(28,s) then rendered double (order-independent), averages as
+    * double-sum / count (identical double ops once the sums agree).
+    */
+  val TpchQ1Text: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  val TpchQ6Text: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.04
+      |  AND l_quantity < 24""".stripMargin
+
+  val TpchQ18Text: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) > 200.0)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  def q146TpchQ1(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(TpchQ1Text)
+  }
+
+  def q147TpchQ6(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(TpchQ6Text)
+  }
+
+  def q148TpchQ18(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(TpchQ18Text)
+  }
+
   /** TPC-H Q3 shape: selective join + grouped revenue + deterministic
     * top-10 (ties broken on the group key).
     */
@@ -133,10 +192,16 @@ object Relational2 {
     "q36_semi_join"        -> (q36SemiJoin _),
     "q37_anti_join"        -> (q37AntiJoin _),
     "q40_sql_surface"      -> (q40SqlSurface _),
-    "q41_shipping_priority" -> (q41ShippingPriority _))
+    "q41_shipping_priority" -> (q41ShippingPriority _),
+    "q146_tpch_q1"         -> (q146TpchQ1 _),
+    "q147_tpch_q6"         -> (q147TpchQ6 _),
+    "q148_tpch_q18"        -> (q148TpchQ18 _))
 
   val oracles: Map[String, String] = Map(
     "q40_sql_surface" -> SqlSurfaceText,
+    "q146_tpch_q1"    -> TpchQ1Text,
+    "q147_tpch_q6"    -> TpchQ6Text,
+    "q148_tpch_q18"   -> TpchQ18Text,
     "q41_shipping_priority" ->
       """SELECT l_orderkey, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE)
