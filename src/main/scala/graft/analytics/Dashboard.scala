@@ -107,9 +107,25 @@ object Dashboard {
   def registerViews(tables: Map[String, DataFrame]): Unit =
     tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
 
-  /** utils/datsetup.py:125-130 — table -> JSON records (S9). */
-  def toJsonRecords(df: DataFrame): Seq[String] =
-    df.toJSON.collect().toSeq
+  /** utils/datsetup.py:125-130 — table -> JSON records (S9).
+    *
+    * DRIVER-SIDE MATERIALIZATION by contract: the reference API returns a
+    * Python list of dicts, so this is presentation plumbing, not a data
+    * path. The `maxRows` fence makes the contract enforceable instead of
+    * documentary — the limit+count probe costs one bounded action, and a
+    * caller pointing this at a fact-sized frame fails with sizing advice
+    * instead of OOMing the driver. Raise the fence explicitly if a larger
+    * presentation frame is really intended.
+    */
+  def toJsonRecords(df: DataFrame, maxRows: Int = 100000): Seq[String] = {
+    val probe = df.limit(maxRows + 1).toJSON.collect()
+    require(probe.length <= maxRows,
+      s"toJsonRecords materializes on the driver and the input exceeds " +
+        s"maxRows=$maxRows — this API is for presentation-sized frames " +
+        "(reference S9, utils/datsetup.py:125-130); aggregate or limit " +
+        "first, or raise maxRows deliberately")
+    probe.toSeq
+  }
 
   def sql(spark: SparkSession, query: String): DataFrame = {
     // (?is): the dashboard's SQL box is a multi-line text area, so the

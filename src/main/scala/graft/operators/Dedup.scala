@@ -923,16 +923,25 @@ object Dedup {
           "O(log n) rounds should far undercut this; raise maxIters")
     }
     // structural star-forest certificate: the checksum said "unchanged",
-    // this PROVES "final" (labels below are only correct on a star forest)
-    val multi = edges.groupBy("u").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).count()
-    val chained = edges.alias("e1")
-      .join(edges.alias("e2"), col("e1.v") === col("e2.u")).count()
-    if (multi > 0 || chained > 0) {
+    // this PROVES "final" (labels below are only correct on a star forest).
+    // Both violation classes — a node with >1 out-edge, an out-edge whose
+    // target is itself re-pointed — are counted in ONE action (union of
+    // two violation frames): per-round job latency dominates this
+    // operator's fixture-scale cost, so the certificate pays one job, not
+    // two.
+    val multiViol = edges.groupBy("u").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(lit("multi").as("viol"))
+    val chainViol = edges.alias("e1")
+      .join(edges.alias("e2"), col("e1.v") === col("e2.u"), "left_semi")
+      .select(lit("chained").as("viol"))
+    val violations = multiViol.union(chainViol)
+      .groupBy("viol").agg(count(lit(1)).as("n")).collect()
+    if (violations.nonEmpty) {
       freeCheckpoint(edges)
       throw new IllegalStateException(
-        s"starComponents fixed point is not a star forest ($multi multi-edge " +
-          s"nodes, $chained chained edges) — checksum converged spuriously")
+        "starComponents fixed point is not a star forest (" +
+          violations.map(r => s"${r.getString(0)}: ${r.getLong(1)}").mkString(", ") +
+          ") — checksum converged spuriously")
     }
     val labels = nodes.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
       .select(col("id").as("doc_id"), coalesce(col("v"), col("id")).as("component"))

@@ -122,6 +122,16 @@ class EtlPipelineSpec extends SparkSpecBase {
     assert(recs.forall(r => r.startsWith("{") && r.contains("\"FUEL_TYPE\"")))
   }
 
+  test("toJsonRecords fences driver materialization at maxRows") {
+    val e = intercept[IllegalArgumentException] {
+      graft.analytics.Dashboard.toJsonRecords(result.dims.fuelType, maxRows = 1)
+    }
+    assert(e.getMessage.contains("presentation-sized"))
+    // exactly-at-fence passes (the probe reads maxRows + 1, not the table)
+    assert(graft.analytics.Dashboard
+      .toJsonRecords(result.dims.fuelType, maxRows = 2).size == 2)
+  }
+
   test("surrogate keys are dense 1..N") {
     val ids = result.dims.suburb.select("id_suburb").collect().map(_.getInt(0)).sorted
     assert(ids.toSeq == (1 to ids.length))
