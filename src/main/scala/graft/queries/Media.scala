@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
-import graft.functions.Perceptual
+import graft.functions.{Perceptual, WavMeta}
 
 /** q145: perceptual image near-dup (dHash, banded) over the synthetic
   * media corpus — the multimodal analog of q26/q55's SimHash text
@@ -70,10 +70,136 @@ object Media {
       .select("doc_id_a", "doc_id_b", "hamming")
   }
 
+  // ------------------------------------------------------------- audio
+
+  /** Little-endian field assembly for the synthetic WAV headers —
+    * lpad(hex) gives big-endian hex; LE is the byte-pair reversal.
+    * Static substring positions, whole-stage codegen throughout.
+    */
+  private def le16(c: Column): Column = {
+    val h = lpad(hex(c), 4, "0")
+    unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+  }
+  private def le32(c: Column): Column = {
+    val h = lpad(hex(c), 8, "0")
+    unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2)))
+  }
+
+  /** Synthetic audio corpus: canonical 44-byte PCM WAV headers (REAL
+    * container bytes, little-endian fields assembled by expression) over
+    * the document texts as payload bytes — sample rate / channel count a
+    * pure function of doc_id, so the oracle rebuilds every decoded field
+    * arithmetically (the syntheticMedia device, completing the
+    * image/audio modality pair). The doc_id % 10 == 0 slice carries raw
+    * (non-WAV) bytes to exercise the corrupt-flags-not-fails contract.
+    */
+  private def syntheticWav(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+      .filter(col("text").isNotNull && length(col("text")) > 0 &&
+        length(col("text")) === octet_length(col("text")))
+    val sr = when(col("doc_id") % 4 === 0, 8000L)
+      .when(col("doc_id") % 4 === 1, 16000L)
+      .when(col("doc_id") % 4 === 2, 44100L).otherwise(48000L)
+    val ch = lit(1L) + col("doc_id") % 2
+    val blockAlign = ch * 2L
+    val byteRate = sr * blockAlign
+    val dataLen = octet_length(col("text")).cast("long")
+    val wav = concat(
+      lit("RIFF").cast("binary"), le32(dataLen + 36L),
+      lit("WAVE").cast("binary"),
+      lit("fmt ").cast("binary"), le32(lit(16L)), le16(lit(1L)), le16(ch),
+      le32(sr), le32(byteRate), le16(blockAlign), le16(lit(16L)),
+      lit("data").cast("binary"), le32(dataLen),
+      col("text").cast("binary"))
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, col("text").cast("binary"))
+        .otherwise(wav).as("payload"))
+  }
+
+  /** q149: WAV metadata decode — every fmt-chunk field read back out of
+    * the real header bytes (WavMeta expressions), invalid payloads
+    * flagged with null fields, declared duration from the header's own
+    * dataSize/byteRate.
+    */
+  def q149WavMeta(s: SparkSession, dir: String): DataFrame = {
+    val p = col("payload")
+    val valid = WavMeta.isCanonical(p)
+    syntheticWav(s, dir).select(
+      col("doc_id"), valid.as("valid"),
+      when(valid, WavMeta.channels(p)).as("channels"),
+      when(valid, WavMeta.sampleRate(p)).as("sample_rate"),
+      when(valid, WavMeta.bitsPerSample(p)).as("bits"),
+      when(valid, WavMeta.durationSec(p)).as("duration_sec"))
+  }
+
+  /** q150: frame-level audio feature extraction — the data chunk sliced
+    * into 64-byte frames, every 2nd frame kept (Multimodal.sampleChunks,
+    * the video frame-sampling kernel reused), per-frame byte count and
+    * mean byte value (the stub for a real loudness/spectral feature; the
+    * windowing arithmetic and per-frame aggregation shape are the
+    * production contract). Pure codegen HOFs; one Generate, no UDF.
+    */
+  def q150AudioFrames(s: SparkSession, dir: String): DataFrame = {
+    val wavs = syntheticWav(s, dir)
+      .filter(WavMeta.isCanonical(col("payload")))
+    val data = col("payload")
+      .substr(lit(45), WavMeta.dataSize(col("payload")).cast("int"))
+    val framed = wavs
+      .select(col("doc_id"),
+        posexplode(Multimodal.sampleChunks(data, chunkSize = 64, everyK = 2))
+          .as(Seq("frame_pos", "frame")))
+    framed.select(
+      col("doc_id"), col("frame_pos"),
+      octet_length(col("frame")).as("n_bytes"),
+      (aggregate(
+        transform(sequence(lit(1), octet_length(col("frame"))),
+          i => conv(hex(substring(col("frame"), i, lit(1))), 16, 10).cast("long")),
+        lit(0L), (acc, x) => acc + x).cast("double") /
+        octet_length(col("frame"))).as("mean_val"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q145_image_dhash" -> (q145ImageDhash _))
+    "q145_image_dhash" -> (q145ImageDhash _),
+    "q149_wav_meta"    -> (q149WavMeta _),
+    "q150_audio_frames" -> (q150AudioFrames _))
 
   def oracles: Map[String, String] = Map(
+    // the decoded fields must equal the generator's arithmetic (the q42
+    // device: real bytes in between, rebuilt parameters out)
+    "q149_wav_meta" ->
+      """SELECT doc_id,
+        |  doc_id % 10 <> 0 AS valid,
+        |  CASE WHEN doc_id % 10 <> 0 THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
+        |  CASE WHEN doc_id % 10 <> 0 THEN CAST(CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 44100
+        |    ELSE 48000 END AS BIGINT) END AS sample_rate,
+        |  CASE WHEN doc_id % 10 <> 0 THEN CAST(16 AS BIGINT) END AS bits,
+        |  CASE WHEN doc_id % 10 <> 0 THEN CAST(length(text) AS DOUBLE) /
+        |    CAST((CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 44100
+        |      ELSE 48000 END) * (1 + doc_id % 2) * 2 AS DOUBLE) END AS duration_sec
+        |FROM documents
+        |WHERE text IS NOT NULL AND length(text) > 0
+        |  AND length(text) = octet_length(encode(text))""".stripMargin,
+    // the frame windowing + per-frame mean replayed over the text bytes
+    "q150_audio_frames" ->
+      """WITH eligible AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0
+        |    AND length(text) = octet_length(encode(text))
+        |    AND doc_id % 10 <> 0),
+        |f AS (
+        |  SELECT doc_id, CAST(j AS INTEGER) AS j0,
+        |    substr(text, CAST(j AS INTEGER) * 64 + 1, 64) AS seg
+        |  FROM eligible, unnest(range(0, CAST(CEIL(length(text) / 64.0) AS INTEGER))) t(j)
+        |  WHERE j % 2 = 0)
+        |SELECT doc_id, CAST(j0 // 2 AS INTEGER) AS frame_pos,
+        |  CAST(length(seg) AS INTEGER) AS n_bytes,
+        |  CAST(list_aggregate(list_transform(range(1, length(seg) + 1), i ->
+        |    ascii(substr(seg, CAST(i AS INTEGER), 1))), 'sum') AS DOUBLE)
+        |    / length(seg) AS mean_val
+        |FROM f""".stripMargin,
     // full replay of the hash arithmetic: sample grid from the text
     // characters (ASCII filter makes char == body byte), dHash bits,
     // band slices, pair join, Hamming verify

@@ -136,6 +136,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(ham(bits(1L), bits(4L)) > 16)      // inversion flips comparisons
   }
 
+  test("WavMeta round-trips a hand-built canonical PCM header") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.WavMeta
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val data = Array.fill[Byte](320)(0x40)
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(16000) ++
+      le32(16000 * 4) ++ le16(4) ++ le16(16) ++ "data".getBytes ++
+      le32(data.length) ++ data
+    val out = Seq((1L, wav), (2L, "not a wav at all".getBytes))
+      .toDF("id", "bin")
+      .select($"id", WavMeta.isCanonical($"bin").as("ok"),
+        WavMeta.channels($"bin").as("ch"), WavMeta.sampleRate($"bin").as("sr"),
+        WavMeta.bitsPerSample($"bin").as("bits"),
+        WavMeta.durationSec($"bin").as("dur"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1))
+    assert(out(1L).getLong(2) == 2 && out(1L).getLong(3) == 16000 &&
+      out(1L).getLong(4) == 16)
+    assert(math.abs(out(1L).getDouble(5) - 320.0 / 64000.0) < 1e-12)
+    assert(!out(2L).getBoolean(1)) // flagged, not failed
+  }
+
   test("q145 pairs include every planted (original, variant) near-dup") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.Media.q145ImageDhash(spark, Sf0001)
