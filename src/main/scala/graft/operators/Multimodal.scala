@@ -47,6 +47,8 @@ object Multimodal {
           (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) Some("jpeg")
       else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
           bytes(2) == 'F' && bytes(3) == 'F') Some("wav")
+      else if (bytes.length >= 8 && bytes(4) == 'f' && bytes(5) == 't' &&
+          bytes(6) == 'y' && bytes(7) == 'p') Some("mp4")
       else None
 
     private def be32(b: Array[Byte], i: Int): Long =
@@ -111,6 +113,21 @@ object Multimodal {
     private def wavOk(b: Array[Byte]): Boolean =
       b.length >= 12 && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
+    /** ISO-BMFF (MP4): the top-level box walk must consume the buffer
+      * exactly — every box a big-endian u32 size (>= 8) + 4-char type,
+      * boxes tiling the file with no trailing garbage. The expression-side
+      * twin is `graft.functions.Mp4Meta.topLevelBoxes`.
+      */
+    private def mp4Ok(b: Array[Byte]): Boolean = {
+      var pos = 0L; var n = 0
+      while (pos + 8 <= b.length) {
+        val size = be32(b, pos.toInt)
+        if (size < 8 || pos + size > b.length) return false
+        n += 1; pos += size
+      }
+      n >= 1 && pos == b.length
+    }
+
     def decode(bytes: Array[Byte]): Meta = {
       if (bytes == null || bytes.isEmpty) return Meta(0, None, None, None, ok = false)
       sniffFormat(bytes) match {
@@ -122,6 +139,8 @@ object Multimodal {
           Meta(bytes.length, Some("jpeg"), d.map(_._1), d.map(_._2), d.isDefined)
         case Some("wav") =>
           Meta(bytes.length, Some("wav"), None, None, wavOk(bytes))
+        case Some("mp4") =>
+          Meta(bytes.length, Some("mp4"), None, None, mp4Ok(bytes))
         case _ => Meta(bytes.length, None, None, None, ok = false)
       }
     }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
-import graft.functions.{Perceptual, WavMeta}
+import graft.functions.{Mp4Meta, Perceptual, WavMeta}
 
 /** q145: perceptual image near-dup (dHash, banded) over the synthetic
   * media corpus — the multimodal analog of q26/q55's SimHash text
@@ -159,12 +159,156 @@ object Media {
         octet_length(col("frame"))).as("mean_val"))
   }
 
+  // ------------------------------------------------------------- video
+
+  /** Synthetic video corpus: canonical ISO-BMFF containers (REAL box
+    * bytes — ftyp with a doc_id-keyed brand, moov/mvhd with a real unity
+    * matrix and doc_id-keyed timescale, mdat carrying the text payload) so
+    * the oracle rebuilds every decoded field arithmetically. Completes the
+    * image/audio/video synthetic-media triad. The doc_id % 10 == 0 slice
+    * carries raw (non-MP4) bytes for the corrupt-flags-not-fails contract.
+    */
+  private[queries] def syntheticMp4(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+      .filter(col("text").isNotNull && length(col("text")) > 0 &&
+        length(col("text")) === octet_length(col("text")))
+    def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+    val brand = when(col("doc_id") % 3 === 0, "isom")
+      .when(col("doc_id") % 3 === 1, "mp42").otherwise("avc1")
+    val timescale = when(col("doc_id") % 3 === 0, 600L)
+      .when(col("doc_id") % 3 === 1, 1000L).otherwise(90000L)
+    val dataLen = octet_length(col("text")).cast("long")
+    val duration = dataLen * 40L // 40 ticks per payload byte, deterministic
+    val ftyp = concat(be32(lit(20L)), lit("ftyp").cast("binary"),
+      brand.cast("binary"), be32(lit(0x200L)), lit("mp41").cast("binary"))
+    // mvhd v0 tail after duration: rate 1.0, volume 1.0, 10 reserved bytes,
+    // unity matrix, 24 pre_defined bytes, next_track_id = 2  (80 bytes)
+    val mvhdTail = lit(
+      Array[Byte](0, 1, 0, 0, 1, 0) ++ Array.fill[Byte](10)(0) ++ // rate/vol/resv
+        (Array[Byte](0, 1, 0, 0) ++ Array.fill[Byte](12)(0) ++     // unity matrix
+          Array[Byte](0, 1, 0, 0) ++ Array.fill[Byte](12)(0) ++
+          Array[Byte](0x40, 0, 0, 0)) ++
+        Array.fill[Byte](24)(0) ++ Array[Byte](0, 0, 0, 2))       // pre_def/next
+    val mvhd = concat(be32(lit(108L)), lit("mvhd").cast("binary"),
+      be32(lit(0L)), be32(lit(0L)), be32(lit(0L)), // ver/flags, ctime, mtime
+      be32(timescale), be32(duration), mvhdTail)
+    val moov = concat(be32(lit(116L)), lit("moov").cast("binary"), mvhd)
+    val mdat = concat(be32(dataLen + 8L), lit("mdat").cast("binary"),
+      col("text").cast("binary"))
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, col("text").cast("binary"))
+        .otherwise(concat(ftyp, moov, mdat)).as("payload"))
+  }
+
+  /** q151: MP4 metadata decode — canonical fields (brand, timescale,
+    * declared duration, mdat payload size) read back out of the real box
+    * bytes by Mp4Meta's fixed-offset expressions, PLUS the general
+    * top-level box walk (`Mp4Meta.topLevelBoxes`) proving the cursor
+    * threads ftyp→moov→mdat and lands exactly on the buffer end. Corrupt
+    * payloads flag (never throw): the walk parks on the first bad size.
+    */
+  def q151VideoMeta(s: SparkSession, dir: String): DataFrame = {
+    val p = col("payload")
+    val valid = Mp4Meta.isCanonical(p)
+    val walk = Mp4Meta.topLevelBoxes(p)
+    syntheticMp4(s, dir).select(
+      col("doc_id"), valid.as("valid"),
+      when(valid, Mp4Meta.majorBrand(p)).as("major_brand"),
+      when(valid, Mp4Meta.timescale(p)).as("timescale"),
+      when(valid, Mp4Meta.durationSec(p)).as("duration_sec"),
+      when(valid, Mp4Meta.mdatBytes(p)).as("mdat_bytes"),
+      size(walk.getField("box_types")).as("n_boxes"),
+      array_join(walk.getField("box_types"), ",").as("box_types"),
+      walk.getField("well_formed").as("well_formed"))
+  }
+
+  /** q152: cross-modality media catalog — the three synthetic corpora
+    * (image PNG/JPEG, audio WAV, video MP4) unioned and pushed through the
+    * ONE decode entry point (`Multimodal.withMediaMeta`, the mapPartitions
+    * batch-decode contract), then rolled up per (modality, sniffed format,
+    * integrity flag). The audit a 100 TB media lake runs nightly: row
+    * counts and byte totals per container family, corrupt slices surfacing
+    * as ok=false rows rather than job failures.
+    */
+  def q152MediaCatalog(s: SparkSession, dir: String): DataFrame = {
+    val img = Multimodal.syntheticMedia(s, dir)
+      .select(lit("image").as("modality"), col("payload"))
+    val aud = syntheticWav(s, dir)
+      .select(lit("audio").as("modality"), col("payload"))
+    val vid = syntheticMp4(s, dir)
+      .select(lit("video").as("modality"), col("payload"))
+    Multimodal.withMediaMeta(img.unionByName(aud).unionByName(vid), "payload")
+      .groupBy(col("modality"), col("media_meta.format").as("format"),
+        col("media_meta.ok").as("ok"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("media_meta.n_bytes").cast("long")).as("total_bytes"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_image_dhash" -> (q145ImageDhash _),
     "q149_wav_meta"    -> (q149WavMeta _),
-    "q150_audio_frames" -> (q150AudioFrames _))
+    "q150_audio_frames" -> (q150AudioFrames _),
+    "q151_video_meta"  -> (q151VideoMeta _),
+    "q152_media_catalog" -> (q152MediaCatalog _))
 
   def oracles: Map[String, String] = Map(
+    // every decoded MP4 field rebuilt from the generator's arithmetic (the
+    // q149 device); the walk outputs pin the canonical ftyp/moov/mdat tiling
+    // and that corrupt payloads park the cursor at box 0
+    "q151_video_meta" ->
+      """SELECT doc_id,
+        |  doc_id % 10 <> 0 AS valid,
+        |  CASE WHEN doc_id % 10 <> 0 THEN CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42' ELSE 'avc1' END
+        |  END AS major_brand,
+        |  CASE WHEN doc_id % 10 <> 0 THEN CAST(CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS BIGINT)
+        |  END AS timescale,
+        |  CASE WHEN doc_id % 10 <> 0 THEN CAST(length(text) * 40 AS DOUBLE) /
+        |    CAST(CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS DOUBLE)
+        |  END AS duration_sec,
+        |  CASE WHEN doc_id % 10 <> 0 THEN CAST(length(text) AS BIGINT)
+        |  END AS mdat_bytes,
+        |  CAST(CASE WHEN doc_id % 10 <> 0 THEN 3 ELSE 0 END AS INTEGER) AS n_boxes,
+        |  CASE WHEN doc_id % 10 <> 0 THEN 'ftyp,moov,mdat' ELSE '' END AS box_types,
+        |  doc_id % 10 <> 0 AS well_formed
+        |FROM documents
+        |WHERE text IS NOT NULL AND length(text) > 0
+        |  AND length(text) = octet_length(encode(text))""".stripMargin,
+    // the per-(modality, format, ok) rollup rebuilt from the three
+    // generators' class arithmetic and header lengths (33/39 image, 44
+    // audio, 144 video) — corrupt slices land as ok=false rows
+    "q152_media_catalog" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS blen,
+        |         length(text) = octet_length(encode(text)) AS is_ascii
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'image' AS modality,
+        |    CASE WHEN doc_id % 12 = 0 OR doc_id % 3 = 0 THEN 'png'
+        |         WHEN doc_id % 3 = 1 THEN 'jpeg' END AS format,
+        |    doc_id % 12 <> 0 AND doc_id % 3 IN (0, 1) AS ok,
+        |    CASE WHEN doc_id % 12 = 0 THEN 10
+        |         WHEN doc_id % 3 = 0 THEN 33 + blen
+        |         WHEN doc_id % 3 = 1 THEN 39 + blen
+        |         ELSE blen END AS nb
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'audio',
+        |    CASE WHEN doc_id % 10 <> 0 THEN 'wav' END,
+        |    doc_id % 10 <> 0,
+        |    CASE WHEN doc_id % 10 <> 0 THEN 44 + blen ELSE blen END
+        |  FROM b WHERE is_ascii AND blen > 0
+        |  UNION ALL
+        |  SELECT 'video',
+        |    CASE WHEN doc_id % 10 <> 0 THEN 'mp4' END,
+        |    doc_id % 10 <> 0,
+        |    CASE WHEN doc_id % 10 <> 0 THEN 144 + blen ELSE blen END
+        |  FROM b WHERE is_ascii AND blen > 0)
+        |SELECT modality, format, ok, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(nb) AS BIGINT) AS total_bytes
+        |FROM r GROUP BY modality, format, ok""".stripMargin,
     // the decoded fields must equal the generator's arithmetic (the q42
     // device: real bytes in between, rebuilt parameters out)
     "q149_wav_meta" ->

@@ -162,6 +162,110 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!out(2L).getBoolean(1)) // flagged, not failed
   }
 
+  test("Mp4Meta round-trips a hand-built canonical ISO-BMFF container") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Mp4Meta
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val payload = Array.fill[Byte](200)(0x51)
+    val ftyp = be32(20) ++ "ftyp".getBytes ++ "mp42".getBytes ++
+      be32(0x200) ++ "mp41".getBytes
+    val mvhd = be32(108) ++ "mvhd".getBytes ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(8000) ++ Array.fill[Byte](80)(0)
+    val moov = be32(116) ++ "moov".getBytes ++ mvhd
+    val mdat = be32(8 + payload.length) ++ "mdat".getBytes ++ payload
+    val mp4 = ftyp ++ moov ++ mdat
+    val out = Seq((1L, mp4), (2L, "definitely not an mp4 file".getBytes))
+      .toDF("id", "bin")
+      .select($"id", Mp4Meta.isCanonical($"bin").as("ok"),
+        Mp4Meta.majorBrand($"bin").as("brand"),
+        Mp4Meta.timescale($"bin").as("ts"), Mp4Meta.duration($"bin").as("dur"),
+        Mp4Meta.durationSec($"bin").as("sec"),
+        Mp4Meta.mdatBytes($"bin").as("nb"),
+        Mp4Meta.topLevelBoxes($"bin").as("walk"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1))
+    assert(out(1L).getString(2) == "mp42")
+    assert(out(1L).getLong(3) == 1000 && out(1L).getLong(4) == 8000)
+    assert(math.abs(out(1L).getDouble(5) - 8.0) < 1e-12)
+    assert(out(1L).getLong(6) == 200)
+    val walk = out(1L).getStruct(7)
+    assert(walk.getSeq[String](0) == Seq("ftyp", "moov", "mdat"))
+    assert(walk.getSeq[Long](1) == Seq(20L, 116L, 208L))
+    assert(walk.getBoolean(2)) // cursor lands exactly on buffer end
+    assert(!out(2L).getBoolean(1) && !out(2L).getStruct(7).getBoolean(2))
+    assert(out(2L).getStruct(7).getSeq[String](0).isEmpty)
+    // JVM-side decoder agrees with the expression walk
+    assert(Multimodal.MediaDecoder.decode(mp4) ==
+      Multimodal.MediaDecoder.Meta(mp4.length, Some("mp4"), None, None, ok = true))
+  }
+
+  test("topLevelBoxes walks arbitrary tilings and parks on bad sizes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Mp4Meta
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, body: Array[Byte]) =
+      be32(8 + body.length) ++ tpe.getBytes ++ body
+    // non-canonical order and a free/skip box: still well-formed
+    val odd = box("free", Array.fill[Byte](5)(0)) ++ box("mdat",
+      Array.fill[Byte](30)(1)) ++ box("moov", Array.fill[Byte](12)(2))
+    // declared size overruns the buffer: walk parks after the first box
+    val overrun = box("ftyp", Array.fill[Byte](8)(0)) ++
+      (be32(9999) ++ "mdat".getBytes ++ Array.fill[Byte](4)(0))
+    // trailing garbage shorter than a box header: not well-formed
+    val trailing = box("ftyp", Array.fill[Byte](8)(0)) ++ Array[Byte](1, 2, 3)
+    val rows = Seq((1L, odd), (2L, overrun), (3L, trailing))
+      .toDF("id", "bin")
+      .select($"id", Mp4Meta.topLevelBoxes($"bin").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(rows(1L).getSeq[String](0) == Seq("free", "mdat", "moov"))
+    assert(rows(1L).getBoolean(2))
+    assert(rows(2L).getSeq[String](0) == Seq("ftyp") && !rows(2L).getBoolean(2))
+    assert(rows(3L).getSeq[String](0) == Seq("ftyp") && !rows(3L).getBoolean(2))
+    assert(!Multimodal.MediaDecoder.decode(overrun).ok)
+    assert(!Multimodal.MediaDecoder.decode(trailing).ok)
+    // the sniffer keys on a LEADING ftyp (the brand box convention); a
+    // ftyp-first variant of the odd tiling decodes ok
+    assert(Multimodal.MediaDecoder.decode(odd).format.isEmpty)
+    val ftypFirst = box("ftyp", Array.fill[Byte](12)(0)) ++ odd
+    assert(Multimodal.MediaDecoder.decode(ftypFirst).ok)
+  }
+
+  test("q151 decodes generator arithmetic; q152 catalog counts reconcile") {
+    import org.apache.spark.sql.functions._
+    val meta = graft.queries.Media.q151VideoMeta(spark, Sf0001).collect()
+    assert(meta.nonEmpty)
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      if (r.getBoolean(1)) { // valid slice: fields are doc_id arithmetic
+        val expBrand = (id % 3) match {
+          case 0 => "isom"; case 1 => "mp42"; case _ => "avc1" }
+        assert(r.getString(2) == expBrand)
+        assert(r.getInt(6) == 3 && r.getString(7) == "ftyp,moov,mdat")
+        assert(r.getBoolean(8))
+      } else {
+        assert(id % 10 == 0)
+        assert(r.getInt(6) == 0 && !r.getBoolean(8))
+      }
+    }
+    val cat = graft.queries.Media.q152MediaCatalog(spark, Sf0001).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).orNull,
+        r.getBoolean(2)) -> r.getLong(3)).toMap
+    val nDocs = graft.Tables.documents(spark, Sf0001).count()
+    val nAscii = graft.Tables.documents(spark, Sf0001)
+      .filter(length(col("text")) === octet_length(col("text")) &&
+        length(col("text")) > 0).count()
+    // each modality partitions its corpus: counts must sum back exactly
+    assert(cat.filter(_._1._1 == "image").values.sum == nDocs)
+    assert(cat.filter(_._1._1 == "audio").values.sum == nAscii)
+    assert(cat.filter(_._1._1 == "video").values.sum == nAscii)
+    assert(cat.keys.count(_._1 == "video") == 2) // mp4-ok + corrupt slices
+    assert(cat(("video", "mp4", true)) > 0)
+  }
+
   test("q145 pairs include every planted (original, variant) near-dup") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.Media.q145ImageDhash(spark, Sf0001)
