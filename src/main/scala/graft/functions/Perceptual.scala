@@ -27,26 +27,44 @@ import org.apache.spark.sql.functions._
   */
 object Perceptual {
 
-  /** 64-bit dHash bit-string of `bin`'s body (bytes after `headerLen`).
-    * Sample k of 72: body byte at floor(k * bodyLen / 72) — repetition
-    * when bodyLen < 72 is the nearest-neighbor upscale, same arithmetic
-    * on both engines. Bit k (row r = k/8, col c = k%8): 1 iff
-    * grid[r][c] < grid[r][c+1].
+  /** The 72-sample 9x8 grid of `bin`'s body (bytes after `headerLen`) as
+    * an array<int> column. Sample k: body byte at floor(k * bodyLen / 72)
+    * — repetition when bodyLen < 72 is the nearest-neighbor upscale, same
+    * arithmetic on both engines.
+    *
+    * MATERIALIZE THIS as its own projection before deriving bits:
+    * [[dhashBitsFromPx]] reads the array 128 times, and feeding it the
+    * sampling expression inline makes Catalyst re-evaluate all 72
+    * substring+hex+conv samples per read (CollapseProject keeps separate
+    * projections apart precisely because the alias is non-cheap and
+    * multiply-referenced — measured 13x on q145 at sf0.1).
     */
-  def dhashBits(bin: Column, headerLen: Column): Column = {
+  def dhashPx(bin: Column, headerLen: Column): Column = {
     val bodyLen = octet_length(bin) - headerLen
-    val px = transform(sequence(lit(0), lit(71)), i =>
+    transform(sequence(lit(0), lit(71)), i =>
       conv(hex(substring(bin,
         (headerLen + floor((i * bodyLen).cast("double") / 72.0).cast("int")
           + 1).cast("int"),
         lit(1))), 16, 10).cast("int"))
+  }
+
+  /** Bits from a MATERIALIZED sample grid: bit k (row r = k/8, col
+    * c = k%8) is 1 iff grid[r][c] < grid[r][c+1].
+    */
+  def dhashBitsFromPx(px: Column): Column =
     concat_ws("", transform(sequence(lit(0), lit(63)), k => {
       val idx = (floor(k.cast("double") / 8.0).cast("int") * 9 + k % 8 + 1)
         .cast("int")
       when(element_at(px, idx) < element_at(px, idx + 1), lit("1"))
         .otherwise(lit("0"))
     }))
-  }
+
+  /** 64-bit dHash bit-string of `bin`'s body — single-expression
+    * composition for small inputs/tests; hot paths should project
+    * [[dhashPx]] first and derive bits with [[dhashBitsFromPx]].
+    */
+  def dhashBits(bin: Column, headerLen: Column): Column =
+    dhashBitsFromPx(dhashPx(bin, headerLen))
 
   /** Position-wise Hamming distance between two equal-length bit strings. */
   def hammingBits(a: Column, b: Column): Column =

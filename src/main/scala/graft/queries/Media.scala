@@ -53,16 +53,23 @@ object Media {
         lit("Z").cast("binary"),
         col("payload").substr(col("hdr") + 2, octet_length(col("payload"))))
         .as("payload"))
+    // px materialized as its own projection: dhashBitsFromPx reads the
+    // 72-sample array 128 times, and only a real column boundary stops
+    // Catalyst from re-inlining the sampling per read (13x on this query)
     val hashed = originals.unionByName(variants)
       .select(col("doc_id"),
-        Perceptual.dhashBits(col("payload"), col("hdr")).as("bits"))
+        Perceptual.dhashPx(col("payload"), col("hdr")).as("px"))
+      .select(col("doc_id"), Perceptual.dhashBitsFromPx(col("px")).as("bits"))
     val banded = hashed.select(col("doc_id"), col("bits"),
       posexplode(Perceptual.bandSlices(col("bits"))).as(Seq("band", "slice")))
     val a = banded.select(col("band"), col("slice"),
       col("doc_id").as("doc_id_a"), col("bits").as("bits_a"))
     val b = banded.select(col("band"), col("slice"),
       col("doc_id").as("doc_id_b"), col("bits").as("bits_b"))
-    a.join(b, Seq("band", "slice"))
+    // q55's trap: Catalyst sizes the Generate output at its input bytes
+    // and would broadcast the banded hashes (4x corpus rows — never
+    // broadcast-able at scale); force the distributed hash join
+    a.hint("shuffle_hash").join(b, Seq("band", "slice"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b", "bits_a", "bits_b").distinct()
       .withColumn("hamming", Perceptual.hammingBits(col("bits_a"), col("bits_b")))

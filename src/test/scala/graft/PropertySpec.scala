@@ -226,4 +226,54 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("Mp4Meta.topLevelBoxes agrees with the JVM tiling rule on random buffers") {
+    import graft.operators.Multimodal.MediaDecoder
+    // random byte buffers biased toward box-like structure: a mix of valid
+    // box sequences, corrupted sizes, and raw noise
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val boxGen = for {
+      tpe <- Gen.oneOf("ftyp", "moov", "mdat", "free", "uuid")
+      n <- Gen.choose(0, 40)
+      body <- Gen.listOfN(n, Gen.choose(0, 255).map(_.toByte))
+    } yield be32(8 + n) ++ tpe.getBytes ++ body.toArray
+    val bufGen: Gen[Array[Byte]] = Gen.frequency(
+      5 -> Gen.listOfN(3, boxGen).map(_.flatten.toArray),           // clean tiling
+      3 -> (for { bs <- Gen.listOfN(2, boxGen); junk <- Gen.choose(1, 9);
+                  tail <- Gen.listOfN(junk, Gen.choose(0, 255).map(_.toByte)) }
+            yield bs.flatten.toArray ++ tail.toArray),              // trailing junk
+      2 -> Gen.listOfN(20, Gen.choose(0, 255).map(_.toByte)).map(_.toArray)) // noise
+    val bufs = samples(bufGen, 120)
+    // JVM-side reference walk (the decoder's rule, re-derived here so the
+    // test fails if either side drifts): boxes must tile the buffer exactly
+    def jvmWalk(b: Array[Byte]): (Seq[String], Boolean) = {
+      var pos = 0L; val types = Seq.newBuilder[String]; var bad = false
+      while (!bad && pos + 8 <= b.length) {
+        val size = ((b(pos.toInt) & 0xffL) << 24) | ((b(pos.toInt + 1) & 0xffL) << 16) |
+          ((b(pos.toInt + 2) & 0xffL) << 8) | (b(pos.toInt + 3) & 0xffL)
+        if (size < 8 || pos + size > b.length) bad = true
+        else {
+          types += new String(b.slice(pos.toInt + 4, pos.toInt + 8), "ISO-8859-1")
+          pos += size
+        }
+      }
+      (types.result(), !bad && pos == b.length)
+    }
+    val rows = bufs.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "bin")
+      .select($"id", graft.functions.Mp4Meta.topLevelBoxes($"bin", maxBoxes = 8).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    bufs.zipWithIndex.foreach { case (b, i) =>
+      val (expTypes, expWf) = jvmWalk(b)
+      val got = rows(i.toLong)
+      // 4CC bytes here are always ASCII box names, so string compare is exact
+      assert(got.getSeq[String](0) == expTypes.take(8), s"buffer $i box types")
+      if (expTypes.length <= 8)
+        assert(got.getBoolean(2) == expWf, s"buffer $i well_formed")
+      // mp4Ok (sniffed containers only) must agree with the reference walk
+      if (b.length >= 8 && new String(b.slice(4, 8), "ISO-8859-1") == "ftyp")
+        assert(MediaDecoder.decode(b).ok == expWf, s"buffer $i decoder parity")
+    }
+  }
+
 }
