@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, BinaryType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, LongType}
 
 /** ISO-BMFF (MP4) container fields as pure codegen expressions — the video
   * counterpart of [[WavMeta]] (audio) and `Multimodal.MediaDecoder`'s
@@ -39,6 +39,10 @@ object Mp4Meta {
   private def fourCC(bin: Column, pos1: Column): Column =
     substring(bin, pos1, lit(4)).cast("string")
 
+  /** Public 4-char-code reader for located parses (e.g. the brand at
+    * ftyp + 8). */
+  def fourCCAt(bin: Column, pos1: Column): Column = fourCC(bin, pos1)
+
   /** Canonical synthetic layout guard: ftyp at 1 (size 20), moov at 21
     * (size 116) wrapping a version-0 mvhd (size 108), mdat at 137 whose
     * declared size matches the remaining bytes.
@@ -64,6 +68,76 @@ object Mp4Meta {
     */
   def durationSec(bin: Column): Column =
     duration(bin).cast("double") / timescale(bin).cast("double")
+
+  /** 1-based offset of the first `boxType` box in the sequence spanning
+    * [from1, end1): the generic locate used both at the top level
+    * (`from1 = 1`, `end1 = octet_length + 1`) and for the children of a
+    * container box like moov (`from1 = parent + 8`, `end1 = parent +
+    * parent_size`). NULL when absent or when the tiling breaks before the
+    * box is found — the locate never trusts a size field it cannot read.
+    * Same bounded aggregate-HOF cursor as [[topLevelBoxes]].
+    */
+  def boxOffset(bin: Column, from1: Column, end1: Column, boxType: String,
+                maxBoxes: Int = 8): Column = {
+    val init = struct(from1.cast("long").as("pos"),
+      lit(null).cast("long").as("found"))
+    aggregate(
+      sequence(lit(1), lit(maxBoxes)),
+      init,
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val found = acc.getField("found")
+        val size = beU32(bin, pos)
+        // bounds first: the conjunct guards the size read (false && null
+        // is false under Kleene logic, so headerOk is never null)
+        val headerOk = pos + 7L < end1 && size >= 8L && pos + size <= end1
+        when(found.isNotNull, acc)
+          .when(!headerOk,
+            struct(end1.cast("long").as("pos"), lit(null).cast("long").as("found")))
+          .when(fourCC(bin, pos + 4L) === boxType,
+            struct(pos.as("pos"), pos.as("found")))
+          .otherwise(
+            struct((pos + size).as("pos"), lit(null).cast("long").as("found")))
+      }).getField("found")
+  }
+
+  /** moov/mvhd located by WALK (not fixed offsets): returns the 1-based
+    * mvhd box offset wherever moov sits in the top level and wherever
+    * mvhd sits among moov's children — the general ISO-BMFF shape
+    * (`free`/`udta` siblings, non-canonical order). NULL when absent.
+    */
+  def mvhdOffset(bin: Column): Column = {
+    val n1 = octet_length(bin).cast("long") + 1L
+    val moov = boxOffset(bin, lit(1L), n1, "moov")
+    when(moov.isNotNull,
+      boxOffset(bin, moov + 8L, moov + beU32(bin, moov), "mvhd"))
+  }
+
+  /** 1-based start offsets of each box in a [[topLevelBoxes]] size array:
+    * offsets(i) = 1 + sum of the sizes before i. Pure array arithmetic —
+    * the cheap way to locate several top-level boxes from ONE materialized
+    * walk instead of re-walking per box type.
+    */
+  def boxStartOffsets(sizes: Column): Column =
+    // sequence(1, 0) would run DESCENDING for an empty walk — guard it
+    when(size(sizes) === 0, array().cast(ArrayType(LongType, false)))
+      .otherwise(transform(sequence(lit(1), size(sizes)), i =>
+        aggregate(slice(sizes, lit(1), i - 1), lit(1L), (a, x) => a + x)))
+
+  /** mvhd version-0 fields read RELATIVE to a located box offset (the
+    * fixed-offset readers above are these with pos = 29). */
+  def timescaleAt(bin: Column, mvhdPos: Column): Column = beU32(bin, mvhdPos + 20L)
+  def durationAt(bin: Column, mvhdPos: Column): Column = beU32(bin, mvhdPos + 24L)
+  /** The full version+flags word (version<<24 | flags) — 0 for v0/no-flags. */
+  def verFlagsAt(bin: Column, mvhdPos: Column): Column = beU32(bin, mvhdPos + 8L)
+
+  /** mdat payload size via locate: declared box size minus the 8-byte
+    * header, wherever mdat sits in the top level. NULL when absent. */
+  def mdatBytesLocated(bin: Column): Column = {
+    val n1 = octet_length(bin).cast("long") + 1L
+    val mdat = boxOffset(bin, lit(1L), n1, "mdat")
+    when(mdat.isNotNull, beU32(bin, mdat) - 8L)
+  }
 
   /** Walk the top-level box sequence: `array<struct<box_type, box_size>>`.
     *

@@ -207,26 +207,61 @@ object Media {
         .otherwise(concat(ftyp, moov, mdat)).as("payload"))
   }
 
-  /** q151: MP4 metadata decode — canonical fields (brand, timescale,
-    * declared duration, mdat payload size) read back out of the real box
-    * bytes by Mp4Meta's fixed-offset expressions, PLUS the general
-    * top-level box walk (`Mp4Meta.topLevelBoxes`) proving the cursor
-    * threads ftyp→moov→mdat and lands exactly on the buffer end. Corrupt
-    * payloads flag (never throw): the walk parks on the first bad size.
+  /** q151: MP4 metadata decode by LOCATED parse — ftyp/moov/mvhd/mdat are
+    * found by the general box walk (`Mp4Meta.boxOffset`/`mvhdOffset`), not
+    * fixed offsets, so any legal top-level tiling (free/udta siblings,
+    * non-canonical order) decodes identically; the synthetic corpus is
+    * canonical so the oracle arithmetic is unchanged. Validity = the
+    * top-level walk tiles the buffer exactly AND ftyp/mvhd are present
+    * with mvhd version 0. Corrupt payloads flag (never throw): the walk
+    * parks on the first bad size and every locate returns null.
+    *
+    * Each walk is materialized as its own projection before the field
+    * reads reference it (the q145 lesson: multiply-referenced non-cheap
+    * aliases must cross a Project boundary or Catalyst re-inlines them).
     */
   def q151VideoMeta(s: SparkSession, dir: String): DataFrame = {
     val p = col("payload")
-    val valid = Mp4Meta.isCanonical(p)
-    val walk = Mp4Meta.topLevelBoxes(p)
-    syntheticMp4(s, dir).select(
-      col("doc_id"), valid.as("valid"),
-      when(valid, Mp4Meta.majorBrand(p)).as("major_brand"),
-      when(valid, Mp4Meta.timescale(p)).as("timescale"),
-      when(valid, Mp4Meta.durationSec(p)).as("duration_sec"),
-      when(valid, Mp4Meta.mdatBytes(p)).as("mdat_bytes"),
-      size(walk.getField("box_types")).as("n_boxes"),
-      array_join(walk.getField("box_types"), ",").as("box_types"),
-      walk.getField("well_formed").as("well_formed"))
+    // ONE top-level walk per row; every top-level box position is then
+    // pure array arithmetic over the materialized (types, sizes) pair —
+    // only the moov-CHILD locate (mvhd) pays a second bounded walk
+    val walked = syntheticMp4(s, dir).select(
+      col("doc_id"), p, Mp4Meta.topLevelBoxes(p).as("walk"))
+      .select(col("doc_id"), p, col("walk"),
+        Mp4Meta.boxStartOffsets(col("walk.box_sizes")).as("starts"))
+    def topPos(t: String): Column = {
+      val idx = array_position(col("walk.box_types"), t)
+      when(idx > 0, element_at(col("starts"), idx.cast("int")))
+    }
+    val located = walked.select(
+      col("doc_id"), p, col("walk"),
+      topPos("ftyp").as("ftyp_pos"),
+      topPos("moov").as("moov_pos"),
+      when(array_position(col("walk.box_types"), "mdat") > 0,
+        element_at(col("walk.box_sizes"),
+          array_position(col("walk.box_types"), "mdat").cast("int")) - 8L)
+        .as("mdat_nb"))
+      .select(col("doc_id"), p, col("walk"), col("ftyp_pos"), col("mdat_nb"),
+        when(col("moov_pos").isNotNull,
+          Mp4Meta.boxOffset(p, col("moov_pos") + 8L,
+            col("moov_pos") + Mp4Meta.beU32(p, col("moov_pos")), "mvhd"))
+          .as("mvhd_pos"))
+    val flagged = located.select(
+      col("doc_id"), p, col("ftyp_pos"), col("mvhd_pos"), col("mdat_nb"),
+      col("walk"),
+      (col("walk.well_formed") && col("ftyp_pos").isNotNull &&
+        col("mvhd_pos").isNotNull &&
+        Mp4Meta.verFlagsAt(p, col("mvhd_pos")) === 0L).as("valid"))
+    flagged.select(
+      col("doc_id"), col("valid"),
+      when(col("valid"), Mp4Meta.fourCCAt(p, col("ftyp_pos") + 8L)).as("major_brand"),
+      when(col("valid"), Mp4Meta.timescaleAt(p, col("mvhd_pos"))).as("timescale"),
+      when(col("valid"), Mp4Meta.durationAt(p, col("mvhd_pos")).cast("double") /
+        Mp4Meta.timescaleAt(p, col("mvhd_pos")).cast("double")).as("duration_sec"),
+      when(col("valid"), col("mdat_nb")).as("mdat_bytes"),
+      size(col("walk.box_types")).as("n_boxes"),
+      array_join(col("walk.box_types"), ",").as("box_types"),
+      col("walk.well_formed").as("well_formed"))
   }
 
   /** q152: cross-modality media catalog — the three synthetic corpora

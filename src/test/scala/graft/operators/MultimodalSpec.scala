@@ -234,6 +234,46 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.MediaDecoder.decode(ftypFirst).ok)
   }
 
+  test("located parse decodes a NON-canonical container (free siblings, moved mvhd)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Mp4Meta
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, body: Array[Byte]) =
+      be32(8 + body.length) ++ tpe.getBytes ++ body
+    val mvhdBody = be32(0) ++ be32(0) ++ be32(0) ++ be32(48000) ++ be32(96000) ++
+      Array.fill[Byte](80)(0)
+    // moov holds a free box BEFORE mvhd; top level holds a free box between
+    // ftyp and moov and puts mdat in the middle — nothing at fixed offsets
+    val moov = box("moov", box("free", Array.fill[Byte](11)(7)) ++
+      box("mvhd", mvhdBody))
+    val mp4 = box("ftyp", "isom".getBytes ++ be32(0x200) ++ "mp41".getBytes) ++
+      box("free", Array.fill[Byte](3)(0)) ++
+      box("mdat", Array.fill[Byte](77)(0x2a)) ++ moov
+    val r = Seq((1L, mp4)).toDF("id", "bin").select(
+      Mp4Meta.boxOffset($"bin", lit(1L),
+        octet_length($"bin").cast("long") + 1L, "ftyp").as("ftyp"),
+      Mp4Meta.mvhdOffset($"bin").as("mvhd"),
+      Mp4Meta.mdatBytesLocated($"bin").as("nb"),
+      Mp4Meta.topLevelBoxes($"bin").as("walk")).head()
+    assert(r.getLong(0) == 1L)
+    val mvhdPos = r.getLong(1)
+    assert(mvhdPos > 0)
+    val fields = Seq((1L, mp4)).toDF("id", "bin").select(
+      Mp4Meta.timescaleAt($"bin", lit(mvhdPos)).as("ts"),
+      Mp4Meta.durationAt($"bin", lit(mvhdPos)).as("dur"),
+      Mp4Meta.verFlagsAt($"bin", lit(mvhdPos)).as("vf")).head()
+    assert(fields.getLong(0) == 48000 && fields.getLong(1) == 96000 &&
+      fields.getLong(2) == 0)
+    assert(r.getLong(2) == 77)
+    assert(r.getStruct(3).getSeq[String](0) == Seq("ftyp", "free", "mdat", "moov"))
+    assert(r.getStruct(3).getBoolean(2))
+    // canonical readers would read garbage here; the locate is the parser
+    assert(!Seq((1L, mp4)).toDF("id", "bin")
+      .select(Mp4Meta.isCanonical($"bin")).head().getBoolean(0))
+  }
+
   test("q151 decodes generator arithmetic; q152 catalog counts reconcile") {
     import org.apache.spark.sql.functions._
     val meta = graft.queries.Media.q151VideoMeta(spark, Sf0001).collect()
