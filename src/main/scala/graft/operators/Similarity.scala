@@ -279,6 +279,80 @@ object Similarity {
               round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** A built IVF index: the coarse-quantizer centroid table (cid, ce,
+    * cnrm — nList rows, broadcast-sized by construction) and the cell
+    * assignment table (cid, vec_id, e, nrm — one row per corpus vector).
+    * In-plan from [[ivfIndexFrames]], or persisted bucketed parquet from
+    * [[saveIvfIndex]] — the build-once / probe-many production shape.
+    */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  /** The IVF index as in-plan frames, with the same deterministic first-N
+    * quantizer and the same smaller-cid tie-break as [[ivfTopK]]'s default
+    * — so an index probe is hash-identical to the direct query.
+    */
+  def ivfIndexFrames(emb: DataFrame, nList: Int = 16): IvfIndex = {
+    val v = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val cents = v.filter(col("vec_id") < nList)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("cdist", dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cdist"), -col("cid"))).as("cid"),
+           first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+    IvfIndex(cents, assigned)
+  }
+
+  /** Materialize the IVF index: the cell table as parquet BUCKETED on cid
+    * (Sinks.parquetBucketed — the q103 admission-index device) and the
+    * centroid table as a plain saved table. A corpus that outgrows
+    * per-query assignment pays the one-time build scan here; every later
+    * query batch probes the bucketed cells with zero corpus-side shuffle.
+    * Doubles round-trip parquet bit-exact, so a probe of the SAVED index
+    * stays hash-identical to the in-plan one.
+    */
+  def saveIvfIndex(emb: DataFrame, tableBase: String, nList: Int = 16,
+                   numBuckets: Int = 32): IvfIndex = {
+    val s = emb.sparkSession
+    val idx = ivfIndexFrames(emb, nList)
+    graft.sources.Sinks.parquetBucketed(idx.assigned, s"${tableBase}_cells",
+      "cid", numBuckets)
+    idx.centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${tableBase}_cents")
+    IvfIndex(s.table(s"${tableBase}_cents"), s.table(s"${tableBase}_cells"))
+  }
+
+  /** Probe an [[IvfIndex]] with a query batch: nProbe nearest cells per
+    * query (centroids broadcast), candidate join keyed on cell id, per-
+    * query top-k. Output and tie-breaks identical to [[ivfTopK]] with the
+    * default quantizer. The small probe side broadcasts against the
+    * (possibly bucketed) cell scan, so a persisted index serves repeated
+    * query batches with no corpus-side shuffle at all; a genuinely large
+    * query batch flips to a shuffled join on cid, which the bucketed side
+    * still satisfies without re-shuffling the corpus.
+    */
+  def ivfTopKIndexed(index: IvfIndex, queries: DataFrame, k: Int,
+                     nProbe: Int = 4): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"),
+        toDouble(col("embedding")).as("qe"))
+      .withColumn("qnrm", norm(col("qe")))
+    val wProbe = Window.partitionBy("qid").orderBy(col("qdist").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("qdist", dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("qid"), col("qe"), col("qnrm"), col("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    probes.join(index.assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+              round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Deterministic sampled k-means for the IVF coarse quantizer (the
     * production path docs/SCALE.md names; first-N is the fixture-scale
     * stand-in). Everything is reproducible by construction — no RNG:

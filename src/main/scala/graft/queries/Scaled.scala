@@ -390,6 +390,20 @@ object Scaled {
       AdmissionIndexTables.ensure(s, dir), maxHamming = 3)
   }
 
+  /** q28's IVF ANN through the PRODUCTION persisted index — the ANN
+    * analog of q103: the cell-assignment table pre-materialized as
+    * parquet BUCKETED on cid (Similarity.saveIvfIndex, memoized per
+    * (session, sf-dir)), the query batch probing it with zero corpus-side
+    * shuffle. Declared under q28's own oracle: one ANN semantics, now
+    * THREE hash-equal plans (direct assign-per-query / in-plan index
+    * frames via ivfIndexFrames / persisted bucketed index) — the
+    * build-once / probe-many migration a 100 TB vector corpus follows.
+    */
+  def q153AnnIvfIndexed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.ivfTopKIndexed(
+      IvfIndexTables.ensure(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < 8), k = 10)
+
   /** q100/q101/q102: driver-checkable tolerance gates for the three
     * sketch queries (q44 HLL distincts, q54 approx median, q76 approx
     * profile) that are otherwise rows-only. The trick: every EXACT stat
@@ -556,6 +570,7 @@ object Scaled {
     "q101_median_banded"        -> (q101MedianBanded _),
     "q102_profile_banded"       -> (q102ProfileBanded _),
     "q103_admit_indexed"        -> (q103AdmitIndexed _),
+    "q153_ann_ivf_indexed"      -> (q153AnnIvfIndexed _),
     "q105_lsh_recall_banded"    -> (q105LshRecallBanded _),
     "q106_source_overlap"       -> (q106SourceOverlap _),
     "q96_admit_map_free"        -> (q96AdmitMapFree _),
@@ -647,6 +662,7 @@ object Scaled {
       .mkString("\nUNION ALL\n"),
     "q96_admit_map_free"         -> Curation.oracles("q67_incremental_admit"),
     "q103_admit_indexed"         -> Curation.oracles("q67_incremental_admit"),
+    "q153_ann_ivf_indexed"       -> Extensions.oracles("q28_ann_ivf"),
     // exact blocked en pairs are SQL-expressible; the LSH result enters
     // only through recall_ok, which the oracle states as TRUE
     "q105_lsh_recall_banded" ->
@@ -732,6 +748,30 @@ private[queries] object AdmissionIndexTables {
       }
       graft.operators.Dedup.AdmissionIndex(
         s.table(s"${base}_exact"), (0 until 4).map(b => s.table(s"${base}_band$b")))
+    }
+}
+
+private[queries] object IvfIndexTables {
+  def ensure(s: SparkSession, dir: String): graft.operators.Similarity.IvfIndex =
+    synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"graft_ivfidx_$tag"
+      val names = Seq(s"${base}_cents", s"${base}_cells")
+      if (!names.forall(s.catalog.tableExists)) {
+        names.foreach { t =>
+          if (!s.catalog.tableExists(t)) {
+            val wh = new org.apache.hadoop.fs.Path(
+              s.conf.get("spark.sql.warehouse.dir"), t)
+            val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+            if (fs.exists(wh)) fs.delete(wh, true)
+          }
+        }
+        graft.operators.Similarity.saveIvfIndex(
+          Tables.embeddings(s, dir), base, nList = 16, numBuckets = 32)
+      }
+      graft.operators.Similarity.IvfIndex(
+        s.table(s"${base}_cents"), s.table(s"${base}_cells"))
     }
 }
 

@@ -181,6 +181,35 @@ class SimilaritySpec extends SparkSpecBase {
       Similarity.mutualTop1(a, b, strategy = "bogus"))
   }
 
+  test("persisted IVF index probe is row-identical to the direct ivfTopK") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    val direct = Similarity.ivfTopK(emb, k = 10, maxQueryId = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    // in-plan index frames
+    val frames = Similarity.ivfIndexFrames(emb)
+    val viaFrames = Similarity
+      .ivfTopKIndexed(frames, emb.filter(col("vec_id") < 8), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(viaFrames.toSeq == direct.toSeq, "in-plan index diverged from direct")
+    // persisted bucketed index: doubles must round-trip parquet bit-exact
+    val saved = Similarity.saveIvfIndex(emb, "graft_test_ivfidx")
+    val viaSaved = Similarity
+      .ivfTopKIndexed(saved, emb.filter(col("vec_id") < 8), k = 10)
+    val got = viaSaved
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == direct.toSeq, "persisted index diverged from direct")
+    // the cell scan must be the bucketed table (no corpus-side exchange:
+    // the probe side broadcasts, so the whole probe is exchange-free on
+    // the corpus path)
+    val plan = viaSaved.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"expected a bucketed cell scan in:\n$plan")
+  }
+
   test("mutualTop1 plans the A×B cross-join once, behind the persisted argmax") {
     val a = emb.filter(col("label") === 0)
     val b = emb.filter(col("label") === 1)
