@@ -318,6 +318,7 @@ object Similarity {
     val idx = ivfIndexFrames(emb, nList)
     graft.sources.Sinks.parquetBucketed(idx.assigned, s"${tableBase}_cells",
       "cid", numBuckets)
+    graft.sources.Sinks.reclaimOrphanTableLocation(s, s"${tableBase}_cents")
     idx.centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${tableBase}_cents")
     IvfIndex(s.table(s"${tableBase}_cents"), s.table(s"${tableBase}_cells"))

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Output sinks (SURVEY.md §2.1 S5-S7). Parquet is the system of record;
   * CSV exists for golden-file diffing against the reference's checked-in
@@ -113,18 +113,36 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** A killed JVM can leave a managed table's warehouse directory on disk
+    * with no catalog entry (the in-memory catalog dies with the session);
+    * the next `saveAsTable` then fails with LOCATION_ALREADY_EXISTS even in
+    * Overwrite mode, because Overwrite only replaces tables the catalog
+    * knows about. Reclaim such orphans before writing: if the catalog has
+    * no table of this name but its default location exists, delete it.
+    */
+  def reclaimOrphanTableLocation(spark: SparkSession, tableName: String): Unit =
+    if (!spark.catalog.tableExists(tableName)) {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(ident))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
   /** Bucketed parquet table: co-locates rows by `bucketCol` so equi-joins
     * and aggregations on that key run shuffle-free (both sides bucketed with
     * the same count). This is the 100 TB answer to repeated fact⋈fact joins
     * on the same key — pay the shuffle once at write time.
     */
   def parquetBucketed(df: DataFrame, tableName: String, bucketCol: String,
-                      numBuckets: Int): Unit =
+                      numBuckets: Int): Unit = {
+    reclaimOrphanTableLocation(df.sparkSession, tableName)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(tableName)
+  }
 
   /** CSV with an explicit row-index column where pandas-index parity
     * matters (the reference writes `to_csv` with the default index,

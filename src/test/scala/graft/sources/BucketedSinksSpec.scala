@@ -43,6 +43,22 @@ class BucketedSinksSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+  test("bucketed write reclaims an orphan warehouse directory from a dead JVM") {
+    import spark.implicits._
+    val name = "graft_orphan_reclaim_test"
+    // simulate a killed JVM: warehouse dir exists, catalog entry does not
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    val loc = new java.io.File(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    loc.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(loc, "stale.parquet")).close()
+    try {
+      Sinks.parquetBucketed(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), name, "k", 4)
+      assert(spark.table(name).count() == 2)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("compacted write coalesces a many-partition frame into few files") {
     val li = graft.Tables.lineitem(spark, Sf0001).repartition(32)
     val naive = "/tmp/graft_li_naive"
