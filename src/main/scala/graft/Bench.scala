@@ -111,8 +111,12 @@ object Bench {
     // bumping the number each time (the flaw of keying off BENCH_r*
     // itself). An explicit SPARK_GRAFT_BENCH_OUT marks a dev-loop run
     // (subset sf, drive-by timing) — those must NOT clobber the round
-    // artifact, so the numbered write is skipped.
-    try if (sys.env.contains("SPARK_GRAFT_BENCH_OUT") || only.isDefined) () else {
+    // artifact, so the numbered write is skipped. Likewise any run off the
+    // round SF (the driver benches sf0.1): a forgotten BENCH_OUT once
+    // replaced the round's sf0.1 numbers with an sf0.001 smoke run.
+    val roundSf = sfDir.endsWith("sf0.1") || sfDir.endsWith("sf0.1/")
+    try if (sys.env.contains("SPARK_GRAFT_BENCH_OUT") || only.isDefined ||
+            !roundSf) () else {
       val dir = java.nio.file.Paths.get(".")
       val rx = "CORRECTNESS_r(\\d+)\\.json".r
       val listing = java.nio.file.Files.list(dir)

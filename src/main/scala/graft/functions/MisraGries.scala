@@ -153,4 +153,30 @@ object MisraGries {
     GraftColumnBridge.column(
       MisraGries(GraftColumnBridge.expression(c), capacity)
         .toAggregateExpression())
+
+  /** Merge two already-evaluated summaries under the exact trim rule the
+    * aggregate's `merge` uses (count-sum, then subtract the
+    * (capacity+1)-th largest and drop non-positives). This is the
+    * microbatch-state transition for incremental/streaming heavy hitters:
+    * state is a ≤-capacity map, each arriving batch contributes its own
+    * MG summary, and the merged state keeps the mergeable-summaries
+    * guarantee — a term absent from the state has true count
+    * ≤ n/(capacity+1) over everything ingested so far.
+    */
+  def mergeSummaries(a: Seq[(String, Long)], b: Seq[(String, Long)],
+                     capacity: Int): Seq[(String, Long)] = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val m = mutable.HashMap.empty[String, Long]
+    (a.iterator ++ b.iterator).foreach { case (t, c) =>
+      m.update(t, m.getOrElse(t, 0L) + c)
+    }
+    if (m.size > capacity) {
+      val counts = m.values.toArray
+      java.util.Arrays.sort(counts)
+      val cut = counts(counts.length - capacity - 1)
+      m.mapValuesInPlace((_, c) => c - cut)
+      m.filterInPlace((_, c) => c > 0)
+    }
+    m.toSeq.sortBy { case (t, c) => (-c, t) }
+  }
 }

@@ -296,12 +296,22 @@ object Similarity {
       .withColumn("nrm", norm(col("e")))
     val cents = v.filter(col("vec_id") < nList)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
-    val assigned = v.crossJoin(broadcast(cents))
+    IvfIndex(cents, assignToCells(cents, emb))
+  }
+
+  /** Cell assignment of `emb` under a FIXED centroid table — one
+    * broadcast pass over the vectors, same smaller-cid tie-break
+    * everywhere. Shared by the full build and the incremental append, so
+    * assignment can never diverge between them.
+    */
+  private def assignToCells(cents: DataFrame, emb: DataFrame): DataFrame = {
+    val v = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    v.crossJoin(broadcast(cents))
       .withColumn("cdist", dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
       .groupBy("vec_id")
       .agg(max_by(col("cid"), struct(col("cdist"), -col("cid"))).as("cid"),
            first(col("e")).as("e"), first(col("nrm")).as("nrm"))
-    IvfIndex(cents, assigned)
   }
 
   /** Materialize the IVF index: the cell table as parquet BUCKETED on cid
@@ -322,6 +332,29 @@ object Similarity {
     idx.centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${tableBase}_cents")
     IvfIndex(s.table(s"${tableBase}_cents"), s.table(s"${tableBase}_cells"))
+  }
+
+  /** Admit a NEW vector batch into a persisted IVF index without touching
+    * the corpus already indexed: the saved centroids (frozen at build
+    * time) assign only the arriving batch — one broadcast pass over the
+    * batch, nothing corpus-side moves — and the assignments APPEND into
+    * the bucketed cell table, at most one new file per touched bucket.
+    * Because [[assignToCells]] depends only on the centroid vectors, the
+    * appended index is row-identical to a full rebuild whose quantizer
+    * saw the same centroids (q155 proves it under q28's exact oracle).
+    * Repeated admissions accumulate small per-bucket files; compact on
+    * the same cadence as any bucketed fact table.
+    */
+  def appendIvfIndexSaved(newEmb: DataFrame, tableBase: String,
+                          numBuckets: Int = 32): IvfIndex = {
+    val s = newEmb.sparkSession
+    val cents = s.table(s"${tableBase}_cents")
+    assignToCells(cents, newEmb)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet")
+      .bucketBy(numBuckets, "cid").sortBy("cid")
+      .saveAsTable(s"${tableBase}_cells")
+    IvfIndex(cents, s.table(s"${tableBase}_cells"))
   }
 
   /** Probe an [[IvfIndex]] with a query batch: nProbe nearest cells per

@@ -404,6 +404,23 @@ object Scaled {
       IvfIndexTables.ensure(s, dir),
       Tables.embeddings(s, dir).filter(col("vec_id") < 8), k = 10)
 
+  /** q155: the persisted IVF index GROWN by admission instead of rebuilt.
+    * The base index is built from a deterministic slice of the corpus
+    * (everything with an even vec_id, plus all centroid ids so the frozen
+    * quantizer is identical to the full build's); the remaining vectors
+    * then arrive as a new batch through Similarity.appendIvfIndexSaved —
+    * assigned under the frozen centroids with one broadcast pass and
+    * APPENDED into the bucketed cell table, the corpus side never
+    * re-shuffling. A probe of the grown index must equal q28's direct
+    * answer bit-for-bit (cell assignment depends only on the centroids),
+    * so the query runs under q28's own oracle: the incremental-admission
+    * counterpart of q153, and the vector-index analog of q67→q103.
+    */
+  def q155AnnIvfAppend(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.ivfTopKIndexed(
+      IvfAppendTables.ensure(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < 8), k = 10)
+
   /** q100/q101/q102: driver-checkable tolerance gates for the three
     * sketch queries (q44 HLL distincts, q54 approx median, q76 approx
     * profile) that are otherwise rows-only. The trick: every EXACT stat
@@ -571,6 +588,7 @@ object Scaled {
     "q102_profile_banded"       -> (q102ProfileBanded _),
     "q103_admit_indexed"        -> (q103AdmitIndexed _),
     "q153_ann_ivf_indexed"      -> (q153AnnIvfIndexed _),
+    "q155_ann_ivf_append"       -> (q155AnnIvfAppend _),
     "q105_lsh_recall_banded"    -> (q105LshRecallBanded _),
     "q106_source_overlap"       -> (q106SourceOverlap _),
     "q96_admit_map_free"        -> (q96AdmitMapFree _),
@@ -663,6 +681,7 @@ object Scaled {
     "q96_admit_map_free"         -> Curation.oracles("q67_incremental_admit"),
     "q103_admit_indexed"         -> Curation.oracles("q67_incremental_admit"),
     "q153_ann_ivf_indexed"       -> Extensions.oracles("q28_ann_ivf"),
+    "q155_ann_ivf_append"        -> Extensions.oracles("q28_ann_ivf"),
     // exact blocked en pairs are SQL-expressible; the LSH result enters
     // only through recall_ok, which the oracle states as TRUE
     "q105_lsh_recall_banded" ->
@@ -769,6 +788,48 @@ private[queries] object IvfIndexTables {
         }
         graft.operators.Similarity.saveIvfIndex(
           Tables.embeddings(s, dir), base, nList = 16, numBuckets = 32)
+      }
+      graft.operators.Similarity.IvfIndex(
+        s.table(s"${base}_cents"), s.table(s"${base}_cells"))
+    }
+}
+
+/** q155's grown index: built from the even-vec_id slice (plus all
+  * centroid ids, so the frozen quantizer equals the full build's), then
+  * the odd slice admitted through Similarity.appendIvfIndexSaved. Same
+  * dir-hash naming and once-per-(warehouse, sf-dir) build as
+  * IvfIndexTables; the append happens exactly once, in the same guarded
+  * block as the base build.
+  */
+private[queries] object IvfAppendTables {
+  def ensure(s: SparkSession, dir: String): graft.operators.Similarity.IvfIndex =
+    synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"graft_ivfapp_$tag"
+      val names = Seq(s"${base}_cents", s"${base}_cells")
+      val emb = Tables.embeddings(s, dir)
+      // a crash between the base build and the append leaves both tables
+      // present but the cell table half-built — verify completeness by
+      // row count (cells must cover the whole corpus), not just existence
+      val complete = names.forall(s.catalog.tableExists) &&
+        s.table(s"${base}_cells").count() == emb.count()
+      if (!complete) {
+        names.filter(s.catalog.tableExists)
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        names.foreach { t =>
+          if (!s.catalog.tableExists(t)) {
+            val wh = new org.apache.hadoop.fs.Path(
+              s.conf.get("spark.sql.warehouse.dir"), t)
+            val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+            if (fs.exists(wh)) fs.delete(wh, true)
+          }
+        }
+        val isBase = col("vec_id") < 16 || pmod(col("vec_id"), lit(2L)) === 0
+        graft.operators.Similarity.saveIvfIndex(
+          emb.filter(isBase), base, nList = 16, numBuckets = 32)
+        graft.operators.Similarity.appendIvfIndexSaved(
+          emb.filter(!isBase), base, numBuckets = 32)
       }
       graft.operators.Similarity.IvfIndex(
         s.table(s"${base}_cents"), s.table(s"${base}_cells"))

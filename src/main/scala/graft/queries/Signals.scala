@@ -249,6 +249,65 @@ object Signals {
       .filter(col("cnt") * lit(denom) >= lit(n))
   }
 
+  /** One micro-batch transition of the streaming heavy-hitters state:
+    * fold `batch`'s own MG summary and token count into `(state, n)` via
+    * the mergeable-summaries trim. This is the foreachBatch body of a
+    * streaming ingest — state stays ≤ capacity entries no matter how many
+    * batches arrive, and the mergeable guarantee holds over everything
+    * ingested (a term absent from state has true count ≤ n/(capacity+1)).
+    */
+  def heavyState(batch: DataFrame, state: Seq[(String, Long)], n: Long,
+                 capacity: Int): (Seq[(String, Long)], Long) = {
+    val row = batch
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      .agg(graft.functions.MisraGries.sketch(col("term"), capacity).as("mg"),
+           count(lit(1)).as("n")).head()
+    val part = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1))
+    (graft.functions.MisraGries.mergeSummaries(state, part, capacity),
+      n + row.getLong(1))
+  }
+
+  /** q154: q116's answer produced the way a streaming ingest would.
+    * The corpus arrives as micro-batches (replayed here as deterministic
+    * md5-bucket chunks of doc_id, the q67/q96 admission-replay device);
+    * each batch contributes ONE bounded Misra–Gries summary; summaries
+    * fold into a ≤-capacity state via [[heavyState]]; then one exact
+    * recount of the final candidate set over the archived corpus
+    * certifies exact counts. The mergeable-summaries guarantee survives
+    * the fold, so with capacity > denom the final state provably contains
+    * every qualifying term — the recounted answer equals q116 bit-for-bit
+    * regardless of how the stream was chunked, which is what lets the
+    * driver check it under q116's own oracle. SignalsSpec drives the SAME
+    * [[heavyState]] from a real MemoryStream via foreachBatch and asserts
+    * equality with this replay.
+    */
+  def q154HeavyIncremental(s: SparkSession, dir: String): DataFrame =
+    heavyTokensIncremental(
+      Tables.documents(s, dir).filter(col("text").isNotNull),
+      capacity = 8192, denom = 2000L, numBatches = 4)
+
+  /** q154's engine: sequential micro-batch fold + exact recount. */
+  def heavyTokensIncremental(docs: DataFrame, capacity: Int, denom: Long,
+                             numBatches: Int): DataFrame = {
+    require(capacity.toLong > denom,
+      s"capacity $capacity cannot certify threshold n/$denom")
+    require(numBatches > 0, s"numBatches must be positive, got $numBatches")
+    val batchOf = pmod(xxhash64(col("doc_id")), lit(numBatches.toLong))
+    var state = Seq.empty[(String, Long)]
+    var n = 0L
+    (0 until numBatches).foreach { b =>
+      val (st, nn) = heavyState(docs.filter(batchOf === b), state, n, capacity)
+      state = st; n = nn
+    }
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val terms = docs.select(explode(TextFunctions.tokens(col("text"))).as("term"))
+    terms.join(broadcast(state.map(_._1).toDF("term")), "term")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(denom) >= lit(n))
+  }
+
   /** q118: BM25 relevance of every document against a fixed query-term
     * set — the lexical-retrieval scorer behind quality-targeted corpus
     * selection ("find docs about X to upweight"). Same distributed shape
@@ -460,7 +519,20 @@ object Signals {
     "q108_json_roundtrip" -> (q108JsonRoundtrip _),
     "q111_oov_rate"       -> (q111OovRate _),
     "q116_heavy_tokens"   -> (q116HeavyTokens _),
+    "q154_heavy_incremental" -> (q154HeavyIncremental _),
     "q118_bm25"           -> (q118Bm25 _))
+
+  /** q116's oracle, shared verbatim by q154: the incremental fold must
+    * reproduce the exact heavy-hitters answer, so both run under the one
+    * SQL formulation.
+    */
+  private val heavyTokensSql: String =
+    """WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term
+      |               FROM documents WHERE text IS NOT NULL),
+      |tot AS (SELECT COUNT(*) AS n FROM terms)
+      |SELECT term, COUNT(*) AS cnt
+      |FROM terms GROUP BY term
+      |HAVING COUNT(*) * 2000 >= (SELECT n FROM tot)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // q29's pair CTE (same unrounded-cos threshold), q58's recursive
@@ -527,13 +599,8 @@ object Signals {
         |WHERE term IN ('hash', 'join', 'scan')
         |GROUP BY doc_id, source
         |HAVING COUNT(*) = 3""".stripMargin,
-    "q116_heavy_tokens" ->
-      """WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term
-        |               FROM documents WHERE text IS NOT NULL),
-        |tot AS (SELECT COUNT(*) AS n FROM terms)
-        |SELECT term, COUNT(*) AS cnt
-        |FROM terms GROUP BY term
-        |HAVING COUNT(*) * 2000 >= (SELECT n FROM tot)""".stripMargin,
+    "q116_heavy_tokens" -> heavyTokensSql,
+    "q154_heavy_incremental" -> heavyTokensSql,
     // parenthesization mirrors Signals.bm25 token-for-token; every operand
     // is cast to DOUBLE before arithmetic so DuckDB's decimal literals
     // can't introduce a different rounding path

@@ -210,6 +210,37 @@ class SimilaritySpec extends SparkSpecBase {
       s"expected a bucketed cell scan in:\n$plan")
   }
 
+  test("appended IVF index is row-identical to the full build, and the append never touches the base cells") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    val base = "graft_test_ivfapp"
+    Seq(s"${base}_cents", s"${base}_cells")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val isBase = col("vec_id") < 16 || pmod(col("vec_id"), lit(2L)) === 0
+      Similarity.saveIvfIndex(emb.filter(isBase), base)
+      val baseRows = spark.table(s"${base}_cells").count()
+      val grown = Similarity.appendIvfIndexSaved(emb.filter(!isBase), base)
+      // the grown cell table covers the whole corpus, base rows untouched
+      assert(spark.table(s"${base}_cells").count() == emb.count())
+      assert(baseRows == emb.filter(isBase).count())
+      // probe of the grown index == direct full-corpus ivfTopK
+      val direct = Similarity.ivfTopK(emb, k = 10, maxQueryId = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      val probe = Similarity.ivfTopKIndexed(grown, emb.filter(col("vec_id") < 8), k = 10)
+      val got = probe
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(got.toSeq == direct.toSeq, "grown index diverged from full build")
+      // the appended table still reads as bucketed (appends match the spec)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"expected a bucketed cell scan in:\n$plan")
+    } finally Seq(s"${base}_cents", s"${base}_cells")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("mutualTop1 plans the A×B cross-join once, behind the persisted argmax") {
     val a = emb.filter(col("label") === 0)
     val b = emb.filter(col("label") === 1)

@@ -300,6 +300,22 @@ class SignalsSpec extends SparkSpecBase {
     assert(gr > 0.9, s"tokens~chars correlation should be strong, got $gr")
   }
 
+  test("q154 incremental heavy hitters equals q116 under any chunking") {
+    val exact = Signals.q116HeavyTokens(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(exact.nonEmpty, "fixture should carry at least one heavy token")
+    val inc = Signals.q154HeavyIncremental(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(inc == exact, "4-batch replay diverged from the exact answer")
+    // chunking invariance: a different batch count must not change the
+    // certified recount (the MG state may differ; the answer may not)
+    val docs = graft.Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull)
+    val other = Signals.heavyTokensIncremental(docs, 8192, 2000L, numBatches = 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(other == exact, "7-batch replay diverged from the exact answer")
+  }
+
   test("q128 finds exactly the docs containing every query term") {
     val got = Signals.q128ContainsAll(spark, Sf0001)
       .select("doc_id").collect().map(_.getLong(0)).toSet

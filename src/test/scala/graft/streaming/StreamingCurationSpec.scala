@@ -62,6 +62,45 @@ class StreamingCurationSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("heavyState fold from a real document stream recounts to q116's answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull).select("doc_id", "text")
+    val exact = graft.queries.Signals.q116HeavyTokens(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(exact.nonEmpty)
+    // stream the corpus in three uneven microbatches; fold the SAME
+    // heavyState transition q154 replays, via foreachBatch
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    var state = Seq.empty[(String, Long)]
+    var n = 0L
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (st, nn) = graft.queries.Signals.heavyState(b, state, n, 8192)
+        state = st; n = nn
+      }.start()
+    try {
+      val (a, rest) = rows.splitAt(rows.length / 5)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    assert(n == docs.select(explode(split(col("text"), " "))).count(),
+      "streamed token count diverged from the corpus")
+    // exact recount of the streamed state's candidates over the archive
+    val cands = state.map(_._1)
+    val got = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .join(broadcast(cands.toDF("term")), "term")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 2000L >= n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(got == exact, "streamed fold + recount diverged from q116")
+  }
+
   test("slidingChunks applies identically to a document stream") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq((1L, (1 to 40).map(i => s"w$i").mkString(" ")),
