@@ -144,6 +144,53 @@ object Sinks {
       .saveAsTable(tableName)
   }
 
+  /** Compact a bucketed table's accumulated per-append files back to one
+    * file per bucket, preserving the bucket spec — the maintenance step
+    * the append paths (appendIvfIndexSaved, repeated parquetBucketed
+    * admissions) schedule "on the same cadence as any bucketed fact
+    * table". The rewrite repartitions on the bucket columns with the
+    * bucket count so each task owns exactly one bucket (Spark's bucket id
+    * and HashPartitioning use the same hash), writes a staging table, and
+    * swaps it in via catalog rename — readers before the swap see the old
+    * files, after it the compacted ones; content and co-location are
+    * unchanged, so bucketed joins keep planning shuffle-free.
+    */
+  def compactBucketedTable(spark: SparkSession, tableName: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$tableName is not bucketed — nothing to compact"))
+    val tmp = s"${tableName}_compact_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    reclaimOrphanTableLocation(spark, tmp)
+    val keys = spec.bucketColumnNames.map(org.apache.spark.sql.functions.col)
+    // The repartition below normally ELIDES (EnsureRequirements sees the
+    // bucketed scan already hash-partitioned on the bucket columns), which
+    // makes the whole rewrite shuffle-free — read bucket b, write bucket b.
+    // But DisableUnnecessaryBucketedScan then flips the scan to plain
+    // file-split reading (nothing above it LOOKS interested in the
+    // distribution once the exchange is gone), silently un-co-locating the
+    // buckets and writing one file per (task, bucket) again. Pin the
+    // bucketed scan on for the duration of the rewrite: the scan keeps
+    // one-partition-per-bucket, the exchange stays elided, and each task
+    // rewrites exactly its own bucket into exactly one file.
+    val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAutoScan = spark.conf.get(autoScanKey)
+    try {
+      spark.conf.set(autoScanKey, "false")
+      val writer = spark.table(tableName)
+        .repartition(spec.numBuckets, keys: _*)
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .bucketBy(spec.numBuckets,
+          spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+      (if (spec.sortColumnNames.nonEmpty)
+         writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+       else writer).saveAsTable(tmp)
+    } finally spark.conf.set(autoScanKey, prevAutoScan)
+    spark.sql(s"DROP TABLE $tableName")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
+  }
+
   /** CSV with an explicit row-index column where pandas-index parity
     * matters (the reference writes `to_csv` with the default index,
     * main.py:214,221,228,236,345-346).

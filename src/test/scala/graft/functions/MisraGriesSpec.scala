@@ -44,6 +44,36 @@ class MisraGriesSpec extends SparkSpecBase {
     assert(repart == exact)
   }
 
+  test("mergeSummaries keeps the mergeable-summaries bounds under repeated folds") {
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val cap = 4 + rnd.nextInt(12)
+      // chunked stream over a small vocabulary with a heavy head
+      val chunks = (1 to 3 + rnd.nextInt(4)).map { _ =>
+        (1 to 50 + rnd.nextInt(200)).map { _ =>
+          val r = rnd.nextInt(100)
+          if (r < 40) "hot" else if (r < 60) "warm" else s"t${rnd.nextInt(30)}"
+        }
+      }
+      val truth = chunks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = chunks.map(_.size).sum.toLong
+      // exact per-chunk counts are valid MG summaries; fold them through
+      // the trim and check the merged invariants
+      val folded = chunks.map(c =>
+          c.groupBy(identity).view.mapValues(_.size.toLong).toSeq)
+        .foldLeft(Seq.empty[(String, Long)])(
+          (st, ch) => MisraGries.mergeSummaries(st, ch, cap))
+      val m = folded.toMap
+      assert(m.size <= cap)
+      m.foreach { case (t, est) =>
+        assert(est <= truth(t), s"$t overestimated: $est > ${truth(t)}") }
+      truth.foreach { case (t, c) =>
+        if (!m.contains(t))
+          assert(c * (cap + 1) <= n,
+            s"$t (count $c) missing from a cap-$cap summary over n=$n") }
+    }
+  }
+
   test("capacity below the certification bar is refused, empty input yields empty") {
     intercept[IllegalArgumentException] {
       Signals.heavyTokens(

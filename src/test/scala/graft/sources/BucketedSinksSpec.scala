@@ -59,6 +59,43 @@ class BucketedSinksSpec extends SparkSpecBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("compactBucketedTable folds append files to one per bucket and keeps co-location") {
+    import spark.implicits._
+    val name = "graft_compact_bkt_test"
+    val other = "graft_compact_bkt_other"
+    Seq(name, other).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    def dataFiles(t: String): Int = {
+      val loc = new java.io.File(java.net.URI.create(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(t)).location.toString))
+      loc.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    try {
+      val mk = (lo: Long, hi: Long) => (lo to hi).map(i => (i, s"v$i")).toDF("k", "v")
+      Sinks.parquetBucketed(mk(1L, 100L), name, "k", 4)
+      // two admissions, the appendIvfIndexSaved write shape
+      Seq(mk(101L, 150L), mk(151L, 200L)).foreach(_.write
+        .mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+        .bucketBy(4, "k").sortBy("k").saveAsTable(name))
+      assert(dataFiles(name) > 4, "appends should accumulate extra bucket files")
+      val before = spark.table(name).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      Sinks.compactBucketedTable(spark, name)
+      assert(dataFiles(name) == 4, s"expected one file per bucket, got ${dataFiles(name)}")
+      val after = spark.table(name).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(after == before, "compaction must not change content")
+      // co-location survives: joining two 4-bucketed tables stays shuffle-free
+      Sinks.parquetBucketed(mk(1L, 200L).withColumnRenamed("v", "w"), other, "k", 4)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = spark.table(name).join(spark.table(other), "k")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"compacted bucketed join must not shuffle:\n$plan")
+        assert(joined.count() == 200)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally Seq(name, other).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("compacted write coalesces a many-partition frame into few files") {
     val li = graft.Tables.lineitem(spark, Sf0001).repartition(32)
     val naive = "/tmp/graft_li_naive"
