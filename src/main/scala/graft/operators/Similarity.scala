@@ -342,8 +342,12 @@ object Similarity {
     * Because [[assignToCells]] depends only on the centroid vectors, the
     * appended index is row-identical to a full rebuild whose quantizer
     * saw the same centroids (q155 proves it under q28's exact oracle).
-    * Repeated admissions accumulate small per-bucket files; compact on
-    * the same cadence as any bucketed fact table.
+    * Repeated admissions accumulate small per-bucket files; compact with
+    * Sinks.compactBucketedTable on the same cadence as any bucketed fact
+    * table (q156 gates the full build → admit → compact loop). When the
+    * admission runs in another session (a foreachBatch clone, another
+    * job), readers must `refreshTable` — their relation cache still lists
+    * the pre-append files.
     */
   def appendIvfIndexSaved(newEmb: DataFrame, tableBase: String,
                           numBuckets: Int = 32): IvfIndex = {

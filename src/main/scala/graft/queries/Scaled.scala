@@ -421,6 +421,20 @@ object Scaled {
       IvfAppendTables.ensure(s, dir),
       Tables.embeddings(s, dir).filter(col("vec_id") < 8), k = 10)
 
+  /** q156: the FULL index lifecycle under one hash gate — build the base
+    * IVF index, admit the remaining vectors by bucketed append (q155),
+    * then COMPACT the cell table back to one file per bucket
+    * (Sinks.compactBucketedTable, the shuffle-free rewrite) and probe.
+    * Still q28's own oracle: compaction is physical layout only, so the
+    * probe must stay bit-identical through build → admit → compact. This
+    * is the maintenance loop a 100 TB vector corpus actually runs, each
+    * stage oracle-pinned.
+    */
+  def q156AnnIvfCompact(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.ivfTopKIndexed(
+      IvfCompactTables.ensure(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < 8), k = 10)
+
   /** q100/q101/q102: driver-checkable tolerance gates for the three
     * sketch queries (q44 HLL distincts, q54 approx median, q76 approx
     * profile) that are otherwise rows-only. The trick: every EXACT stat
@@ -589,6 +603,7 @@ object Scaled {
     "q103_admit_indexed"        -> (q103AdmitIndexed _),
     "q153_ann_ivf_indexed"      -> (q153AnnIvfIndexed _),
     "q155_ann_ivf_append"       -> (q155AnnIvfAppend _),
+    "q156_ann_ivf_compact"      -> (q156AnnIvfCompact _),
     "q105_lsh_recall_banded"    -> (q105LshRecallBanded _),
     "q106_source_overlap"       -> (q106SourceOverlap _),
     "q96_admit_map_free"        -> (q96AdmitMapFree _),
@@ -682,6 +697,7 @@ object Scaled {
     "q103_admit_indexed"         -> Curation.oracles("q67_incremental_admit"),
     "q153_ann_ivf_indexed"       -> Extensions.oracles("q28_ann_ivf"),
     "q155_ann_ivf_append"        -> Extensions.oracles("q28_ann_ivf"),
+    "q156_ann_ivf_compact"       -> Extensions.oracles("q28_ann_ivf"),
     // exact blocked en pairs are SQL-expressible; the LSH result enters
     // only through recall_ok, which the oracle states as TRUE
     "q105_lsh_recall_banded" ->
@@ -788,6 +804,55 @@ private[queries] object IvfIndexTables {
         }
         graft.operators.Similarity.saveIvfIndex(
           Tables.embeddings(s, dir), base, nList = 16, numBuckets = 32)
+      }
+      graft.operators.Similarity.IvfIndex(
+        s.table(s"${base}_cents"), s.table(s"${base}_cells"))
+    }
+}
+
+/** q156's lifecycle index: q155's build-then-append, then the cell table
+  * compacted back to one file per bucket. Compaction is physical layout
+  * only, so the completeness check (cells cover the corpus) still guards
+  * the build block; the file-count check (≤ numBuckets parquet files)
+  * distinguishes "appended" from "appended then compacted", so a crash
+  * between append and compact rebuilds rather than serving the
+  * uncompacted layout as if it were the gated one.
+  */
+private[queries] object IvfCompactTables {
+  def ensure(s: SparkSession, dir: String): graft.operators.Similarity.IvfIndex =
+    synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"graft_ivfcmp_$tag"
+      val names = Seq(s"${base}_cents", s"${base}_cells")
+      val emb = Tables.embeddings(s, dir)
+      val numBuckets = 32
+      def cellFiles(): Long = {
+        val loc = new org.apache.hadoop.fs.Path(java.net.URI.create(
+          s.sessionState.catalog.getTableMetadata(
+            s.sessionState.sqlParser.parseTableIdentifier(s"${base}_cells"))
+            .location.toString))
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(loc).count(_.getPath.getName.endsWith(".parquet")).toLong
+      }
+      val complete = names.forall(s.catalog.tableExists) &&
+        s.table(s"${base}_cells").count() == emb.count() &&
+        cellFiles() <= numBuckets
+      if (!complete) {
+        names.filter(s.catalog.tableExists)
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        names.foreach { t =>
+          val wh = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(wh)) fs.delete(wh, true)
+        }
+        val isBase = col("vec_id") < 16 || pmod(col("vec_id"), lit(2L)) === 0
+        graft.operators.Similarity.saveIvfIndex(
+          emb.filter(isBase), base, nList = 16, numBuckets = numBuckets)
+        graft.operators.Similarity.appendIvfIndexSaved(
+          emb.filter(!isBase), base, numBuckets = numBuckets)
+        graft.sources.Sinks.compactBucketedTable(s, s"${base}_cells")
       }
       graft.operators.Similarity.IvfIndex(
         s.table(s"${base}_cents"), s.table(s"${base}_cells"))

@@ -241,6 +241,50 @@ class SimilaritySpec extends SparkSpecBase {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("IVF admission from a real vector stream equals the full build") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    val base = "graft_test_ivfstream"
+    Seq(s"${base}_cents", s"${base}_cells")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val isBase = col("vec_id") < 16 || pmod(col("vec_id"), lit(2L)) === 0
+      Similarity.saveIvfIndex(emb.filter(isBase), base)
+      // the new vectors arrive as a STREAM; each micro-batch admits
+      // through the same appendIvfIndexSaved the batch path uses
+      val arriving = emb.filter(!isBase)
+        .select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+      val q = input.toDF().toDF("vec_id", "embedding")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) { Similarity.appendIvfIndexSaved(b, base); () }
+        }.start()
+      try {
+        val (a, b) = arriving.splitAt(arriving.length / 2)
+        input.addData(a); q.processAllAvailable()
+        input.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      // the appends ran in the micro-batch's cloned session; this
+      // session's relation cache still lists the pre-append files
+      spark.catalog.refreshTable(s"${base}_cells")
+      val grown = Similarity.IvfIndex(
+        spark.table(s"${base}_cents"), spark.table(s"${base}_cells"))
+      assert(spark.table(s"${base}_cells").count() == emb.count())
+      val direct = Similarity.ivfTopK(emb, k = 10, maxQueryId = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      val got = Similarity.ivfTopKIndexed(grown, emb.filter(col("vec_id") < 8), k = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(got.toSeq == direct.toSeq, "streamed admission diverged from full build")
+    } finally Seq(s"${base}_cents", s"${base}_cells")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("mutualTop1 plans the A×B cross-join once, behind the persisted argmax") {
     val a = emb.filter(col("label") === 0)
     val b = emb.filter(col("label") === 1)
