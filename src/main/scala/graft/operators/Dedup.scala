@@ -1161,6 +1161,53 @@ object Dedup {
       (0 until 4).map(b => s.table(s"${tableBase}_band$b")))
   }
 
+  /** Rolling exact-fingerprint admission — the dedup-index LIFECYCLE
+    * loop: batch k+1 is screened against everything batch ≤ k admitted,
+    * not just the frozen base corpus. The corpus fingerprint set is saved
+    * once as a bucketed table; each arriving batch
+    *
+    *  1. collapses its own duplicates (min doc_id per fingerprint — one
+    *     hash-agg over the batch only),
+    *  2. anti-joins the bucketed index (shuffle_hash hint: the index side
+    *     never broadcasts, and being bucketed on the join key it never
+    *     re-shuffles — only the batch's own rows move),
+    *  3. lands the admitted (doc_id, xfp) rows in the result table and
+    *     APPENDS the newly-seen fingerprints to the index (the q155-style
+    *     bucketed append: at most one new file per touched bucket).
+    *
+    * Batches must arrive in ascending doc_id ranges: then the rolling
+    * result is exactly "the first new document carrying each fingerprint
+    * unseen in the corpus", a batch-split-independent statement the q157
+    * oracle makes in one SQL query. The batch frame is persisted across
+    * its two writes (result + index) so the anti-join runs once.
+    */
+  def admitRollingExact(corpus: DataFrame, batches: Seq[DataFrame],
+                        tableBase: String, numBuckets: Int = 32): DataFrame = {
+    val s = corpus.sparkSession
+    val idxT = s"${tableBase}_exact"
+    val resT = s"${tableBase}_admitted"
+    graft.sources.Sinks.parquetBucketed(
+      corpus.select(md5(col("text")).as("xfp")).distinct(), idxT,
+      "xfp", numBuckets)
+    graft.sources.Sinks.reclaimOrphanTableLocation(s, resT)
+    s.sql(s"DROP TABLE IF EXISTS $resT")
+    batches.foreach { b =>
+      val adm = b.select(col("doc_id"), md5(col("text")).as("xfp"))
+        .groupBy("xfp").agg(min("doc_id").as("doc_id"))
+        .join(s.table(idxT).hint("shuffle_hash"), Seq("xfp"), "left_anti")
+        .select("doc_id", "xfp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        adm.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").saveAsTable(resT)
+        adm.select("xfp").write
+          .mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+          .bucketBy(numBuckets, "xfp").sortBy("xfp").saveAsTable(idxT)
+      } finally adm.unpersist(blocking = false)
+    }
+    s.table(resT)
+  }
+
   /** [[admitIncremental]] reshaped so the NEW side needs no aggregation —
     * which makes it run UNCHANGED on a streaming frame (append mode, no
     * watermark): the corpus pre-aggregates per-(band, bucket) candidate

@@ -435,6 +435,31 @@ object Scaled {
       IvfCompactTables.ensure(s, dir),
       Tables.embeddings(s, dir).filter(col("vec_id") < 8), k = 10)
 
+  /** q157: the dedup-index lifecycle under the gate — rolling exact
+    * admission where each arriving batch is screened against the corpus
+    * index GROWN by every earlier batch's admissions
+    * (Dedup.admitRollingExact: bucketed anti-join screen, q155-style
+    * bucketed append of the newly-seen fingerprints). The new docs arrive
+    * as three ascending doc_id ranges, so the rolling result is exactly
+    * "the first new document per fingerprint unseen in the corpus" — one
+    * batch-split-independent SQL statement, hash-checked. Rebuilt
+    * deterministically on every call (no fixture state to go stale).
+    */
+  def q157AdmitRolling(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val isNew = col("source").isin(Curation.NewBatchSources: _*)
+    val news = docs.filter(isNew).select("doc_id", "text")
+    val mx = news.agg(max("doc_id")).head().getLong(0)
+    val batches = Seq(
+      news.filter(col("doc_id") <= mx / 3),
+      news.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * (mx / 3)),
+      news.filter(col("doc_id") > 2 * (mx / 3)))
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    graft.operators.Dedup.admitRollingExact(
+      docs.filter(!isNew), batches, s"graft_rolladm_$tag")
+  }
+
   /** q100/q101/q102: driver-checkable tolerance gates for the three
     * sketch queries (q44 HLL distincts, q54 approx median, q76 approx
     * profile) that are otherwise rows-only. The trick: every EXACT stat
@@ -604,6 +629,7 @@ object Scaled {
     "q153_ann_ivf_indexed"      -> (q153AnnIvfIndexed _),
     "q155_ann_ivf_append"       -> (q155AnnIvfAppend _),
     "q156_ann_ivf_compact"      -> (q156AnnIvfCompact _),
+    "q157_admit_rolling"        -> (q157AdmitRolling _),
     "q105_lsh_recall_banded"    -> (q105LshRecallBanded _),
     "q106_source_overlap"       -> (q106SourceOverlap _),
     "q96_admit_map_free"        -> (q96AdmitMapFree _),
@@ -698,6 +724,20 @@ object Scaled {
     "q153_ann_ivf_indexed"       -> Extensions.oracles("q28_ann_ivf"),
     "q155_ann_ivf_append"        -> Extensions.oracles("q28_ann_ivf"),
     "q156_ann_ivf_compact"       -> Extensions.oracles("q28_ann_ivf"),
+    // rolling admission over ascending doc_id batches == "first new doc
+    // per fingerprint unseen in the corpus" — batch-split independent
+    "q157_admit_rolling" -> {
+      val inList = Curation.NewBatchSources.map(x => s"'$x'").mkString(", ")
+      s"""WITH corpus AS (
+         |  SELECT DISTINCT md5(text) AS xfp FROM documents
+         |  WHERE text IS NOT NULL AND source NOT IN ($inList)),
+         |news AS (
+         |  SELECT doc_id, md5(text) AS xfp FROM documents
+         |  WHERE text IS NOT NULL AND source IN ($inList)),
+         |firsts AS (SELECT xfp, MIN(doc_id) AS doc_id FROM news GROUP BY xfp)
+         |SELECT f.doc_id, f.xfp FROM firsts f
+         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.xfp = f.xfp)""".stripMargin
+    },
     // exact blocked en pairs are SQL-expressible; the LSH result enters
     // only through recall_ok, which the oracle states as TRUE
     "q105_lsh_recall_banded" ->

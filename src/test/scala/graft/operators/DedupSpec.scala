@@ -648,4 +648,30 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("admitRollingExact screens later batches against earlier admissions") {
+    import spark.implicits._
+    val base = "graft_test_rolladm"
+    Seq(s"${base}_exact", s"${base}_admitted", s"${base}1_exact",
+        s"${base}1_admitted")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val corpus = Seq((1L, "c1")).toDF("doc_id", "text")
+      // planted adversaries: within-batch dup (10/11), corpus dup (12),
+      // cross-batch dup (20 repeats batch 1's "x"), fresh (21)
+      val b1 = Seq((10L, "x"), (11L, "x"), (12L, "c1")).toDF("doc_id", "text")
+      val b2 = Seq((20L, "x"), (21L, "y")).toDF("doc_id", "text")
+      val got = Dedup.admitRollingExact(corpus, Seq(b1, b2), base, numBuckets = 4)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(10L, 21L),
+        s"expected only first-unseen docs 10 and 21, got $got")
+      // batch-split independence: one batch covering everything agrees
+      val one = Dedup.admitRollingExact(
+        corpus, Seq(b1.union(b2)), s"${base}1", numBuckets = 4)
+        .collect().map(_.getLong(0)).toSet
+      assert(one == got)
+    } finally Seq(s"${base}_exact", s"${base}_admitted", s"${base}1_exact",
+        s"${base}1_admitted")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
 }
