@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Signals.queries ++ graft.queries.Curation2.queries ++
       graft.queries.Quality.queries ++ graft.queries.Ops.queries ++
       graft.queries.Exports.queries ++ graft.queries.EtlGate.queries ++
-      graft.queries.UnicodeText.queries ++ graft.queries.Media.queries
+      graft.queries.UnicodeText.queries ++ graft.queries.Media.queries ++
+      graft.queries.Retrieval.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Relational2.oracles ++
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.Signals.oracles ++ graft.queries.Curation2.oracles ++
       graft.queries.Quality.oracles ++ graft.queries.Ops.oracles ++
       graft.queries.Exports.oracles ++ graft.queries.EtlGate.oracles ++
-      graft.queries.UnicodeText.oracles ++ graft.queries.Media.oracles
+      graft.queries.UnicodeText.oracles ++ graft.queries.Media.oracles ++
+      graft.queries.Retrieval.oracles
 }
