@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.queries.dsum
+
+/** Persisted inverted index for lexical (BM25) retrieval — the text-side
+  * analog of the persisted IVF vector index (Similarity.saveIvfIndex):
+  * pay the corpus tokenization ONCE at build time, then answer every
+  * query from the index, reading only the queried terms' posting buckets.
+  *
+  * Tables (all managed parquet):
+  *  - `{base}_post`  (term, doc_id, tf)  BUCKETED BY term — a query's
+  *    `term IN (...)` filter prunes to the terms' buckets, and the
+  *    per-term df aggregation plans shuffle-free on the bucket key.
+  *  - `{base}_dl`    (doc_id, dl)        BUCKETED BY doc_id — the
+  *    normalization join's build side never shuffles.
+  *  - `{base}_stats` (n_docs, tot)       one row, broadcast at query time.
+  *
+  * [[bm25Indexed]] reproduces Signals.bm25's scoring algebra term-for-term
+  * (same casts, same parenthesization, same decimal score sum), and every
+  * index column is integral (longs round-trip parquet exactly), so a probe
+  * of the saved index is bit-identical to the direct corpus pass — q162
+  * ships under q118's own oracle to prove it.
+  */
+object TextIndex {
+
+  case class Bm25Index(postings: DataFrame, docLens: DataFrame, stats: DataFrame)
+
+  /** Build and persist the index. One corpus pass computes the postings,
+    * doc lengths, and collection stats; the bucketed writes are the only
+    * shuffles, each keyed on its table's own bucket column.
+    */
+  def saveBm25Index(docs: DataFrame, tableBase: String, numBuckets: Int = 32,
+                    unicode: Boolean = false): Bm25Index = {
+    val s = docs.sparkSession
+    val terms = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"), unicode)).as("term"))
+    val postings = terms.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    graft.sources.Sinks.parquetBucketed(postings, s"${tableBase}_post",
+      "term", numBuckets)
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    graft.sources.Sinks.parquetBucketed(dl, s"${tableBase}_dl",
+      "doc_id", numBuckets)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
+    graft.sources.Sinks.reclaimOrphanTableLocation(s, s"${tableBase}_stats")
+    stats.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${tableBase}_stats")
+    Bm25Index(s.table(s"${tableBase}_post"), s.table(s"${tableBase}_dl"),
+      s.table(s"${tableBase}_stats"))
+  }
+
+  /** BM25 (k1 = 1.25, b = 0.75, rational idf — Signals.bm25's algebra)
+    * answered from the persisted index. The corpus is never touched: tf
+    * and df come from the term-pruned posting read (df is a shuffle-free
+    * aggregation on the bucket key), dl joins on its own bucket key, and
+    * the 1-row stats table broadcasts. Work scales with the queried
+    * terms' posting lists, not the corpus.
+    */
+  def bm25Indexed(index: Bm25Index, queryTerms: Seq[String]): DataFrame = {
+    val post = index.postings.filter(col("term").isin(queryTerms: _*))
+    val df_ = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("tot").cast("double") / col("n_docs").cast("double")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val score = idf * ((col("tf").cast("double") * lit(2.25)) /
+      (col("tf").cast("double") +
+        lit(1.25) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+    post
+      .join(broadcast(df_), "term")
+      .join(index.docLens, "doc_id")
+      .crossJoin(broadcast(index.stats))
+      .withColumn("score", score)
+      .groupBy("doc_id").agg(dsum(col("score"), 10).as("bm25"))
+  }
+}

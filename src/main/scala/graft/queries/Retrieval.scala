@@ -186,11 +186,25 @@ object Retrieval {
           .as("upsample_x"))
   }
 
+  /** q162: q118's BM25 through the PRODUCTION persisted inverted index —
+    * the lexical analog of q153's persisted IVF probe: postings/doc-length/
+    * stats tables built once (TextIndex.saveBm25Index, memoized per
+    * (session, sf-dir)), the query answered from the term-pruned bucketed
+    * posting read with the corpus never rescanned. Declared under q118's
+    * own oracle: one BM25 semantics, two hash-equal plans (direct corpus
+    * pass / persisted index) — the build-once / query-many migration a
+    * 100 TB text corpus follows.
+    */
+  def q162Bm25Indexed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.bm25Indexed(
+      Bm25IndexTables.ensure(s, dir), Signals.Bm25QueryTerms)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_hybrid_retrieval" -> (q158HybridRetrieval _),
     "q159_context_pack"     -> (q159ContextPack _),
     "q160_gopher_rules"     -> (q160GopherRules _),
-    "q161_temperature_mix"  -> (q161TemperatureMix _))
+    "q161_temperature_mix"  -> (q161TemperatureMix _),
+    "q162_bm25_indexed"     -> (q162Bm25Indexed _))
 
   /** The BM25→candidates→PRF-centroid→rerank CTE chain shared by the
     * q158/q159 oracles; parenthesization mirrors the Spark side
@@ -280,5 +294,30 @@ object Retrieval {
         |  ROUND((sqrt(CAST(n_tokens AS DOUBLE)) / sum_sqrt)
         |        / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)), 6)
         |    AS upsample_x
-        |FROM per CROSS JOIN tot""".stripMargin)
+        |FROM per CROSS JOIN tot""".stripMargin,
+    // the persisted-index probe must be bit-identical to the direct pass
+    "q162_bm25_indexed" -> Signals.oracles("q118_bm25"))
+}
+
+/** q162's memoized index tables — same lifecycle contract as
+  * IvfIndexTables/AdmissionIndexTables in Scaled.scala: name tagged by
+  * sf-dir, orphan locations reclaimed, built once per session+dir.
+  */
+private[queries] object Bm25IndexTables {
+  def ensure(s: SparkSession, dir: String): graft.operators.TextIndex.Bm25Index =
+    synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"graft_bm25idx_$tag"
+      val names = Seq(s"${base}_post", s"${base}_dl", s"${base}_stats")
+      if (!names.forall(s.catalog.tableExists)) {
+        names.foreach(graft.sources.Sinks.reclaimOrphanTableLocation(s, _))
+        graft.operators.TextIndex.saveBm25Index(
+          Tables.documents(s, dir).filter(col("text").isNotNull), base,
+          numBuckets = 32)
+      }
+      graft.operators.TextIndex.Bm25Index(
+        s.table(s"${base}_post"), s.table(s"${base}_dl"),
+        s.table(s"${base}_stats"))
+    }
 }

@@ -325,9 +325,13 @@ object Signals {
     * contract. The per-doc sum over matched query terms goes through the
     * decimal cast (dsum) so term-accumulation order cannot drift.
     */
+  /** q118's lexical query — shared with q162's persisted-index probe,
+    * which must score the SAME terms to run under q118's oracle. */
+  val Bm25QueryTerms: Seq[String] = Seq("query", "join", "scan")
+
   def q118Bm25(s: SparkSession, dir: String): DataFrame =
     bm25(Tables.documents(s, dir).filter(col("text").isNotNull),
-      Seq("query", "join", "scan"))
+      Bm25QueryTerms)
 
   /** q118's engine: BM25 with rational idf, k1 = 1.25, b = 0.75.
     * `unicode` switches the tokenizer to TextFunctions.tokensUnicode

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.queries.Signals
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 inverted index (q162's engine): the probe must be
+  * bit-identical to the direct corpus pass, and the index must actually
+  * serve the query from term-pruned posting buckets.
+  */
+class TextIndexSpec extends SparkSpecBase {
+
+  private val base = "graft_bm25idx_spec"
+  private def drop(): Unit =
+    Seq("_post", "_dl", "_stats").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
+
+  test("indexed BM25 equals the direct corpus pass bit-for-bit") {
+    drop()
+    try {
+      val docs = graft.Tables.documents(spark, Sf0001)
+        .filter(col("text").isNotNull)
+      val idx = TextIndex.saveBm25Index(docs, base, numBuckets = 8)
+      val direct = Signals.bm25(docs, Signals.Bm25QueryTerms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val probed = TextIndex.bm25Indexed(idx, Signals.Bm25QueryTerms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(probed == direct, "probe must match the direct pass exactly")
+      assert(direct.nonEmpty)
+    } finally drop()
+  }
+
+  test("df aggregation on the posting table plans without a shuffle") {
+    drop()
+    try {
+      val docs = graft.Tables.documents(spark, Sf0001)
+        .filter(col("text").isNotNull)
+      val idx = TextIndex.saveBm25Index(docs, base, numBuckets = 8)
+      // the per-term df agg groups on the bucket key of the pruned read:
+      // partial+final collapse onto the bucketed scan, no exchange
+      val dfAgg = idx.postings
+        .filter(col("term").isin(Signals.Bm25QueryTerms: _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val plan = dfAgg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(term"),
+        s"df agg must ride the term bucketing:\n$plan")
+      // bucket pruning: the IN-filter selects at most |terms| buckets
+      assert(plan.contains("SelectedBucketsCount"),
+        s"posting read must be bucket-pruned:\n$plan")
+    } finally drop()
+  }
+}
