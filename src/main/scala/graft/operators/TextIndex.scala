@@ -52,6 +52,50 @@ object TextIndex {
       s.table(s"${tableBase}_stats"))
   }
 
+  /** Admit a NEW document batch into a persisted BM25 index without
+    * touching the corpus already indexed — the text analog of
+    * Similarity.appendIvfIndexSaved. Only the arriving batch tokenizes;
+    * its postings and doc lengths APPEND into the bucketed tables (at
+    * most one new file per touched bucket, the indexed corpus never
+    * re-shuffles), and the 1-row stats table updates ADDITIVELY from the
+    * batch's own totals (one bounded collect of one row — no corpus
+    * rescan, exact long arithmetic).
+    *
+    * PRECONDITION: the batch's doc_ids are disjoint from the indexed
+    * corpus (re-admitting a doc would split its tf across two posting
+    * rows). Admission pipelines get this for free — a doc is admitted
+    * once — and [[bm25Indexed]] over the grown index is then
+    * bit-identical to a full rebuild (q163 proves it under q118's
+    * oracle). Repeated admissions accumulate small per-bucket files;
+    * compact with Sinks.compactBucketedTable (q163 gates the full
+    * build → admit → compact → probe loop).
+    */
+  def appendBm25Index(newDocs: DataFrame, tableBase: String,
+                      numBuckets: Int = 32, unicode: Boolean = false): Bm25Index = {
+    val s = newDocs.sparkSession
+    val terms = newDocs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"), unicode)).as("term"))
+    terms.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .saveAsTable(s"${tableBase}_post")
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    dl.write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${tableBase}_dl")
+    val delta = dl.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("tot"))
+      .collect()(0)
+    val prev = s.table(s"${tableBase}_stats").collect()(0)
+    import s.implicits._
+    Seq((prev.getLong(0) + delta.getLong(0), prev.getLong(1) + delta.getLong(1)))
+      .toDF("n_docs", "tot")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${tableBase}_stats")
+    Bm25Index(s.table(s"${tableBase}_post"), s.table(s"${tableBase}_dl"),
+      s.table(s"${tableBase}_stats"))
+  }
+
   /** BM25 (k1 = 1.25, b = 0.75, rational idf — Signals.bm25's algebra)
     * answered from the persisted index. The corpus is never touched: tf
     * and df come from the term-pruned posting read (df is a shuffle-free

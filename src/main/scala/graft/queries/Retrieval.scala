@@ -199,12 +199,27 @@ object Retrieval {
     graft.operators.TextIndex.bm25Indexed(
       Bm25IndexTables.ensure(s, dir), Signals.Bm25QueryTerms)
 
+  /** q163: the FULL text-index lifecycle under one hash gate — build the
+    * inverted index from the even-doc_id slice, admit the odd slice
+    * through TextIndex.appendBm25Index (batch-only tokenization, bucketed
+    * appends, additive stats), COMPACT the grown tables back to one file
+    * per bucket, and probe. Still q118's own oracle: admission and
+    * compaction are physical lifecycle only, so the probe must stay
+    * bit-identical to the direct corpus pass through build → admit →
+    * compact — the maintenance loop a 100 TB text index actually runs.
+    * The q156 of text retrieval.
+    */
+  def q163Bm25IndexAdmit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.bm25Indexed(
+      Bm25AdmitTables.ensure(s, dir), Signals.Bm25QueryTerms)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_hybrid_retrieval" -> (q158HybridRetrieval _),
     "q159_context_pack"     -> (q159ContextPack _),
     "q160_gopher_rules"     -> (q160GopherRules _),
     "q161_temperature_mix"  -> (q161TemperatureMix _),
-    "q162_bm25_indexed"     -> (q162Bm25Indexed _))
+    "q162_bm25_indexed"     -> (q162Bm25Indexed _),
+    "q163_bm25_index_admit" -> (q163Bm25IndexAdmit _))
 
   /** The BM25→candidates→PRF-centroid→rerank CTE chain shared by the
     * q158/q159 oracles; parenthesization mirrors the Spark side
@@ -295,8 +310,9 @@ object Retrieval {
         |        / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)), 6)
         |    AS upsample_x
         |FROM per CROSS JOIN tot""".stripMargin,
-    // the persisted-index probe must be bit-identical to the direct pass
-    "q162_bm25_indexed" -> Signals.oracles("q118_bm25"))
+    // the persisted-index probes must be bit-identical to the direct pass
+    "q162_bm25_indexed"     -> Signals.oracles("q118_bm25"),
+    "q163_bm25_index_admit" -> Signals.oracles("q118_bm25"))
 }
 
 /** q162's memoized index tables — same lifecycle contract as
@@ -315,6 +331,52 @@ private[queries] object Bm25IndexTables {
         graft.operators.TextIndex.saveBm25Index(
           Tables.documents(s, dir).filter(col("text").isNotNull), base,
           numBuckets = 32)
+      }
+      graft.operators.TextIndex.Bm25Index(
+        s.table(s"${base}_post"), s.table(s"${base}_dl"),
+        s.table(s"${base}_stats"))
+    }
+}
+
+/** q163's lifecycle index: built from the even-doc_id slice, the odd slice
+  * admitted by bucketed append, then both grown tables compacted back to
+  * one file per bucket. The completeness check (dl covers the corpus)
+  * guards the build; the file-count check distinguishes "admitted" from
+  * "admitted then compacted", so a crash between admit and compact
+  * rebuilds rather than serving the uncompacted layout as the gated one
+  * (IvfCompactTables' contract, applied to text).
+  */
+private[queries] object Bm25AdmitTables {
+  def ensure(s: SparkSession, dir: String): graft.operators.TextIndex.Bm25Index =
+    synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val base = s"graft_bm25adm_$tag"
+      val names = Seq(s"${base}_post", s"${base}_dl", s"${base}_stats")
+      val numBuckets = 32
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      def files(t: String): Long = {
+        val loc = new org.apache.hadoop.fs.Path(java.net.URI.create(
+          s.sessionState.catalog.getTableMetadata(
+            s.sessionState.sqlParser.parseTableIdentifier(t))
+            .location.toString))
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(loc).count(_.getPath.getName.endsWith(".parquet")).toLong
+      }
+      val complete = names.forall(s.catalog.tableExists) &&
+        s.table(s"${base}_dl").count() == docs.count() &&
+        files(s"${base}_post") <= numBuckets && files(s"${base}_dl") <= numBuckets
+      if (!complete) {
+        names.filter(s.catalog.tableExists)
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        names.foreach(graft.sources.Sinks.reclaimOrphanTableLocation(s, _))
+        val isBase = pmod(col("doc_id"), lit(2L)) === 0
+        graft.operators.TextIndex.saveBm25Index(docs.filter(isBase), base,
+          numBuckets = numBuckets)
+        graft.operators.TextIndex.appendBm25Index(docs.filter(!isBase), base,
+          numBuckets = numBuckets)
+        graft.sources.Sinks.compactBucketedTable(s, s"${base}_post")
+        graft.sources.Sinks.compactBucketedTable(s, s"${base}_dl")
       }
       graft.operators.TextIndex.Bm25Index(
         s.table(s"${base}_post"), s.table(s"${base}_dl"),

@@ -30,6 +30,37 @@ class TextIndexSpec extends SparkSpecBase {
     } finally drop()
   }
 
+  test("admitted index equals the full build: split-build, append, probe") {
+    drop()
+    val full = base + "_fullref"
+    def dropFull(): Unit =
+      Seq("_post", "_dl", "_stats").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $full$sfx"))
+    dropFull()
+    try {
+      val docs = graft.Tables.documents(spark, Sf0001)
+        .filter(col("text").isNotNull)
+      val isBase = pmod(col("doc_id"), lit(2L)) === 0
+      TextIndex.saveBm25Index(docs.filter(isBase), base, numBuckets = 8)
+      val grown = TextIndex.appendBm25Index(docs.filter(!isBase), base,
+        numBuckets = 8)
+      val ref = TextIndex.saveBm25Index(docs, full, numBuckets = 8)
+      def probe(i: TextIndex.Bm25Index) =
+        TextIndex.bm25Indexed(i, Signals.Bm25QueryTerms)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(probe(grown) == probe(ref),
+        "grown index must probe bit-identical to a full rebuild")
+      // stats updated additively, no corpus rescan: totals must agree
+      assert(grown.stats.collect()(0) == ref.stats.collect()(0))
+      // compaction is physical layout only
+      graft.sources.Sinks.compactBucketedTable(spark, s"${base}_post")
+      graft.sources.Sinks.compactBucketedTable(spark, s"${base}_dl")
+      val compacted = TextIndex.Bm25Index(spark.table(s"${base}_post"),
+        spark.table(s"${base}_dl"), spark.table(s"${base}_stats"))
+      assert(probe(compacted) == probe(ref))
+    } finally { drop(); dropFull() }
+  }
+
   test("df aggregation on the posting table plans without a shuffle") {
     drop()
     try {
