@@ -61,6 +61,49 @@ class TextIndexSpec extends SparkSpecBase {
     } finally { drop(); dropFull() }
   }
 
+  test("streamed admission: per-micro-batch appends probe equal to the full build") {
+    drop()
+    val full = base + "_fullref2"
+    def dropFull(): Unit =
+      Seq("_post", "_dl", "_stats").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $full$sfx"))
+    dropFull()
+    try {
+      val docs = graft.Tables.documents(spark, Sf0001)
+        .filter(col("text").isNotNull)
+      val isBase = pmod(col("doc_id"), lit(2L)) === 0
+      TextIndex.saveBm25Index(docs.filter(isBase), base, numBuckets = 8)
+      // the new documents arrive as a STREAM; each micro-batch admits
+      // through the same appendBm25Index the batch path uses
+      val arriving = docs.filter(!isBase).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) { TextIndex.appendBm25Index(b, base, numBuckets = 8); () }
+        }.start()
+      try {
+        val (a, b) = arriving.splitAt(arriving.length / 2)
+        input.addData(a.toSeq); q.processAllAvailable()
+        input.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      // appends ran in the micro-batch's cloned session — refresh ours
+      Seq("_post", "_dl", "_stats").foreach(sfx =>
+        spark.catalog.refreshTable(s"$base$sfx"))
+      val grown = TextIndex.Bm25Index(spark.table(s"${base}_post"),
+        spark.table(s"${base}_dl"), spark.table(s"${base}_stats"))
+      val ref = TextIndex.saveBm25Index(docs, full, numBuckets = 8)
+      def probe(i: TextIndex.Bm25Index) =
+        TextIndex.bm25Indexed(i, Signals.Bm25QueryTerms)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(probe(grown) == probe(ref),
+        "streamed admission diverged from full build")
+    } finally { drop(); dropFull() }
+  }
+
   test("df aggregation on the posting table plans without a shuffle") {
     drop()
     try {
