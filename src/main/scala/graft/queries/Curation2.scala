@@ -211,7 +211,46 @@ object Curation2 {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct("fp").as("n_clusters"))
 
+  /** q165: curriculum/annealing schedule — the whole corpus ordered by
+    * ascending q39 quality score (ties to doc_id) and cut into 4 equal-size
+    * training stages, so the loader feeds noisier text first and anneals
+    * onto the cleanest quartile last (the standard quality-curriculum /
+    * data-annealing recipe). Output is the stage manifest a training run
+    * consumes: per stage its doc count, token budget, the cumulative token
+    * offset where the stage starts, and the quality band it covers.
+    *
+    * Scale shape: the global rank rides
+    * [[graft.operators.StratifiedSelect.chunkedPrefix]] under a constant
+    * stratum — a global ORDER BY with NO single-task sort anywhere (the
+    * only global window in the plan runs over the nChunks-row chunk
+    * aggregate). `stage = (rn-1)*4 DIV n` is pure integer arithmetic, so
+    * both engines cut identically; cum_before doubles as the stage's
+    * token offset for free (same prefix sum, value = n_tokens). The
+    * 4-row manifest is a bounded hash-agg on top.
+    */
+  def q165Curriculum(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        lit("all").as("corpus"))
+    val ranked = graft.operators.StratifiedSelect.chunkedPrefix(base,
+      stratum = "corpus", primary = "quality", desc = false,
+      tieBreak = Seq(col("doc_id")), value = col("n_tokens"),
+      nChunks = math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt))
+    ranked
+      .withColumn("stage",
+        expr("CAST((rn - 1) * 4 DIV n_stratum + 1 AS INT)"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("stage_tokens"),
+        min("cum_before").as("token_offset"),
+        min("quality").as("lo_quality"),
+        max("quality").as("hi_quality"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_curriculum"   -> (q165Curriculum _),
     "q132_split_assign" -> (q132SplitAssign _),
     "q126_pps_sample" -> (q126PpsSample _),
     "q120_sample_k_per_source" -> (q120SampleKPerSource _),
@@ -224,6 +263,29 @@ object Curation2 {
     "q92_mixture_resample"  -> (q92MixtureResample _))
 
   val oracles: Map[String, String] = Map(
+    // global quality rank -> integer quartile cut -> 4-row stage manifest;
+    // CASTs keep DuckDB's HUGEINT sums in Spark's BIGINT domain
+    "q165_curriculum" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ${Extensions.qualitySqlExpr} AS quality
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (
+        |  SELECT doc_id, n_tokens, quality,
+        |    ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS rn,
+        |    COUNT(*) OVER () AS n,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY quality, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT CAST((rn - 1) * 4 // n + 1 AS INTEGER) AS stage,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS stage_tokens,
+        |  MIN(cum_before) AS token_offset,
+        |  MIN(quality) AS lo_quality,
+        |  MAX(quality) AS hi_quality
+        |FROM w GROUP BY 1""".stripMargin,
     // q60's md5-bucket formula keyed on the CLUSTER fingerprint
     "q132_split_assign" ->
       """WITH d AS (

@@ -508,7 +508,45 @@ object Signals {
     graft.operators.Dedup.keepBestLabeled(scored, labels)
   }
 
+  /** q166: bigram language-model estimation — for every vocabulary token,
+    * its 3 most likely successors with conditional-probability estimates
+    * (count-based MLE, reported in integer ppm so both engines divide in
+    * the exact integer domain). The classic n-gram-LM fit step: Markov
+    * next-token tables drive perplexity filters, gibberish detectors, and
+    * cheap synthetic-text generators over a curated corpus.
+    *
+    * Shape: consecutive-pair extraction is per-row array algebra
+    * (zip_with over two slices — no posexplode self-join on positions,
+    * which would shuffle postings twice), pair counts are one map-side-
+    * combined hash-agg, and the windows run over the AGGREGATED
+    * (tok, nxt) table — vocabulary²-bounded, never postings-sized. A
+    * Zipf-headed corpus skews the pair agg's input, not its output: the
+    * head token lands in one window partition only after reduction to
+    * its ≤|V| distinct successors.
+    */
+  def q166BigramLm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = TextFunctions.tokens(col("text"))
+    val pairs = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && size(ts) >= 2)
+      .select(explode(zip_with(
+        slice(ts, lit(1), size(ts) - 1),
+        slice(ts, lit(2), size(ts) - 1),
+        (a, b) => struct(a.as("tok"), b.as("nxt")))).as("p"))
+      .select(col("p.tok"), col("p.nxt"))
+    val counts = pairs.groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
+    val wTok = Window.partitionBy("tok")
+    counts
+      .withColumn("tot", sum("cnt").over(wTok))
+      .withColumn("rk",
+        row_number().over(wTok.orderBy(col("cnt").desc, col("nxt"))))
+      .filter(col("rk") <= 3)
+      .withColumn("p_ppm", expr("cnt * 1000000 DIV tot"))
+      .select("tok", "rk", "nxt", "cnt", "tot", "p_ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_bigram_lm"      -> (q166BigramLm _),
     "q138_semantic_dedup" -> (q138SemanticDedup _),
     "q127_source_trend"   -> (q127SourceTrend _),
     "q128_contains_all"   -> (q128ContainsAll _),
@@ -539,6 +577,24 @@ object Signals {
       |HAVING COUNT(*) * 2000 >= (SELECT n FROM tot)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // consecutive-pair MLE; integer ppm so both engines divide integers
+    "q166_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT ts[i] AS tok, ts[i + 1] AS nxt
+        |  FROM t, UNNEST(range(1, len(ts))) AS u(i)
+        |  WHERE len(ts) >= 2),
+        |c AS (SELECT tok, nxt, COUNT(*) AS cnt FROM p GROUP BY 1, 2),
+        |r AS (
+        |  SELECT tok, nxt, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY tok) AS BIGINT) AS tot,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tok
+        |      ORDER BY cnt DESC, nxt) AS INTEGER) AS rk
+        |  FROM c)
+        |SELECT tok, rk, nxt, cnt, tot, cnt * 1000000 // tot AS p_ppm
+        |FROM r WHERE rk <= 3""".stripMargin,
     // q29's pair CTE (same unrounded-cos threshold), q58's recursive
     // closure, q81's (quality DESC, doc_id) argmax — over the embedded
     // document slice

@@ -140,4 +140,47 @@ class Curation2Spec extends SparkSpecBase {
     assert(!plan.contains("Window"), s"per-stratum sample must not window:\n$plan")
   }
 
+  test("q165 stage manifest equals the global-window formulation; stages balanced") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    val got = Curation2.q165Curriculum(spark, Sf0001)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // brute-force twin: one global window (fine at fixture scale)
+    val base = graft.Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    val w = Window.orderBy(col("quality"), col("doc_id"))
+    val want = base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("stage", expr("CAST((rn - 1) * 4 DIV n + 1 AS INT)"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("t"),
+        min("cum_before").as("off"), min("quality").as("lo"),
+        max("quality").as("hi"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got == want)
+    // 4 stages, sizes differ by at most 1, quality bands are non-decreasing
+    assert(got.keySet == Set(1, 2, 3, 4))
+    val sizes = got.toSeq.sortBy(_._1).map(_._2._1)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced stages: $sizes")
+    val bands = got.toSeq.sortBy(_._1).map(v => (v._2._4, v._2._5))
+    bands.sliding(2).foreach { case Seq((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"stage bands overlap: $bands")
+    }
+    // the scale contract: no data-sized global window — the only
+    // stratum-wide window runs over the chunk aggregate (bounded rows)
+    val plan = Curation2.q165Curriculum(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "chunked prefix still uses bounded windows")
+  }
+
 }

@@ -328,4 +328,49 @@ class SignalsSpec extends SparkSpecBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("q166 bigram LM: hand-computed successors on a planted corpus") {
+    import spark.implicits._
+    // "a b a b a c" -> a:{b:2,c:1}, b:{a:2}; "b a" -> b:{a:1}
+    Seq((1L, "a b a b a c"), (2L, "b a"), (3L, "x"), (4L, null: String))
+      .toDF("doc_id", "text")
+      .createOrReplaceTempView("bigram_fixture")
+    val docs = spark.table("bigram_fixture")
+    // same pair/window algebra as q166, applied to the fixture frame
+    val ts = split(col("text"), " ")
+    val pairs = docs.filter(col("text").isNotNull && size(ts) >= 2)
+      .select(explode(zip_with(
+        slice(ts, lit(1), size(ts) - 1),
+        slice(ts, lit(2), size(ts) - 1),
+        (a, b) => struct(a.as("tok"), b.as("nxt")))).as("p"))
+      .select(col("p.tok"), col("p.nxt"))
+    val counts = pairs.groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts == Map(
+      ("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "a") -> 3L))
+    // whole-query invariants on the real fixture: rk dense 1..<=3 per tok,
+    // p_ppm = cnt*1e6 DIV tot, cnt non-increasing in rk (ties by nxt asc)
+    val rows = Signals.q166BigramLm(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (tok, rs) =>
+      val byRk = rs.sortBy(_.getInt(1))
+      assert(byRk.map(_.getInt(1)).toSeq == (1 to byRk.length), tok)
+      byRk.sliding(2).foreach {
+        case Array(x, y) =>
+          val (cx, cy) = (x.getLong(3), y.getLong(3))
+          assert(cx > cy ||
+            (cx == cy && x.getString(2) < y.getString(2)), tok)
+        case _ =>
+      }
+      byRk.foreach { r =>
+        assert(r.getLong(5) == r.getLong(3) * 1000000L / r.getLong(4))
+      }
+    }
+    // the windows must run AFTER pair aggregation (vocab^2-bounded input),
+    // never over raw postings: exactly one HashAggregate pair below Window
+    val plan = Signals.q166BigramLm(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.indexOf("Window") < plan.indexOf("HashAggregate"),
+      s"window must consume the aggregated pair table:\n$plan")
+  }
+
 }
