@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph centrality — the family beyond connected components
+  * (Dedup.blockedComponents / contractedComponents resolve WHO is linked;
+  * PageRank ranks HOW central each node is). Drives corpus-side link
+  * analysis: domain authority for crawl prioritization, citation weight
+  * for source mixing, seed scoring for quality-propagation schemes.
+  *
+  * Engine-parity contract (the q118/q166 pattern): classic PageRank is a
+  * float fixed point, and float accumulation order is not reproducible
+  * across engines — so this operator defines FIXED-POINT integer
+  * semantics and makes them the contract:
+  *
+  *   pr_0(v)     = SCALE DIV n
+  *   pr_{k+1}(v) = (3*SCALE) DIV (20*n)
+  *                 + (17 * sum over in-edges (u,v) of pr_k(u) DIV outdeg(u)) DIV 20
+  *
+  * damping 0.85 = 17/20 and teleport 0.15 = 3/20 are exact rationals;
+  * every operation is integer division/multiplication on BIGINTs, so any
+  * engine reproduces the trajectory bit-for-bit (DuckDB replays it as an
+  * unrolled CTE chain under the q167 gate; GraphSpec pins a plain-Scala
+  * reference). Rank error vs float PageRank is bounded by the DIV
+  * truncations: < 1 ulp of SCALE per term, ~1e-12 relative at the
+  * default SCALE — far below any ranking consumer's resolution.
+  */
+object Graph {
+
+  val DefaultScale: Long = 1000000000000L // 1e12: n and outdeg up to ~1e6 keep 6+ digits
+
+  /** Fixed-point PageRank over a directed edge list `(src, dst)`.
+    *
+    * Requirements: edges distinct; every node appears as BOTH a src and
+    * a dst (a symmetrized edge set satisfies this; for genuinely directed
+    * graphs, pre-drop sources/sinks or symmetrize). Returns one row per
+    * node: (id, pr) after `iterations` rounds.
+    *
+    * Scale shape: the out-degree is joined onto the edge list ONCE
+    * (static across rounds) and the decorated edges persist across
+    * rounds, so each round is exactly
+    *
+    *   edges ⋈ rank-frame (keyed src) → per-dst contribution aggregation
+    *   (map-side combined) → teleport + damping arithmetic
+    *
+    * — ONE join and ONE exchange per round, nothing node-count-sized
+    * ever funnels through a single task. With `broadcastRanks = true`
+    * (default) the |V|-sized rank frame broadcasts and the persisted
+    * edges never re-shuffle — right while ranks fit an executor (up to
+    * ~10^8 nodes); for billion-node graphs pass `broadcastRanks = false`
+    * and the join keys on src as co-partitioned shuffles — the canonical
+    * distributed PageRank step. The node count n enters the teleport
+    * term as a driver-side literal from one bounded count — the
+    * boundary-array/centroid pattern (StratifiedSelect.scala:35) — and
+    * that one eager action also materializes the edge cache on a PLAIN
+    * job path: left to the caller's terminal action, the cache would
+    * first build inside a nested BroadcastExchange job (driver-side
+    * thread, AQE re-planning per nesting level), measured ~3x slower for
+    * the same work. The rounds themselves stay LAZY and fuse into the
+    * caller's action (per-round checkpointing was measured and rejected:
+    * each round's separate job re-pays broadcast-build latency). The
+    * edge cache releases through the Caching listener once the caller's
+    * action consumes the result.
+    */
+  def fixedPointPageRank(edges: DataFrame, iterations: Int,
+                         scale: Long = DefaultScale,
+                         broadcastRanks: Boolean = true,
+                         persistEdges: Boolean = true): DataFrame = {
+    require(iterations >= 1, s"need >= 1 iteration, got $iterations")
+    require(iterations <= 64,
+      s"$iterations unrolled iterations would build an unreasonably deep " +
+        "plan; fixed-point PageRank is meant for small fixed round counts")
+    val e0 = edges.select(col("src"), col("dst"))
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // outdeg is static: decorate the edges once, not once per round.
+    // persistEdges = false when the caller's edge list is already a cheap
+    // read (a trivial map over its own persisted frame) AND re-running
+    // the degree agg per round is acceptable; the default caches the
+    // decorated edges for all rounds.
+    val eJoined = e0.join(deg, "src")
+    val e = if (persistEdges) eJoined.persist() else eJoined
+    // one bounded driver-side action: |V| for the teleport literal (and,
+    // as a deliberate side effect, the edge-cache materialization)
+    val n = e.select(col("src")).distinct().count()
+    require(n > 0, "PageRank over an empty edge list")
+    val teleport = (3 * scale) / (20 * n)
+    def bc(df: DataFrame): DataFrame = if (broadcastRanks) broadcast(df) else df
+    var pr = deg.select(col("src").as("id"), lit(scale / n).as("pr"))
+    for (_ <- 1 to iterations) {
+      pr = e
+        .join(bc(pr.withColumnRenamed("id", "src")), "src")
+        .select(col("dst").as("id"), expr("pr DIV outdeg").as("contrib"))
+        .groupBy("id").agg(sum("contrib").as("insum"))
+        .select(col("id"),
+          (lit(teleport) + expr("(17 * insum) DIV 20")).as("pr"))
+    }
+    if (persistEdges) Caching.releaseAfterConsumed(pr, e) else pr
+  }
+}

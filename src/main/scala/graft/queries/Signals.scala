@@ -545,7 +545,52 @@ object Signals {
       .select("tok", "rk", "nxt", "cnt", "tot", "p_ppm")
   }
 
+  /** q167: fixed-point PageRank over the supplier↔customer trade graph —
+    * nodes are suppliers and customers (disjoint 'S'/'C' id namespaces),
+    * with a directed edge each way per distinct (supplier, customer)
+    * shipping relation from lineitem⋈orders. Output: the 20 most central
+    * nodes after 3 rounds. The integer fixed-point semantics (damping
+    * 17/20, teleport 3/20, SCALE = 1e12 — operators.Graph scaladoc) make
+    * the whole trajectory engine-reproducible; the oracle replays all
+    * 3 rounds as an unrolled CTE chain and an independent driver-side
+    * reference implementation pins the same trajectory in GraphSpec.
+    *
+    * Scale: edge extraction is one distinct over the fact join (linear);
+    * each round is the canonical 2-exchange PageRank step (Graph
+    * scaladoc); top-20 is TakeOrdered, never a global sort.
+    */
+  def q167PageRank(s: SparkSession, dir: String): DataFrame = {
+    // node ids stay LONG through the whole computation (suppliers on the
+    // even axis, customers on the odd — disjoint by parity): integer
+    // distinct/joins/aggs beat string keys by ~3x here; the 'S'/'C'
+    // presentation labels are minted on the final 20 rows only
+    // persisted: the symmetrizing union reads it twice (once per
+    // direction), and re-running the fact join + distinct for the second
+    // direction measurably dominated the whole query (2.4 s of a 3.9 s
+    // total at sf0.1). Released by the same listener pattern the
+    // operator uses for its own frames.
+    val sc = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey").cast("long") * 2).as("sk"),
+        (col("o_custkey").cast("long") * 2 + 1).as("ck"))
+      .distinct()
+      .persist()
+    val edges = sc.select(col("sk").as("src"), col("ck").as("dst"))
+      .union(sc.select(col("ck").as("src"), col("sk").as("dst")))
+    val top = graft.operators.Graph.fixedPointPageRank(edges, iterations = 3)
+      .orderBy(col("pr").desc, col("id"))
+      .limit(20)
+      .select(
+        when(col("id") % 2 === 0, concat(lit("S"), expr("id DIV 2")))
+          .otherwise(concat(lit("C"), expr("id DIV 2")))
+          .as("id"),
+        col("pr"))
+    graft.operators.Caching.releaseAfterConsumed(top, sc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_pagerank"       -> (q167PageRank _),
     "q166_bigram_lm"      -> (q166BigramLm _),
     "q138_semantic_dedup" -> (q138SemanticDedup _),
     "q127_source_trend"   -> (q127SourceTrend _),
@@ -576,7 +621,38 @@ object Signals {
       |FROM terms GROUP BY term
       |HAVING COUNT(*) * 2000 >= (SELECT n FROM tot)""".stripMargin
 
+  /** One unrolled PageRank round over `prev` — Graph.fixedPointPageRank's
+    * integer recurrence verbatim (see its scaladoc for the contract). */
+  private def pageRankRoundSql(prev: String): String =
+    s"""SELECT e.dst AS id,
+      |  CAST((3 * 1000000000000) // (20 * nn.n)
+      |    + (17 * CAST(SUM(p.pr // d.outdeg) AS BIGINT)) // 20 AS BIGINT) AS pr
+      |FROM edges e JOIN $prev p ON p.id = e.src
+      |  JOIN deg d ON d.src = e.src, nn
+      |GROUP BY e.dst, nn.n""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // 3 unrolled rounds of the integer recurrence; the S/C namespaces keep
+    // supplier and customer keys disjoint
+    "q167_pagerank" ->
+      s"""WITH sc AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS sk,
+        |    CAST(o_custkey AS BIGINT) * 2 + 1 AS ck
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT sk AS src, ck AS dst FROM sc
+        |          UNION ALL SELECT ck, sk FROM sc),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |pr0 AS (SELECT id, CAST(1000000000000 // nn.n AS BIGINT) AS pr
+        |        FROM nodes, nn),
+        |it1 AS (${pageRankRoundSql("pr0")}),
+        |it2 AS (${pageRankRoundSql("it1")}),
+        |it3 AS (${pageRankRoundSql("it2")}),
+        |top AS (SELECT id, pr FROM it3 ORDER BY pr DESC, id LIMIT 20)
+        |SELECT CASE WHEN id % 2 = 0 THEN 'S' || (id // 2)
+        |            ELSE 'C' || (id // 2) END AS id, pr
+        |FROM top""".stripMargin,
     // consecutive-pair MLE; integer ppm so both engines divide integers
     "q166_bigram_lm" ->
       """WITH t AS (

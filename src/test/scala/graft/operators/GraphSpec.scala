@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Independent reference: the integer recurrence computed with plain
+    * Scala maps — no Spark, no SQL. */
+  private def referencePr(edges: Seq[(String, String)], iterations: Int,
+                          scale: Long = Graph.DefaultScale): Map[String, Long] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = out.size.toLong
+    var pr = out.keys.map(_ -> scale / n).toMap
+    for (_ <- 1 to iterations) {
+      val ins = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      out.foreach { case (u, vs) =>
+        val c = pr(u) / vs.size
+        vs.foreach(v => ins(v) += c)
+      }
+      pr = out.keys.map(v => v -> ((3 * scale) / (20 * n) + 17 * ins(v) / 20)).toMap
+    }
+    pr
+  }
+
+  test("fixedPointPageRank matches the plain-Scala recurrence on a planted graph") {
+    // a triangle plus a pendant pair: asymmetric degrees, full coverage
+    val planted = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c",
+      "c" -> "d", "d" -> "c")
+    val got = Graph.fixedPointPageRank(
+        planted.toDF("src", "dst"), iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == referencePr(planted, 4))
+    // more-linked-to c must outrank the pendant d
+    assert(got("c") > got("d"))
+  }
+
+  test("q167's trade graph reproduces the reference trajectory at sf0.001") {
+    val sc = graft.Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(graft.Tables.orders(spark, Sf0001)
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("S"), col("l_suppkey")).as("s"),
+        concat(lit("C"), col("o_custkey")).as("c"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val sym = sc.toSeq ++ sc.map { case (s, c) => (c, s) }
+    val want = referencePr(sym, 3)
+    val got = Graph.fixedPointPageRank(
+        sym.toDF("src", "dst"), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // every node ranked exactly once; probability mass stays bounded by
+    // SCALE (teleport truncation only ever loses mass, never creates it)
+    assert(got.keySet == sym.map(_._1).toSet)
+    assert(got.values.sum <= Graph.DefaultScale)
+  }
+
+  test("pageRank releases its intra-operator caches after consumption") {
+    val planted = Seq("a" -> "b", "b" -> "a").toDF("src", "dst")
+    val pr = Graph.fixedPointPageRank(planted, iterations = 1)
+    assert(pr.count() == 2)
+    // Caching listener fires async on the listener bus — poll
+    eventuallyEmptyCache()
+  }
+
+  private def eventuallyEmptyCache(): Unit = {
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (!spark.sharedState.cacheManager.isEmpty &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "persisted edge frame must be released after the consuming action")
+  }
+}
