@@ -154,9 +154,31 @@ object Relational2 {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q14 (promo revenue share) adapted to the fixture's plain
+    * `p_type` values ('PROMO', not 'PROMO BURNISHED ...') and shipdate
+    * range. Same engine-parity contract as Q1/Q6: both conditional and
+    * total revenue accumulate as DECIMAL(28,6) (order-invariant), the
+    * percentage is one final double expression.
+    */
+  val TpchQ14Text: String =
+    """SELECT (100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+      |    AS DECIMAL(28,6))) AS DOUBLE))
+      |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS promo_revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
+
   def q146TpchQ1(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(TpchQ1Text)
+  }
+
+  def q168TpchQ14(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(TpchQ14Text)
   }
 
   def q147TpchQ6(s: SparkSession, dir: String): DataFrame = {
@@ -195,13 +217,15 @@ object Relational2 {
     "q41_shipping_priority" -> (q41ShippingPriority _),
     "q146_tpch_q1"         -> (q146TpchQ1 _),
     "q147_tpch_q6"         -> (q147TpchQ6 _),
-    "q148_tpch_q18"        -> (q148TpchQ18 _))
+    "q148_tpch_q18"        -> (q148TpchQ18 _),
+    "q168_tpch_q14"        -> (q168TpchQ14 _))
 
   val oracles: Map[String, String] = Map(
     "q40_sql_surface" -> SqlSurfaceText,
     "q146_tpch_q1"    -> TpchQ1Text,
     "q147_tpch_q6"    -> TpchQ6Text,
     "q148_tpch_q18"   -> TpchQ18Text,
+    "q168_tpch_q14"   -> TpchQ14Text,
     "q41_shipping_priority" ->
       """SELECT l_orderkey, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE)
