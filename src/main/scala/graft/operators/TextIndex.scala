@@ -96,6 +96,91 @@ object TextIndex {
       s.table(s"${tableBase}_stats"))
   }
 
+  /** Consecutive-token pair stream — q166's extraction: per-row array
+    * algebra (zip_with over two slices), never a positional self-join.
+    */
+  def bigramPairs(docs: DataFrame, unicode: Boolean = false): DataFrame = {
+    val ts = TextFunctions.tokens(col("text"), unicode)
+    docs.filter(col("text").isNotNull && size(ts) >= 2)
+      .select(explode(zip_with(
+        slice(ts, lit(1), size(ts) - 1),
+        slice(ts, lit(2), size(ts) - 1),
+        (a, b) => struct(a.as("tok"), b.as("nxt")))).as("p"))
+      .select(col("p.tok"), col("p.nxt"))
+  }
+
+  /** q166's ranking algebra over a (tok, nxt, cnt) count table: top-k
+    * successors per token with integer-ppm conditional probabilities.
+    * The windows see only the aggregated vocab²-bounded table.
+    */
+  def bigramTopK(counts: DataFrame, k: Int = 3): DataFrame = {
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+    counts
+      .withColumn("tot", sum("cnt").over(wTok))
+      .withColumn("rk",
+        row_number().over(wTok.orderBy(col("cnt").desc, col("nxt"))))
+      .filter(col("rk") <= k)
+      .withColumn("p_ppm", expr("cnt * 1000000 DIV tot"))
+      .select("tok", "rk", "nxt", "cnt", "tot", "p_ppm")
+  }
+
+  /** Build and persist bigram-conditional statistics: (tok, nxt, cnt)
+    * BUCKETED BY tok. Unlike the BM25 postings, the rows are PARTIAL
+    * COUNTS under an additive monoid — the probe re-aggregates — so
+    * admission needs NO doc-disjointness precondition: any batch split,
+    * even re-chunked or interleaved, folds to the same statistics.
+    */
+  def saveBigramStats(docs: DataFrame, table: String,
+                      numBuckets: Int = 32): DataFrame = {
+    val s = docs.sparkSession
+    graft.sources.Sinks.parquetBucketed(
+      bigramPairs(docs).groupBy("tok", "nxt").agg(count(lit(1)).as("cnt")),
+      table, "tok", numBuckets)
+    s.table(table)
+  }
+
+  /** Admit a new batch: only the batch tokenizes, its partial counts
+    * APPEND into the bucketed table (at most one new file per touched
+    * bucket; the indexed statistics never re-shuffle or re-scan).
+    */
+  def appendBigramStats(newDocs: DataFrame, table: String,
+                        numBuckets: Int = 32): DataFrame = {
+    bigramPairs(newDocs).groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, "tok").sortBy("tok")
+      .saveAsTable(table)
+    newDocs.sparkSession.table(table)
+  }
+
+  /** Semantic compaction: fold the accumulated per-batch partials to ONE
+    * row per (tok, nxt) and one file per bucket. The fold rides the
+    * bucketing — hashPartitioning(tok) satisfies the (tok, nxt) clustering
+    * the aggregate needs, so the rewrite is shuffle-free — and because the
+    * probe re-aggregates anyway, compaction changes performance, never
+    * results.
+    */
+  def compactBigramStats(table: String, numBuckets: Int = 32): Unit = {
+    val s = org.apache.spark.sql.SparkSession.active
+    // staging + catalog-rename swap (Sinks.compactBucketedTable's
+    // contract): never overwrite a table the fold is reading
+    val tmp = s"${table}_compact_staging"
+    s.sql(s"DROP TABLE IF EXISTS $tmp")
+    graft.sources.Sinks.reclaimOrphanTableLocation(s, tmp)
+    s.table(table).groupBy("tok", "nxt").agg(sum("cnt").as("cnt"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, "tok").sortBy("tok")
+      .saveAsTable(tmp)
+    s.sql(s"DROP TABLE $table")
+    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  /** q166's answer from the persisted statistics — the corpus is never
+    * touched: one shuffle-free fold over the bucketed scan, then the
+    * ranking windows over the aggregated table.
+    */
+  def bigramTopKIndexed(stats: DataFrame, k: Int = 3): DataFrame =
+    bigramTopK(stats.groupBy("tok", "nxt").agg(sum("cnt").as("cnt")), k)
+
   /** BM25 (k1 = 1.25, b = 0.75, rational idf — Signals.bm25's algebra)
     * answered from the persisted index. The corpus is never touched: tf
     * and df come from the term-pruned posting read (df is a shuffle-free

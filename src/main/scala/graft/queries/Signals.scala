@@ -525,25 +525,27 @@ object Signals {
     * its ≤|V| distinct successors.
     */
   def q166BigramLm(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ts = TextFunctions.tokens(col("text"))
-    val pairs = Tables.documents(s, dir)
-      .filter(col("text").isNotNull && size(ts) >= 2)
-      .select(explode(zip_with(
-        slice(ts, lit(1), size(ts) - 1),
-        slice(ts, lit(2), size(ts) - 1),
-        (a, b) => struct(a.as("tok"), b.as("nxt")))).as("p"))
-      .select(col("p.tok"), col("p.nxt"))
-    val counts = pairs.groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
-    val wTok = Window.partitionBy("tok")
-    counts
-      .withColumn("tot", sum("cnt").over(wTok))
-      .withColumn("rk",
-        row_number().over(wTok.orderBy(col("cnt").desc, col("nxt"))))
-      .filter(col("rk") <= 3)
-      .withColumn("p_ppm", expr("cnt * 1000000 DIV tot"))
-      .select("tok", "rk", "nxt", "cnt", "tot", "p_ppm")
+    import graft.operators.TextIndex
+    TextIndex.bigramTopK(
+      TextIndex.bigramPairs(Tables.documents(s, dir))
+        .groupBy("tok", "nxt").agg(count(lit(1)).as("cnt")))
   }
+
+  /** q169: q166's bigram statistics served from a PERSISTED bucketed
+    * stats table through the full admission lifecycle — build from the
+    * even-doc_id slice, admit the odd slice by bucketed append, fold the
+    * accumulated partials with a semantic compaction (one row per pair,
+    * one file per bucket, shuffle-free on the bucketing), then probe.
+    * Counts are an additive monoid, so unlike BM25 postings the admission
+    * path has NO doc-disjointness precondition: any batch split folds to
+    * the same statistics, which is exactly why the probe can sit under
+    * q166's own oracle. Declared under q166's oracle string (one LM
+    * semantics, two hash-equal plans — the q162/q163 device for n-gram
+    * statistics).
+    */
+  def q169BigramIndexed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.bigramTopKIndexed(
+      BigramStatsTables.ensure(s, dir))
 
   /** q167: fixed-point PageRank over the supplier↔customer trade graph —
     * nodes are suppliers and customers (disjoint 'S'/'C' id namespaces),
@@ -592,6 +594,7 @@ object Signals {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_pagerank"       -> (q167PageRank _),
     "q166_bigram_lm"      -> (q166BigramLm _),
+    "q169_bigram_indexed" -> (q169BigramIndexed _),
     "q138_semantic_dedup" -> (q138SemanticDedup _),
     "q127_source_trend"   -> (q127SourceTrend _),
     "q128_contains_all"   -> (q128ContainsAll _),
@@ -613,6 +616,26 @@ object Signals {
     * reproduce the exact heavy-hitters answer, so both run under the one
     * SQL formulation.
     */
+  /** q166's oracle, shared verbatim by q169: the persisted bigram-stats
+    * probe must reproduce the exact direct-pass answer. */
+  private val bigramLmSql: String =
+    """WITH t AS (
+      |  SELECT string_split(text, ' ') AS ts
+      |  FROM documents WHERE text IS NOT NULL),
+      |p AS (
+      |  SELECT ts[i] AS tok, ts[i + 1] AS nxt
+      |  FROM t, UNNEST(range(1, len(ts))) AS u(i)
+      |  WHERE len(ts) >= 2),
+      |c AS (SELECT tok, nxt, COUNT(*) AS cnt FROM p GROUP BY 1, 2),
+      |r AS (
+      |  SELECT tok, nxt, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY tok) AS BIGINT) AS tot,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY tok
+      |      ORDER BY cnt DESC, nxt) AS INTEGER) AS rk
+      |  FROM c)
+      |SELECT tok, rk, nxt, cnt, tot, cnt * 1000000 // tot AS p_ppm
+      |FROM r WHERE rk <= 3""".stripMargin
+
   private val heavyTokensSql: String =
     """WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term
       |               FROM documents WHERE text IS NOT NULL),
@@ -654,23 +677,9 @@ object Signals {
         |            ELSE 'C' || (id // 2) END AS id, pr
         |FROM top""".stripMargin,
     // consecutive-pair MLE; integer ppm so both engines divide integers
-    "q166_bigram_lm" ->
-      """WITH t AS (
-        |  SELECT string_split(text, ' ') AS ts
-        |  FROM documents WHERE text IS NOT NULL),
-        |p AS (
-        |  SELECT ts[i] AS tok, ts[i + 1] AS nxt
-        |  FROM t, UNNEST(range(1, len(ts))) AS u(i)
-        |  WHERE len(ts) >= 2),
-        |c AS (SELECT tok, nxt, COUNT(*) AS cnt FROM p GROUP BY 1, 2),
-        |r AS (
-        |  SELECT tok, nxt, cnt,
-        |    CAST(SUM(cnt) OVER (PARTITION BY tok) AS BIGINT) AS tot,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY tok
-        |      ORDER BY cnt DESC, nxt) AS INTEGER) AS rk
-        |  FROM c)
-        |SELECT tok, rk, nxt, cnt, tot, cnt * 1000000 // tot AS p_ppm
-        |FROM r WHERE rk <= 3""".stripMargin,
+    "q166_bigram_lm" -> bigramLmSql,
+    // the persisted-stats probe must be bit-identical to the direct pass
+    "q169_bigram_indexed" -> bigramLmSql,
     // q29's pair CTE (same unrounded-cos threshold), q58's recursive
     // closure, q81's (quality DESC, doc_id) argmax — over the embedded
     // document slice
@@ -955,5 +964,51 @@ private[queries] object ZOrderedOrders {
         "o_custkey", "o_totalprice", parts = 8)
     }
     path.toString
+  }
+}
+
+/** q169's lifecycle table: bigram partial counts built from the even-doc_id
+  * slice, the odd slice admitted by bucketed append, then semantically
+  * compacted (one row per pair, one file per bucket). Same rebuild
+  * contract as Bm25AdmitTables: completeness is checked by TOTAL COUNT
+  * (the additive monoid's invariant — sum(cnt) must equal the corpus's
+  * consecutive-pair count), and the file-count check distinguishes
+  * "admitted" from "admitted then compacted", so a crash between stages
+  * rebuilds rather than serving a half-grown table as the gated one.
+  */
+private[queries] object BigramStatsTables {
+  def ensure(s: SparkSession, dir: String): DataFrame = synchronized {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val table = s"graft_bigram_$tag"
+    val numBuckets = 32
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    def files: Long = {
+      val loc = new org.apache.hadoop.fs.Path(java.net.URI.create(
+        s.sessionState.catalog.getTableMetadata(
+          s.sessionState.sqlParser.parseTableIdentifier(table))
+          .location.toString))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).count(_.getPath.getName.endsWith(".parquet")).toLong
+    }
+    lazy val corpusPairs = docs
+      .select(greatest(size(TextFunctions.tokens(col("text"))) - 1, lit(0))
+        .cast("long").as("np"))
+      .agg(coalesce(sum("np"), lit(0L))).collect()(0).getLong(0)
+    val complete = s.catalog.tableExists(table) &&
+      files <= numBuckets &&
+      s.table(table).agg(coalesce(sum("cnt"), lit(0L)))
+        .collect()(0).getLong(0) == corpusPairs
+    if (!complete) {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      graft.sources.Sinks.reclaimOrphanTableLocation(s, table)
+      val isBase = pmod(col("doc_id"), lit(2L)) === 0
+      graft.operators.TextIndex.saveBigramStats(docs.filter(isBase), table,
+        numBuckets)
+      graft.operators.TextIndex.appendBigramStats(docs.filter(!isBase), table,
+        numBuckets)
+      graft.operators.TextIndex.compactBigramStats(table, numBuckets)
+    }
+    s.table(table)
   }
 }

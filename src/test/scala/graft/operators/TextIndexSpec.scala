@@ -123,4 +123,53 @@ class TextIndexSpec extends SparkSpecBase {
         s"posting read must be bucket-pruned:\n$plan")
     } finally drop()
   }
+
+  private val bgTable = "graft_bigram_spec"
+  private def dropBg(): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $bgTable")
+    spark.sql(s"DROP TABLE IF EXISTS ${bgTable}_fullref")
+    spark.sql(s"DROP TABLE IF EXISTS ${bgTable}_compact_staging")
+  }
+
+  test("bigram stats: build+admit+compact probes equal to the full build AND the direct pass") {
+    dropBg()
+    try {
+      val docs = graft.Tables.documents(spark, Sf0001)
+        .filter(col("text").isNotNull)
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val direct = key(TextIndex.bigramTopK(
+        TextIndex.bigramPairs(docs).groupBy("tok", "nxt")
+          .agg(count(lit(1)).as("cnt"))))
+      assert(direct.nonEmpty)
+      // full build in one shot
+      TextIndex.saveBigramStats(docs, s"${bgTable}_fullref", numBuckets = 8)
+      assert(key(TextIndex.bigramTopKIndexed(
+        spark.table(s"${bgTable}_fullref"))) == direct)
+      // grown lifecycle: thirds admitted in sequence, NO disjointness care
+      val batchOf = pmod(xxhash64(col("doc_id")), lit(3L))
+      TextIndex.saveBigramStats(docs.filter(batchOf === 0), bgTable, 8)
+      TextIndex.appendBigramStats(docs.filter(batchOf === 1), bgTable, 8)
+      TextIndex.appendBigramStats(docs.filter(batchOf === 2), bgTable, 8)
+      assert(key(TextIndex.bigramTopKIndexed(spark.table(bgTable))) == direct)
+      // semantic compaction: ≤ one file per bucket, same probe, partials folded
+      TextIndex.compactBigramStats(bgTable, 8)
+      val loc = new org.apache.hadoop.fs.Path(java.net.URI.create(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(bgTable))
+          .location.toString))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.listStatus(loc).count(_.getPath.getName.endsWith(".parquet")) <= 8)
+      assert(key(TextIndex.bigramTopKIndexed(spark.table(bgTable))) == direct)
+      val rows = spark.table(bgTable)
+      assert(rows.groupBy("tok", "nxt").count().filter(col("count") > 1).isEmpty,
+        "compaction must fold to one row per pair")
+      // the probe's fold rides the tok bucketing: no exchange below the agg
+      val plan = spark.table(bgTable).groupBy("tok", "nxt")
+        .agg(sum("cnt").as("cnt")).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(tok"),
+        s"partial-count fold must ride the bucketing:\n$plan")
+    } finally dropBg()
+  }
 }
