@@ -172,4 +172,38 @@ class TextIndexSpec extends SparkSpecBase {
         s"partial-count fold must ride the bucketing:\n$plan")
     } finally dropBg()
   }
+
+  test("streamed bigram admission: per-micro-batch appends probe equal to the direct pass") {
+    dropBg()
+    try {
+      val docs = graft.Tables.documents(spark, Sf0001)
+        .filter(col("text").isNotNull)
+      val isBase = pmod(col("doc_id"), lit(2L)) === 0
+      TextIndex.saveBigramStats(docs.filter(isBase), bgTable, numBuckets = 8)
+      val arriving = docs.filter(!isBase).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) { TextIndex.appendBigramStats(b, bgTable, 8); () }
+        }.start()
+      try {
+        val (a, b) = arriving.splitAt(arriving.length / 2)
+        input.addData(a.toSeq); q.processAllAvailable()
+        input.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      spark.catalog.refreshTable(bgTable)
+      val direct = TextIndex.bigramTopK(
+        TextIndex.bigramPairs(docs).groupBy("tok", "nxt")
+          .agg(count(lit(1)).as("cnt")))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+      val probed = TextIndex.bigramTopKIndexed(spark.table(bgTable))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+      assert(probed == direct, "streamed admission diverged from direct pass")
+      assert(direct.nonEmpty)
+    } finally dropBg()
+  }
 }
