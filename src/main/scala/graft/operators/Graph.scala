@@ -97,4 +97,62 @@ object Graph {
     }
     if (persistEdges) Caching.releaseAfterConsumed(pr, e) else pr
   }
+
+  /** Personalized PageRank: teleport mass restricted to a SEED set —
+    * authority flows outward from trusted nodes (seed-domain quality
+    * propagation, citation weighting from curated sources). Same integer
+    * fixed-point contract as [[fixedPointPageRank]], with the teleport
+    * term per node:
+    *
+    *   base(v)     = v ∈ S ? (3*SCALE) DIV (20*|S|) : 0
+    *   pr_0(v)     = v ∈ S ? SCALE DIV |S| : 0
+    *   pr_{k+1}(v) = base(v) + (17 * sum of pr_k(u) DIV outdeg(u)) DIV 20
+    *
+    * `seeds` is one `id` column; seeds outside the node set are ignored
+    * (|S| counts the intersection). Same requirements and plan shape as
+    * the uniform variant, with one twist that keeps it at ONE join per
+    * round: the per-DST base term is decorated onto the edge list at
+    * build time (base is static, like outdeg), so each round's
+    * aggregation carries it out via min() — constant per dst — instead of
+    * re-joining a node-base frame every round.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int,
+                           scale: Long = DefaultScale,
+                           broadcastRanks: Boolean = true): DataFrame = {
+    require(iterations >= 1, s"need >= 1 iteration, got $iterations")
+    require(iterations <= 64, "fixed-point PageRank wants small fixed round counts")
+    val e0 = edges.select(col("src"), col("dst"))
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val seedIds = seeds.select(col("id")).distinct()
+    val nodes = deg.select(col("src").as("id"))
+    val nSeeds = nodes.join(seedIds, "id").count() // bounded driver count
+    require(nSeeds > 0, "no seed intersects the node set")
+    val base = (3 * scale) / (20 * nSeeds)
+    val seedFlag = broadcast(seedIds.withColumn("is_seed", lit(true)))
+    // decorate outdeg(src) AND base(dst) onto the edges once; both static
+    val e = e0
+      .join(deg, "src")
+      .join(seedFlag.select(col("id").as("dst"), col("is_seed")), Seq("dst"), "left")
+      .withColumn("dst_base",
+        when(col("is_seed"), lit(base)).otherwise(lit(0L)))
+      .drop("is_seed")
+      .persist()
+    e.count() // plain-path cache materialization (fixedPointPageRank's note)
+    def bc(df: DataFrame): DataFrame = if (broadcastRanks) broadcast(df) else df
+    var pr = nodes.join(seedFlag, Seq("id"), "left")
+      .select(col("id"),
+        when(col("is_seed"), lit(scale / nSeeds)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iterations) {
+      pr = e
+        .join(bc(pr.withColumnRenamed("id", "src")), "src")
+        .select(col("dst").as("id"), expr("pr DIV outdeg").as("contrib"),
+          col("dst_base"))
+        .groupBy("id")
+        .agg(sum("contrib").as("insum"), min("dst_base").as("b"))
+        .select(col("id"),
+          (col("b") + expr("(17 * insum) DIV 20")).as("pr"))
+    }
+    Caching.releaseAfterConsumed(pr, e)
+  }
 }

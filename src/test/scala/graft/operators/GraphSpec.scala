@@ -57,6 +57,64 @@ class GraphSpec extends SparkSpecBase {
     assert(got.values.sum <= Graph.DefaultScale)
   }
 
+  /** Personalized variant of [[referencePr]]: teleport only on seeds. */
+  private def referencePpr(edges: Seq[(String, String)], seeds: Set[String],
+                           iterations: Int,
+                           scale: Long = Graph.DefaultScale): Map[String, Long] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val s = seeds.intersect(out.keySet)
+    val k = s.size.toLong
+    var pr = out.keys.map(v => v -> (if (s(v)) scale / k else 0L)).toMap
+    for (_ <- 1 to iterations) {
+      val ins = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      out.foreach { case (u, vs) =>
+        val c = pr(u) / vs.size
+        vs.foreach(v => ins(v) += c)
+      }
+      pr = out.keys.map(v => v ->
+        ((if (s(v)) (3 * scale) / (20 * k) else 0L) + 17 * ins(v) / 20)).toMap
+    }
+    pr
+  }
+
+  test("personalizedPageRank matches the reference; authority stays near seeds") {
+    val planted = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c",
+      "c" -> "d", "d" -> "c")
+    val seeds = Seq("a").toDF("id")
+    val got = Graph.personalizedPageRank(planted.toDF("src", "dst"), seeds, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == referencePpr(planted, Set("a"), 4))
+    // the thrice-linked hub c (fed directly by the seed) dominates the
+    // non-seed field; the seed itself keeps its teleport mass
+    assert(got("c") > got("b") && got("c") > got("d") && got("a") > 0L)
+    // seeds outside the node set are ignored, not mass sinks
+    val got2 = Graph.personalizedPageRank(planted.toDF("src", "dst"),
+        Seq("a", "zz").toDF("id"), 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == referencePpr(planted, Set("a"), 2))
+  }
+
+  test("q170's seeded trade graph reproduces the reference trajectory at sf0.001") {
+    val sc = graft.Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(graft.Tables.orders(spark, Sf0001)
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("S"), col("l_suppkey")).as("s"),
+        concat(lit("C"), col("o_custkey")).as("c"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val sym = sc.toSeq ++ sc.map { case (s, c) => (c, s) }
+    val seedSet = graft.Tables.supplier(spark, Sf0001)
+      .filter(col("s_nationkey") < 5)
+      .select(concat(lit("S"), col("s_suppkey")))
+      .collect().map(_.getString(0)).toSet
+    val want = referencePpr(sym, seedSet, 3)
+    val got = Graph.personalizedPageRank(sym.toDF("src", "dst"),
+        seedSet.toSeq.toDF("id"), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("pageRank releases its intra-operator caches after consumption") {
     val planted = Seq("a" -> "b", "b" -> "a").toDF("src", "dst")
     val pr = Graph.fixedPointPageRank(planted, iterations = 1)
