@@ -155,4 +155,68 @@ object Graph {
     }
     Caching.releaseAfterConsumed(pr, e)
   }
+
+  case class Hits(hubs: DataFrame, authorities: DataFrame)
+
+  /** HITS hubs-and-authorities over a DIRECTED edge list — unlike the
+    * PageRank pair, no symmetrization: the two roles are the point
+    * (on a supplier→customer graph, hub score ranks suppliers by the
+    * breadth×quality of the customers they reach; authority score ranks
+    * customers by the hubs that reach them).
+    *
+    * Integer contract (the PageRank device, with normalization made
+    * integer-exact by MAX-QUANTIZATION instead of a ratio):
+    *
+    *   h_0(v)    = SCALE
+    *   per round:
+    *     a_raw(v) = sum over in-edges (u,v) of h(u)
+    *     a(v)     = a_raw(v) DIV max(1, max_w a_raw(w) DIV SCALE)
+    *     h_raw(v) = sum over out-edges (v,w) of a(w)
+    *     h(v)     = h_raw(v) DIV max(1, max_w h_raw(w) DIV SCALE)
+    *
+    * The quantized normalizer keeps every value ≤ ~2·SCALE with pure
+    * BIGINT ops (a ratio normalizer would need 128-bit intermediates),
+    * at ≤ 1-ulp-of-SCALE relative error per round — both engines replay
+    * the trajectory bit-for-bit (q171's oracle; GraphSpec reference).
+    * Overflow bound: in-degree × 2·SCALE must fit int64 — at the default
+    * SCALE that is ~4.6e6 in-edges per node; pick a smaller scale for
+    * denser graphs.
+    *
+    * Plan shape per round: two edge joins (keyed src then dst) + two
+    * map-side-combined aggregations + two broadcast 1-row max frames —
+    * the max enters the plan as the broadcast 1-row aggregate (the
+    * Dashboard pattern), never a driver literal. Scores broadcast by
+    * default (|V|-sized); `broadcastScores = false` keys them as
+    * co-partitioned shuffles. `edges` is re-scanned twice per round —
+    * pass a materialized (table-backed) frame, the TradeGraphPairs
+    * contract, rather than a deep pipeline.
+    */
+  def hits(edges: DataFrame, iterations: Int,
+           scale: Long = DefaultScale,
+           broadcastScores: Boolean = true): Hits = {
+    require(iterations >= 1, s"need >= 1 iteration, got $iterations")
+    require(iterations <= 64, "HITS wants small fixed round counts")
+    val e = edges.select(col("src"), col("dst"))
+    def bc(df: DataFrame): DataFrame = if (broadcastScores) broadcast(df) else df
+    def quantNorm(raw: DataFrame): DataFrame = {
+      val g = raw.agg(max("raw").as("m"))
+        .select(greatest(lit(1L), expr(s"m DIV $scale")).as("g"))
+      raw.crossJoin(broadcast(g))
+        .select(col("id"), expr("raw DIV g").as("s"))
+    }
+    var hub = e.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(scale).as("s"))
+    var auth: DataFrame = hub.limit(0)
+    for (_ <- 1 to iterations) {
+      auth = quantNorm(
+        e.join(bc(hub.withColumnRenamed("id", "src")), "src")
+          .groupBy("dst").agg(sum("s").as("raw"))
+          .withColumnRenamed("dst", "id"))
+      hub = quantNorm(
+        e.join(bc(auth.withColumnRenamed("id", "dst")), "dst")
+          .groupBy("src").agg(sum("s").as("raw"))
+          .withColumnRenamed("src", "id"))
+    }
+    Hits(hub, auth)
+  }
 }

@@ -606,7 +606,28 @@ object Signals {
         col("pr"))
   }
 
+  /** q171: HITS hubs & authorities over the DIRECTED supplier→customer
+    * trade graph (no symmetrization — the two roles are the point:
+    * hub = supplier ranked by the breadth×quality of customers reached,
+    * authority = customer ranked by the hubs reaching it). Integer
+    * max-quantized normalization per operators.Graph.hits; the oracle
+    * replays both rounds' a/h alternation, GraphSpec pins the reference.
+    */
+  def q171Hits(s: SparkSession, dir: String): DataFrame = {
+    val sc = s.read.parquet(TradeGraphPairs.ensure(s, dir))
+    val edges = sc.select(col("sk").as("src"), col("ck").as("dst"))
+    val hs = graft.operators.Graph.hits(edges, iterations = 2)
+    val dec = when(col("id") % 2 === 0, concat(lit("S"), expr("id DIV 2")))
+      .otherwise(concat(lit("C"), expr("id DIV 2"))).as("id")
+    hs.hubs.orderBy(col("s").desc, col("id")).limit(10)
+      .select(lit("hub").as("role"), dec, col("s"))
+      .unionByName(
+        hs.authorities.orderBy(col("s").desc, col("id")).limit(10)
+          .select(lit("authority").as("role"), dec, col("s")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_hits"            -> (q171Hits _),
     "q170_personalized_pr" -> (q170PersonalizedPr _),
     "q167_pagerank"       -> (q167PageRank _),
     "q166_bigram_lm"      -> (q166BigramLm _),
@@ -680,7 +701,41 @@ object Signals {
       |  JOIN basef bf ON bf.id = e.dst
       |GROUP BY e.dst, bf.b""".stripMargin
 
+  /** One unrolled HITS round i over hub frame `hprev` (CTE fragments). */
+  private def hitsRoundSql(hprev: String, i: Int): String =
+    s"""araw$i AS (
+      |  SELECT e.dst AS id, CAST(SUM(h.s) AS BIGINT) AS raw
+      |  FROM edges e JOIN $hprev h ON h.id = e.src GROUP BY e.dst),
+      |ga$i AS (SELECT GREATEST(CAST(1 AS BIGINT), MAX(raw) // 1000000000000) AS g
+      |         FROM araw$i),
+      |auth$i AS (SELECT id, raw // (SELECT g FROM ga$i) AS s FROM araw$i),
+      |hraw$i AS (
+      |  SELECT e.src AS id, CAST(SUM(a.s) AS BIGINT) AS raw
+      |  FROM edges e JOIN auth$i a ON a.id = e.dst GROUP BY e.src),
+      |gh$i AS (SELECT GREATEST(CAST(1 AS BIGINT), MAX(raw) // 1000000000000) AS g
+      |         FROM hraw$i),
+      |hub$i AS (SELECT id, raw // (SELECT g FROM gh$i) AS s FROM hraw$i)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // two unrolled a/h alternations with max-quantized normalization
+    "q171_hits" ->
+      s"""WITH sc AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS sk,
+        |    CAST(o_custkey AS BIGINT) * 2 + 1 AS ck
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT sk AS src, ck AS dst FROM sc),
+        |h0 AS (SELECT DISTINCT src AS id, CAST(1000000000000 AS BIGINT) AS s
+        |       FROM edges),
+        |${hitsRoundSql("h0", 1)},
+        |${hitsRoundSql("hub1", 2)},
+        |tophub AS (SELECT 'hub' AS role, id, s FROM hub2
+        |           ORDER BY s DESC, id LIMIT 10),
+        |topauth AS (SELECT 'authority' AS role, id, s FROM auth2
+        |            ORDER BY s DESC, id LIMIT 10),
+        |u AS (SELECT * FROM tophub UNION ALL SELECT * FROM topauth)
+        |SELECT role, CASE WHEN id % 2 = 0 THEN 'S' || (id // 2)
+        |                  ELSE 'C' || (id // 2) END AS id, s
+        |FROM u""".stripMargin,
     // personalized teleport: seed-conditional base; same unrolled device
     "q170_personalized_pr" ->
       s"""WITH sc AS (

@@ -115,6 +115,54 @@ class GraphSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  /** Plain-Scala HITS with the max-quantized normalization. */
+  private def referenceHits(edges: Seq[(String, String)], iterations: Int,
+                            scale: Long = Graph.DefaultScale)
+      : (Map[String, Long], Map[String, Long]) = {
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val in = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var hub = out.keys.map(_ -> scale).toMap
+    var auth = Map.empty[String, Long]
+    for (_ <- 1 to iterations) {
+      val araw = in.view.mapValues(_.map(hub).sum).toMap
+      val ga = math.max(1L, araw.values.max / scale)
+      auth = araw.view.mapValues(_ / ga).toMap
+      val hraw = out.view.mapValues(_.map(auth).sum).toMap
+      val gh = math.max(1L, hraw.values.max / scale)
+      hub = hraw.view.mapValues(_ / gh).toMap
+    }
+    (hub, auth)
+  }
+
+  test("hits matches the reference on planted and fixture graphs; roles are disjoint") {
+    // two hubs, three authorities; x reaches everything (best hub),
+    // m is reached by both hubs (best authority)
+    val planted = Seq("x" -> "m", "x" -> "n", "x" -> "o", "y" -> "m")
+    val got = Graph.hits(planted.toDF("src", "dst"), iterations = 2)
+    val gh = got.hubs.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ga = got.authorities.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (wh, wa) = referenceHits(planted, 2)
+    assert(gh == wh && ga == wa)
+    assert(gh("x") > gh("y") && ga("m") > ga("n"))
+    // fixture graph (directed, no symmetrization)
+    val sc = graft.Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(graft.Tables.orders(spark, Sf0001)
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("S"), col("l_suppkey")).as("s"),
+        concat(lit("C"), col("o_custkey")).as("c"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val fx = Graph.hits(sc.toDF("src", "dst"), iterations = 2)
+    val (fwh, fwa) = referenceHits(sc, 2)
+    assert(fx.hubs.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == fwh)
+    assert(fx.authorities.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == fwa)
+    // bipartite roles never mix
+    assert(fwh.keySet.forall(_.startsWith("S")) &&
+      fwa.keySet.forall(_.startsWith("C")))
+  }
+
   test("pageRank releases its intra-operator caches after consumption") {
     val planted = Seq("a" -> "b", "b" -> "a").toDF("src", "dst")
     val pr = Graph.fixedPointPageRank(planted, iterations = 1)
