@@ -191,6 +191,121 @@ object Graph {
     * pass a materialized (table-backed) frame, the TradeGraphPairs
     * contract, rather than a deep pipeline.
     */
+  /** Per-node triangle counts over an UNDIRECTED distinct edge list
+    * `(x, y)` with `x < y` — the building block behind local clustering
+    * coefficients and community-density signals (co-purchase triads,
+    * co-citation cliques, link-farm detection on crawl graphs).
+    *
+    * Algorithm: degree-ordered orientation (the classic compact-forward
+    * scheme). Every edge is directed from its lower-(degree, id) endpoint
+    * to its higher one, turning the graph into a DAG in which each
+    * triangle {u,v,w} appears EXACTLY once as the wedge u→v, u→w
+    * (v before w in the order) closed by the oriented edge v→w. The
+    * wedge join's fan-out is bounded by the ORIENTED out-degree, which
+    * the degree ordering caps at O(√m) for any graph — total wedge work
+    * O(m^1.5) instead of Σdeg² (quadratic in the hubs' degrees, the thing
+    * that kills naive triangle counting on skewed graphs at scale).
+    *
+    * Plan shape: one degree aggregation, two (broadcastable) degree
+    * decorations, then wedge-join ⋈ closing-edge-join — all keyed
+    * hash joins, nothing cartesian. The oriented edge list is persisted
+    * (it drives three join sides) and released through the Caching
+    * listener once the caller's action consumes the result.
+    *
+    * Returns one row per node that closes ≥1 triangle:
+    * `(id, deg, tri)` with `deg` the UNDIRECTED degree. Nodes in no
+    * triangle are omitted (join back to a node frame for zeros).
+    *
+    * `broadcastDegrees = true` (default) broadcasts the |V|-sized degree
+    * frame into both decorations — right while nodes fit an executor;
+    * pass false for billion-node graphs to key both as shuffles.
+    */
+  def triangleStats(edges: DataFrame,
+                    broadcastDegrees: Boolean = true): DataFrame = {
+    val e0 = edges.select(col("x"), col("y"))
+    val deg = e0.select(col("x").as("n"))
+      .unionAll(e0.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    def bc(df: DataFrame): DataFrame = if (broadcastDegrees) broadcast(df) else df
+    val dec = e0
+      .join(bc(deg.select(col("n").as("x"), col("d").as("dx"))), "x")
+      .join(bc(deg.select(col("n").as("y"), col("d").as("dy"))), "y")
+    val fwd = col("dx") < col("dy") ||
+      (col("dx") === col("dy") && col("x") < col("y"))
+    val oriented = dec.select(
+        when(fwd, col("x")).otherwise(col("y")).as("src"),
+        when(fwd, col("y")).otherwise(col("x")).as("dst"),
+        when(fwd, col("dy")).otherwise(col("dx")).as("dstd"))
+      .persist()
+    val e1 = oriented.select(col("src"), col("dst").as("v"), col("dstd").as("vd"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"), col("dstd").as("wd"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("vd") < col("wd") ||
+        (col("vd") === col("wd") && col("v") < col("w")))
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val tri = wedges.join(closing, Seq("v", "w"))
+      .select(col("src").as("u"), col("v"), col("w"))
+    val perNode = tri.select(col("u").as("n"))
+      .unionAll(tri.select(col("v").as("n")))
+      .unionAll(tri.select(col("w").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    val out = perNode.join(bc(deg), "n")
+      .select(col("n").as("id"), col("d").as("deg"), col("tri"))
+    Caching.releaseAfterConsumed(out, oriented)
+  }
+
+  /** Multi-source BFS: minimum hop distance from a SEED set over a
+    * directed edge list `(src, dst)`, cut off at `maxLevel` hops — the
+    * reachability scorer behind crawl-frontier expansion and
+    * quality-neighborhood queries ("everything within k links of the
+    * curated seeds").
+    *
+    * Frontier-at-a-time iteration, integer-exact by construction: level
+    * 0 is the seed set; each round joins ONLY the previous frontier
+    * against the edges, dedups the targets, and anti-joins the
+    * already-visited set, so a node's level is the round that first
+    * reaches it — exactly min-hops. Per round that is one keyed join +
+    * one distinct + one anti join; no node-count-sized state ever
+    * funnels through a single task. Frontiers persist lazily (each is
+    * consumed by both the next round's join and the final union) and
+    * release through the Caching listener; `maxLevel` is fenced small
+    * because each round adds plan depth, the right regime for the
+    * bounded-neighborhood queries this targets (unbounded BFS wants the
+    * checkpointed-loop style of Dedup.propagateComponents instead).
+    *
+    * Returns `(id, lvl)` — one row per node reached within `maxLevel`
+    * hops; unreached nodes are absent. `broadcastFrontier = true`
+    * (default) broadcasts the frontier/visited sides of the joins —
+    * right while the reached set fits an executor; pass false to key
+    * them as shuffles.
+    */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame, maxLevel: Int,
+                broadcastFrontier: Boolean = true): DataFrame = {
+    require(maxLevel >= 1, s"need >= 1 level, got $maxLevel")
+    require(maxLevel <= 8,
+      s"$maxLevel unrolled BFS rounds would build an unreasonably deep " +
+        "plan; bfsLevels is meant for bounded-neighborhood queries")
+    val e = edges.select(col("src"), col("dst"))
+    def bc(df: DataFrame): DataFrame = if (broadcastFrontier) broadcast(df) else df
+    val level0 = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0).as("lvl")).persist()
+    var visited = level0
+    var frontier = level0
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](level0)
+    for (k <- 1 to maxLevel) {
+      val next = e
+        .join(bc(frontier.select(col("id").as("src"))), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(bc(visited.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), lit(k).as("lvl"))
+        .persist()
+      persisted += next
+      visited = visited.unionAll(next)
+      frontier = next
+    }
+    Caching.releaseAfterConsumed(visited, persisted.toSeq: _*)
+  }
+
   def hits(edges: DataFrame, iterations: Int,
            scale: Long = DefaultScale,
            broadcastScores: Boolean = true): Hits = {

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-structure analytics beyond centrality (Signals.scala's
+  * q167/q170/q171 rank nodes; these measure LOCAL structure and
+  * REACHABILITY): triangle counting / clustering coefficients over the
+  * part co-purchase graph, and bounded multi-source BFS over the trade
+  * graph. Both are integer-exact end-to-end, so DuckDB replays them
+  * bit-for-bit under the hash gate — no banding needed.
+  */
+object Graphs {
+
+  /** q172: triangle counts + local clustering coefficients over the part
+    * CO-PURCHASE graph — nodes are parts, an edge links two parts that
+    * appear together in ≥2 distinct orders (the market-basket support
+    * threshold: a support-1 edge is co-occurrence noise, and pruning it
+    * is also what keeps the graph sparse — at sf0.1 support≥2 keeps
+    * ~3.6k of 1.2M co-occurring pairs). Triads of mutually co-purchased
+    * parts are the classic basket-affinity signal.
+    *
+    * Scale: pair generation fans out per order as basket², fenced by
+    * `maxBasket` (oversized baskets are DROPPED, mirrored exactly by the
+    * oracle's HAVING — the Dedup.maxBlockSize device); the triangle join
+    * itself runs on degree-ORIENTED edges, bounding wedge fan-out at
+    * O(√m) per node / O(m^1.5) total (operators.Graph.triangleStats).
+    * cc_ppm = 2·tri·10⁶ DIV deg·(deg−1) — pure BIGINT, engine-exact.
+    */
+  def q172Triangles(s: SparkSession, dir: String,
+                    maxBasket: Int = 32, minSupport: Long = 2): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    val fenced = items
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("o")))
+      .filter(col("bsz") <= maxBasket)
+      .select(col("o"), col("p"))
+    val edges = fenced.as("a")
+      .join(fenced.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select(col("x"), col("y"))
+    graft.operators.Graph.triangleStats(edges)
+      .select(col("id").as("part"), col("deg"), col("tri"),
+        expr("(2000000 * tri) DIV (deg * (deg - 1))").as("cc_ppm"))
+      .orderBy(col("tri").desc, col("part"))
+      .limit(20)
+  }
+
+  /** q173: bounded multi-source BFS over the symmetrized trade graph —
+    * minimum hop distance from the nation-0-4 suppliers (the trusted-seed
+    * set), cut at 3 hops: "how much of the marketplace sits within k
+    * links of the curated sellers". Levels alternate supplier/customer
+    * parity on the bipartite graph. Frontier-at-a-time min-hop is
+    * integer-exact (operators.Graph.bfsLevels); the oracle replays it as
+    * a recursive CTE with MIN(lvl). Output is the per-level census
+    * (count + id-sum/min/max — discriminative without being row-heavy).
+    */
+  def q173BfsLevels(s: SparkSession, dir: String): DataFrame = {
+    val sc = s.read.parquet(TradeGraphPairs.ensure(s, dir))
+    val edges = sc.select(col("sk").as("src"), col("ck").as("dst"))
+      .union(sc.select(col("ck").as("src"), col("sk").as("dst")))
+    val seeds = Tables.supplier(s, dir).filter(col("s_nationkey") < 5)
+      .select((col("s_suppkey").cast("long") * 2).as("id"))
+    graft.operators.Graph.bfsLevels(edges, seeds, maxLevel = 3)
+      .groupBy("lvl")
+      .agg(count(lit(1)).as("n_nodes"), sum("id").as("sum_id"),
+        min("id").as("min_id"), max("id").as("max_id"))
+      .orderBy("lvl")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_triangles"  -> ((s, d) => q172Triangles(s, d)),
+    "q173_bfs_levels" -> (q173BfsLevels _))
+
+  val oracles: Map[String, String] = Map(
+    // full replay: basket fence -> support>=2 edges -> degree-ordered
+    // orientation -> wedge close -> per-node counts -> cc_ppm
+    "q172_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+        |  FROM lineitem),
+        |ok AS (SELECT o FROM items GROUP BY o HAVING COUNT(*) <= 32),
+        |it AS (SELECT i.o, i.p FROM items i JOIN ok USING (o)),
+        |e AS (
+        |  SELECT a.p AS x, b.p AS y FROM it a JOIN it b
+        |    ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS d
+        |  FROM (SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e) t
+        |  GROUP BY n),
+        |o2 AS (
+        |  SELECT
+        |    CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y)
+        |      THEN e.x ELSE e.y END AS src,
+        |    CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y)
+        |      THEN e.y ELSE e.x END AS dst,
+        |    CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y)
+        |      THEN dy.d ELSE dx.d END AS dstd
+        |  FROM e JOIN deg dx ON dx.n = e.x JOIN deg dy ON dy.n = e.y),
+        |tri AS (
+        |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        |  FROM o2 e1 JOIN o2 e2 ON e1.src = e2.src
+        |    AND (e1.dstd < e2.dstd OR (e1.dstd = e2.dstd AND e1.dst < e2.dst))
+        |  JOIN o2 e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        |pn AS (
+        |  SELECT n, COUNT(*) AS tri
+        |  FROM (SELECT u AS n FROM tri UNION ALL SELECT v FROM tri
+        |        UNION ALL SELECT w FROM tri) t
+        |  GROUP BY n)
+        |SELECT pn.n AS part, deg.d AS deg, pn.tri,
+        |  (2000000 * pn.tri) // (deg.d * (deg.d - 1)) AS cc_ppm
+        |FROM pn JOIN deg ON deg.n = pn.n
+        |ORDER BY pn.tri DESC, part LIMIT 20""".stripMargin,
+    "q173_bfs_levels" ->
+      """WITH RECURSIVE sc AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS sk,
+        |    CAST(o_custkey AS BIGINT) * 2 + 1 AS ck
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT sk AS src, ck AS dst FROM sc
+        |      UNION ALL SELECT ck, sk FROM sc),
+        |seeds AS (
+        |  SELECT DISTINCT CAST(s_suppkey AS BIGINT) * 2 AS id
+        |  FROM supplier WHERE s_nationkey < 5),
+        |bfs(id, lvl) AS (
+        |  SELECT id, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, b.lvl + 1 FROM bfs b JOIN e ON e.src = b.id
+        |  WHERE b.lvl < 3),
+        |d AS (SELECT id, MIN(lvl) AS lvl FROM bfs GROUP BY id)
+        |SELECT lvl, COUNT(*) AS n_nodes, CAST(SUM(id) AS BIGINT) AS sum_id,
+        |  MIN(id) AS min_id, MAX(id) AS max_id
+        |FROM d GROUP BY lvl ORDER BY lvl""".stripMargin)
+}

@@ -163,6 +163,111 @@ class GraphSpec extends SparkSpecBase {
       fwa.keySet.forall(_.startsWith("C")))
   }
 
+  /** Independent reference: brute-force triangle enumeration over all
+    * node triples — no orientation trick, no Spark. */
+  private def referenceTriangles(edges: Seq[(Long, Long)])
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val tri = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      u <- nodes; v <- nodes if u < v && adj(u)(v)
+      w <- nodes if v < w && adj(u)(w) && adj(v)(w)
+    } { tri(u) += 1; tri(v) += 1; tri(w) += 1 }
+    (tri.toMap, deg)
+  }
+
+  test("triangleStats matches brute-force enumeration on a planted graph") {
+    // two triangles sharing edge (2,3), a pendant, an isolated edge:
+    // mixed degrees so the orientation tie-breaks both ways
+    val planted = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L))
+    val got = Graph.triangleStats(planted.toDF("x", "y"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (wantTri, wantDeg) = referenceTriangles(planted)
+    assert(got == wantTri.map { case (n, t) => n -> (wantDeg(n), t) })
+    // the shared edge's endpoints close two triangles each
+    assert(got(2L) == (3L, 2L) && got(3L) == (3L, 2L))
+    // pendant and isolated-edge nodes are absent (no triangle)
+    assert(!got.contains(5L) && !got.contains(6L))
+  }
+
+  test("triangleStats matches brute force on the sf0.001 co-purchase graph") {
+    val items = graft.Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    val edges = items.as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select("x", "y")
+    val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (wantTri, wantDeg) = referenceTriangles(pairs)
+    val got = Graph.triangleStats(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == wantTri.map { case (n, t) => n -> (wantDeg(n), t) })
+    assert(got.nonEmpty) // fixture graph actually has triangles
+  }
+
+  /** Independent reference: plain-Scala frontier BFS. */
+  private def referenceBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+                           maxLevel: Int): Map[Long, Int] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lvl = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (k <- 1 to maxLevel) {
+      val next = frontier.flatMap(u => adj.getOrElse(u, Nil))
+        .diff(lvl.keySet)
+      lvl = lvl ++ next.map(_ -> k)
+      frontier = next
+    }
+    lvl
+  }
+
+  test("bfsLevels matches the plain-Scala frontier walk") {
+    // a chain past the cutoff, a cycle back into the seed, a side branch
+    val planted = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (3L, 1L), (2L, 7L))
+    val got = Graph.bfsLevels(planted.toDF("src", "dst"),
+        Seq(1L).toDF("id"), maxLevel = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == referenceBfs(planted, Set(1L), 3))
+    // node 5 is 4 hops out: absent at maxLevel 3
+    assert(!got.contains(5L) && got(4L) == 3 && got(7L) == 2)
+  }
+
+  test("bfsLevels matches the reference on the sf0.001 trade graph") {
+    val sc = graft.Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(graft.Tables.orders(spark, Sf0001)
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey").cast("long") * 2).as("sk"),
+        (col("o_custkey").cast("long") * 2 + 1).as("ck"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sym = sc ++ sc.map(_.swap)
+    val seeds = graft.Tables.supplier(spark, Sf0001)
+      .filter(col("s_nationkey") < 5)
+      .select((col("s_suppkey").cast("long") * 2).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    val got = Graph.bfsLevels(sym.toDF("src", "dst"),
+        seeds.toSeq.toDF("id"), maxLevel = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == referenceBfs(sym, seeds, 3))
+  }
+
+  test("triangleStats and bfsLevels release their caches after consumption") {
+    val tri = Graph.triangleStats(Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("x", "y"))
+    assert(tri.count() == 3)
+    eventuallyEmptyCache()
+    val bfs = Graph.bfsLevels(Seq((1L, 2L)).toDF("src", "dst"),
+      Seq(1L).toDF("id"), maxLevel = 2)
+    assert(bfs.count() == 2)
+    eventuallyEmptyCache()
+  }
+
   test("pageRank releases its intra-operator caches after consumption") {
     val planted = Seq("a" -> "b", "b" -> "a").toDF("src", "dst")
     val pr = Graph.fixedPointPageRank(planted, iterations = 1)
