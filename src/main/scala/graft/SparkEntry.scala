@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.Quality.queries ++ graft.queries.Ops.queries ++
       graft.queries.Exports.queries ++ graft.queries.EtlGate.queries ++
       graft.queries.UnicodeText.queries ++ graft.queries.Media.queries ++
-      graft.queries.Retrieval.queries ++ graft.queries.Graphs.queries
+      graft.queries.Retrieval.queries ++ graft.queries.Graphs.queries ++
+      graft.queries.Series.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Relational2.oracles ++
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.Quality.oracles ++ graft.queries.Ops.oracles ++
       graft.queries.Exports.oracles ++ graft.queries.EtlGate.oracles ++
       graft.queries.UnicodeText.oracles ++ graft.queries.Media.oracles ++
-      graft.queries.Retrieval.oracles ++ graft.queries.Graphs.oracles
+      graft.queries.Retrieval.oracles ++ graft.queries.Graphs.oracles ++
+      graft.queries.Series.oracles
 }

@@ -171,6 +171,54 @@ object Relational2 {
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
 
+  /** TPC-H Q4 shape adapted to the fixture's columns (no
+    * l_commitdate/l_receiptdate — "late" is a returned line shipped
+    * after the order date): order-priority census over orders with a
+    * correlated EXISTS. Exercises the decorrelation path (Catalyst
+    * rewrites the EXISTS to a left-semi join) on both engines from ONE
+    * shared text. Integer-only output — no float discipline needed.
+    */
+  val TpchQ4Text: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      |      AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q12 shape adapted to the fixture (l_returnflag standing in
+    * for the absent l_shipmode): two-way conditional counts of high- vs
+    * low-priority lines per flag. SUMs of 0/1 CASEs cast BIGINT so both
+    * engines agree on the column type (DuckDB widens SUM(int) to
+    * HUGEINT).
+    */
+  val TpchQ12Text: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  def q175TpchQ4(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(TpchQ4Text)
+  }
+
+  def q176TpchQ12(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(TpchQ12Text)
+  }
+
   def q146TpchQ1(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(TpchQ1Text)
@@ -218,7 +266,9 @@ object Relational2 {
     "q146_tpch_q1"         -> (q146TpchQ1 _),
     "q147_tpch_q6"         -> (q147TpchQ6 _),
     "q148_tpch_q18"        -> (q148TpchQ18 _),
-    "q168_tpch_q14"        -> (q168TpchQ14 _))
+    "q168_tpch_q14"        -> (q168TpchQ14 _),
+    "q175_tpch_q4"         -> (q175TpchQ4 _),
+    "q176_tpch_q12"        -> (q176TpchQ12 _))
 
   val oracles: Map[String, String] = Map(
     "q40_sql_surface" -> SqlSurfaceText,
@@ -226,6 +276,8 @@ object Relational2 {
     "q147_tpch_q6"    -> TpchQ6Text,
     "q148_tpch_q18"   -> TpchQ18Text,
     "q168_tpch_q14"   -> TpchQ14Text,
+    "q175_tpch_q4"    -> TpchQ4Text,
+    "q176_tpch_q12"   -> TpchQ12Text,
     "q41_shipping_priority" ->
       """SELECT l_orderkey, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE)

@@ -227,6 +227,40 @@ object Signals {
     heavyTokens(Tables.documents(s, dir).filter(col("text").isNotNull),
       capacity = 8192, denom = 2000L)
 
+  /** q177: count-min-sketch audit of the top-20 corpus tokens — the
+    * third sketch in the family (q100 HLL distinct, q54 quantile): CMS
+    * answers "how often did THIS key occur" from O(width·depth) state,
+    * the streaming-side frequency primitive when exact per-key counts
+    * can't be kept. Banded-gate formulation (the q25/q44 device): the
+    * exact top-20 counts are SQL-expressible and hash-checked; the
+    * sketch enters through its two guarantees stated as booleans the
+    * oracle asserts TRUE — est ≥ count always (no deletions), and
+    * est ≤ count + ⌈eps·N⌉ (the width bound). Seeded, so the whole
+    * output is deterministic. The sketch aggregates distributedly
+    * (map-side merged like any agg); only the ~160 KB serialized sketch
+    * and the 20 result rows reach the driver — bounded by construction.
+    */
+  def q177CmsHeavyAudit(s: SparkSession, dir: String): DataFrame = {
+    val eps = 0.001
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val terms = docs.select(explode(TextFunctions.tokens(col("text"))).as("term"))
+    val row = terms.agg(
+      count_min_sketch(col("term"), lit(eps), lit(0.999), lit(42)).as("cms"),
+      count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    val slack = math.ceil(eps * row.getLong(1)).toLong
+    val top = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(20).collect()
+    import s.implicits._
+    top.toSeq.map { r =>
+      val est = cms.estimateCount(r.getString(0))
+      (r.getString(0), r.getLong(1),
+        est >= r.getLong(1), est <= r.getLong(1) + slack)
+    }.toDF("term", "cnt", "cms_lower_ok", "cms_upper_ok")
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   /** q116's engine: exact counts of all terms with count*denom >= n.
     * Completeness needs capacity > denom (certified at require-time, not
     * discovered at answer-time).
@@ -647,6 +681,7 @@ object Signals {
     "q111_oov_rate"       -> (q111OovRate _),
     "q116_heavy_tokens"   -> (q116HeavyTokens _),
     "q154_heavy_incremental" -> (q154HeavyIncremental _),
+    "q177_cms_heavy_audit" -> (q177CmsHeavyAudit _),
     "q118_bm25"           -> (q118Bm25 _))
 
   /** q116's oracle, shared verbatim by q154: the incremental fold must
@@ -855,6 +890,14 @@ object Signals {
         |GROUP BY doc_id, source
         |HAVING COUNT(*) = 3""".stripMargin,
     "q116_heavy_tokens" -> heavyTokensSql,
+    // banded CMS gate: exact top-20 counts hash-checked, the sketch's
+    // two guarantees stated as booleans the oracle asserts TRUE
+    "q177_cms_heavy_audit" ->
+      """WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term
+        |               FROM documents WHERE text IS NOT NULL)
+        |SELECT term, cnt, TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+        |FROM (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term) t
+        |ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
     "q154_heavy_incremental" -> heavyTokensSql,
     // parenthesization mirrors Signals.bm25 token-for-token; every operand
     // is cast to DOUBLE before arithmetic so DuckDB's decimal literals

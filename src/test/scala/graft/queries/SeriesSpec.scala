@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class SeriesSpec extends SparkSpecBase {
+
+  /** Independent reference: the integer EWMA recurrence folded with
+    * plain Scala over the driver-collected, driver-sorted events. */
+  private def referenceEwma(dir: String): Map[Long, (Long, Long)] =
+    graft.Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("value") >= 0)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        floor(col("value") * lit(1048576.0)).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        val xs = rows.sortBy(_._2).map(_._3)
+        u -> (xs.length.toLong, xs.tail.foldLeft(xs.head)((e, x) => (x + 7 * e) >> 3))
+      }
+
+  test("q174 EWMA matches the plain-Scala fold at sf0.001") {
+    val got = Series.q174Ewma(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == referenceEwma(Sf0001))
+    assert(got.nonEmpty)
+  }
+
+  test("q174 EWMA stays within the input range (convexity of the fold)") {
+    // (x + 7e) >> 3 is a convex combination up to truncation: the
+    // smoothed value can never escape [min(xq), max(xq)]
+    val ev = graft.Tables.events(spark, Sf001)
+      .filter(col("value").isNotNull && col("value") >= 0)
+      .agg(min(floor(col("value") * lit(1048576.0)).cast("long")),
+        max(floor(col("value") * lit(1048576.0)).cast("long"))).head()
+    val (lo, hi) = (ev.getLong(0), ev.getLong(1))
+    Series.q174Ewma(spark, Sf001).collect().foreach { r =>
+      // truncation only ever loses up to 1 per step, so allow lo-1
+      assert(r.getLong(2) >= lo - 1 && r.getLong(2) <= hi,
+        s"user ${r.getLong(0)} ewma ${r.getLong(2)} outside [$lo,$hi]")
+    }
+  }
+
+  test("q177 CMS audit: both sketch bounds hold and counts are exact") {
+    val rows = Signals.q177CmsHeavyAudit(spark, Sf0001).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => r.getBoolean(2) && r.getBoolean(3)))
+    // exact counts agree with a direct recount
+    val want = graft.Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(want(r.getString(0)) == r.getLong(1)))
+  }
+}
