@@ -57,10 +57,73 @@ object Series {
       .orderBy("user_id")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q174_ewma" -> (q174Ewma _))
+  /** One EWMA admission step: fold a ts-ordered micro-batch of events
+    * into the running per-user state `(user_id, n_events, ewma_q)` —
+    * q174's recurrence continued from arbitrary incoming state, so any
+    * ts-respecting batch split folds to the same answer as the one-shot
+    * batch query (the q157/q163 split-independence device). Full-outer
+    * on user_id: unseen users initialize at i=0 (first event becomes
+    * e_1), absent users carry state through unchanged.
+    */
+  def ewmaFold(state: DataFrame, batch: DataFrame): DataFrame = {
+    def f(c: Column, n: String): Column = c.getField(n)
+    val folded = batch
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("bn"), array_sort(collect_list(col("rec"))).as("recs"))
+    folded.join(state, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("n_events"), lit(0L)) + coalesce(col("bn"), lit(0L)))
+          .as("n_events"),
+        when(col("recs").isNull, col("ewma_q")).otherwise(
+          aggregate(col("recs"),
+            struct(coalesce(col("n_events"), lit(0L)).as("i"),
+              coalesce(col("ewma_q"), lit(0L)).as("e")),
+            (acc, x) => struct(
+              (f(acc, "i") + 1).as("i"),
+              when(f(acc, "i") === 0, f(x, "xq"))
+                .otherwise(shiftright(f(x, "xq") + lit(7L) * f(acc, "e"), 3))
+                .as("e"))).getField("e")).as("ewma_q"))
+  }
 
-  val oracles: Map[String, String] = Map(
+  /** q178: q174's STREAMING twin under the gate — the events replay as
+    * three ts-ordered micro-batches (boundaries at ts terciles, so
+    * equal-ts events never straddle a batch and the per-user
+    * (ts, event_id) order is preserved across batches), each folded into
+    * the running state by [[ewmaFold]]. EWMA admission is exactly
+    * batch-split-independent, which is why this declares under q174's
+    * own oracle string — one recurrence, two hash-equal plans. The real
+    * Structured Streaming form (EventStreams.ewmaStream,
+    * mapGroupsWithState) is proven equal to the batch answer by
+    * SeriesSpec's MemoryStream harness.
+    */
+  def q178EwmaStream(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull && col("value") >= 0)
+      .select(col("user_id"), col("ts"),
+        struct(col("ts"), col("event_id"),
+          floor(col("value") * lit(1048576.0)).cast("long").as("xq")).as("rec"))
+    val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+    val batches = Seq(
+      ev.filter(unix_micros(col("ts")) <= t1),
+      ev.filter(unix_micros(col("ts")) > t1 && unix_micros(col("ts")) <= t2),
+      ev.filter(unix_micros(col("ts")) > t2)).map(_.select("user_id", "rec"))
+    val empty = batches.head.limit(0)
+      .select(col("user_id"), lit(0L).as("n_events"), lit(0L).as("ewma_q"))
+    batches.foldLeft(empty)(ewmaFold).orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_ewma" -> (q174Ewma _),
+    "q178_ewma_stream" -> (q178EwmaStream _))
+
+  /** q178 declares under q174's oracle: the split-independent fold must
+    * reproduce the one-shot answer exactly. */
+  def oracles: Map[String, String] = baseOracles +
+    ("q178_ewma_stream" -> baseOracles("q174_ewma"))
+
+  private val baseOracles: Map[String, String] = Map(
     "q174_ewma" ->
       """WITH RECURSIVE x AS (
         |  SELECT user_id, CAST(floor(value * 1048576.0) AS BIGINT) AS xq,

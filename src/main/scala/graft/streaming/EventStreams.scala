@@ -376,6 +376,42 @@ object EventStreams {
       }
   }
 
+  final case class EwmaState(n: Long, e: Long)
+  final case class EwmaRow(user_id: Long, n_events: Long, ewma_q: Long)
+
+  /** Per-user integer EWMA as explicit keyed state — the Structured
+    * Streaming twin of queries.Series.q174Ewma (α = 1/8 recurrence over
+    * xq = ⌊value·2²⁰⌋, nonnegative inputs). State per user is two longs
+    * — O(users), not O(events) — which is the whole point of the
+    * streaming form: the batch query holds each user's full history in
+    * one task, the stream folds it away as it arrives.
+    *
+    * Order contract (the admission-stream device): WITHIN a micro-batch
+    * events sort by exact (micros, event_id) before folding; ACROSS
+    * micro-batches the source must deliver ts-ordered batches (replay in
+    * event-time order — equal-ts events must share a batch). SeriesSpec
+    * proves MemoryStream replay == the batch q174 answer.
+    */
+  def ewmaStream(spark: SparkSession, events: Dataset[Event]): Dataset[EwmaRow] = {
+    import spark.implicits._
+    events
+      .filter(_.value >= 0)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaRow](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
+          var s = state.getOption.getOrElse(EwmaState(0L, 0L))
+          rows.toSeq
+            .sortBy(e => (eventMicros(e.ts), e.event_id))
+            .foreach { e =>
+              val xq = math.floor(e.value * 1048576.0).toLong
+              s = EwmaState(s.n + 1,
+                if (s.n == 0) xq else (xq + 7 * s.e) >> 3)
+            }
+          state.update(s)
+          EwmaRow(userId, s.n, s.e)
+      }
+  }
+
   /** Streaming exact dedup on event_id bounded by the watermark — the
     * incremental twin of Dedup.exact: state holds only ids newer than the
     * watermark, so memory is bounded at any corpus size.
