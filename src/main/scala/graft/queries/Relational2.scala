@@ -209,6 +209,48 @@ object Relational2 {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q180: Pearson correlation matrix over lineitem's numeric measures —
+    * the describe-stage statistic behind feature selection and drift
+    * checks. Engine parity without banding: every MOMENT (Σx, Σx², Σxy)
+    * accumulates through DECIMAL (order-invariant — the dsum discipline),
+    * and the corr formula is a fixed tree of double ops rounded to 12
+    * decimals — the n·Σxy − Σx·Σy numerator cancels catastrophically, so
+    * engine-level FMA contraction shows up in the last ulp (observed at
+    * sf0.1); ROUND(…, 12) absorbs it while keeping 12 significant-digit
+    * fidelity, far beyond any feature-selection consumer's resolution. ONE pass over
+    * the fact table computes all nine moments (no per-pair rescans); the
+    * three correlations are scalar arithmetic on the 1-row frame.
+    */
+  val CorrMatrixText: String =
+    """WITH m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sq,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS se,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sd,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sqq,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS see,
+      |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(28,8))) AS DOUBLE) AS sdd,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sqe,
+      |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sqd,
+      |    CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sed
+      |  FROM lineitem)
+      |SELECT
+      |  ROUND(((n * sqe) - (sq * se))
+      |    / (sqrt((n * sqq) - (sq * sq)) * sqrt((n * see) - (se * se))), 12)
+      |    AS corr_qty_price,
+      |  ROUND(((n * sqd) - (sq * sd))
+      |    / (sqrt((n * sqq) - (sq * sq)) * sqrt((n * sdd) - (sd * sd))), 12)
+      |    AS corr_qty_disc,
+      |  ROUND(((n * sed) - (se * sd))
+      |    / (sqrt((n * see) - (se * se)) * sqrt((n * sdd) - (sd * sd))), 12)
+      |    AS corr_price_disc
+      |FROM m""".stripMargin
+
+  def q180CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(CorrMatrixText)
+  }
+
   def q175TpchQ4(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(TpchQ4Text)
@@ -268,7 +310,8 @@ object Relational2 {
     "q148_tpch_q18"        -> (q148TpchQ18 _),
     "q168_tpch_q14"        -> (q168TpchQ14 _),
     "q175_tpch_q4"         -> (q175TpchQ4 _),
-    "q176_tpch_q12"        -> (q176TpchQ12 _))
+    "q176_tpch_q12"        -> (q176TpchQ12 _),
+    "q180_corr_matrix"     -> (q180CorrMatrix _))
 
   val oracles: Map[String, String] = Map(
     "q40_sql_surface" -> SqlSurfaceText,
@@ -278,6 +321,7 @@ object Relational2 {
     "q168_tpch_q14"   -> TpchQ14Text,
     "q175_tpch_q4"    -> TpchQ4Text,
     "q176_tpch_q12"   -> TpchQ12Text,
+    "q180_corr_matrix" -> CorrMatrixText,
     "q41_shipping_priority" ->
       """SELECT l_orderkey, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE)

@@ -180,6 +180,26 @@ object Signals {
         min(md5(col("text"))).as("min_text_md5"))
   }
 
+  /** q179: ORC round-trip parity — lineitem written once through the ORC
+    * sink (sources.Sinks.orc), read back by Spark's native vectorized ORC
+    * reader, and aggregated; the oracle runs the SAME aggregation over
+    * the parquet original, so a hash match certifies every value class
+    * survives the format hop bit-exactly (BIGINTs, doubles through the
+    * DECIMAL(28,s) discipline, strings, timestamps via min/max). The
+    * interchange contract a multi-engine lake needs before ORC can carry
+    * curated exports.
+    */
+  def q179OrcRoundtrip(s: SparkSession, dir: String): DataFrame =
+    s.read.orc(OrcLineitem.ensure(s, dir))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.queries.dsum(col("l_quantity"), 2).as("sum_qty"),
+        graft.queries.dsum(col("l_extendedprice"), 2).as("sum_price"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** q111: out-of-vocabulary rate per doc against the corpus top-N
     * vocabulary — the coverage signal read before fixing a tokenizer
     * vocab size (docs stuffed with tokens the vocab won't cover are
@@ -678,6 +698,7 @@ object Signals {
     "q90_gap_fill"        -> (q90GapFill _),
     "q97_zorder_read"     -> (q97ZOrderRead _),
     "q108_json_roundtrip" -> (q108JsonRoundtrip _),
+    "q179_orc_roundtrip"  -> (q179OrcRoundtrip _),
     "q111_oov_rate"       -> (q111OovRate _),
     "q116_heavy_tokens"   -> (q116HeavyTokens _),
     "q154_heavy_incremental" -> (q154HeavyIncremental _),
@@ -1038,6 +1059,17 @@ object Signals {
         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
         |  MIN(md5(text)) AS min_text_md5
         |FROM documents GROUP BY 1""".stripMargin,
+    // round-trip parity: the oracle aggregates the parquet ORIGINAL; the
+    // Spark side aggregates the ORC copy — a hash match certifies the hop
+    "q179_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  MIN(l_shipdate) AS first_ship,
+        |  MAX(l_shipdate) AS last_ship
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     // identical tokenization + (cf DESC, term) cutoff + left-join
     // membership test
     "q111_oov_rate" ->
@@ -1059,6 +1091,24 @@ object Signals {
   * (same dir-hash naming and _SUCCESS completeness check as the other
   * layout twins).
   */
+/** q179's ORC copy of lineitem, written once per (warehouse, sf-dir) —
+  * same dir-hash naming and _SUCCESS completeness contract as
+  * JsonDocuments.
+  */
+private[queries] object OrcLineitem {
+  def ensure(s: SparkSession, dir: String): String = synchronized {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), s"graft_lineitem_orc_$tag")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      graft.sources.Sinks.orc(graft.Tables.lineitem(s, dir), path.toString)
+    }
+    path.toString
+  }
+}
+
 private[queries] object JsonDocuments {
   def ensure(s: SparkSession, dir: String): String = synchronized {
     val tag = java.security.MessageDigest.getInstance("MD5")

@@ -230,6 +230,15 @@ object Sinks {
   def jsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC sink — the columnar interchange format next to parquet (Spark
+    * ships native vectorized ORC read/write). Same Overwrite +
+    * partition-parallel contract as [[parquet]]; type fidelity
+    * (timestamps, decimals, nested) is proven by q179's round-trip
+    * oracle against the parquet original.
+    */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** PK column naming rule from the reference: `<table>_id` for facts,
     * `dim_x` -> `id_x` for dims (utils/datsetup.py:100-113).
     */
