@@ -114,9 +114,41 @@ object Series {
     batches.foldLeft(empty)(ewmaFold).orderBy("user_id")
   }
 
+  /** q181: cohort retention — users grouped by their FIRST active day,
+    * then for each (cohort, day-offset k) the count still active k days
+    * later, as a ppm rate of the cohort size. The engagement matrix every
+    * product-analytics stack computes; integer-exact end-to-end (day
+    * index = µs DIV 86400e6 — no engine-specific week-start conventions,
+    * retention as integer ppm).
+    *
+    * Scale shape: activity dedups to one row per (user, day) — the frame
+    * every later stage works on, never raw events; cohort assignment is
+    * a per-user min (same user_id shuffle key as the dedup, so AQE
+    * reuses the exchange); the final matrix is (days × days)-sized and
+    * the cohort-size frame broadcast-joins onto it. No window over
+    * user-sized partitions anywhere.
+    */
+  def q181CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+    val cohorts = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    act.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("k"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("k"), col("n_active"), col("cohort_size"),
+        expr("(n_active * 1000000) DIV cohort_size").as("retained_ppm"))
+      .orderBy("cohort_day", "k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q174_ewma" -> (q174Ewma _),
-    "q178_ewma_stream" -> (q178EwmaStream _))
+    "q178_ewma_stream" -> (q178EwmaStream _),
+    "q181_cohort_retention" -> (q181CohortRetention _))
 
   /** q178 declares under q174's oracle: the split-independent fold must
     * reproduce the one-shot answer exactly. */
@@ -124,6 +156,19 @@ object Series {
     ("q178_ewma_stream" -> baseOracles("q174_ewma"))
 
   private val baseOracles: Map[String, String] = Map(
+    "q181_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id),
+        |cs AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM c GROUP BY 1),
+        |m AS (
+        |  SELECT c.cohort_day, a.day - c.cohort_day AS k, COUNT(*) AS n_active
+        |  FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT m.cohort_day, m.k, m.n_active, cs.cohort_size,
+        |  (m.n_active * 1000000) // cs.cohort_size AS retained_ppm
+        |FROM m JOIN cs USING (cohort_day)
+        |ORDER BY m.cohort_day, m.k""".stripMargin,
     "q174_ewma" ->
       """WITH RECURSIVE x AS (
         |  SELECT user_id, CAST(floor(value * 1048576.0) AS BIGINT) AS xq,

@@ -87,6 +87,18 @@ class SeriesSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("q181 cohort retention: day-0 is total, counts never exceed cohort") {
+    val rows = Series.q181CohortRetention(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, nActive, size, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(k >= 0 && nActive <= size)
+      if (k == 0) assert(nActive == size && ppm == 1000000L,
+        s"cohort ${r.getLong(0)}: every user is active on their first day")
+    }
+  }
+
   test("q177 CMS audit: both sketch bounds hold and counts are exact") {
     val rows = Signals.q177CmsHeavyAudit(spark, Sf0001).collect()
     assert(rows.length == 20)
