@@ -145,10 +145,58 @@ object Series {
       .orderBy("cohort_day", "k")
   }
 
+  /** q182: event-type Markov transition matrix — per-user behavioral
+    * bigrams (this event → next event), counted and normalized per
+    * source type to integer ppm. q166's bigram-LM shape lifted from
+    * token sequences to user journeys: the input to next-action
+    * prediction and anomalous-flow detection.
+    *
+    * Scale: the lead() window partitions by USER — per-entity history,
+    * bounded like sessionize/EWMA — never by event_type (which would
+    * funnel a popular type's whole volume into one task). The
+    * type×type count matrix is tiny; row totals broadcast back onto it.
+    */
+  def q182EventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead("from_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("from_type").agg(sum("cnt").as("total"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("cnt"), col("total"),
+        expr("(cnt * 1000000) DIV total").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** q183: HOPPING-window rollup (size 6 h, slide 3 h) — the overlapped
+    * twin of q30's tumbling hour: each event lands in exactly two
+    * windows, the shape behind smoothed rate dashboards and
+    * alerting-with-hysteresis. Spark's window() aligns starts to the
+    * epoch on the slide grid; the oracle replays that alignment as
+    * integer µs arithmetic (start = (t DIV slide − i)·slide, i ∈ {0,1}),
+    * so the gate pins the window semantics themselves, not just the
+    * sums. Window starts surface as epoch-µs BIGINTs; values sum through
+    * DECIMAL (order-invariant).
+    */
+  def q183HoppingRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.queries.dsum(col("value"), 6).as("total_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("win_start_us", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q174_ewma" -> (q174Ewma _),
     "q178_ewma_stream" -> (q178EwmaStream _),
-    "q181_cohort_retention" -> (q181CohortRetention _))
+    "q181_cohort_retention" -> (q181CohortRetention _),
+    "q182_event_transitions" -> (q182EventTransitions _),
+    "q183_hopping_rollup" -> (q183HoppingRollup _))
 
   /** q178 declares under q174's oracle: the split-independent fold must
     * reproduce the one-shot answer exactly. */
@@ -156,6 +204,35 @@ object Series {
     ("q178_ewma_stream" -> baseOracles("q174_ewma"))
 
   private val baseOracles: Map[String, String] = Map(
+    "q182_event_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS cnt
+        |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS total
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.cnt, t.total,
+        |  (c.cnt * 1000000) // t.total AS p_ppm
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
+    // hopping windows replayed as integer µs arithmetic: slide 3 h
+    // = 10800000000 µs, size 6 h — every event in exactly the two
+    // epoch-aligned windows Spark's window() assigns
+    "q183_hopping_rollup" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),
+        |x AS (
+        |  SELECT ((t // 10800000000) - i) * 10800000000 AS ws,
+        |    event_type, value
+        |  FROM e, UNNEST([0, 1]) AS u(i)
+        |  WHERE ((t // 10800000000) - i) * 10800000000 <= t
+        |    AND t < ((t // 10800000000) - i) * 10800000000 + 21600000000)
+        |SELECT ws AS win_start_us, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q181_cohort_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
