@@ -222,10 +222,18 @@ object Graph {
     */
   def triangleStats(edges: DataFrame,
                     broadcastDegrees: Boolean = true): DataFrame = {
-    val e0 = edges.select(col("x"), col("y"))
+    // The edge list feeds the degree agg (twice, via the endpoint union),
+    // both degree decorations, and the closing-edge side; the degree
+    // frame feeds two decorations plus the final join. Without persists
+    // the whole upstream edge DERIVATION (often a self-join + support
+    // filter, as in q172) would replay once per consumer — measured as a
+    // ~6x-replicated subtree in the physical plan. Both frames release
+    // through the Caching listener with the oriented list.
+    val e0 = edges.select(col("x"), col("y")).persist()
     val deg = e0.select(col("x").as("n"))
       .unionAll(e0.select(col("y").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .persist()
     def bc(df: DataFrame): DataFrame = if (broadcastDegrees) broadcast(df) else df
     val dec = e0
       .join(bc(deg.select(col("n").as("x"), col("d").as("dx"))), "x")
@@ -251,7 +259,7 @@ object Graph {
       .groupBy("n").agg(count(lit(1)).as("tri"))
     val out = perNode.join(bc(deg), "n")
       .select(col("n").as("id"), col("d").as("deg"), col("tri"))
-    Caching.releaseAfterConsumed(out, oriented)
+    Caching.releaseAfterConsumed(out, e0, deg, oriented)
   }
 
   /** Multi-source BFS: minimum hop distance from a SEED set over a

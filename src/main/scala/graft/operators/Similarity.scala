@@ -76,6 +76,49 @@ object Similarity {
         round(col("col.cos"), 6).as("cos_sim"))
   }
 
+  /** kNN label classification — the evaluation harness every embedding
+    * pipeline runs ("do these vectors encode the label structure?"), and
+    * the simplest label-transfer mechanism (propagate curated labels to
+    * uncurated points). Vectors below `maxQueryId` are the HELD-OUT
+    * queries (their stored label is the ground truth); the rest are the
+    * labeled corpus. Each query takes its k nearest corpus neighbors by
+    * cosine (the q27 float contract: dot/(sqrt·sqrt), ties on vec_id) and
+    * votes by majority, ties broken on the smaller label — fully
+    * deterministic, fully oracle-replayable.
+    *
+    * Scale shape: the query matrix broadcasts (bounded by construction);
+    * the corpus is scanned once, never shuffled pre-aggregation; per-query
+    * top-k runs through the BoundedTopK heap aggregate (map-side combined,
+    * shuffle carries ≤ queries × partitions × k rows — q119's device);
+    * the vote window partitions by qid over ≤ k rows.
+    *
+    * Returns (qid, true_label, pred_label, n_votes) ordered by qid.
+    */
+  def knnClassify(emb: DataFrame, k: Int, maxQueryId: Long,
+                  labelCol: String = "label"): DataFrame = {
+    val v = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"),
+        col(labelCol).as("lbl"))
+      .withColumn("nrm", norm(col("e")))
+    val q = v.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qnrm"), col("lbl").as("true_label"))
+    val corpus = v.filter(col("vec_id") >= maxQueryId)
+    val votes = corpus.crossJoin(broadcast(q))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
+      .groupBy("qid", "true_label")
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("cos"), col("vec_id"), col("lbl")), k,
+        desc = Seq(true, false, false)).as("top"))
+      .select(col("qid"), col("true_label"), explode(col("top")).as("nb"))
+      .groupBy(col("qid"), col("true_label"), col("nb.lbl").as("pred_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("n_votes").desc, col("pred_label"))
+    votes.withColumn("vr", row_number().over(w)).filter(col("vr") === 1)
+      .select(col("qid"), col("true_label"), col("pred_label"), col("n_votes"))
+      .orderBy("qid")
+  }
+
   /** Hyperplane-LSH bucketed ANN: vectors sharing the sign signature of
     * nBits pseudo-random hyperplanes land in one bucket; queries search only
     * their own bucket. The cheapest scale path when recall can be traded

@@ -146,6 +146,15 @@ object Extensions {
   def q27AnnTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), k = 10, maxQueryId = 8)
 
+  /** q184: kNN label classification — vectors < 32 are held-out queries,
+    * the rest the labeled corpus; 10-NN cosine majority vote
+    * (operators.Similarity.knnClassify). The embedding-quality eval every
+    * training pipeline runs; the oracle replays scoring, ranking, and the
+    * vote end-to-end with the q27 float contract.
+    */
+  def q184KnnClassify(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnClassify(Tables.embeddings(s, dir), k = 10, maxQueryId = 32)
+
   /** IVF-style approximate ANN — same queries; recall asserted in
     * SimilaritySpec. Fully oracle-checked: centroids are the deterministic
     * first-nList vectors, so assign/probe/top-k replicate in DuckDB SQL
@@ -602,6 +611,7 @@ object Extensions {
     "q60_mixture_sample" -> (q60MixtureSample _),
     "q61_token_budget"  -> (q61TokenBudget _),
     "q27_ann_topk"      -> (q27AnnTopk _),
+    "q184_knn_classify" -> (q184KnnClassify _),
     "q28_ann_ivf"       -> (q28AnnIvf _),
     "q29_embed_neardup" -> (q29EmbedNeardup _),
     "q30_events_hourly" -> (q30EventsHourly _),
@@ -1082,6 +1092,29 @@ object Extensions {
         |         AS INTEGER) AS rank
         |  FROM scored) t
         |WHERE rank <= 10""".stripMargin,
+    // scoring, k-boundary ranking, and the majority vote replayed
+    // end-to-end with q27's float contract; vote ties break on the
+    // smaller label in both engines
+    "q184_knn_classify" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe, label AS true_label
+        |      FROM v WHERE vec_id < 32),
+        |c AS (SELECT vec_id, e, label FROM v WHERE vec_id >= 32),
+        |scored AS (
+        |  SELECT q.qid, q.true_label, c.label,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY list_dot_product(q.qe, c.e)
+        |        / (sqrt(list_dot_product(q.qe, q.qe))
+        |           * sqrt(list_dot_product(c.e, c.e))) DESC,
+        |        c.vec_id) AS rk
+        |  FROM q CROSS JOIN c),
+        |votes AS (
+        |  SELECT qid, true_label, label AS pred_label, COUNT(*) AS n_votes
+        |  FROM scored WHERE rk <= 10 GROUP BY 1, 2, 3),
+        |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY n_votes DESC, pred_label) AS vr FROM votes)
+        |SELECT qid, true_label, pred_label, n_votes
+        |FROM w WHERE vr = 1 ORDER BY qid""".stripMargin,
     "q29_embed_neardup" ->
       """WITH v AS (SELECT label, vec_id, embedding::DOUBLE[] AS e FROM embeddings)
         |SELECT a.label, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,

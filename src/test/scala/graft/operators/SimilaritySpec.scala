@@ -285,6 +285,35 @@ class SimilaritySpec extends SparkSpecBase {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("knnClassify matches a plain-Scala vote and beats chance on clustered labels") {
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    val all = emb.collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = all.filter(_._1 >= 32)
+    val want = all.filter(_._1 < 32).map { case (qid, qe, tl) =>
+      val top = corpus.map { case (id, e, l) => (cos(qe, e), id, l) }
+        .sortBy { case (c, id, _) => (-c, id) }.take(10)
+      val (pred, votes) = top.groupBy(_._3).view.mapValues(_.length)
+        .toSeq.sortBy { case (l, n) => (-n, l) }.head
+      (qid, tl, pred, votes.toLong)
+    }.sortBy(_._1).toSeq
+    val got = Similarity.knnClassify(emb, k = 10, maxQueryId = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // the synthetic embeddings are label-clustered: majority vote must
+    // beat uniform chance over the label alphabet
+    val acc = got.count(r => r._2 == r._3).toDouble / got.length
+    val nLabels = all.map(_._3).distinct.length
+    assert(acc > 1.0 / nLabels, s"accuracy $acc vs chance ${1.0 / nLabels}")
+  }
+
   test("mutualTop1 plans the A×B cross-join once, behind the persisted argmax") {
     val a = emb.filter(col("label") === 0)
     val b = emb.filter(col("label") === 1)
