@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-design statistics over the documents corpus — the numbers a
+  * team reads BEFORE fixing a vocabulary or a feature space: coverage
+  * curves (how big must the vocab be), hashed feature vectors (the
+  * vocabulary-free fallback), and per-language fertility (is the
+  * tokenizer fair across languages). All integer-exact.
+  */
+object TextStats {
+
+  /** q185: vocabulary coverage curve — for vocab sizes 1,2,4,…,64 (terms
+    * ranked by corpus frequency, ties on the term), the fraction of all
+    * token INSTANCES a vocab that size covers, as integer ppm. The curve
+    * that answers "what do we buy with the next doubling of vocab size".
+    *
+    * Scale: term frequencies are one map-side-combined agg; only the
+    * top-64 rows leave it (TakeOrdered — a bounded global sort over 64
+    * survivors, never the vocabulary); the cumulative window runs over
+    * that 64-row frame and the corpus token total broadcasts as a 1-row
+    * aggregate. The unbounded-vocabulary axis never hits a single task.
+    */
+  def q185VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 2, 4, 8, 16, 32, 64)
+    val terms = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+    val top = terms.groupBy("term").agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("term")).limit(64)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cf").desc, col("term"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val total = terms.agg(count(lit(1)).as("total_tokens"))
+    top
+      .withColumn("vocab_size", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cf").desc, col("term"))))
+      .withColumn("cum_tokens", sum("cf").over(w))
+      .filter(col("vocab_size").isin(sizes.map(Integer.valueOf): _*))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("cum_tokens"), col("total_tokens"),
+        expr("(cum_tokens * 1000000) DIV total_tokens").as("coverage_ppm"))
+      .orderBy("vocab_size")
+  }
+
+  /** q186: hashing-trick vectorizer (HashingTF shape) — every token maps
+    * to one of 16 feature buckets by md5 (the repo's engine-portable hash
+    * — Sampling.hashBucket's device), and each document becomes its
+    * sparse (bucket, count) vector. The vocabulary-FREE featurization: no
+    * vocab table to build, broadcast, or keep consistent across batches,
+    * which is the whole point at 100 TB — featurization stays map-side +
+    * one (doc, bucket) agg, and new tokens can never grow the state.
+    */
+  def q186FeatureHash(s: SparkSession, dir: String, nBuckets: Int = 16): DataFrame =
+    Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .withColumn("bucket",
+        conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int") % nBuckets)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
+
+  /** q187: tokenizer fertility per language — tokens per 1000 chars
+    * (integer ppk) and mean token length (ppm), per (lang, source). The
+    * fairness check run before committing a tokenizer: a language whose
+    * fertility is 2x another's pays 2x the context budget for the same
+    * text. One map-side-combined agg over per-row integer counts.
+    */
+  def q187TokenFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("lang"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tokens"), sum("n_chars").as("chars"))
+      .select(col("lang"), col("source"), col("n_docs"), col("tokens"), col("chars"),
+        expr("(tokens * 1000) DIV chars").as("tokens_per_kchar"),
+        // chars minus the single-space separators, over tokens: mean
+        // token length in ppm — integer-exact
+        expr("((chars - (tokens - n_docs)) * 1000000) DIV tokens").as("tok_len_ppm"))
+      .orderBy("lang", "source")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_vocab_coverage" -> (q185VocabCoverage _),
+    "q186_feature_hash"   -> ((s, d) => q186FeatureHash(s, d)),
+    "q187_token_fertility" -> (q187TokenFertility _))
+
+  val oracles: Map[String, String] = Map(
+    "q185_vocab_coverage" ->
+      """WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term
+        |               FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT term, COUNT(*) AS cf FROM terms GROUP BY term),
+        |top AS (
+        |  SELECT cf, CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term)
+        |    AS INTEGER) AS vocab_size
+        |  FROM tf ORDER BY cf DESC, term LIMIT 64),
+        |tot AS (SELECT COUNT(*) AS total_tokens FROM terms)
+        |SELECT vocab_size,
+        |  CAST(SUM(cf) OVER (ORDER BY vocab_size) AS BIGINT) AS cum_tokens,
+        |  tot.total_tokens,
+        |  (CAST(SUM(cf) OVER (ORDER BY vocab_size) AS BIGINT) * 1000000)
+        |    // tot.total_tokens AS coverage_ppm
+        |FROM top, tot
+        |QUALIFY vocab_size IN (1, 2, 4, 8, 16, 32, 64)
+        |ORDER BY vocab_size""".stripMargin,
+    "q186_feature_hash" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(('0x' || substr(md5(term), 1, 4))::INTEGER % 16 AS INTEGER)
+        |    AS bucket,
+        |  COUNT(*) AS cnt
+        |FROM t GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+    "q187_token_fertility" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  (CAST(SUM(n_tok) AS BIGINT) * 1000) // CAST(SUM(n_chars) AS BIGINT)
+        |    AS tokens_per_kchar,
+        |  ((CAST(SUM(n_chars) AS BIGINT)
+        |      - (CAST(SUM(n_tok) AS BIGINT) - COUNT(*))) * 1000000)
+        |    // CAST(SUM(n_tok) AS BIGINT) AS tok_len_ppm
+        |FROM d GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin)
+}
