@@ -35,7 +35,7 @@ object Graphs {
     * sf0.1; the derivation replays fully inside the oracle either way).
     */
   def q172Triangles(s: SparkSession, dir: String): DataFrame = {
-    val edges = s.read.parquet(CoPurchaseEdges.ensure(s, dir))
+    val edges = s.read.parquet(CoPurchaseEdges.ensure(s, dir)).select("x", "y")
     graft.operators.Graph.triangleStats(edges)
       .select(col("id").as("part"), col("deg"), col("tri"),
         expr("(2000000 * tri) DIV (deg * (deg - 1))").as("cc_ppm"))
@@ -65,22 +65,62 @@ object Graphs {
       .orderBy("lvl")
   }
 
+  /** q188: association rules over the co-purchase pairs — the level-2
+    * Apriori slice (frequent pairs with confidence and lift), the classic
+    * market-basket output. Everything integer-ppm:
+    *
+    *   conf(x→y) = support·10⁶ DIV cnt(x)
+    *   lift·10⁶  = support·n_orders·10⁶ DIV (cnt(x)·cnt(y))
+    *
+    * Scale: pair supports come from the materialized CoPurchaseEdges
+    * table (already support-pruned — the Apriori downward-closure step
+    * that keeps level 2 sparse); per-item counts are one map-side agg;
+    * the basket census is one bounded count. The top-20 is TakeOrdered.
+    * Lift overflow bound: support·n·10⁶ at int64 needs support·n <
+    * 9.2e12 — support ≤ basket co-occurrence counts (≤ orders), so fine
+    * through ~3M orders; past that, rescale the ppm factor.
+    */
+  def q188AssocRules(s: SparkSession, dir: String): DataFrame = {
+    val pairs = s.read.parquet(CoPurchaseEdges.ensure(s, dir))
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("o")))
+      .filter(col("bsz") <= 32)
+      .select(col("o"), col("p"))
+    val counts = items.groupBy("p").agg(count(lit(1)).as("cnt"))
+    val nOrders = items.select("o").distinct().count() // bounded driver count
+    pairs
+      .join(broadcast(counts.select(col("p").as("x"), col("cnt").as("cnt_x"))), "x")
+      .join(broadcast(counts.select(col("p").as("y"), col("cnt").as("cnt_y"))), "y")
+      .select(col("x"), col("y"), col("support"), col("cnt_x"), col("cnt_y"),
+        lit(nOrders).as("n_orders"),
+        expr("(support * 1000000) DIV cnt_x").as("conf_xy_ppm"),
+        expr("(support * 1000000) DIV cnt_y").as("conf_yx_ppm"),
+        expr(s"(support * $nOrders * 1000000) DIV (cnt_x * cnt_y)").as("lift_ppm"))
+      .orderBy(col("support").desc, col("x"), col("y"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q172_triangles"  -> (q172Triangles _),
-    "q173_bfs_levels" -> (q173BfsLevels _))
+    "q173_bfs_levels" -> (q173BfsLevels _),
+    "q188_assoc_rules" -> (q188AssocRules _))
 
-  /** q172's co-purchase edge table — basket-fenced (≤ 32 distinct parts
-    * per order) support-≥2 part pairs, materialized once per
-    * (warehouse, sf-dir). Same dir-hash naming + _SUCCESS completeness
-    * contract as TradeGraphPairs; content deterministic from the source
-    * dir, so Overwrite repair is safe.
+  /** q172/q188's co-purchase edge table — basket-fenced (≤ 32 distinct
+    * parts per order) support-≥2 part pairs WITH their support counts,
+    * materialized once per (warehouse, sf-dir). Same dir-hash naming +
+    * _SUCCESS completeness contract as TradeGraphPairs; content
+    * deterministic from the source dir, so Overwrite repair is safe.
+    * (v2 suffix: the table gained the support column — a stale v1 dir
+    * must not satisfy the existence check.)
     */
-  private object CoPurchaseEdges {
+  private[queries] object CoPurchaseEdges {
     def ensure(s: SparkSession, dir: String): String = synchronized {
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val path = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), s"graft_copurchase_$tag")
+        s.conf.get("spark.sql.warehouse.dir"), s"graft_copurchase_v2_$tag")
       val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
         val items = Tables.lineitem(s, dir)
@@ -95,7 +135,6 @@ object Graphs {
           .groupBy(col("a.p").as("x"), col("b.p").as("y"))
           .agg(count(lit(1)).as("support"))
           .filter(col("support") >= 2)
-          .select(col("x"), col("y"))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path.toString)
       }
       path.toString
@@ -142,6 +181,25 @@ object Graphs {
         |  (2000000 * pn.tri) // (deg.d * (deg.d - 1)) AS cc_ppm
         |FROM pn JOIN deg ON deg.n = pn.n
         |ORDER BY pn.tri DESC, part LIMIT 20""".stripMargin,
+    "q188_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+        |  FROM lineitem),
+        |ok AS (SELECT o FROM items GROUP BY o HAVING COUNT(*) <= 32),
+        |it AS (SELECT i.o, i.p FROM items i JOIN ok USING (o)),
+        |e AS (
+        |  SELECT a.p AS x, b.p AS y, COUNT(*) AS support
+        |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |c AS (SELECT p, COUNT(*) AS cnt FROM it GROUP BY p),
+        |n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM it)
+        |SELECT e.x, e.y, e.support, cx.cnt AS cnt_x, cy.cnt AS cnt_y,
+        |  n.n_orders,
+        |  (e.support * 1000000) // cx.cnt AS conf_xy_ppm,
+        |  (e.support * 1000000) // cy.cnt AS conf_yx_ppm,
+        |  (e.support * n.n_orders * 1000000) // (cx.cnt * cy.cnt) AS lift_ppm
+        |FROM e JOIN c cx ON cx.p = e.x JOIN c cy ON cy.p = e.y, n
+        |ORDER BY e.support DESC, e.x, e.y LIMIT 20""".stripMargin,
     "q173_bfs_levels" ->
       """WITH RECURSIVE sc AS (
         |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS sk,

@@ -183,12 +183,7 @@ object Series {
     * DECIMAL (order-invariant).
     */
   def q183HoppingRollup(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        graft.queries.dsum(col("value"), 6).as("total_value"))
-      .select(unix_micros(col("window.start")).as("win_start_us"),
-        col("event_type"), col("n_events"), col("total_value"))
+    graft.streaming.EventStreams.hoppingRollup(Tables.events(s, dir))
       .orderBy("win_start_us", "event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -38,6 +38,24 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
               col("n_events"), col("total_value"))
 
+  /** HOPPING 6h/3h event-time windows per event_type — each event lands in
+    * exactly two overlapping windows (the smoothed-rate/hysteresis shape).
+    * Works on a static OR streaming frame: the same map-side 2-window
+    * expand + partial agg; in streaming, state is one row per
+    * (window, type) bounded by the watermark. Batch q183 and the
+    * EventStreamsSpec stream==batch equality both run through here.
+    */
+  def hoppingRollup(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "2 hours")
+              else events
+    src
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.queries.dsum(col("value"), 6).as("total_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
   /** Gap-based sessionization with explicit keyed state. A session closes
     * when no event arrives within `gapMinutes` (event time, enforced via
     * watermark + EventTimeTimeout).

@@ -27,6 +27,25 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("hoppingRollup over a file stream matches the batch q183") {
+    val sf = Sf0001
+    val stream = EventStreams.readEventStream(spark, sf)
+    val q = EventStreams.hoppingRollup(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hopping_out").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("hopping_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batch = graft.queries.Series.q183HoppingRollup(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streaming == batch)
+      assert(streaming.nonEmpty)
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate event_ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
