@@ -102,10 +102,57 @@ object Graphs {
       .limit(20)
   }
 
+  /** q189: WEIGHTED PageRank over the trade graph — edge weight = the
+    * number of distinct orders linking a supplier↔customer pair, so rank
+    * mass follows trade VOLUME, not mere adjacency (q167's uniform twin).
+    * Same integer fixed-point contract (operators.Graph.weightedPageRank);
+    * the oracle replays all 3 weighted rounds as an unrolled CTE chain.
+    * The weighted pair table materializes once per dir (the
+    * TradeGraphPairs device).
+    */
+  def q189WeightedPr(s: SparkSession, dir: String): DataFrame = {
+    val tw = s.read.parquet(TradeGraphWeights.ensure(s, dir))
+    val edges = tw.select(col("sk").as("src"), col("ck").as("dst"), col("w"))
+      .union(tw.select(col("ck").as("src"), col("sk").as("dst"), col("w")))
+    graft.operators.Graph.weightedPageRank(edges, iterations = 3)
+      .orderBy(col("pr").desc, col("id"))
+      .limit(20)
+      .select(
+        when(col("id") % 2 === 0, concat(lit("S"), expr("id DIV 2")))
+          .otherwise(concat(lit("C"), expr("id DIV 2")))
+          .as("id"),
+        col("pr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q172_triangles"  -> (q172Triangles _),
     "q173_bfs_levels" -> (q173BfsLevels _),
-    "q188_assoc_rules" -> (q188AssocRules _))
+    "q188_assoc_rules" -> (q188AssocRules _),
+    "q189_weighted_pr" -> (q189WeightedPr _))
+
+  /** q189's weighted pair table: distinct-order counts per
+    * supplier↔customer relation, materialized once per (warehouse,
+    * sf-dir) — same contract as TradeGraphPairs.
+    */
+  private object TradeGraphWeights {
+    def ensure(s: SparkSession, dir: String): String = synchronized {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val path = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), s"graft_trade_weights_$tag")
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy((col("l_suppkey").cast("long") * 2).as("sk"),
+            (col("o_custkey").cast("long") * 2 + 1).as("ck"))
+          .agg(countDistinct(col("l_orderkey")).as("w"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path.toString)
+      }
+      path.toString
+    }
+  }
 
   /** q172/q188's co-purchase edge table — basket-fenced (≤ 32 distinct
     * parts per order) support-≥2 part pairs WITH their support counts,
@@ -141,7 +188,40 @@ object Graphs {
     }
   }
 
+  /** One unrolled WEIGHTED PageRank round over `prev` —
+    * Graph.weightedPageRank's integer recurrence verbatim. */
+  private def weightedRoundSql(prev: String): String =
+    s"""SELECT e.dst AS id,
+      |  CAST((3 * 1000000000000) // (20 * nn.n)
+      |    + (17 * CAST(SUM((p.pr * e.w) // s.wsum) AS BIGINT)) // 20
+      |    AS BIGINT) AS pr
+      |FROM edges e JOIN $prev p ON p.id = e.src
+      |  JOIN ws s ON s.src = e.src, nn
+      |GROUP BY e.dst, nn.n""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q189_weighted_pr" ->
+      s"""WITH tw AS (
+        |  SELECT CAST(l_suppkey AS BIGINT) * 2 AS sk,
+        |    CAST(o_custkey AS BIGINT) * 2 + 1 AS ck,
+        |    COUNT(DISTINCT l_orderkey) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT sk AS src, ck AS dst, w FROM tw
+        |          UNION ALL SELECT ck, sk, w FROM tw),
+        |ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum
+        |       FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |pr0 AS (SELECT id, CAST(1000000000000 // nn.n AS BIGINT) AS pr
+        |        FROM nodes, nn),
+        |it1 AS (${weightedRoundSql("pr0")}),
+        |it2 AS (${weightedRoundSql("it1")}),
+        |it3 AS (${weightedRoundSql("it2")}),
+        |top AS (SELECT id, pr FROM it3 ORDER BY pr DESC, id LIMIT 20)
+        |SELECT CASE WHEN id % 2 = 0 THEN 'S' || (id // 2)
+        |            ELSE 'C' || (id // 2) END AS id, pr
+        |FROM top""".stripMargin,
     // full replay: basket fence -> support>=2 edges -> degree-ordered
     // orientation -> wedge close -> per-node counts -> cc_ppm
     "q172_triangles" ->

@@ -163,6 +163,45 @@ class GraphSpec extends SparkSpecBase {
       fwa.keySet.forall(_.startsWith("C")))
   }
 
+  /** Weighted variant of [[referencePr]]: contribution pr·w DIV wsum. */
+  private def referenceWpr(edges: Seq[(String, String, Long)], iterations: Int,
+                           scale: Long = Graph.DefaultScale): Map[String, Long] = {
+    val out = edges.groupBy(_._1).view.mapValues(es => es.map(e => (e._2, e._3))).toMap
+    val wsum = out.view.mapValues(_.map(_._2).sum).toMap
+    val n = out.size.toLong
+    var pr = out.keys.map(_ -> scale / n).toMap
+    for (_ <- 1 to iterations) {
+      val ins = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      out.foreach { case (u, vs) =>
+        vs.foreach { case (v, w) => ins(v) += pr(u) * w / wsum(u) }
+      }
+      pr = out.keys.map(v => v -> ((3 * scale) / (20 * n) + 17 * ins(v) / 20)).toMap
+    }
+    pr
+  }
+
+  test("weightedPageRank matches the reference; heavy edges carry more rank") {
+    // b receives a weight-9 edge, c a weight-1 edge from the same hub;
+    // back-edges make every node a source
+    val planted = Seq(("a", "b", 9L), ("a", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L))
+    val got = Graph.weightedPageRank(planted.toDF("src", "dst", "w"),
+        iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == referenceWpr(planted, 4))
+    assert(got("b") > got("c"))
+    // uniform weights must reproduce the unweighted recurrence exactly
+    val uni = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L), ("a", "c", 1L),
+      ("c", "d", 1L), ("d", "c", 1L))
+    val w1 = Graph.weightedPageRank(uni.toDF("src", "dst", "w"), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val u1 = Graph.fixedPointPageRank(
+        uni.map(e => (e._1, e._2)).toDF("src", "dst"), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w1 == u1)
+    eventuallyEmptyCache()
+  }
+
   /** Independent reference: brute-force triangle enumeration over all
     * node triples — no orientation trick, no Spark. */
   private def referenceTriangles(edges: Seq[(Long, Long)])
