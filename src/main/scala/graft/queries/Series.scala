@@ -186,7 +186,62 @@ object Series {
     graft.streaming.EventStreams.hoppingRollup(Tables.events(s, dir))
       .orderBy("win_start_us", "event_type")
 
+  /** q190: DAU + trailing 7-day active users per day — the WAU curve
+    * every engagement dashboard carries. Exact trailing distinct via the
+    * map-side day-expand: each (user, day) activity row fans out to the
+    * ≤ 7 report days it supports (a fixed 7× expand, like q183's
+    * 2-window hop), then one distinct + count per report day — no
+    * per-day re-scan, no window over user-sized partitions. Report days
+    * cap at the corpus max (one bounded driver count).
+    */
+  def q190RollingActives(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+    val maxDay = act.agg(max("day")).head().getLong(0)
+    val wau = act
+      .withColumn("i", explode(sequence(lit(0), lit(6))))
+      .select(col("user_id"), (col("day") + col("i")).as("day"))
+      .filter(col("day") <= maxDay)
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau_7d"))
+    val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau_7d"))
+      .orderBy("day")
+  }
+
+  /** q191: last-touch purchase attribution — each purchase credits the
+    * user's most recent non-purchase event within the preceding hour
+    * ('direct' when none), revenue decimal-summed per attributed type.
+    * The inequality time join runs through RangeJoin.trailingWindowJoin
+    * (bin-explode equi rewrite — never a nested loop); the per-purchase
+    * argmax is one max(struct) aggregate, not a window.
+    */
+  def q191LastTouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts"), col("value"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("touch_ts"),
+        col("event_id").as("touch_id"), col("event_type").as("touch_type"))
+    val joined = graft.operators.RangeJoin.trailingWindowJoin(
+      purchases, touches, "user_id", "ts", "touch_ts", windowUs = 3600000000L)
+    val last = joined.groupBy("pid")
+      .agg(max(struct(col("touch_ts"), col("touch_id"), col("touch_type"))).as("lt"))
+      .select(col("pid"), col("lt.touch_type").as("attr"))
+    purchases.join(last, Seq("pid"), "left")
+      .select(col("value"), coalesce(col("attr"), lit("direct")).as("attr_type"))
+      .groupBy("attr_type")
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.queries.dsum(col("value"), 6).as("attributed_revenue"))
+      .orderBy("attr_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_rolling_actives" -> (q190RollingActives _),
+    "q191_last_touch" -> (q191LastTouch _),
     "q174_ewma" -> (q174Ewma _),
     "q178_ewma_stream" -> (q178EwmaStream _),
     "q181_cohort_retention" -> (q181CohortRetention _),
@@ -199,6 +254,41 @@ object Series {
     ("q178_ewma_stream" -> baseOracles("q174_ewma"))
 
   private val baseOracles: Map[String, String] = Map(
+    "q190_rolling_actives" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |mx AS (SELECT MAX(day) AS m FROM a),
+        |r AS (
+        |  SELECT DISTINCT user_id, day + i AS day
+        |  FROM a, UNNEST(range(0, 7)) AS u(i), mx
+        |  WHERE day + i <= mx.m),
+        |w AS (SELECT day, COUNT(*) AS wau_7d FROM r GROUP BY 1),
+        |d AS (SELECT day, COUNT(*) AS dau FROM a GROUP BY 1)
+        |SELECT w.day, COALESCE(d.dau, 0) AS dau, w.wau_7d
+        |FROM w LEFT JOIN d USING (day) ORDER BY w.day""".stripMargin,
+    "q191_last_touch" ->
+      """WITH p AS (
+        |  SELECT event_id AS pid, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, ts AS tts, event_id AS tid, event_type AS ttype
+        |  FROM events WHERE event_type <> 'purchase'),
+        |j AS (
+        |  SELECT p.pid, t.ttype,
+        |    ROW_NUMBER() OVER (PARTITION BY p.pid
+        |      ORDER BY t.tts DESC, t.tid DESC) AS rk
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |    AND epoch_us(t.tts) >= epoch_us(p.ts) - 3600000000
+        |    AND epoch_us(t.tts) < epoch_us(p.ts)),
+        |l AS (SELECT pid, ttype FROM j WHERE rk = 1),
+        |a AS (
+        |  SELECT p.pid, p.value, COALESCE(l.ttype, 'direct') AS attr_type
+        |  FROM p LEFT JOIN l USING (pid))
+        |SELECT attr_type, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS attributed_revenue
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "q182_event_transitions" ->
       """WITH s AS (
         |  SELECT event_type AS from_type,
