@@ -239,9 +239,72 @@ object Series {
       .orderBy("attr_type")
   }
 
+  /** q192: inter-event-time histogram — per-user consecutive-event gaps,
+    * log2-bucketed (bucket k = gaps in [2^k, 2^(k+1)) µs; -1 = exact
+    * ties): the burstiness profile read before sizing session gaps and
+    * rate limits. floor(log2(x)) is safe cross-engine: it only lands on
+    * an integer at exact powers of two, where double log2 is exact; the
+    * lag window partitions by USER (bounded), the histogram is ≤ ~40
+    * buckets.
+    */
+  def q192InterEventHist(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("delta", col("us") - lag("us", 1).over(w))
+      .filter(col("delta").isNotNull)
+      .withColumn("bucket",
+        when(col("delta") === 0, lit(-1L))
+          .otherwise(floor(log2(col("delta")))))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_gaps"),
+        min("delta").as("min_us"), max("delta").as("max_us"))
+      .orderBy("bucket")
+  }
+
+  /** q193: RFM customer segmentation — each customer scored 1–4 on
+    * Recency (last order day), Frequency (order count), and Monetary
+    * (decimal-exact lifetime spend) by exact rank quartiles, then the
+    * 4³ segment census. The CRM classic, and a third consumer of the
+    * chunkedPrefix device: all three global rankings run with NO
+    * single-task sort (boundary-chunked prefix ranks — the q165
+    * curriculum shape), ties broken on the customer key so both engines
+    * rank identically. Scores = ((rn−1)·4 DIV n) + 1.
+    */
+  def q193RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("cust"))
+      // o_orderdate is TIMESTAMP_NTZ in the fixtures; the session runs
+      // UTC, so the cast is value-preserving (the RangeJoin device)
+      .agg(max(expr("unix_micros(cast(o_orderdate as timestamp)) DIV 86400000000"))
+          .as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+          .cast("double").as("mon"))
+      .persist()
+    def score(metric: String, as: String): DataFrame =
+      graft.operators.StratifiedSelect.chunkedPrefix(
+        base.select(col("cust"), col(metric)).withColumn("g", lit("all")),
+        "g", metric, desc = false, tieBreak = Seq(col("cust")),
+        value = lit(1L), nChunks = 8)
+        .select(col("cust"),
+          (expr("((rn - 1) * 4) DIV n_stratum") + 1).cast("int").as(as))
+    val out = score("last_day", "r_score")
+      .join(score("freq", "f_score"), "cust")
+      .join(score("mon", "m_score"), "cust")
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("r_score", "f_score", "m_score")
+    graft.operators.Caching.releaseAfterConsumed(out, base)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_rolling_actives" -> (q190RollingActives _),
     "q191_last_touch" -> (q191LastTouch _),
+    "q192_inter_event_hist" -> (q192InterEventHist _),
+    "q193_rfm_segments" -> (q193RfmSegments _),
     "q174_ewma" -> (q174Ewma _),
     "q178_ewma_stream" -> (q178EwmaStream _),
     "q181_cohort_retention" -> (q181CohortRetention _),
@@ -267,6 +330,33 @@ object Series {
         |d AS (SELECT day, COUNT(*) AS dau FROM a GROUP BY 1)
         |SELECT w.day, COALESCE(d.dau, 0) AS dau, w.wau_7d
         |FROM w LEFT JOIN d USING (day) ORDER BY w.day""".stripMargin,
+    "q193_rfm_segments" ->
+      """WITH b AS (
+        |  SELECT o_custkey AS cust,
+        |    MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS mon
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM b),
+        |r AS (SELECT cust, CAST(((ROW_NUMBER() OVER (ORDER BY last_day, cust)
+        |        - 1) * 4) // n.n + 1 AS INTEGER) AS r_score FROM b, n),
+        |f AS (SELECT cust, CAST(((ROW_NUMBER() OVER (ORDER BY freq, cust)
+        |        - 1) * 4) // n.n + 1 AS INTEGER) AS f_score FROM b, n),
+        |m AS (SELECT cust, CAST(((ROW_NUMBER() OVER (ORDER BY mon, cust)
+        |        - 1) * 4) // n.n + 1 AS INTEGER) AS m_score FROM b, n)
+        |SELECT r.r_score, f.f_score, m.m_score, COUNT(*) AS n_customers
+        |FROM r JOIN f USING (cust) JOIN m USING (cust)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q192_inter_event_hist" ->
+      """WITH g AS (
+        |  SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta
+        |  FROM events)
+        |SELECT CASE WHEN delta = 0 THEN -1
+        |            ELSE CAST(FLOOR(LOG2(delta)) AS BIGINT) END AS bucket,
+        |  COUNT(*) AS n_gaps, MIN(delta) AS min_us, MAX(delta) AS max_us
+        |FROM g WHERE delta IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q191_last_touch" ->
       """WITH p AS (
         |  SELECT event_id AS pid, user_id, ts, value FROM events
