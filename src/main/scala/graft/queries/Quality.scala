@@ -96,12 +96,105 @@ object Quality {
       .unionByName(graft.operators.Profile.dateProfile(
         Tables.events(s, dir), Seq("ts")))
 
+  /** q194: exact per-group percentiles (p50/p95/p99 of value per
+    * event_type) by the nearest-rank definition r = ⌈p·n/100⌉ — the SLO
+    * report shape. Ranks come from chunkedPrefix (per-stratum exact rank
+    * with NO single-task stratum sort — q79's device), so a popular
+    * event type never funnels through one task; each requested
+    * percentile is one rank-equality filter, ties broken on event_id so
+    * both engines pick the same row.
+    */
+  def q194GroupPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("event_id"))
+    graft.operators.StratifiedSelect.chunkedPrefix(
+        base, "event_type", "value", desc = false,
+        tieBreak = Seq(col("event_id")), value = lit(1L), nChunks = 8)
+      .withColumn("pct", explode(array(lit(50), lit(95), lit(99))))
+      .filter(col("rn") === expr("(n_stratum * pct + 99) DIV 100"))
+      .select(col("event_type"), col("pct"), col("value"))
+      .orderBy("event_type", "pct")
+  }
+
+  /** q195: histogram drift audit — the first 15 days' value distribution
+    * vs the rest, as per-mille bucket shares and their squared gaps (the
+    * integer-exact cousin of a PSI report: no logs, so no float
+    * divergence surface at all). Fixed-width buckets with a clamped tail
+    * (value DIV 32 — a power-of-two divide, so floor() is engine-exact);
+    * half totals enter as two bounded driver counts; the result frame is
+    * ≤ 16 rows.
+    */
+  def q195HistDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir).filter(col("value").isNotNull)
+    val minDay = ev.agg(min(expr("unix_micros(ts) DIV 86400000000")))
+      .head().getLong(0)
+    val b = ev.select(
+      (expr("unix_micros(ts) DIV 86400000000") - minDay).as("off"),
+      least(lit(15L), floor(col("value") / lit(32.0)).cast("long")).as("bucket"))
+    def half(f: org.apache.spark.sql.Column): (DataFrame, Long) = {
+      val h = b.filter(f)
+      (h.groupBy("bucket").agg(count(lit(1)).as("cnt")), h.count())
+    }
+    val (h1, n1) = half(col("off") < 15)
+    val (h2, n2) = half(col("off") >= 15)
+    h1.withColumnRenamed("cnt", "n1")
+      .join(h2.withColumnRenamed("cnt", "n2"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+      .select(col("bucket"), col("n1"), col("n2"),
+        expr(s"(n1 * 1000) DIV $n1").as("p1_pm"),
+        expr(s"(n2 * 1000) DIV $n2").as("p2_pm"))
+      .withColumn("gap_sq",
+        expr("(p1_pm - p2_pm) * (p1_pm - p2_pm)"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_group_percentiles" -> (q194GroupPercentiles _),
+    "q195_hist_drift" -> (q195HistDrift _),
     "q93_ref_integrity" -> (q93RefIntegrity _),
     "q94_iqr_outliers"  -> (q94IqrOutliers _),
     "q98_table_profile" -> (q98TableProfile _))
 
   val oracles: Map[String, String] = Map(
+    "q194_group_percentiles" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, p.pct, value
+        |FROM r, (VALUES (50), (95), (99)) p(pct)
+        |WHERE rn = (n * p.pct + 99) // 100
+        |ORDER BY event_type, p.pct""".stripMargin,
+    "q195_hist_drift" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |    epoch_us(ts) // 86400000000
+        |      - (SELECT MIN(epoch_us(ts) // 86400000000)
+        |         FROM events WHERE value IS NOT NULL) AS off
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT off, LEAST(15, CAST(FLOOR(value / 32.0) AS BIGINT)) AS bucket
+        |  FROM ev),
+        |h1 AS (SELECT bucket, COUNT(*) AS n1 FROM b WHERE off < 15 GROUP BY 1),
+        |h2 AS (SELECT bucket, COUNT(*) AS n2 FROM b WHERE off >= 15 GROUP BY 1),
+        |t1 AS (SELECT COUNT(*) AS t FROM b WHERE off < 15),
+        |t2 AS (SELECT COUNT(*) AS t FROM b WHERE off >= 15),
+        |j AS (
+        |  SELECT COALESCE(h1.bucket, h2.bucket) AS bucket,
+        |    COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+        |  FROM h1 FULL OUTER JOIN h2 ON h1.bucket = h2.bucket)
+        |SELECT bucket, n1, n2,
+        |  (n1 * 1000) // t1.t AS p1_pm,
+        |  (n2 * 1000) // t2.t AS p2_pm,
+        |  ((n1 * 1000) // t1.t - (n2 * 1000) // t2.t)
+        |    * ((n1 * 1000) // t1.t - (n2 * 1000) // t2.t) AS gap_sq
+        |FROM j, t1, t2
+        |ORDER BY bucket""".stripMargin,
     "q93_ref_integrity" ->
       """SELECT 'lineitem->orders' AS fk_edge, COUNT(*) AS n_rows,
         |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
