@@ -300,7 +300,34 @@ object Series {
     graft.operators.Caching.releaseAfterConsumed(out, base)
   }
 
+  /** q196: freshness-decayed engagement score per event type — each
+    * event's quantized value halves per day of age (weight 2^-age), so
+    * recent activity dominates: the recency-weighted scorer behind
+    * trending-source ranking and crawl prioritization. The decay is a
+    * RIGHT SHIFT on the 2²⁰ fixed-point value (xq >> min(age, 40)) —
+    * exponential decay with zero float surface, bit-exact in any engine.
+    * One map-side-combined agg; the corpus max day is one bounded count.
+    */
+  def q196DecayedScore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull && col("value") >= 0)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        floor(col("value") * lit(1048576.0)).cast("long").as("xq"))
+    val maxDay = ev.agg(max("day")).head().getLong(0)
+    ev.withColumn("age", lit(maxDay) - col("day"))
+      .withColumn("decayed",
+        expr("shiftright(xq, cast(least(age, 40) as int))"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("xq").as("raw_q"), sum("decayed").as("decayed_q"))
+      .select(col("event_type"), col("n_events"), col("raw_q"), col("decayed_q"),
+        expr("(decayed_q * 1000000) DIV raw_q").as("fresh_share_ppm"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_decayed_score" -> (q196DecayedScore _),
     "q190_rolling_actives" -> (q190RollingActives _),
     "q191_last_touch" -> (q191LastTouch _),
     "q192_inter_event_hist" -> (q192InterEventHist _),
@@ -317,6 +344,23 @@ object Series {
     ("q178_ewma_stream" -> baseOracles("q174_ewma"))
 
   private val baseOracles: Map[String, String] = Map(
+    "q196_decayed_score" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 1048576.0) AS BIGINT) AS xq
+        |  FROM events WHERE value IS NOT NULL AND value >= 0),
+        |m AS (SELECT MAX(day) AS md FROM e),
+        |d AS (
+        |  SELECT event_type, xq,
+        |    xq >> CAST(LEAST(m.md - day, 40) AS INTEGER) AS decayed
+        |  FROM e, m)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(xq) AS BIGINT) AS raw_q,
+        |  CAST(SUM(decayed) AS BIGINT) AS decayed_q,
+        |  (CAST(SUM(decayed) AS BIGINT) * 1000000) // CAST(SUM(xq) AS BIGINT)
+        |    AS fresh_share_ppm
+        |FROM d GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q190_rolling_actives" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

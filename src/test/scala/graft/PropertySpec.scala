@@ -276,4 +276,76 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("triangleStats matches brute-force triple enumeration on random graphs") {
+    val edgeGen = Gen.listOfN(20, for {
+      a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    for (raw <- samples(edgeGen, 8); edges = raw.distinct if edges.nonEmpty) {
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = adj.keys.toSeq.sorted
+      val tri = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        u <- nodes; v <- nodes if u < v && adj(u)(v)
+        w <- nodes if v < w && adj(u)(w) && adj(v)(w)
+      } { tri(u) += 1; tri(v) += 1; tri(w) += 1 }
+      val want = tri.toMap.map { case (n, t) => n -> (adj(n).size.toLong, t) }
+      val got = graft.operators.Graph.triangleStats(edges.toDF("x", "y"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == want, s"graph $edges")
+    }
+  }
+
+  test("bfsLevels matches a reference frontier walk on random digraphs") {
+    val edgeGen = Gen.listOfN(24, for {
+      a <- Gen.choose(1L, 10L); b <- Gen.choose(1L, 10L) if a != b
+    } yield (a, b))
+    for (raw <- samples(edgeGen, 8); edges = raw.distinct if edges.nonEmpty) {
+      val seeds = Set(edges.head._1)
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lvl = seeds.map(_ -> 0).toMap
+      var frontier = seeds
+      for (k <- 1 to 3) {
+        val next = frontier.flatMap(u => adj.getOrElse(u, Nil)).diff(lvl.keySet)
+        lvl = lvl ++ next.map(_ -> k)
+        frontier = next
+      }
+      val got = graft.operators.Graph.bfsLevels(edges.toDF("src", "dst"),
+          seeds.toSeq.toDF("id"), maxLevel = 3)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == lvl, s"graph $edges seeds $seeds")
+    }
+  }
+
+  test("ewmaFold is split-independent for any ts-respecting batch split") {
+    import java.sql.Timestamp
+    val evGen = Gen.listOfN(16, for {
+      u <- Gen.choose(1L, 3L)
+      t <- Gen.choose(1000L, 9999L)
+      x <- Gen.choose(0L, 5000000L)
+    } yield (u, t, x))
+    for (raw <- samples(evGen, 8)) {
+      // unique (ts) per row so every split point is ts-respecting
+      val rows = raw.zipWithIndex.map { case ((u, t, x), i) =>
+        (u, new Timestamp(t * 1000L + i), i.toLong, x)
+      }
+      def toDf(rs: Seq[(Long, Timestamp, Long, Long)]) =
+        rs.map(r => (r._1, r._2, r._3, r._4))
+          .toDF("user_id", "ts", "event_id", "xq")
+          .select(col("user_id"),
+            struct(col("ts"), col("event_id"), col("xq")).as("rec"))
+      val empty = toDf(rows).limit(0)
+        .select(col("user_id"), lit(0L).as("n_events"), lit(0L).as("ewma_q"))
+      val sorted = rows.sortBy(r => (r._2.getTime, r._3))
+      val oneShot = graft.queries.Series.ewmaFold(empty, toDf(sorted))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // split at every third boundary of the ts-sorted stream
+      val batches = sorted.grouped(math.max(1, sorted.length / 3)).toSeq
+      val folded = batches.foldLeft(empty)((st, b) =>
+          graft.queries.Series.ewmaFold(st, toDf(b)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(folded == oneShot, s"split diverged for $rows")
+    }
+  }
+
 }
