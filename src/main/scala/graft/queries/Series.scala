@@ -326,7 +326,51 @@ object Series {
       .orderBy("event_type")
   }
 
+  /** q197: CUSUM change-point detection per event type — the classic
+    * upward-shift monitor over the daily value series:
+    *
+    *   s_0 = 0;  s_i = max(0, s_{i-1} + (dq_i − mean_q))
+    *
+    * with dq the 2²⁰-quantized daily sum and mean_q its integer per-type
+    * mean. Reports the peak CUSUM and the FIRST day it is reached — the
+    * candidate change point. Completes the monitoring family (EWMA
+    * smoothing q174, drift histogram q195, MAD/IQR outliers q131/q94).
+    *
+    * Scale: one (type, day) agg first — the fold then runs over ≤ days
+    * rows per type (calendar-bounded by construction, the q174 list
+    * contract is trivially satisfied); mean and fold are array
+    * expressions over that bounded series, computed inside one groupBy.
+    */
+  def q197Cusum(s: SparkSession, dir: String): DataFrame = {
+    def f(c: Column, n: String): Column = c.getField(n)
+    val daily = Tables.events(s, dir)
+      .filter(col("value").isNotNull && col("value") >= 0)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(sum(floor(col("value") * lit(1048576.0)).cast("long")).as("dq"))
+    daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("dq")))).as("arr"))
+      .withColumn("n_days", size(col("arr")).cast("long"))
+      .withColumn("mean_q",
+        expr("aggregate(arr, 0L, (a, x) -> a + x.dq) DIV n_days"))
+      .withColumn("fold",
+        aggregate(col("arr"),
+          struct(lit(0L).as("s"), lit(-1L).as("peak"), lit(-1L).as("pday")),
+          (acc, x) => {
+            val s2 = greatest(lit(0L),
+              f(acc, "s") + f(x, "dq") - col("mean_q"))
+            struct(s2.as("s"),
+              when(s2 > f(acc, "peak"), s2).otherwise(f(acc, "peak")).as("peak"),
+              when(s2 > f(acc, "peak"), f(x, "day")).otherwise(f(acc, "pday"))
+                .as("pday"))
+          }))
+      .select(col("event_type"), col("n_days"), col("mean_q"),
+        col("fold.peak").as("peak_cusum"), col("fold.pday").as("peak_day"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_cusum" -> (q197Cusum _),
     "q196_decayed_score" -> (q196DecayedScore _),
     "q190_rolling_actives" -> (q190RollingActives _),
     "q191_last_touch" -> (q191LastTouch _),
@@ -344,6 +388,36 @@ object Series {
     ("q178_ewma_stream" -> baseOracles("q174_ewma"))
 
   private val baseOracles: Map[String, String] = Map(
+    "q197_cusum" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(floor(value * 1048576.0) AS BIGINT)) AS BIGINT) AS dq
+        |  FROM events WHERE value IS NOT NULL AND value >= 0
+        |  GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type, day, dq,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM d),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |        CAST(SUM(dq) AS BIGINT) // COUNT(*) AS mean_q
+        |      FROM x GROUP BY 1),
+        |r(event_type, rn, s) AS (
+        |  SELECT x.event_type, x.rn, GREATEST(0, x.dq - m.mean_q)
+        |  FROM x JOIN m USING (event_type) WHERE x.rn = 1
+        |  UNION ALL
+        |  SELECT x.event_type, x.rn, GREATEST(0, r.s + x.dq - m.mean_q)
+        |  FROM r JOIN x ON x.event_type = r.event_type AND x.rn = r.rn + 1
+        |  JOIN m ON m.event_type = x.event_type),
+        |p AS (SELECT event_type, MAX(s) AS peak FROM r GROUP BY 1),
+        |pd AS (
+        |  SELECT r.event_type, MIN(x.day) AS peak_day
+        |  FROM r JOIN p ON p.event_type = r.event_type AND r.s = p.peak
+        |  JOIN x ON x.event_type = r.event_type AND x.rn = r.rn
+        |  GROUP BY 1)
+        |SELECT m.event_type, m.n_days, m.mean_q,
+        |  p.peak AS peak_cusum, pd.peak_day
+        |FROM m JOIN p USING (event_type) JOIN pd USING (event_type)
+        |ORDER BY m.event_type""".stripMargin,
     "q196_decayed_score" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
