@@ -251,6 +251,55 @@ object Relational2 {
     s.sql(CorrMatrixText)
   }
 
+  /** TPC-H Q5 (local-supplier volume): the six-table join with the
+    * customer-nation == supplier-nation correlation — the widest join
+    * tree on the SQL surface; revenue decimal-summed, ties on n_name.
+    */
+  val TpchQ5Text: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))
+      |    AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q10 (returned-item revenue): top-20 customers by revenue lost
+    * to returns in a quarter. Deterministic top-k: ties on c_custkey.
+    */
+  val TpchQ10Text: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))
+      |    AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  def q198TpchQ5(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(TpchQ5Text)
+  }
+
+  def q199TpchQ10(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(TpchQ10Text)
+  }
+
   def q175TpchQ4(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(TpchQ4Text)
@@ -311,7 +360,9 @@ object Relational2 {
     "q168_tpch_q14"        -> (q168TpchQ14 _),
     "q175_tpch_q4"         -> (q175TpchQ4 _),
     "q176_tpch_q12"        -> (q176TpchQ12 _),
-    "q180_corr_matrix"     -> (q180CorrMatrix _))
+    "q180_corr_matrix"     -> (q180CorrMatrix _),
+    "q198_tpch_q5"         -> (q198TpchQ5 _),
+    "q199_tpch_q10"        -> (q199TpchQ10 _))
 
   val oracles: Map[String, String] = Map(
     "q40_sql_surface" -> SqlSurfaceText,
@@ -322,6 +373,8 @@ object Relational2 {
     "q175_tpch_q4"    -> TpchQ4Text,
     "q176_tpch_q12"   -> TpchQ12Text,
     "q180_corr_matrix" -> CorrMatrixText,
+    "q198_tpch_q5"     -> TpchQ5Text,
+    "q199_tpch_q10"    -> TpchQ10Text,
     "q41_shipping_priority" ->
       """SELECT l_orderkey, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE)
