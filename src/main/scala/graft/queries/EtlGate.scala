@@ -71,10 +71,30 @@ object EtlGate {
     time.unionByName(suburb).unionByName(vehicle).unionByName(fuel)
   }
 
+  /** q200: the E1→E2 COMPOSED chain — app.py's hardest dashboard
+    * computation (`combined`, app.py:335-359: fact⋈fact join + global
+    * min-max adoption normalization with the constant→50 fallback) run
+    * over the FULL pipeline output, exactly the "streamlit reads what
+    * main.py wrote" path a reference user exercises daily. The oracle
+    * extends the q139/q140 chain with the dashboard algebra, so one hash
+    * match certifies ingestion → transforms → merge → star schema →
+    * dashboard in a single statement.
+    */
+  def q200EtlDashboard(s: SparkSession, dir: String): DataFrame = {
+    val r = pipelineResult(s, dir)
+    graft.analytics.Dashboard(r.dims.suburb, r.evImpactFact, r.energyPollutionFact)
+      .combined
+      .select(col("SUBURB_NAME"), col("TOTAL_EVS"), col("EV_ADOPTION_SCORE"),
+        col("ENERGY_CONSUMPTION"), col("NO2_LEVEL"),
+        col("EV_ADOPTION_NORMALIZED"))
+      .orderBy("SUBURB_NAME")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_etl_energy_fact" -> (q139EnergyFact _),
     "q140_etl_ev_fact"     -> (q140EvFact _),
-    "q141_etl_dims"        -> (q141Dims _))
+    "q141_etl_dims"        -> (q141Dims _),
+    "q200_etl_dashboard"   -> (q200EtlDashboard _))
 
   // ---------------------------------------------------------------- oracle
 
@@ -253,6 +273,32 @@ object EtlGate {
          |  ${sr6("AVG_PRICE")} AS AVG_PRICE,
          |  ${sr6("EV_ADOPTION_SCORE")} AS EV_ADOPTION_SCORE
          |FROM wk""".stripMargin,
+    // the q139/q140 chain extended with app.py's `combined` algebra:
+    // fact columns at their round6 values, dim join, 2023 energy slice,
+    // then the q08 min-max formula with the constant->50 fallback
+    "q200_etl_dashboard" ->
+      s"""$chain,
+         |evf AS (
+         |  SELECT id_suburb, ${sr6("CAST(TOTAL_EVs AS DOUBLE)")} AS TOTAL_EVS,
+         |    ${sr6("EV_ADOPTION_SCORE")} AS EV_ADOPTION_SCORE
+         |  FROM wk),
+         |e23 AS (
+         |  SELECT id_suburb, ${sr6("CONSUMPTION_2023")} AS ENERGY_CONSUMPTION,
+         |    ${sr6("NO2_2023")} AS NO2_LEVEL
+         |  FROM wk),
+         |c AS (
+         |  SELECT d.SUBURB_NAME, evf.TOTAL_EVS, evf.EV_ADOPTION_SCORE,
+         |    e23.ENERGY_CONSUMPTION, e23.NO2_LEVEL
+         |  FROM evf JOIN dim_suburb d USING (id_suburb)
+         |  LEFT JOIN e23 USING (id_suburb)),
+         |st AS (SELECT MIN(EV_ADOPTION_SCORE) AS mn,
+         |              MAX(EV_ADOPTION_SCORE) AS mx FROM c)
+         |SELECT SUBURB_NAME, TOTAL_EVS, EV_ADOPTION_SCORE,
+         |  ENERGY_CONSUMPTION, NO2_LEVEL,
+         |  CASE WHEN st.mx = st.mn THEN 50.0
+         |       ELSE (EV_ADOPTION_SCORE - st.mn) / (st.mx - st.mn) * 100.0 END
+         |    AS EV_ADOPTION_NORMALIZED
+         |FROM c, st ORDER BY SUBURB_NAME""".stripMargin,
     "q141_etl_dims" ->
       s"""$chain
          |SELECT 'time' AS dim, CAST(id_time AS INTEGER) AS id,
