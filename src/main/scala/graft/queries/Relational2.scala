@@ -290,6 +290,53 @@ object Relational2 {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** q201: analytic-function breadth on the shared-text surface — NTILE /
+    * PERCENT_RANK / CUME_DIST over a total order (ties broken on the key,
+    * so every engine computes identical ranks), then aggregated per
+    * (priority, quartile) so the gate hashes a bounded frame.
+    * PERCENT_RANK/CUME_DIST are the same double formulas on identical
+    * integer ranks — no float divergence surface.
+    */
+  val WindowFuncsText: String =
+    """WITH w AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile,
+      |    PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS pr,
+      |    CUME_DIST() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS cd
+      |  FROM orders)
+      |SELECT o_orderpriority, quartile, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total,
+      |  MIN(pr) AS min_pr, MAX(cd) AS max_cd
+      |FROM w GROUP BY o_orderpriority, quartile
+      |ORDER BY o_orderpriority, quartile""".stripMargin
+
+  /** q202: GROUPING SETS — the lattice shape rollup/cube can't pick
+    * freely (two independent single-column strata plus the grand total),
+    * with GROUPING() disambiguating genuine NULLs from subtotal rows.
+    */
+  val GroupingSetsText: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+      |    AS INTEGER) AS gid,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
+  def q201WindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(WindowFuncsText)
+  }
+
+  def q202GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(GroupingSetsText)
+  }
+
   def q198TpchQ5(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(TpchQ5Text)
@@ -362,7 +409,9 @@ object Relational2 {
     "q176_tpch_q12"        -> (q176TpchQ12 _),
     "q180_corr_matrix"     -> (q180CorrMatrix _),
     "q198_tpch_q5"         -> (q198TpchQ5 _),
-    "q199_tpch_q10"        -> (q199TpchQ10 _))
+    "q199_tpch_q10"        -> (q199TpchQ10 _),
+    "q201_window_funcs"    -> (q201WindowFuncs _),
+    "q202_grouping_sets"   -> (q202GroupingSets _))
 
   val oracles: Map[String, String] = Map(
     "q40_sql_surface" -> SqlSurfaceText,
@@ -375,6 +424,8 @@ object Relational2 {
     "q180_corr_matrix" -> CorrMatrixText,
     "q198_tpch_q5"     -> TpchQ5Text,
     "q199_tpch_q10"    -> TpchQ10Text,
+    "q201_window_funcs" -> WindowFuncsText,
+    "q202_grouping_sets" -> GroupingSetsText,
     "q41_shipping_priority" ->
       """SELECT l_orderkey, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE)
