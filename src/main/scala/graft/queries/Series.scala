@@ -369,7 +369,27 @@ object Series {
       .orderBy("event_type")
   }
 
+  /** q203: frequent behavioral TRIGRAMS — q182's transition matrix
+    * extended to length-3 journey fragments (two stacked lead()s over the
+    * same user-bounded window, one shuffle), top-20 by count. The
+    * sequence-mining step behind "what do users do right before X".
+    */
+  def q203EventTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead("t1", 1).over(w))
+      .withColumn("t3", lead("t1", 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_event_trigrams" -> (q203EventTrigrams _),
     "q197_cusum" -> (q197Cusum _),
     "q196_decayed_score" -> (q196DecayedScore _),
     "q190_rolling_actives" -> (q190RollingActives _),
@@ -388,6 +408,18 @@ object Series {
     ("q178_ewma_stream" -> baseOracles("q174_ewma"))
 
   private val baseOracles: Map[String, String] = Map(
+    "q203_event_trigrams" ->
+      """WITH s AS (
+        |  SELECT event_type AS t1,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t2,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t3
+        |  FROM events)
+        |SELECT t1, t2, t3, COUNT(*) AS cnt
+        |FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY cnt DESC, t1, t2, t3 LIMIT 20""".stripMargin,
     "q197_cusum" ->
       """WITH RECURSIVE d AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

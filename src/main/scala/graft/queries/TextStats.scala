@@ -82,12 +82,68 @@ object TextStats {
         expr("((chars - (tokens - n_docs)) * 1000000) DIV tokens").as("tok_len_ppm"))
       .orderBy("lang", "source")
 
+  /** q204: corpus concentration (Lorenz-curve deciles) — documents ranked
+    * by token count DESC, cut into exact rank deciles, each decile's
+    * share of the total token mass as integer ppm: "the top 10 % of docs
+    * hold X % of the tokens", the governance number behind dedup and
+    * budget decisions. The ranking runs through chunkedPrefix (no
+    * single-task global sort — q165's curriculum shape, here with the
+    * token count as the prefix VALUE so the same pass yields both rank
+    * and running mass); the decile frame is 10 rows.
+    */
+  def q204CorpusConcentration(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+    graft.operators.StratifiedSelect.chunkedPrefix(
+        base.withColumn("g", lit("all")), "g", "n_tok", desc = true,
+        tieBreak = Seq(col("doc_id")), value = col("n_tok"), nChunks = 8)
+      .select(expr("((rn - 1) * 10) DIV n_stratum").as("decile"),
+        col("n_tok"),
+        (col("cum_before") + col("n_tok")).as("cum_tok"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+        max("cum_tok").as("cum_tokens"))
+      .withColumn("total", sum("tokens").over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(col("decile"), col("n_docs"), col("tokens"),
+        expr("(tokens * 1000000) DIV total").as("share_ppm"),
+        expr("(cum_tokens * 1000000) DIV total").as("cum_share_ppm"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_corpus_concentration" -> (q204CorpusConcentration _),
     "q185_vocab_coverage" -> (q185VocabCoverage _),
     "q186_feature_hash"   -> ((s, d) => q186FeatureHash(s, d)),
     "q187_token_fertility" -> (q187TokenFertility _))
 
   val oracles: Map[String, String] = Map(
+    "q204_corpus_concentration" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT n_tok,
+        |    ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS rn,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |      AS BIGINT) AS cum_tok,
+        |    COUNT(*) OVER () AS n
+        |  FROM d),
+        |g AS (
+        |  SELECT ((rn - 1) * 10) // n AS decile, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tokens,
+        |    MAX(cum_tok) AS cum_tokens
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM g)
+        |SELECT decile, n_docs, tokens,
+        |  (tokens * 1000000) // t.total AS share_ppm,
+        |  (cum_tokens * 1000000) // t.total AS cum_share_ppm
+        |FROM g, t ORDER BY decile""".stripMargin,
     "q185_vocab_coverage" ->
       """WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term
         |               FROM documents WHERE text IS NOT NULL),
