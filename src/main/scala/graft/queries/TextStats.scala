@@ -114,13 +114,71 @@ object TextStats {
       .orderBy("decile")
   }
 
+  /** q205: dedup impact report — per (lang, source): documents and token
+    * mass before vs after exact dedup (min-doc_id survivors, q20's
+    * contract), with drop rates as integer ppm. The BIAS AUDIT run after
+    * any dedup pass: if one language's drop rate is 3× another's, the
+    * dedup step just reweighted the corpus and the mixture targets are
+    * stale. Survivors come from one text-keyed agg (min id); the
+    * stratum report joins survivors back semi-style and aggregates —
+    * both shuffles keyed, nothing stratum-sized in one task.
+    */
+  def q205DedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+    val keep = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1).as("kept"))
+    docs.join(keep, Seq("doc_id"), "left")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("docs_before"),
+        sum(when(col("kept").isNotNull, 1L).otherwise(0L)).as("docs_after"),
+        sum("n_tok").as("tokens_before"),
+        sum(when(col("kept").isNotNull, col("n_tok")).otherwise(0L))
+          .as("tokens_after"))
+      .select(col("lang"), col("source"),
+        col("docs_before"), col("docs_after"),
+        col("tokens_before"), col("tokens_after"),
+        expr("((docs_before - docs_after) * 1000000) DIV docs_before")
+          .as("doc_drop_ppm"),
+        expr("((tokens_before - tokens_after) * 1000000) DIV tokens_before")
+          .as("token_drop_ppm"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_dedup_impact" -> (q205DedupImpact _),
     "q204_corpus_concentration" -> (q204CorpusConcentration _),
     "q185_vocab_coverage" -> (q185VocabCoverage _),
     "q186_feature_hash"   -> ((s, d) => q186FeatureHash(s, d)),
     "q187_token_fertility" -> (q187TokenFertility _))
 
   val oracles: Map[String, String] = Map(
+    "q205_dedup_impact" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents
+        |  WHERE text IS NOT NULL GROUP BY text),
+        |j AS (
+        |  SELECT d.*, k.doc_id IS NOT NULL AS kept
+        |  FROM d LEFT JOIN k ON k.doc_id = d.doc_id)
+        |SELECT lang, source,
+        |  COUNT(*) AS docs_before,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tokens_before,
+        |  CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS tokens_after,
+        |  ((COUNT(*) - CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT))
+        |    * 1000000) // COUNT(*) AS doc_drop_ppm,
+        |  ((CAST(SUM(n_tok) AS BIGINT)
+        |      - CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT))
+        |    * 1000000) // CAST(SUM(n_tok) AS BIGINT) AS token_drop_ppm
+        |FROM j GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     "q204_corpus_concentration" ->
       """WITH d AS (
         |  SELECT doc_id,
