@@ -147,7 +147,33 @@ object TextStats {
       .orderBy("lang", "source")
   }
 
+  /** q206: mixture REBALANCE PLAN — the planning step between the audit
+    * (q205, q187) and the samplers (q85/q92 mixtures): given the
+    * uniform-share target over observed languages, compute each
+    * language's down-sample keep rate (capped at 1e6 — never up-sample
+    * here) and the resulting planned token mass, all integer ppm. One
+    * map-side token agg per language; the global totals broadcast as a
+    * 1-row aggregate (the KPI pattern).
+    */
+  def q206MixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val byLang = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+    val totals = byLang.agg(sum("tokens").as("total_tokens"),
+      count(lit(1)).as("n_langs"))
+    byLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        expr("total_tokens DIV n_langs").as("target_tokens"))
+      .withColumn("keep_rate_ppm",
+        least(lit(1000000L), expr("(target_tokens * 1000000) DIV tokens")))
+      .withColumn("planned_tokens",
+        expr("(tokens * keep_rate_ppm) DIV 1000000"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_mixture_plan" -> (q206MixturePlan _),
     "q205_dedup_impact" -> (q205DedupImpact _),
     "q204_corpus_concentration" -> (q204CorpusConcentration _),
     "q185_vocab_coverage" -> (q185VocabCoverage _),
@@ -155,6 +181,24 @@ object TextStats {
     "q187_token_fertility" -> (q187TokenFertility _))
 
   val oracles: Map[String, String] = Map(
+    "q206_mixture_plan" ->
+      """WITH b AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+        |      AS tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY lang),
+        |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+        |        COUNT(*) AS n_langs FROM b),
+        |p AS (
+        |  SELECT lang, n_docs, tokens,
+        |    t.total_tokens // t.n_langs AS target_tokens,
+        |    LEAST(1000000,
+        |      ((t.total_tokens // t.n_langs) * 1000000) // tokens)
+        |      AS keep_rate_ppm
+        |  FROM b, t)
+        |SELECT lang, n_docs, tokens, target_tokens, keep_rate_ppm,
+        |  (tokens * keep_rate_ppm) // 1000000 AS planned_tokens
+        |FROM p ORDER BY lang""".stripMargin,
     "q205_dedup_impact" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source,
