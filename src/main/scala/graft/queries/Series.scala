@@ -388,7 +388,36 @@ object Series {
       .limit(20)
   }
 
+  /** q207: weekly order BACKLOG curve — orders opened vs orders fully
+    * shipped (completion week = the order's max lineitem ship week) per
+    * epoch week, with the running open-order balance: the burndown
+    * chart behind fulfillment capacity planning. Integer week indices
+    * (µs DIV 7·86400e6); the running sum windows over the
+    * calendar-bounded week frame (~hundreds of rows — the
+    * dimension-sized-window contract), never over order-sized data.
+    */
+  def q207BacklogCurve(s: SparkSession, dir: String): DataFrame = {
+    def wk(c: String) =
+      expr(s"unix_micros(cast($c as timestamp)) DIV 604800000000")
+    val opened = Tables.orders(s, dir)
+      .groupBy(wk("o_orderdate").as("week"))
+      .agg(count(lit(1)).as("opened"))
+    val completed = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey").agg(max(wk("l_shipdate")).as("week"))
+      .groupBy("week").agg(count(lit(1)).as("completed"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("week")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    opened.join(completed, Seq("week"), "full_outer")
+      .select(col("week"),
+        coalesce(col("opened"), lit(0L)).as("opened"),
+        coalesce(col("completed"), lit(0L)).as("completed"))
+      .withColumn("backlog",
+        sum(col("opened") - col("completed")).over(w))
+      .orderBy("week")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_backlog_curve" -> (q207BacklogCurve _),
     "q203_event_trigrams" -> (q203EventTrigrams _),
     "q197_cusum" -> (q197Cusum _),
     "q196_decayed_score" -> (q196DecayedScore _),
@@ -408,6 +437,26 @@ object Series {
     ("q178_ewma_stream" -> baseOracles("q174_ewma"))
 
   private val baseOracles: Map[String, String] = Map(
+    "q207_backlog_curve" ->
+      """WITH o AS (
+        |  SELECT epoch_us(o_orderdate) // 604800000000 AS week,
+        |    COUNT(*) AS opened
+        |  FROM orders GROUP BY 1),
+        |cpl AS (
+        |  SELECT week, COUNT(*) AS completed FROM (
+        |    SELECT MAX(epoch_us(l_shipdate) // 604800000000) AS week
+        |    FROM lineitem GROUP BY l_orderkey) t
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(o.week, cpl.week) AS week,
+        |    COALESCE(opened, 0) AS opened,
+        |    COALESCE(completed, 0) AS completed
+        |  FROM o FULL OUTER JOIN cpl ON o.week = cpl.week)
+        |SELECT week, opened, completed,
+        |  CAST(SUM(opened - completed) OVER (ORDER BY week
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS backlog
+        |FROM j ORDER BY week""".stripMargin,
     "q203_event_trigrams" ->
       """WITH s AS (
         |  SELECT event_type AS t1,
