@@ -327,6 +327,49 @@ object Relational2 {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
 
+  /** q208: correlated SCALAR subquery — parts priced above their own
+    * brand's average (the decorrelation shape Catalyst rewrites to an
+    * aggregate + join). The inner average follows the decimal-sum /
+    * count discipline so both engines compare against identical doubles.
+    */
+  val ScalarSubqueryText: String =
+    """SELECT p_brand, COUNT(*) AS n_above
+      |FROM part p
+      |WHERE p_retailprice > (
+      |  SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(28,2))) AS DOUBLE)
+      |           / COUNT(*)
+      |  FROM part p2 WHERE p2.p_brand = p.p_brand)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** q209: INTERSECT / EXCEPT set operations under one text — big-order
+    * customers vs the BUILDING segment, both directions plus the
+    * intersection, reported as counts.
+    */
+  val SetOpsText: String =
+    """WITH b AS (SELECT c_custkey AS k FROM customer
+      |           WHERE c_mktsegment = 'BUILDING'),
+      |o AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000.0)
+      |SELECT 'building_and_big' AS op, COUNT(*) AS n
+      |  FROM (SELECT k FROM b INTERSECT SELECT k FROM o) t
+      |UNION ALL
+      |SELECT 'building_not_big', COUNT(*)
+      |  FROM (SELECT k FROM b EXCEPT SELECT k FROM o) t
+      |UNION ALL
+      |SELECT 'big_not_building', COUNT(*)
+      |  FROM (SELECT k FROM o EXCEPT SELECT k FROM b) t
+      |ORDER BY op""".stripMargin
+
+  def q208ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(ScalarSubqueryText)
+  }
+
+  def q209SetOps(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(SetOpsText)
+  }
+
   def q201WindowFuncs(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(WindowFuncsText)
@@ -411,7 +454,9 @@ object Relational2 {
     "q198_tpch_q5"         -> (q198TpchQ5 _),
     "q199_tpch_q10"        -> (q199TpchQ10 _),
     "q201_window_funcs"    -> (q201WindowFuncs _),
-    "q202_grouping_sets"   -> (q202GroupingSets _))
+    "q202_grouping_sets"   -> (q202GroupingSets _),
+    "q208_scalar_subquery" -> (q208ScalarSubquery _),
+    "q209_set_ops"         -> (q209SetOps _))
 
   val oracles: Map[String, String] = Map(
     "q40_sql_surface" -> SqlSurfaceText,
@@ -426,6 +471,8 @@ object Relational2 {
     "q199_tpch_q10"    -> TpchQ10Text,
     "q201_window_funcs" -> WindowFuncsText,
     "q202_grouping_sets" -> GroupingSetsText,
+    "q208_scalar_subquery" -> ScalarSubqueryText,
+    "q209_set_ops" -> SetOpsText,
     "q41_shipping_priority" ->
       """SELECT l_orderkey, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE)
