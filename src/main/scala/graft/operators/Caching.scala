@@ -37,6 +37,15 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object Caching {
 
+  /** Listeners registered by [[releaseAfterConsumed]] and not yet
+    * released. Observability only: a long-lived session looping declared
+    * queries should see this hover near zero between actions — monotonic
+    * growth means consuming actions are not matching their target plans
+    * (each leaked listener costs one subtree scan per subsequent action,
+    * which compounds across a bench sweep). tools.Soak prints it.
+    */
+  val activeListeners = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Arrange for `cached` frames to be unpersisted after the first
     * completed (success or failure) action that consumes `result`'s plan.
     * Returns `result` unchanged.
@@ -64,6 +73,7 @@ object Caching {
           if (done.compareAndSet(false, true)) {
             cached.foreach(_.unpersist(blocking = false))
             session.listenerManager.unregister(this)
+            activeListeners.decrementAndGet()
           }
           return
         }
@@ -73,6 +83,7 @@ object Caching {
         if (consumed && done.compareAndSet(false, true)) {
           cached.foreach(_.unpersist(blocking = false))
           session.listenerManager.unregister(this)
+          activeListeners.decrementAndGet()
         }
       }
       override def onSuccess(funcName: String, qe: QueryExecution,
@@ -81,6 +92,7 @@ object Caching {
                              exception: Exception): Unit = release(qe)
     }
     session.listenerManager.register(listener)
+    activeListeners.incrementAndGet()
     result
   }
 }

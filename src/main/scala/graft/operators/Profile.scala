@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Data-quality profiling — the "what did we just ingest" stage every
   * large-scale pipeline runs before and after each transform: per-column
@@ -17,6 +18,66 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Runs each 1-row aggregate frame as its own PLAIN job (`head()`) and
+    * fuses the collected rows into one local 1-row frame with the
+    * concatenated schema.
+    *
+    * This replaces the previous `crossJoin(broadcast(agg))` stitching: a
+    * broadcast whose child is a full-scan aggregate executes that scan on
+    * the broadcast-exchange thread pool, and a cache whose first
+    * materialization lands there runs ~3x slower on this machine
+    * (round-10 bench forensics) — under host load the q76 shape degraded
+    * 8-30x. Collecting instead is the sanctioned 1-row-aggregate driver
+    * hop: only a row of scalars crosses the driver, each scan stays a
+    * plain distributed job, and downstream consumers see a LocalRelation
+    * (zero joins). Construction becomes eager — callers' timing loops
+    * charge the work to the invocation that runs it, same as before.
+    *
+    * The broadcast-stitched shape was fast on an idle host BECAUSE the
+    * builds overlapped; to keep that, the first frame runs synchronously
+    * (materializing any persisted input exactly once, on this thread) and
+    * the rest submit concurrently from driver threads — Spark schedules
+    * concurrent plain jobs across cores the same way, minus the
+    * build-thread pathology (measured: sequential cost q76 0.85→1.4 s;
+    * concurrent restores it).
+    */
+  def eagerOneRow(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "need at least one 1-row frame")
+    fuseRows(frames, frames.head.head() +: concurrentRows(frames.tail))
+  }
+
+  /** [[eagerOneRow]] with ALL frames submitted concurrently — for callers
+    * that have already materialized any shared persisted input (otherwise
+    * the first-touch race rebuilds it per job: redundant compute, not
+    * wrong, but up to frames.size scans).
+    */
+  def eagerOneRowConcurrent(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "need at least one 1-row frame")
+    fuseRows(frames, concurrentRows(frames))
+  }
+
+  private def concurrentRows(frames: Seq[DataFrame]): Seq[Row] =
+    if (frames.isEmpty) Seq.empty
+    else if (frames.size == 1) Seq(frames.head.head())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(frames.size, 8))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = frames.map { f =>
+          new java.util.concurrent.Callable[Row] { def call(): Row = f.head() }
+        }
+        pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+      } finally pool.shutdown()
+    }
+
+  private def fuseRows(frames: Seq[DataFrame], rows: Seq[Row]): DataFrame = {
+    val schema = StructType(frames.flatMap(_.schema.fields))
+    val merged = Row.fromSeq(rows.flatMap(_.toSeq))
+    frames.head.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(merged), schema)
+  }
+
   /** Per-column profile of numeric columns: non-null count, null count,
     * exact distinct count, min, max — one row per column.
     *
@@ -27,9 +88,10 @@ object Profile {
     * Expand duplicating every row (nCols+1)× — measured ~3× slower than
     * the per-column scans, whose parquet reads are columnar and whose
     * map-side partial aggs collapse low-cardinality columns before the
-    * shuffle. The 1-row results re-join as broadcast crossJoins (the q43
-    * corpus-N trick). At 100 TB swap to [[numericProfileApprox]] — the
-    * same profile in TWO scans with HLL distincts (q44 pattern).
+    * shuffle. The 1-row results run as sequential plain jobs and fuse
+    * driver-side ([[eagerOneRow]] — never on the broadcast-build thread
+    * pool). At 100 TB swap to [[numericProfileApprox]] — the same profile
+    * in TWO scans with HLL distincts (q44 pattern).
     *
     * The input is read nCols+1 times, so it must be deterministic across
     * re-reads (any parquet/table scan is; a frame built on rand()/sample
@@ -43,10 +105,9 @@ object Profile {
       min(col(c)).cast("double").as(s"${c}__min"),
       max(col(c)).cast("double").as(s"${c}__max"))
     }
-    val base = df.agg(baseAggs.head, baseAggs.tail: _*)
-    val wide = cols.foldLeft(base) { (acc, c) =>
-      acc.crossJoin(broadcast(df.agg(count_distinct(col(c)).as(s"${c}__nd"))))
-    }
+    val wide = eagerOneRow(
+      df.agg(baseAggs.head, baseAggs.tail: _*) +:
+        cols.map(c => df.agg(count_distinct(col(c)).as(s"${c}__nd"))))
     val branches = cols.map { c =>
       s"'$c', `${c}__n`, __n_rows - `${c}__n`, `${c}__nd`, `${c}__min`, `${c}__max`"
     }.mkString(", ")
@@ -71,8 +132,10 @@ object Profile {
     * counts/min/max into the interpreted row loop — measured 4.1 s vs
     * 0.9 s for the split shape at sf0.1 (tools/Q76Profile). Splitting
     * keeps the scalar pass codegen'd and confines the interpreted loop to
-    * the sketch-only pass; the two 1-row results meet in a broadcast
-    * crossJoin (the in-plan global-aggregate pattern).
+    * the sketch-only pass; the two 1-row results run as plain jobs and
+    * fuse driver-side ([[eagerOneRow]] — the round-10 driver capture
+    * showed the previous broadcast-stitched shape degrading 8-30x under
+    * host load because the sketch scan ran on the broadcast-build thread).
     *
     * rsd trades the sketch-pass CPU for distinct-count error: measured at
     * sf0.1 on l_extendedprice (583 k distinct), rsd 0.01 → 0.27 % err /
@@ -90,14 +153,55 @@ object Profile {
       max(col(c)).cast("double").as(s"${c}__max"))
     }
     val hllAggs = cols.map(c => approx_count_distinct(col(c), rsd).as(s"${c}__nd"))
-    val wide = df.agg(scalarAggs.head, scalarAggs.tail: _*)
-      .crossJoin(broadcast(df.agg(hllAggs.head, hllAggs.tail: _*)))
+    val wide = eagerOneRow(Seq(
+      df.agg(scalarAggs.head, scalarAggs.tail: _*),
+      df.agg(hllAggs.head, hllAggs.tail: _*)))
     val branches = cols.map { c =>
       s"'$c', `${c}__n`, __n_rows - `${c}__n`, `${c}__nd`, `${c}__min`, `${c}__max`"
     }.mkString(", ")
     wide.select(expr(
       s"stack(${cols.size}, $branches) AS " +
         "(col_name, n_non_null, n_nulls, n_distinct, min_val, max_val)"))
+  }
+
+  /** The q76/q102 shape fused: the EXACT numeric profile plus a per-column
+    * `nd_ok` boolean asserting the HLL estimate lies within 1/bandInv of
+    * the exact distinct count. Composing [[numericProfile]] with
+    * [[numericProfileApprox]] pays an approx scalar pass the band check
+    * discards and serializes the two profiles' job sets; here ONE scalar
+    * pass runs synchronously (materializing any persisted input on a
+    * plain path) and the nCols exact-DISTINCT passes + the single HLL
+    * pass all submit concurrently — nCols+2 scans total, the minimum the
+    * exact-vs-sketch contract admits. Output = numericProfile's columns
+    * plus nd_ok.
+    */
+  def numericProfileBanded(df: DataFrame, cols: Seq[String], bandInv: Int,
+                           rsd: Double = 0.02): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(bandInv > 0, s"bandInv must be positive, got $bandInv")
+    val scalarAggs = count(lit(1)).as("__n_rows") +: cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val hllAggs = cols.map(c => approx_count_distinct(col(c), rsd).as(s"${c}__nda"))
+    // If the input is persisted but not yet built, materialize it with one
+    // plain count() first so the concurrent passes below all read the
+    // cache instead of racing to build it (cross-job first-touch is
+    // compute-redundant, not wrong — this just avoids paying the scan
+    // up to nCols+2 times on the first invocation).
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df.count()
+    val wide = eagerOneRowConcurrent(
+      df.agg(scalarAggs.head, scalarAggs.tail: _*) +:
+        (cols.map(c => df.agg(count_distinct(col(c)).as(s"${c}__nd"))) :+
+          df.agg(hllAggs.head, hllAggs.tail: _*)))
+    val branches = cols.map { c =>
+      s"'$c', `${c}__n`, __n_rows - `${c}__n`, `${c}__nd`, `${c}__min`, `${c}__max`, " +
+        s"abs(`${c}__nda` - `${c}__nd`) * $bandInv <= `${c}__nd`"
+    }.mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $branches) AS " +
+        "(col_name, n_non_null, n_nulls, n_distinct, min_val, max_val, nd_ok)"))
   }
 
   /** Per-column profile of STRING columns — the text half of the ingest
@@ -122,10 +226,9 @@ object Profile {
       min(col(c)).as(s"${c}__min"),
       max(col(c)).as(s"${c}__max"))
     }
-    val base = df.agg(baseAggs.head, baseAggs.tail: _*)
-    val wide = cols.foldLeft(base) { (acc, c) =>
-      acc.crossJoin(broadcast(df.agg(count_distinct(col(c)).as(s"${c}__nd"))))
-    }
+    val wide = eagerOneRow(
+      df.agg(baseAggs.head, baseAggs.tail: _*) +:
+        cols.map(c => df.agg(count_distinct(col(c)).as(s"${c}__nd"))))
     val branches = cols.map { c =>
       s"'$c', `${c}__n`, __n_rows - `${c}__n`, `${c}__nd`, " +
         s"`${c}__minlen`, `${c}__maxlen`, `${c}__min`, `${c}__max`"
@@ -149,10 +252,9 @@ object Profile {
       date_format(min(asDate(c)), "yyyy-MM-dd").as(s"${c}__min"),
       date_format(max(asDate(c)), "yyyy-MM-dd").as(s"${c}__max"))
     }
-    val base = df.agg(baseAggs.head, baseAggs.tail: _*)
-    val wide = cols.foldLeft(base) { (acc, c) =>
-      acc.crossJoin(broadcast(df.agg(count_distinct(asDate(c)).as(s"${c}__nd"))))
-    }
+    val wide = eagerOneRow(
+      df.agg(baseAggs.head, baseAggs.tail: _*) +:
+        cols.map(c => df.agg(count_distinct(asDate(c)).as(s"${c}__nd"))))
     val branches = cols.map { c =>
       s"'$c', `${c}__n`, __n_rows - `${c}__n`, `${c}__nd`, " +
         s"CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), `${c}__min`, `${c}__max`"

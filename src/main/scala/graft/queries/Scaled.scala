@@ -112,18 +112,15 @@ object Scaled {
   def q76ProfileApprox(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("o_totalprice", "o_custkey", "o_orderkey")
     // the exact profile + the approx profile's own passes consume this
-    // projection three times — share one in-memory copy and release it
-    // after the caller's terminal action (q102's pattern)
+    // projection several times — share one in-memory copy. Profile
+    // construction is eager since round 11 (every pass runs at
+    // construction, on plain job paths), so the cache materializes outside
+    // any broadcast build and can be released synchronously right here —
+    // no scoped listener, nothing outlives the call.
     val proj = Tables.orders(s, dir).select(cols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exact = Profile.numericProfile(proj, cols)
-    val approx = Profile.numericProfileApprox(proj, cols)
-      .select(col("col_name"), col("n_distinct").as("nd_approx"))
-    val res = exact.join(broadcast(approx), "col_name")
-      .select(col("col_name"), col("n_non_null"), col("n_nulls"),
-        col("n_distinct"), col("min_val"), col("max_val"),
-        (abs(col("nd_approx") - col("n_distinct")) * 20 <= col("n_distinct")).as("nd_ok"))
-    graft.operators.Caching.releaseAfterConsumed(res, proj)
+    try Profile.numericProfileBanded(proj, cols, bandInv = 20)
+    finally proj.unpersist(blocking = false)
   }
 
   /** q58's dedup resolution through the large-star/small-star path
@@ -472,16 +469,18 @@ object Scaled {
     */
   def q100HllBanded(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    // separate single-DISTINCT passes + broadcast crossJoins: the
-    // Profile.numericProfile Expand-avoidance shape
-    val exact = li.agg(count_distinct(col("l_partkey")).as("n_parts"))
-      .crossJoin(broadcast(li.agg(count_distinct(col("l_orderkey")).as("n_orders"))))
-      .crossJoin(broadcast(li.agg(count(lit(1)).as("n_rows"))))
-    val approx = li.agg(
-      approx_count_distinct(col("l_partkey")).as("ap"),
-      approx_count_distinct(col("l_orderkey")).as("ao"))
+    // separate single-DISTINCT passes (the Profile.numericProfile
+    // Expand-avoidance shape), fused driver-side as plain jobs — a
+    // broadcast-stitched full-scan agg would run on the broadcast-build
+    // thread pool (the q76 under-load trap, see Profile.eagerOneRow)
     // default rsd 0.05 -> a 10 % band is 2 sigma; integer arithmetic only
-    exact.crossJoin(broadcast(approx))
+    Profile.eagerOneRow(Seq(
+      li.agg(count_distinct(col("l_partkey")).as("n_parts")),
+      li.agg(count_distinct(col("l_orderkey")).as("n_orders")),
+      li.agg(count(lit(1)).as("n_rows")),
+      li.agg(
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"))))
       .select(col("n_parts"), col("n_orders"), col("n_rows"),
         (abs(col("ap") - col("n_parts")) * 10 <= col("n_parts")).as("parts_ok"),
         (abs(col("ao") - col("n_orders")) * 10 <= col("n_orders")).as("orders_ok"))
@@ -538,16 +537,13 @@ object Scaled {
     // shape the Profile scaladoc prescribes.
     val proj = Tables.lineitem(s, dir).select(cols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exact = Profile.numericProfile(proj, cols)
-    val approx = Profile.numericProfileApprox(proj, cols)
-      .select(col("col_name"), col("n_distinct").as("nd_approx"))
-    val res = exact.join(broadcast(approx), "col_name")
-      .select(col("col_name"), col("n_non_null"), col("n_nulls"),
-        col("n_distinct"), col("min_val"), col("max_val"),
-        (abs(col("nd_approx") - col("n_distinct")) * 50 <= col("n_distinct")).as("nd_ok"))
-    // scoped release: the projection cache frees itself after the
-    // caller's terminal action instead of leaking per invocation
-    graft.operators.Caching.releaseAfterConsumed(res, proj)
+    // Profile construction is eager (round 11): every pass runs here on a
+    // plain job path — scalar pass synchronously (materializing the
+    // cache), the distinct + HLL passes concurrently — so the cache is
+    // fully consumed by the time the profile returns as a local frame.
+    // Release it synchronously instead of via the scoped listener.
+    try Profile.numericProfileBanded(proj, cols, bandInv = 50)
+    finally proj.unpersist(blocking = false)
   }
 
   /** q105: the q100-q102 banded trick applied to the LAST rows-only query
