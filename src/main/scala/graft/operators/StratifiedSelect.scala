@@ -86,11 +86,24 @@ object StratifiedSelect {
         "per row; size chunks to cluster cores, not data")
     val p = col(primary).cast("double")
     // one columnar pass for boundaries; a bounded (nChunks-1)-element
-    // array reaches the driver, never data rows
+    // array reaches the driver, never data rows. Boundaries only BALANCE
+    // partitions (correctness needs monotonicity only, see step 1 above),
+    // so they come from a deterministic ~2% hash-sample of the primary at
+    // modest sketch accuracy: sampling noise + rank error skew any chunk
+    // by a few percent of its share, while the sketch update — the single
+    // most expensive part of the ranking pass at fixture scale (~0.4 s of
+    // q54's 1.5 s at accuracy 10000 over the full column) — drops 50x in
+    // row count. Hash-of-value sampling is reproducible across runs and
+    // engines-independent; a heavily-duplicated primary value skews the
+    // sample but never the result. Empty sample (tiny input) falls back
+    // to the full column — the balance guarantee must not silently
+    // degrade to one chunk.
     val qs = (1 until nChunks).map(_.toDouble / nChunks)
-    val bounds: Seq[Double] = Option(
-      base.select(percentile_approx(p, array(qs.map(lit): _*), lit(10000))
+    def sketch(src: DataFrame): Seq[Double] = Option(
+      src.select(percentile_approx(p, array(qs.map(lit): _*), lit(20 * nChunks))
         .as("b")).head().getSeq[Double](0)).getOrElse(Seq.empty)
+    val sampled = sketch(base.where(pmod(xxhash64(p), lit(50)) === 0))
+    val bounds: Seq[Double] = if (sampled.nonEmpty) sampled else sketch(base)
     // chunk id: how many boundaries precede this value in stratum order —
     // monotone in (primary asc/desc) whatever the boundary values are.
     // Deliberately a flat codegen'd comparison chain, NOT
@@ -109,24 +122,41 @@ object StratifiedSelect {
     val ord = (if (desc) col(primary).desc else col(primary).asc) +: tieBreak
     val localW = Window.partitionBy(col("__pid"), col(stratum)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // value == lit(1): the prefix sum IS the rank minus one, so the
+    // window needs only the count column and the offsets frame only the
+    // count offsets — the common rank-only callers (q54/q79/q101 medians)
+    // skip half the running-aggregate machinery.
+    val unitValue = {
+      import org.apache.spark.sql.GraftColumnBridge.expression
+      expression(value).semanticEquals(expression(lit(1L))) ||
+        expression(value).semanticEquals(expression(lit(1)))
+    }
     // tiny per-(chunk, stratum) totals -> per-stratum running offsets.
     // chunk order in a window is __pid ASC for both directions: pid was
     // built order-aligned (desc primary => higher quality = lower pid)
-    val tiny = withPid.groupBy(col("__pid"), col(stratum))
-      .agg(sum(value).as("__pv"), count(lit(1)).as("__pc"))
+    val countAgg = count(lit(1)).as("__pc")
+    val tiny =
+      if (unitValue) withPid.groupBy(col("__pid"), col(stratum)).agg(countAgg)
+      else withPid.groupBy(col("__pid"), col(stratum))
+        .agg(sum(value).as("__pv"), countAgg)
     val offW = Window.partitionBy(stratum).orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = tiny.select(
-      col("__pid"), col(stratum),
-      coalesce(sum("__pv").over(offW), lit(0L)).as("__voff"),
-      coalesce(sum("__pc").over(offW), lit(0L)).as("__coff"),
-      sum("__pc").over(Window.partitionBy(stratum)).as("n_stratum"))
-    withPid
-      .withColumn("__vloc", coalesce(sum(value).over(localW), lit(0L)))
-      .withColumn("__cloc", count(lit(1)).over(localW))
+    val coff = coalesce(sum("__pc").over(offW), lit(0L)).as("__coff")
+    val nStratum = sum("__pc").over(Window.partitionBy(stratum)).as("n_stratum")
+    val offsets =
+      if (unitValue) tiny.select(col("__pid"), col(stratum), coff, nStratum)
+      else tiny.select(col("__pid"), col(stratum),
+        coalesce(sum("__pv").over(offW), lit(0L)).as("__voff"), coff, nStratum)
+    val localRanked =
+      if (unitValue) withPid.withColumn("__cloc", count(lit(1)).over(localW))
+      else withPid
+        .withColumn("__vloc", coalesce(sum(value).over(localW), lit(0L)))
+        .withColumn("__cloc", count(lit(1)).over(localW))
+    localRanked
       .join(broadcast(offsets), Seq("__pid", stratum))
-      .withColumn("cum_before", col("__voff") + col("__vloc"))
       .withColumn("rn", col("__coff") + col("__cloc") + lit(1L))
+      .withColumn("cum_before",
+        if (unitValue) col("rn") - lit(1L) else col("__voff") + col("__vloc"))
       .drop("__pid", "__pv", "__pc", "__voff", "__coff", "__vloc", "__cloc")
   }
 }
