@@ -360,6 +360,47 @@ object Relational2 {
       |  FROM (SELECT k FROM o EXCEPT SELECT k FROM b) t
       |ORDER BY op""".stripMargin
 
+  /** q210: RECURSIVE CTE on the Catalyst surface — the last SQL-surface
+    * family whose oracle was previously DuckDB-only (the CC/BFS gates
+    * q58/q77/q173 state recursive CTEs the Spark side answers with
+    * iterative plans). One ANSI text, executed verbatim by both engines:
+    * a per-customer order-chain walk — each recursion step joins the
+    * working set to its unique successor row (rn + 1), so UNION ALL
+    * growth is LINEAR in total orders. That linearity is load-bearing:
+    * Spark 4.1 rejects UNION (distinct) recursion
+    * ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]), and a graph-shaped UNION
+    * ALL recursion would enumerate paths, not nodes. Depth is capped at
+    * 50 steps (matching spark.sql default recursion limits with margin);
+    * running totals stay DECIMAL(28,2) inside the recursion — the
+    * accumulation is exact, so the final double render is
+    * order-independent and hash-stable.
+    */
+  val RecursiveCteText: String =
+    """WITH RECURSIVE seq AS (
+      |  SELECT o_custkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders WHERE o_custkey <= 750
+      |),
+      |walk(o_custkey, rn, running) AS (
+      |  SELECT o_custkey, rn, CAST(o_totalprice AS DECIMAL(28,2))
+      |  FROM seq WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.o_custkey, s.rn,
+      |    CAST(w.running + CAST(s.o_totalprice AS DECIMAL(28,2)) AS DECIMAL(28,2))
+      |  FROM walk w JOIN seq s
+      |    ON s.o_custkey = w.o_custkey AND s.rn = w.rn + 1
+      |  WHERE w.rn < 50
+      |)
+      |SELECT o_custkey, CAST(MAX(rn) AS BIGINT) AS n_orders,
+      |  CAST(MAX(running) AS DOUBLE) AS lifetime_spend
+      |FROM walk GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  def q210RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(RecursiveCteText)
+  }
+
   def q208ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(ScalarSubqueryText)
@@ -456,7 +497,8 @@ object Relational2 {
     "q201_window_funcs"    -> (q201WindowFuncs _),
     "q202_grouping_sets"   -> (q202GroupingSets _),
     "q208_scalar_subquery" -> (q208ScalarSubquery _),
-    "q209_set_ops"         -> (q209SetOps _))
+    "q209_set_ops"         -> (q209SetOps _),
+    "q210_recursive_cte"   -> (q210RecursiveCte _))
 
   val oracles: Map[String, String] = Map(
     "q40_sql_surface" -> SqlSurfaceText,
@@ -473,6 +515,7 @@ object Relational2 {
     "q202_grouping_sets" -> GroupingSetsText,
     "q208_scalar_subquery" -> ScalarSubqueryText,
     "q209_set_ops" -> SetOpsText,
+    "q210_recursive_cte" -> RecursiveCteText,
     "q41_shipping_priority" ->
       """SELECT l_orderkey, o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE)
