@@ -229,10 +229,50 @@ object Retrieval {
     * never again on the query path.
     */
   def q164RetrievalIndexed(s: SparkSession, dir: String): DataFrame =
+    hybridIndexed(s, dir, QueryTerms)
+
+  /** The q164 chain parameterized by query terms: BM25 recall from the
+    * persisted inverted index, PRF-centroid rerank, final top-k. One
+    * retrieval semantics — q164 pins it to q158's oracle; the probe
+    * stream below serves it per request.
+    */
+  private[queries] def hybridIndexed(s: SparkSession, dir: String,
+                                     terms: Seq[String]): DataFrame =
     rerankFrom(s, dir, topCandidates(graft.operators.TextIndex.bm25Indexed(
-        Bm25IndexTables.ensure(s, dir), QueryTerms)))
+        Bm25IndexTables.ensure(s, dir), terms)))
       .select(col("doc_id"), col("brank"), col("rrank"), col("bm25"),
         round(col("cosr"), 6).as("cos_prf"))
+
+  /** Streaming twin of the indexed retrieval path (round-10 verdict ask
+    * #8): a STREAM of search probes `(query_id, terms)` answered per
+    * micro-batch from the SAME persisted BM25 index + embedding table the
+    * batch path (q164) probes — the serving loop of a production RAG
+    * stack, where the corpus was tokenized once at index-build time and
+    * each arriving request pays only its own candidate read + rerank.
+    *
+    * Shape: foreachBatch; the micro-batch (request-sized — human queries,
+    * never data) collects to the driver and each probe runs the
+    * [[hybridIndexed]] chain, results tagged with the probe's query_id
+    * and unioned before `onBatch` sees them. Per-probe work is the q164
+    * plan verbatim, so RetrievalSpec gates stream-vs-batch EQUALITY
+    * rather than mere plausibility (the q178/q154 batch-equal contract,
+    * applied to retrieval).
+    */
+  def retrievalProbeStream(s: SparkSession, dir: String, probes: DataFrame,
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    probes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ps = batch.select(col("query_id").cast("long"), col("terms")).collect()
+        if (ps.nonEmpty) {
+          val res = ps.toSeq.map { r =>
+            hybridIndexed(s, dir, r.getSeq[String](1))
+              .withColumn("query_id", lit(r.getLong(0)))
+          }.reduce(_ unionByName _)
+          onBatch(res, id)
+        }
+      }
+      .start()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_hybrid_retrieval" -> (q158HybridRetrieval _),

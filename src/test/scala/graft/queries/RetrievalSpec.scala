@@ -77,4 +77,40 @@ class RetrievalSpec extends SparkSpecBase with AdaptiveSparkPlanHelper {
       "upsample_x must be non-increasing in n_tokens")
     assert(ux.head > ux.last, "the boost must actually discriminate by size")
   }
+
+  test("retrievalProbeStream: streamed probes are batch-equal to q164") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+      rows.map(r => Seq(r.getAs[Long]("doc_id"), r.getAs[Int]("brank"),
+        r.getAs[Int]("rrank"), r.getAs[Double]("bm25"),
+        r.getAs[Double]("cos_prf")).mkString("|")).toSeq.sorted
+
+    val batch164 = canon(Retrieval.q164RetrievalIndexed(spark, sf).collect())
+    val altTerms = Seq("hash", "join", "scan")
+    val batchAlt = canon(Retrieval.hybridIndexed(spark, sf, altTerms).collect())
+
+    val results = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    val input = MemoryStream[(Long, Seq[String])]
+    val q = Retrieval.retrievalProbeStream(spark, sf,
+      input.toDF().toDF("query_id", "terms"),
+      (df, _) => df.collect().groupBy(_.getAs[Long]("query_id")).foreach {
+        case (qid, rows) => results.synchronized { results(qid) = canon(rows) }
+      })
+    try {
+      // two micro-batches: the serving loop answers each request from the
+      // SAME persisted index the batch path probes
+      input.addData((1L, Retrieval.QueryTerms)); q.processAllAvailable()
+      input.addData((2L, altTerms)); q.processAllAvailable()
+      assert(results.keySet == Set(1L, 2L))
+      assert(results(1L) == batch164,
+        "streamed q164-terms probe must equal the batch q164 result exactly")
+      assert(results(2L) == batchAlt,
+        "streamed alt-terms probe must equal its batch chain exactly")
+      assert(results(1L) != results(2L),
+        "the two probes must actually retrieve different result sets")
+    } finally q.stop()
+  }
 }
