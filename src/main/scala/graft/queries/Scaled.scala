@@ -98,6 +98,27 @@ object Scaled {
         count(lit(1)).as("n_items"))
   }
 
+  /** q48's per-priority median a THIRD way — rank SELECTION instead of
+    * ranking (StratifiedSelect.stratumRanks): only the two middle ranks
+    * per stratum come back, and only the chunks HOLDING them sort. q79
+    * proves the full chunked ranking reproduces the window formulation;
+    * this proves the point-selection path does too, under the same q48
+    * oracle. The operators differ at scale, not in semantics: the
+    * ranking shuffles the whole table (right when ranks feed prefix
+    * logic), the selection shuffles ~targets x chunk rows of it (right
+    * for medians/bands — at 100 TB that is a few million rows of a
+    * trillion).
+    */
+  def q211RankSelect(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    StratifiedSelect.stratumRanks(base, stratum = "o_orderpriority",
+        primary = "o_totalprice", desc = false, tieBreak = Seq(col("o_orderkey")),
+        targets = n => Seq((n + 1) / 2, (n + 2) / 2), nChunks = nChunks(s))
+      .groupBy("o_orderpriority")
+      .agg((sum("o_totalprice") / count(lit(1))).as("median_price"))
+  }
+
   /** The two-scan approx profile (operators.Profile.numericProfileApprox —
     * see its docstring for why folding the sketch pass into the scalar
     * aggregate is a 4.5x de-codegen trap), promoted to the hash gate via
@@ -639,6 +660,7 @@ object Scaled {
     "q77_dedup_resolve_star"    -> (q77DedupResolveStar _),
     "q78_media_dims"            -> (q78MediaDims _),
     "q79_median_scaled"         -> (q79MedianScaled _),
+    "q211_rank_select"          -> (q211RankSelect _),
     "q115_topk_heap"            -> (q115TopkHeap _),
     "q119_ann_topk_heap"        -> (q119AnnTopkHeap _),
     "q129_mutual_align"         -> (q129MutualAlign _),
@@ -771,6 +793,7 @@ object Scaled {
     "q75_bucketed_join"          -> Relational.oracles("q03_join_agg"),
     "q77_dedup_resolve_star"     -> Extensions.oracles("q58_dedup_resolve"),
     "q79_median_scaled"          -> Relational3.oracles("q48_median"),
+    "q211_rank_select"           -> Relational3.oracles("q48_median"),
     "q115_topk_heap"             -> Relational.oracles("q16_topk_per_group"),
     "q119_ann_topk_heap"         -> Extensions.oracles("q27_ann_topk"),
     "q78_media_dims" ->

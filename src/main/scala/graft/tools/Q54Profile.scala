@@ -48,3 +48,37 @@ object Q54Profile {
     spark.stop()
   }
 }
+
+import org.apache.spark.sql.functions._
+object Q54RankProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.get()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.StratifiedSelect
+    val nChunks = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def t(label: String)(f: => Any): Unit = {
+      (1 to 2).foreach(_ => f)
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[q54r] $label: min=${times.min}%.3f s")
+    }
+    def base = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+    t("stratumRanks construct+count") {
+      StratifiedSelect.stratumRanks(base, "l_returnflag", "l_extendedprice",
+        desc = false, tieBreak = Seq(col("l_orderkey"), col("l_linenumber")),
+        targets = n => Seq((n + 1) / 2, (n + 2) / 2, (2 * n + 4) / 5, (3 * n + 4) / 5),
+        nChunks = nChunks).count()
+    }
+    val sr = StratifiedSelect.stratumRanks(base, "l_returnflag", "l_extendedprice",
+      desc = false, tieBreak = Seq(col("l_orderkey"), col("l_linenumber")),
+      targets = n => Seq((n + 1) / 2, (n + 2) / 2, (2 * n + 4) / 5, (3 * n + 4) / 5),
+      nChunks = nChunks)
+    t("re-count cached construct")(sr.count())
+    println(sr.queryExecution.executedPlan.toString.take(4000))
+    spark.stop()
+  }
+}

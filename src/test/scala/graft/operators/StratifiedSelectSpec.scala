@@ -39,6 +39,46 @@ class StratifiedSelectSpec extends SparkSpecBase {
     }
   }
 
+  test("stratumRanks returns exactly the rows the full ranking puts at the target ranks") {
+    val rows = (0 until 500).map { i =>
+      val stratum = if (i % 11 == 0) "tiny" else if (i % 3 == 0) "mid" else "big"
+      (i.toLong, stratum, (i * 37 % 13).toDouble)
+    }
+    val df = rows.toDF("id", "s", "score")
+    // median pair + p40/p60 band — the q54/q79/q101 target family
+    val targets: Long => Seq[Long] =
+      n => Seq((n + 1) / 2, (n + 2) / 2, (2 * n + 4) / 5, (3 * n + 4) / 5)
+    for (desc <- Seq(true, false); nChunks <- Seq(2, 8, 64)) {
+      val got = StratifiedSelect.stratumRanks(df, "s", "score", desc,
+          Seq(col("id")), targets, nChunks)
+        .select("id", "rn", "n_stratum").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ord = if (desc) Seq(col("score").desc, col("id")) else Seq(col("score").asc, col("id"))
+      val w = Window.partitionBy("s").orderBy(ord: _*)
+      val expect = df
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_stratum", count(lit(1)).over(Window.partitionBy("s")))
+        .filter(col("rn") === expr("(n_stratum + 1) DIV 2") ||
+          col("rn") === expr("(n_stratum + 2) DIV 2") ||
+          col("rn") === expr("(2 * n_stratum + 4) DIV 5") ||
+          col("rn") === expr("(3 * n_stratum + 4) DIV 5"))
+        .select("id", "rn", "n_stratum").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"desc=$desc nChunks=$nChunks")
+    }
+  }
+
+  test("stratumRanks ignores out-of-range targets and handles a single chunk") {
+    val df = (1 to 10).map(i => (i.toLong, "only", i.toDouble)).toDF("id", "s", "score")
+    val got = StratifiedSelect.stratumRanks(df, "s", "score", desc = false,
+        Seq(col("id")), n => Seq(-3L, 0L, 1L, n, n + 5), 4)
+      .select("id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (10L, 10L)))
+    val none = StratifiedSelect.stratumRanks(df, "s", "score", desc = false,
+        Seq(col("id")), _ => Seq(99L), 4)
+    assert(none.count() == 0 && none.columns.contains("n_stratum"))
+  }
+
   test("chunkedPrefix rejects reserved column names") {
     val df = Seq((1L, "a", 1.0, 1L)).toDF("id", "s", "score", "rn")
     intercept[IllegalArgumentException] {
