@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Exports.queries ++ graft.queries.EtlGate.queries ++
       graft.queries.UnicodeText.queries ++ graft.queries.Media.queries ++
       graft.queries.Retrieval.queries ++ graft.queries.Graphs.queries ++
-      graft.queries.Series.queries ++ graft.queries.TextStats.queries
+      graft.queries.Series.queries ++ graft.queries.TextStats.queries ++
+      graft.queries.TpchMore.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Relational2.oracles ++
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.Exports.oracles ++ graft.queries.EtlGate.oracles ++
       graft.queries.UnicodeText.oracles ++ graft.queries.Media.oracles ++
       graft.queries.Retrieval.oracles ++ graft.queries.Graphs.oracles ++
-      graft.queries.Series.oracles ++ graft.queries.TextStats.oracles
+      graft.queries.Series.oracles ++ graft.queries.TextStats.oracles ++
+      graft.queries.TpchMore.oracles
 }
