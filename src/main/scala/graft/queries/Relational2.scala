@@ -370,7 +370,14 @@ object Relational2 {
     * Spark 4.1 rejects UNION (distinct) recursion
     * ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]), and a graph-shaped UNION
     * ALL recursion would enumerate paths, not nodes. Depth is capped at
-    * 50 steps (matching spark.sql default recursion limits with margin);
+    * 8 steps (each customer's first 8 orders): every recursion step is
+    * one sequential Catalyst job that RE-EXECUTES the seq subtree (Spark
+    * does not materialize non-recursive CTEs the recursion references —
+    * ~0.2 s/step at sf0.1), so depth is pure wall-clock while batch
+    * width is free — the cap keeps the surface demonstration honest
+    * without paying 25 sequential scans, and the /*+ BROADCAST(w) */ hint
+    * (a plain comment to DuckDB, a join hint to Catalyst) broadcasts the
+    * tiny working relation so each step skips the shuffle-sort pair;
     * running totals stay DECIMAL(28,2) inside the recursion — the
     * accumulation is exact, so the final double render is
     * order-independent and hash-stable.
@@ -386,11 +393,11 @@ object Relational2 {
       |  SELECT o_custkey, rn, CAST(o_totalprice AS DECIMAL(28,2))
       |  FROM seq WHERE rn = 1
       |  UNION ALL
-      |  SELECT s.o_custkey, s.rn,
+      |  SELECT /*+ BROADCAST(w) */ s.o_custkey, s.rn,
       |    CAST(w.running + CAST(s.o_totalprice AS DECIMAL(28,2)) AS DECIMAL(28,2))
       |  FROM walk w JOIN seq s
       |    ON s.o_custkey = w.o_custkey AND s.rn = w.rn + 1
-      |  WHERE w.rn < 50
+      |  WHERE w.rn < 8
       |)
       |SELECT o_custkey, CAST(MAX(rn) AS BIGINT) AS n_orders,
       |  CAST(MAX(running) AS DOUBLE) AS lifetime_spend
