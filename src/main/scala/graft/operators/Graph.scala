@@ -358,11 +358,25 @@ object Graph {
     require(iterations <= 64, "HITS wants small fixed round counts")
     val e = edges.select(col("src"), col("dst"))
     def bc(df: DataFrame): DataFrame = if (broadcastScores) broadcast(df) else df
-    def quantNorm(raw: DataFrame): DataFrame = {
-      val g = raw.agg(max("raw").as("m"))
-        .select(greatest(lit(1L), expr(s"m DIV $scale")).as("g"))
-      raw.crossJoin(broadcast(g))
-        .select(col("id"), expr("raw DIV g").as("s"))
+    // Each half-round PERSISTS its raw sums and reads the normalizer max
+    // back as a 1-row driver scalar (the Profile.eagerOneRow contract).
+    // The previous formulation — crossJoin(broadcast(raw.agg(max))) —
+    // consumed every raw subtree TWICE (main plan + broadcast build), so
+    // round k's lazy plan carried 2^k copies of the early rounds, the
+    // max scan ran on the broadcast-build thread pool, and q171's two
+    // rounds cost 2.0 s at sf0.1 (6.3 s under host load). The persist
+    // cuts the lineage at each half-round; the cache from two
+    // materializations back is fully consumed and released immediately;
+    // the last two ride out until a returned frame is consumed.
+    val live = scala.collection.mutable.Queue.empty[DataFrame]
+    def quantNorm(raw0: DataFrame): DataFrame = {
+      val raw = raw0.persist()
+      val r = raw.agg(max("raw")).head() // plain-path cache materialization
+      val m = if (r.isNullAt(0)) 0L else r.getLong(0)
+      live.enqueue(raw)
+      while (live.size > 2) live.dequeue().unpersist(blocking = false)
+      val g = math.max(1L, m / scale)
+      raw.select(col("id"), expr(s"raw DIV $g").as("s"))
     }
     var hub = e.select(col("src").as("id")).distinct()
       .select(col("id"), lit(scale).as("s"))
@@ -377,6 +391,11 @@ object Graph {
           .groupBy("src").agg(sum("s").as("raw"))
           .withColumnRenamed("src", "id"))
     }
-    Hits(hub, auth)
+    // either returned frame's first consuming action releases both final
+    // caches (double-unpersist is a no-op; an unconsumed sibling would
+    // recompute one cached step, never a whole round chain)
+    val finals = live.toSeq
+    Hits(Caching.releaseAfterConsumed(hub, finals: _*),
+         Caching.releaseAfterConsumed(auth, finals: _*))
   }
 }
