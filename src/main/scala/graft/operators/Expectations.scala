@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the dbt-test / Great
+  * Expectations stage a production pipeline runs against every ingest
+  * before downstream stages consume it: each rule is a row-level
+  * predicate, the audit reports per-rule checked/violation counts in ONE
+  * scan, and referential-integrity rules count orphans via anti-join
+  * aggregation.
+  *
+  * Scale shape: [[audit]] is a single pass of conditional aggregates
+  * (partial+final hash agg, no shuffle wider than one row per rule);
+  * [[fkOrphans]] is a LEFT ANTI join counted — the parent side follows
+  * the usual broadcast-when-dim rule, and nothing row-sized ever reaches
+  * the driver. Both return the same (rule, n_checked, n_violations)
+  * schema so a whole table's audit unions into one report frame (the
+  * Profile.dateProfile union contract).
+  */
+object Expectations {
+
+  /** A named row-level expectation: `holds` must evaluate TRUE for the
+    * row to pass. NULL evaluations count as VIOLATIONS (three-valued
+    * logic would otherwise silently pass unknowns — the conservative
+    * reading every expectation engine takes); express "nullable" rules
+    * explicitly (`col.isNull || pred`).
+    */
+  final case class Expect(rule: String, holds: Column)
+
+  /** One row per rule: how many rows were checked, how many violate.
+    * All rules evaluate in a single scan of `df`.
+    */
+  def audit(df: DataFrame, rules: Seq[Expect]): DataFrame = {
+    require(rules.nonEmpty, "audit needs at least one expectation")
+    require(rules.map(_.rule).distinct.size == rules.size,
+      "duplicate rule names would collapse in the report")
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+      case (e, i) =>
+        sum(when(coalesce(e.holds, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val branches = rules.zipWithIndex.map { case (e, i) =>
+      s"'${e.rule.replace("'", "''")}', __n, __v$i"
+    }.mkString(", ")
+    wide.select(expr(
+      s"stack(${rules.size}, $branches) AS (rule, n_checked, n_violations)"))
+  }
+
+  /** Referential-integrity expectation: rows of `child` whose `childKey`
+    * has no match in `parent.parentKey` (NULL child keys are orphans —
+    * same conservative convention as [[audit]]). Same report schema.
+    */
+  def fkOrphans(rule: String, child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame = {
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+    val n = child.agg(count(lit(1)).as("n_checked"))
+    val v = orphans.agg(count(lit(1)).as("n_violations"))
+    n.crossJoin(v).select(lit(rule).as("rule"),
+      col("n_checked"), col("n_violations"))
+  }
+}
