@@ -43,6 +43,21 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString("[", ",", "]")
       catch { case _: Throwable => "[]" }
+    def loadavg1(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").head
+      catch { case _: Throwable => "-1" }
+    // Per-query JVM forensics (round-11 verdict ask #7): several queries
+    // escalated run-over-run ONLY in the driver's round-close capture
+    // (q54 2.09→7.36 s within its own three runs), and settling each one
+    // took a dedicated soak. Record cumulative GC time + heap around each
+    // query so the next escalation argument is one artifact: a query whose
+    // extra seconds match its gc_ms delta is JVM pressure, not plan shape.
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def heapMb(): Long = java.lang.management.ManagementFactory
+      .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
     def nowIso(): String = java.time.Instant.now().toString
     val (tsStart, loadStart) = (nowIso(), loadavg())
     // Dev-only subset switch (same contract as Verify's): time just the
@@ -73,15 +88,30 @@ object Bench {
       // invocations; per-run spread for these queries measures cache
       // pricing, not code.
       spark.sharedState.cacheManager.clearCache()
+      val gc0 = gcMs()
       val runs = Seq(time(name, fn), time(name, fn), time(name, fn), time(name, fn))
+      val gcDelta = gcMs() - gc0
+      val ctx = (gcDelta, heapMb(), loadavg1())
       val timed = runs.drop(1) // first run is warm-up, never reported
-      (name, if (runs.exists(_ < 0)) -1.0 else timed.min, timed)
+      (name, if (runs.exists(_ < 0)) -1.0 else timed.min, timed, ctx)
     }
     val (tsEnd, loadEnd) = (nowIso(), loadavg())
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val runsJson = results.map { case (k, _, timed) =>
+    val runsJson = results.map { case (k, _, timed, _) =>
       "\"" + k + "\":" + timed.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // gc_ms: GC time accrued across the query's 4 runs; heap_mb: used heap
+    // after the last run; load1: 1-min loadavg at query end. All three are
+    // longs/strings rendered locale-independently.
+    val gcJson = results.map { case (k, _, _, (g, _, _)) =>
+      "\"" + k + "\":" + g
+    }.mkString("{", ",", "}")
+    val heapJson = results.map { case (k, _, _, (_, h, _)) =>
+      "\"" + k + "\":" + h
+    }.mkString("{", ",", "}")
+    val loadJson = results.map { case (k, _, _, (_, _, l)) =>
+      "\"" + k + "\":" + l
     }.mkString("{", ",", "}")
     // Variance honesty (round-10 verdict ask): min-of-3 stays the headline
     // statistic, but a contended or pathological capture must flag ITSELF.
@@ -90,11 +120,17 @@ object Bench {
     // reading the artifact never has to diff the runs map by hand.
     def spreadOf(timed: Seq[Double]): Double =
       if (timed.exists(_ <= 0)) -1.0 else timed.max / timed.min
-    val spreadJson = results.map { case (k, _, timed) =>
-      "\"" + k + "\":" + f"${spreadOf(timed)}%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would render "spread":{"q01":1,234} — invalid
+    // JSON (round-11 advice). Every other number here goes through
+    // Double/Long toString, which is locale-independent.
+    val spreadJson = results.map { case (k, _, timed, _) =>
+      "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(spreadOf(timed)))
     }.mkString("{", ",", "}")
     val unstable = results.collect {
-      case (k, _, timed) if spreadOf(timed) > 3.0 => k
+      case (k, _, timed, _) if spreadOf(timed) > 3.0 => k
     }
     if (unstable.nonEmpty)
       System.err.println(s"[bench] UNSTABLE (run spread > 3x): " +
@@ -102,12 +138,13 @@ object Bench {
         "untrusted; re-run on an idle host (see loadavg_start/loadavg_end)")
     // total sums SUCCESSFUL queries only; failures are listed explicitly so
     // a broken query can never read as a speedup.
-    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":[${failed.mkString(",")}],"sf":"$sfDir",""" +
         s""""runs":$runsJson,"spread":$spreadJson,""" +
+        s""""gc_ms":$gcJson,"heap_mb":$heapJson,"load1":$loadJson,""" +
         s""""unstable":[${unstable.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""cpus":$cpus,""" +
         s""""ts_start":"$tsStart","ts_end":"$tsEnd",""" +

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{SimHash64, TextFunctions}
 
@@ -1375,5 +1376,79 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("label"), col("vec_id_a"), col("vec_id_b"),
               round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Substring-level exact dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): find every maximal token span
+    * whose k-grams ALL repeat elsewhere in the corpus — the spans the
+    * published suffix-array method would excise. The reference family's
+    * whole-doc dedup ([[exact]]) and shingle near-dup ([[jaccardPairs]])
+    * miss exactly this case: a unique document embedding a boilerplate
+    * paragraph copied across thousands of docs.
+    *
+    * Positional-k-gram anchoring instead of a suffix array (which is
+    * single-machine): a repeated substring of >= k tokens contains only
+    * repeated k-grams, so k-grams occurring >= 2 times in the corpus
+    * (counting positions — within-doc repeats are repeats, as in the
+    * suffix-array formulation) are anchors, and merging anchors closer
+    * than k positions reconstructs the maximal repeated spans. Spans
+    * shorter than k tokens are below the detector's resolution, exactly
+    * as published (k is minMatchLen).
+    *
+    * Distributed shape — never all-pairs, never a suffix array's global
+    * sort: (1) map-only positional gram explode, hashing each gram to a
+    * 64-bit key so the shuffle carries 8-byte keys, not k-token strings
+    * (the q64/q38 hash-set==string-set contract; collisions only ever ADD
+    * an anchor, and q219's oracle gates the SPANS against the string
+    * formulation); (2) one groupBy(h) occurrence count; (3) join the
+    * postings back on the same key (exchange reused, aggregated side
+    * built — the q64 shuffle_hash shape); (4) anchor→span islands via a
+    * window partitioned BY DOC — a document's anchors always fit one
+    * task, whatever the corpus size.
+    *
+    * Returns (doc_id, span_start, span_len, n_anchors): 1-based token
+    * position, token length, and the anchor count inside the span.
+    */
+  def substringSpans(docs: DataFrame, k: Int = 8,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"k-gram width must be >= 2, got $k")
+    val toks = col("__toks")
+    // Gram hashes are computed as an ARRAY in the same Project that holds
+    // __toks, then posexploded: __toks is referenced twice there (sequence
+    // bound + lambda slice), which stops CollapseProject from inlining the
+    // split() into the lambda — inlined, the doc would re-tokenize once
+    // PER POSITION (the q72 13x HOF trap, StratifiedSelect.scala).
+    // sequence(1, n-k+1) REQUIRES n >= k: Spark's sequence steps -1 when
+    // start > stop, so short docs are filtered, not clamped.
+    val posting = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .filter(size(toks) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => xxhash64(array_join(slice(toks, i, lit(k)), " ")))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+    val repeated = posting.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    // postings never broadcast (Generate-size trap, as in q38/q64); the
+    // aggregated repeated-gram side builds, riding its own groupBy(h)
+    // exchange.
+    val anchors = posting.join(repeated.hint("shuffle_hash"), "h")
+      .select(col(idCol), col("pos"))
+    // anchors -> maximal spans: per-DOC islands (anchors <= k apart chain
+    // into one span). The window partitions by doc id — bounded by doc
+    // length, never corpus-sized.
+    val w = Window.partitionBy(col(idCol)).orderBy("pos")
+    anchors
+      .withColumn("__brk",
+        when(col("pos") > lag("pos", 1).over(w) + k, 1L).otherwise(0L))
+      .withColumn("__island", sum("__brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + k).as("span_len"),
+        count(lit(1)).as("n_anchors"))
+      .select(col(idCol), col("span_start"), col("span_len"), col("n_anchors"))
   }
 }

@@ -37,14 +37,22 @@ object Expectations {
       "duplicate rule names would collapse in the report")
     val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
       case (e, i) =>
-        sum(when(coalesce(e.holds, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+        // coalesce: SUM over an EMPTY frame is NULL; an empty ingest has
+        // zero violations, not unknown-many (round-11 advice).
+        coalesce(
+          sum(when(coalesce(e.holds, lit(false)), 0L).otherwise(1L)),
+          lit(0L)).as(s"__v$i")
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val branches = rules.zipWithIndex.map { case (e, i) =>
-      s"'${e.rule.replace("'", "''")}', __n, __v$i"
-    }.mkString(", ")
-    wide.select(expr(
-      s"stack(${rules.size}, $branches) AS (rule, n_checked, n_violations)"))
+    // Unpivot via typed explode(array(struct...)), NOT a stack() SQL text:
+    // rule names are caller data, and quoting them into a parsed expr
+    // string broke on backslashes (round-11 advice). Typed columns have
+    // no parse step to escape for.
+    val pairs = rules.zipWithIndex.map { case (e, i) =>
+      struct(lit(e.rule).as("rule"), col("__n").as("n_checked"),
+        col(s"__v$i").as("n_violations"))
+    }
+    wide.select(explode(array(pairs: _*)).as("__r")).select(col("__r.*"))
   }
 
   /** Referential-integrity expectation: rows of `child` whose `childKey`

@@ -392,8 +392,11 @@ object Graph {
           .withColumnRenamed("src", "id"))
     }
     // either returned frame's first consuming action releases both final
-    // caches (double-unpersist is a no-op; an unconsumed sibling would
-    // recompute one cached step, never a whole round chain)
+    // caches (double-unpersist is a no-op). Callers consuming hub and
+    // auth in SEPARATE actions: the second action recomputes its entire
+    // round chain from scratch — every earlier round's cache is already
+    // gone and the first action released both finals. Consume both sides
+    // in one action (q172 unions them) when you need both.
     val finals = live.toSeq
     Hits(Caching.releaseAfterConsumed(hub, finals: _*),
          Caching.releaseAfterConsumed(auth, finals: _*))

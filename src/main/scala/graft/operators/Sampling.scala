@@ -142,6 +142,51 @@ object Sampling {
       .withColumnRenamed("__w", "weight")
   }
 
+  /** Weighted WITHOUT-replacement sampling — the Efraimidis–Spirakis
+    * exponential-sort / A-ES reservoir (IPL 2006): each row gets priority
+    * `-ln(u) / w` with u uniform in (0, 1]; the k smallest priorities per
+    * stratum are EXACTLY a weight-proportional without-replacement draw
+    * ("pick w-proportionally, remove, repeat k times"). The missing third
+    * of the sampling family: [[hashSample]] is uniform-rate,
+    * [[ppsSystematic]] is with-replacement (n_hits multi-counts wide
+    * rows); this one never picks a row twice and favors heavy rows.
+    *
+    * u is the md5 device, not an RNG: the first 13 md5 hex digits of
+    * `seed:id` are a 52-bit integer m, u = (m+1)/2^52 ∈ (0,1] —
+    * deterministic, engine-agreed (md5 + IEEE divide + ln; q220's oracle
+    * replays the formula verbatim in DuckDB). A cross-libm 1-ulp ln gap
+    * could in principle flip the k-th/k+1-th selection, but that needs
+    * two priorities within ~1 ulp of EACH OTHER at the boundary —
+    * distinct md5-derived u's make that ~2^-40 per stratum; the fixture
+    * gate has three SFs of evidence.
+    *
+    * Shape at 100 TB: map-only priority + one bounded-heap aggregate
+    * ([[graft.functions.BoundedTopK]], O(k) state per stratum per
+    * partition, map-side combined) — the q120 pattern; no window, no
+    * whole-stratum sort, nothing driver-side. Rows with NULL or
+    * non-positive weight cannot be drawn (P ∝ w ≤ 0) and are filtered.
+    * Returns (stratum, rk, id, weight): rk is the draw order (1 = first
+    * pick, the A-ES ↔ sequential-draw correspondence).
+    */
+  def weightedKPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                          weight: Column, k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val m = conv(substring(md5(concat(lit(s"$seed:"),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+    val u = (m + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
+    val w = weight.cast("double")
+    df.filter(w.isNotNull && w > 0.0)
+      .select(col(stratumCol), col(idCol), w.as("weight"),
+        (-log(u) / w).as("__pri"))
+      .groupBy(stratumCol)
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("__pri"), col(idCol), col("weight")), k,
+        desc = Seq(false, false, false)).as("top"))
+      .select(col(stratumCol), posexplode(col("top")))
+      .select(col(stratumCol), (col("pos") + 1).cast("int").as("rk"),
+        col(s"col.$idCol"), col("col.weight"))
+  }
+
   /** Repetition-based UPsampling to a target mixture — the half of mixture
     * application [[resampleToMixture]] cannot do: a stratum with
     * weight_ppm > 1e6 must appear weight/1e6 times per epoch of the

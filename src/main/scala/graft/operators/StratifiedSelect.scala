@@ -296,13 +296,26 @@ object StratifiedSelect {
           case (None, None) => lit(true)
         }
       }.reduce(_ || _)
-      col(stratum) === lit(s) && rangePred
+      // <=> not ===: a NULL-valued stratum is a legal group (the count
+      // pass already addressed its targets), and plain equality would
+      // silently drop every row of it here and again at the join below
+      // — a rows-vanish bug chunkedPrefix does not have (round-11
+      // advice). lit(null) <=> col is Catalyst's EqualNullSafe.
+      (col(stratum) <=> lit(s)) && rangePred
     }.reduce(_ || _)
     val ord = (if (desc) col(primary).desc else col(primary).asc) +: tieBreak
     val w = Window.partitionBy(col("__pid"), col(stratum)).orderBy(ord: _*)
+    // null-safe join on the stratum for the same reason; the key columns
+    // are renamed on the lookup side so the condition can name both.
+    val lk = lookup.withColumnRenamed("__pid", "__kpid")
+      .withColumnRenamed(stratum, "__kstrat")
+      .withColumnRenamed("__lrn", "__klrn")
     withPid.filter(cellPred)
       .withColumn("__lrn", row_number().over(w).cast("long"))
-      .join(broadcast(lookup), Seq("__pid", stratum, "__lrn"))
-      .drop("__pid", "__lrn")
+      .join(broadcast(lk),
+        col("__pid") === col("__kpid") &&
+          (col(stratum) <=> col("__kstrat")) &&
+          col("__lrn") === col("__klrn"))
+      .drop("__pid", "__lrn", "__kpid", "__kstrat", "__klrn")
   }
 }

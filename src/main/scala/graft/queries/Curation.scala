@@ -203,7 +203,20 @@ object Curation {
       .withColumn("seq_id", expr("cum_before div 2048"))
   }
 
+  /** q219: substring-level exact dedup (Lee et al. 2022) — the maximal
+    * repeated token spans [[graft.operators.Dedup.substringSpans]] detects
+    * via positional-8-gram anchoring. The oracle replays the identical
+    * posting algebra on gram STRINGS (hash vs string keyed — the q64
+    * hash-set==string-set contract, here gating positions and span
+    * extents, not just counts). The documents fixture repeats full texts
+    * across doc_ids, so the spans are whole-document here; the planted
+    * partial-overlap case lives in DedupSpec.
+    */
+  def q219SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.substringSpans(Tables.documents(s, dir), k = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_substring_dedup" -> (q219SubstringDedup _),
     "q71_sequence_pack"   -> (q71SequencePack _),
     "q70_normalize"       -> (q70Normalize _),
     "q68_profile"         -> (q68Profile _),
@@ -319,6 +332,31 @@ object Curation {
     // same string-trigram formulation as q38/q56/q57 (shared
     // trigramListSql); df counts DOCUMENTS per gram because the unnest is
     // over the per-doc DISTINCT gram list
+    // same positional algebra as the Spark side, keyed on gram STRINGS
+    // (the engine side keys on xxhash64 of the same string — collisions
+    // would only widen a span, and the compare is exact)
+    "q219_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+        |        array_to_string(toks[r.i : r.i + 7], ' ') AS gram
+        |      FROM t, unnest(generate_series(1, len(toks) - 7, 1)) AS r(i)),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |a AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
+        |w AS (SELECT doc_id, pos,
+        |        CASE WHEN pos > LAG(pos) OVER
+        |          (PARTITION BY doc_id ORDER BY pos) + 8
+        |        THEN 1 ELSE 0 END AS brk
+        |      FROM a),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS island
+        |        FROM w)
+        |SELECT doc_id, MIN(pos) AS span_start,
+        |  MAX(pos) - MIN(pos) + 8 AS span_len,
+        |  COUNT(*) AS n_anchors
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
     "q64_dup_gram_ratio" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
         |g AS (SELECT doc_id, unnest(${Extensions.trigramListSql("sp")}) AS h

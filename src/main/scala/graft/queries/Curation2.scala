@@ -195,6 +195,23 @@ object Curation2 {
       weight = col("n_tokens"), k = 20)
     .select("source", "doc_id", "weight", "cum_before", "n_hits")
 
+  /** q220: weighted WITHOUT-replacement sample — 10 docs per language,
+    * draw probability proportional to token count, never the same doc
+    * twice (operators.Sampling.weightedKPerStratum, the
+    * Efraimidis–Spirakis exponential sort). The "sample a review budget
+    * per slice, biased toward the long documents that dominate training
+    * tokens" op — [[q126PpsSample]]'s without-replacement complement.
+    * The oracle replays the md5→u→(-ln u)/w priority formula verbatim
+    * and ranks with the same (priority, doc_id) order.
+    */
+  def q220WeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedKPerStratum(
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("double").as("w")),
+      idCol = "doc_id", stratumCol = "lang",
+      weight = col("w"), k = 10, seed = "aes42")
+
   /** q132: dedup-aware train/val/test split audit
     * (operators.Sampling.splitAssign) — assignment keyed on the exact-dup
     * cluster fingerprint md5(text), so duplicates can never straddle
@@ -254,6 +271,7 @@ object Curation2 {
     "q132_split_assign" -> (q132SplitAssign _),
     "q126_pps_sample" -> (q126PpsSample _),
     "q120_sample_k_per_source" -> (q120SampleKPerSource _),
+    "q220_weighted_sample" -> (q220WeightedSample _),
     "q99_curation_chain"    -> (q99CurationChain _),
     "q104_mixture_upsample" -> (q104MixtureUpsample _),
     "q85_boilerplate_strip" -> (q85BoilerplateStrip _),
@@ -319,6 +337,23 @@ object Curation2 {
         |FROM c
         |WHERE t > 0
         |  AND ((cum_before + wt) * 20) // t - (cum_before * 20) // t >= 1""".stripMargin,
+    // md5 → 52-bit u → -ln(u)/w priority, replayed verbatim: '0x'||hex
+    // cast is DuckDB's conv(hex,16,10); (m+1) is exact in a double; ln
+    // and the divides are the same IEEE ops Spark runs.
+    "q220_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS weight,
+        |    -ln((('0x' || substring(md5('aes42:' || CAST(doc_id AS VARCHAR)),
+        |           1, 13))::BIGINT + 1) / 4503599627370496.0)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS pri
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0)
+        |SELECT lang, rk, doc_id, weight FROM (
+        |  SELECT lang, doc_id, weight,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY pri, doc_id) AS INTEGER) AS rk
+        |  FROM d) t WHERE rk <= 10""".stripMargin,
     "q120_sample_k_per_source" ->
       """SELECT source, rk, doc_id, h FROM (
         |  SELECT source, doc_id,

@@ -151,14 +151,95 @@ object Quality {
       .orderBy("bucket")
   }
 
+  /** q218: declarative expectations suite — the dbt-test / Great
+    * Expectations stage made a gated query: [[graft.operators.Expectations
+    * .audit]] evaluates each table's rules in ONE conditional-aggregate
+    * scan, [[graft.operators.Expectations.fkOrphans]] counts
+    * referential-integrity orphans by anti-join, and the union is the
+    * 8-row quality report a production ingest gates on. This is the
+    * reference's printed-diagnostics stage (/root/reference/main.py:
+    * 377-434 — null counts, cardinality cross-checks) re-expressed
+    * declaratively. Rules cover the three shapes the engine must get
+    * right: always-true invariants (PK non-null), real violations
+    * (negative account balances, year-2001 order dates), and a
+    * NULL-evaluating predicate (`length(nullif(lang,'en')) = 2` is NULL
+    * for 'en' rows — three-valued logic counts unknowns as violations,
+    * the conservative convention both engines must share).
+    */
+  def q218Expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations.{Expect, audit, fkOrphans}
+    val orders = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val docs = Tables.documents(s, dir)
+    audit(orders, Seq(
+        Expect("orders_pk_nonnull", col("o_orderkey").isNotNull),
+        Expect("orders_price_positive", col("o_totalprice") > lit(0.0)),
+        Expect("orders_date_pre_2001",
+          col("o_orderdate") < to_timestamp(lit("2001-01-01")))))
+      .unionByName(audit(cust, Seq(
+        Expect("customer_acctbal_nonneg", col("c_acctbal") >= lit(0.0)),
+        Expect("customer_mktsegment_known", col("c_mktsegment").isin(
+          "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")))))
+      .unionByName(audit(docs, Seq(
+        Expect("doc_text_min_len", length(col("text")) >= lit(10)),
+        Expect("doc_lang_latin2",
+          length(nullif(col("lang"), lit("en"))) === lit(2)))))
+      .unionByName(fkOrphans("orders_fk_customer",
+        orders, "o_custkey", cust, "c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_group_percentiles" -> (q194GroupPercentiles _),
     "q195_hist_drift" -> (q195HistDrift _),
     "q93_ref_integrity" -> (q93RefIntegrity _),
     "q94_iqr_outliers"  -> (q94IqrOutliers _),
-    "q98_table_profile" -> (q98TableProfile _))
+    "q98_table_profile" -> (q98TableProfile _),
+    "q218_expectations" -> (q218Expectations _))
 
   val oracles: Map[String, String] = Map(
+    "q218_expectations" ->
+      """SELECT 'orders_pk_nonnull' AS rule, COUNT(*) AS n_checked,
+        |  CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(o_orderkey IS NOT NULL,
+        |    FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_price_positive', COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0,
+        |    FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_date_pre_2001', COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(
+        |    o_orderdate < TIMESTAMP '2001-01-01',
+        |    FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'customer_acctbal_nonneg', COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(c_acctbal >= 0,
+        |    FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'customer_mktsegment_known', COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(c_mktsegment IN
+        |    ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'),
+        |    FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'doc_text_min_len', COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(length(text) >= 10,
+        |    FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'doc_lang_latin2', COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(
+        |    length(nullif(lang, 'en')) = 2,
+        |    FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'orders_fk_customer', (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) FROM orders o WHERE o_custkey IS NULL OR
+        |    NOT EXISTS (SELECT 1 FROM customer c
+        |                WHERE c.c_custkey = o.o_custkey))""".stripMargin,
     "q194_group_percentiles" ->
       """WITH r AS (
         |  SELECT event_type, value,

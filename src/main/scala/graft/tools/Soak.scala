@@ -39,6 +39,11 @@ object Soak {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(1).mkString
       catch { case _: Throwable => "?" }
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def heapMb(): Long = java.lang.management.ManagementFactory
+      .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
 
     names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
@@ -47,12 +52,13 @@ object Soak {
       val mins = (1 to iters).map { i =>
         spark.sharedState.cacheManager.clearCache()
         val pre = s"listeners=${graft.operators.Caching.activeListeners.get} cached=${cachedCount()} load=${loadavg()}"
+        val gc0 = gcMs()
         val runs = (1 to 4).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        println(f"[$name iter $i%2d] $pre  runs=${runs.map(r => f"$r%.3f").mkString(",")}")
+        println(f"[$name iter $i%2d] $pre gc_ms=${gcMs() - gc0} heap_mb=${heapMb()}  runs=${runs.map(r => f"$r%.3f").mkString(",")}")
         runs.tail.min
       }
       println(f"[$name] min-of-3 per iter: ${mins.map(m => f"$m%.3f").mkString(",")}  spread=${mins.max / mins.min}%.2fx")

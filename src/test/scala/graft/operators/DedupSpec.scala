@@ -674,4 +674,49 @@ class DedupSpec extends SparkSpecBase {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("substringSpans finds exactly the planted repeated span, 1-based and maximal") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val boiler = words("b", 12) // the 12-token span planted in both docs
+    // doc 1: 5 unique tokens, boilerplate, 6 unique tokens
+    // doc 2: 3 unique tokens, boilerplate, 2 unique tokens
+    // doc 3: all unique — must produce NO span
+    val docs = Seq(
+      (1L, s"${words("u", 5)} $boiler ${words("v", 6)}"),
+      (2L, s"${words("w", 3)} $boiler ${words("x", 2)}"),
+      (3L, words("z", 40))
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringSpans(docs, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // k=8 anchors: only grams fully inside the 12-token boilerplate repeat
+    // -> anchors at boiler positions 1..5 (12-8+1), i.e. doc positions
+    // offset+1..offset+5; the merged span covers exactly the boilerplate.
+    // doc 1: boiler starts at token 6; doc 2: at token 4.
+    assert(got == Set((1L, 6L, 12L, 5L), (2L, 4L, 12L, 5L)))
+  }
+
+  test("substringSpans merges adjacent repeats and counts within-doc repetition") {
+    import spark.implicits._
+    // one doc repeating the same 8-token phrase twice back-to-back: every
+    // 8-gram in the 16-token text IS repeated (positions i and i+8 for
+    // i=1..? phrase p1..p8 p1..p8: gram at 1 == gram at 9; grams 2..8
+    // cross the seam... only grams 1 and 9 are equal pairs)
+    val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
+    val docs = Seq((1L, s"$phrase $phrase")).toDF("doc_id", "text")
+    val got = Dedup.substringSpans(docs, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // anchors at pos 1 and 9 (gap 8 == k -> same island): one span 1..16
+    assert(got == Set((1L, 1L, 16L, 2L)))
+  }
+
+  test("substringSpans: docs shorter than k and null texts contribute nothing") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]),
+      (3L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.substringSpans(docs, k = 8).count() == 0)
+  }
+
 }

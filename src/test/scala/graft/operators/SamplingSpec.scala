@@ -130,4 +130,47 @@ class SamplingSpec extends SparkSpecBase {
     val restRatio = restKept.toDouble / restTotal
     assert(restRatio > 0.12 && restRatio < 0.38, s"default keep ratio $restRatio")
   }
+
+  test("weightedKPerStratum: deterministic, exactly min(k,n), no repeats, zero/null weights excluded") {
+    import spark.implicits._
+    val df = ((1 to 40).map(i => (i.toLong, "a", (i % 7 + 1).toDouble)) ++
+      (41 to 44).map(i => (i.toLong, "b", 1.0)) ++
+      Seq((45L, "b", 0.0), (46L, "b", 2.0)))
+      .toDF("id", "s", "w")
+      .withColumn("w", when(col("id") === 46L, lit(null)).otherwise(col("w")))
+    def run() = Sampling.weightedKPerStratum(df, "id", "s", col("w"), 10, "t1")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val got = run()
+    assert(got == run(), "selection must be rerun-deterministic")
+    val byS = got.groupBy(_._1)
+    assert(byS("a").size == 10)
+    // stratum b has 6 rows but two are undrawable (w=0, w=null)
+    assert(byS("b").size == 4 && !byS("b").exists(t => t._3 == 45L || t._3 == 46L))
+    // without replacement: ids unique per stratum, ranks dense 1..k
+    assert(byS("a").map(_._3).size == 10)
+    assert(byS("a").map(_._2) == (1 to 10).toSet)
+  }
+
+  test("weightedKPerStratum favors heavy rows (weight monotone in expectation)") {
+    import spark.implicits._
+    // 500 light rows (w=1) vs 500 heavy rows (w=20): heavy should take
+    // the overwhelming share of 100 draws. Exact per-seed determinism is
+    // the contract, so one seed suffices; P(heavy row drawn before any
+    // given light row) = 20/21.
+    val df = (1 to 1000).map(i =>
+      (i.toLong, "g", if (i <= 500) 1.0 else 20.0)).toDF("id", "s", "w")
+    val picked = Sampling.weightedKPerStratum(df, "id", "s", col("w"), 100, "mono")
+      .collect().map(_.getLong(2))
+    val heavy = picked.count(_ > 500)
+    assert(heavy > 80, s"expected heavy-weight dominance, got $heavy/100 heavy")
+    // and the same draw equals the window formulation (the A-ES rank
+    // definition itself) computed in-Spark
+    val m = conv(substring(md5(concat(lit("mono:"), col("id").cast("string"))), 1, 13), 16, 10).cast("long")
+    val pri = -log((m + lit(1L)).cast("double") / lit(4503599627370496.0)) / col("w")
+    val expect = df.withColumn("pri", pri)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s").orderBy(col("pri"), col("id"))))
+      .filter(col("rk") <= 100).collect().map(_.getLong(0)).toSet
+    assert(picked.toSet == expect)
+  }
 }

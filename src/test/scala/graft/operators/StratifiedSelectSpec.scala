@@ -68,6 +68,18 @@ class StratifiedSelectSpec extends SparkSpecBase {
     }
   }
 
+  test("stratumRanks keeps a NULL-valued stratum's rows (round-11 advice)") {
+    val df = ((1 to 20).map(i => (i.toLong, Option("a"), i.toDouble)) ++
+      (21 to 29).map(i => (i.toLong, None: Option[String], i.toDouble)))
+      .toDF("id", "s", "score")
+    val got = StratifiedSelect.stratumRanks(df, "s", "score", desc = false,
+        Seq(col("id")), n => Seq((n + 1) / 2), 4)
+      .select("id", "rn", "n_stratum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // median of a=1..20 is rank 10 (id 10, n=20); of null=21..29 rank 5 (id 25, n=9)
+    assert(got == Set((10L, 10L, 20L), (25L, 5L, 9L)))
+  }
+
   test("stratumRanks ignores out-of-range targets and handles a single chunk") {
     val df = (1 to 10).map(i => (i.toLong, "only", i.toDouble)).toDF("id", "s", "score")
     val got = StratifiedSelect.stratumRanks(df, "s", "score", desc = false,

@@ -207,6 +207,142 @@ class SqlFuzzSpec extends SparkSpecBase {
     }
   }
 
+  // --- analytic-surface generator (round-11 ask #5): window functions,
+  // set operations, GROUPING SETS/ROLLUP/CUBE, non-recursive CTEs — the
+  // shapes the 200-query base grammar never emits. Same float discipline
+  // (SUM via DECIMAL rendered DOUBLE, no division, no bare LIMIT), plus
+  // one more: every order-sensitive window (ROW_NUMBER/LAG/LEAD/frames)
+  // carries the table's unique key as the final ORDER BY term — without a
+  // total order those functions are legitimately nondeterministic and a
+  // diff would blame the engines for the grammar's sin. RANK/DENSE_RANK
+  // may order by a bare non-unique column (tie semantics are themselves
+  // surface worth fuzzing; their outputs are tie-invariant).
+  private case class WinTab(name: String, pk: Seq[String],
+                            parts: Seq[String], nums: Seq[String],
+                            strs: Seq[String])
+  private val winTabs = Seq(
+    WinTab("orders", Seq("o_orderkey"), Seq("o_orderstatus", "o_orderpriority"),
+      Seq("o_totalprice", "o_custkey"), Seq("o_orderstatus", "o_orderpriority")),
+    WinTab("lineitem", Seq("l_orderkey", "l_linenumber"),
+      Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+      Seq("l_quantity", "l_extendedprice", "l_discount"),
+      Seq("l_returnflag", "l_linestatus")),
+    WinTab("customer", Seq("c_custkey"), Seq("c_mktsegment", "c_nationkey"),
+      Seq("c_acctbal"), Seq("c_mktsegment", "c_name")),
+    WinTab("part", Seq("p_partkey"), Seq("p_brand", "p_size"),
+      Seq("p_retailprice", "p_size"), Seq("p_brand", "p_type")))
+
+  private def predFor(t: Tab, r: Random): Option[String] = {
+    val c = t.cols(r.nextInt(t.cols.size))
+    c.kind match {
+      case 'i' if !numPool.contains(c.name) =>
+        val m = 2 + r.nextInt(6)
+        Some(s"${c.name} % $m = ${r.nextInt(m)}")
+      case 'i' | 'd' if numPool.contains(c.name) =>
+        val lits = numPool(c.name)
+        Some(s"${c.name} ${if (r.nextBoolean()) ">=" else "<"} ${lits(r.nextInt(lits.size))}")
+      case 's' if enumPool.contains(c.name) =>
+        val lits = enumPool(c.name)
+        Some(s"${c.name} ${if (r.nextBoolean()) "=" else "<>"} '${lits(r.nextInt(lits.size))}'")
+      case 't' =>
+        Some(s"${c.name} ${if (r.nextBoolean()) "<" else ">="} TIMESTAMP '${tsPool(r.nextInt(tsPool.size))}'")
+      case _ => None
+    }
+  }
+
+  private def genAnalyticQuery(r: Random): String = r.nextInt(4) match {
+    case 0 => // window functions over a totally-ordered frame
+      val t = winTabs(r.nextInt(winTabs.size))
+      val part = t.parts(r.nextInt(t.parts.size))
+      val ordNum = t.nums(r.nextInt(t.nums.size))
+      val totalOrd = (ordNum +: t.pk).mkString(", ")
+      val over = s"PARTITION BY $part ORDER BY $totalOrd"
+      var k = -1
+      val fns = (0 until (1 + r.nextInt(3))).map { _ =>
+        k += 1
+        r.nextInt(7) match {
+          case 0 => s"ROW_NUMBER() OVER ($over) AS w$k"
+          case 1 =>
+            // rank family: ties allowed, so order by the bare column
+            val f = if (r.nextBoolean()) "RANK" else "DENSE_RANK"
+            s"$f() OVER (PARTITION BY $part ORDER BY $ordNum) AS w$k"
+          case 2 =>
+            val c = (t.nums ++ t.strs)(r.nextInt(t.nums.size + t.strs.size))
+            s"LAG($c, ${1 + r.nextInt(2)}) OVER ($over) AS w$k"
+          case 3 =>
+            val c = (t.nums ++ t.strs)(r.nextInt(t.nums.size + t.strs.size))
+            s"LEAD($c, ${1 + r.nextInt(2)}) OVER ($over) AS w$k"
+          case 4 =>
+            val c = t.nums(r.nextInt(t.nums.size))
+            s"CAST(SUM(CAST($c AS DECIMAL(28,2))) OVER ($over " +
+              s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS w$k"
+          case 5 =>
+            val c = t.nums(r.nextInt(t.nums.size))
+            val fr = r.nextInt(3) match {
+              case 0 => "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
+              case 1 => "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING"
+              case _ => "ROWS BETWEEN UNBOUNDED PRECEDING AND 3 FOLLOWING"
+            }
+            s"${if (r.nextBoolean()) "MIN" else "MAX"}($c) OVER ($over $fr) AS w$k"
+          case _ => s"NTILE(${2 + r.nextInt(5)}) OVER ($over) AS w$k"
+        }
+      }
+      val tab = byName(t.name)
+      val whereSql = predFor(tab, r).filter(_ => r.nextBoolean())
+        .fold("")(p => s"\nWHERE $p")
+      s"SELECT ${(t.pk ++ fns).mkString(",\n  ")}\nFROM ${t.name}$whereSql"
+    case 1 => // set operations: two filtered branches of one table
+      val t = tabs(r.nextInt(tabs.size))
+      val proj = r.shuffle(t.cols.filter(_.kind != 't'))
+        .take(1 + r.nextInt(3)).map(_.name).sorted.mkString(", ")
+      val p1 = predFor(t, r).getOrElse("1 = 1")
+      val p2 = predFor(t, r).getOrElse("1 = 0")
+      val op = Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT")(r.nextInt(4))
+      s"SELECT $proj FROM ${t.name} WHERE $p1\n$op\nSELECT $proj FROM ${t.name} WHERE $p2"
+    case 2 => // GROUPING SETS / ROLLUP / CUBE with GROUPING() markers
+      val t = winTabs(r.nextInt(winTabs.size))
+      val Seq(a, b) = r.shuffle(t.parts ++ t.strs).distinct.take(2).sorted match {
+        case s if s.size >= 2 => s.take(2)
+        case s => s ++ Seq(t.pk.head)
+      }
+      val sumc = t.nums(r.nextInt(t.nums.size))
+      val spec = r.nextInt(3) match {
+        case 0 => s"ROLLUP($a, $b)"
+        case 1 => s"CUBE($a, $b)"
+        case _ => s"GROUPING SETS (($a, $b), ($a), ())"
+      }
+      val tab = byName(t.name)
+      val whereSql = predFor(tab, r).filter(_ => r.nextBoolean())
+        .fold("")(p => s"\nWHERE $p")
+      val having = if (r.nextInt(3) == 0) "\nHAVING COUNT(*) >= 2" else ""
+      s"SELECT $a, $b, CAST(GROUPING($a) AS INT) AS ga, CAST(GROUPING($b) AS INT) AS gb,\n" +
+        s"  COUNT(*) AS cnt, CAST(SUM(CAST($sumc AS DECIMAL(28,2))) AS DOUBLE) AS s0\n" +
+        s"FROM ${t.name}$whereSql\nGROUP BY $spec$having"
+    case _ => // non-recursive CTE chain: aggregate, then consume/join back
+      val (child, fk, parent, pk) = fks(r.nextInt(fks.size))
+      val ct = byName(child)
+      val sums = ct.cols.filter(c => c.kind == 'd' ||
+        (c.kind == 'i' && numPool.contains(c.name)))
+      val sumc = if (sums.nonEmpty) sums(r.nextInt(sums.size)).name else fk
+      val whereSql = predFor(ct, r).filter(_ => r.nextBoolean())
+        .fold("")(p => s" WHERE $p")
+      val cte = s"WITH agg AS (\n  SELECT $fk AS k, COUNT(*) AS cnt,\n" +
+        s"    CAST(SUM(CAST($sumc AS DECIMAL(28,2))) AS DOUBLE) AS s0\n" +
+        s"  FROM $child$whereSql GROUP BY $fk)"
+      if (r.nextBoolean()) {
+        // second CTE over the first, then a filtered read
+        s"$cte,\nbig AS (SELECT k, cnt, s0 FROM agg WHERE cnt >= ${1 + r.nextInt(3)})\n" +
+          s"SELECT COUNT(*) AS n, CAST(SUM(CAST(cnt AS DECIMAL(28,2))) AS DOUBLE) AS c2 FROM big"
+      } else {
+        // join the aggregate back to the parent along the FK
+        val pt = byName(parent)
+        val pcols = r.shuffle(pt.cols.filter(_.kind != 't'))
+          .take(1 + r.nextInt(2)).map(c => s"$parent.${c.name}").sorted
+        s"$cte\nSELECT ${(pcols :+ "agg.cnt" :+ "agg.s0").mkString(", ")}\n" +
+          s"FROM $parent JOIN agg ON $pk = agg.k"
+      }
+  }
+
   // --- canonical rendering (mirrored in the python runner) ---------------
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
