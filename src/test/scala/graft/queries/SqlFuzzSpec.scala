@@ -415,14 +415,21 @@ class SqlFuzzSpec extends SparkSpecBase {
       |""".stripMargin
 
   test(s"differential fuzz: $NQueries seeded ANSI texts agree between Catalyst and DuckDB") {
+    val r = new Random(Seed)
+    diffFuzz((0 until NQueries).map(_ => genQuery(r)))
+  }
+
+  test("differential fuzz: 120 seeded ANALYTIC texts (windows, set ops, grouping sets, CTEs) agree") {
+    val r = new Random(Seed + 1)
+    diffFuzz((0 until 120).map(_ => genAnalyticQuery(r)))
+  }
+
+  private def diffFuzz(queries: Seq[String]): Unit = {
     import scala.sys.process._
     val hasPy =
       try Process(Seq("python3", "-c", "import duckdb")).!(ProcessLogger(_ => ())) == 0
       catch { case _: Throwable => false }
     assume(hasPy, "python3+duckdb (driver-side oracle replica) not available")
-
-    val r = new Random(Seed)
-    val queries = (0 until NQueries).map(_ => genQuery(r))
 
     // one python invocation for the whole batch
     val dir = java.nio.file.Files.createTempDirectory("sqlfuzz")
@@ -531,6 +538,6 @@ class SqlFuzzSpec extends SparkSpecBase {
       }
     }
     assert(failures.isEmpty,
-      s"${failures.size}/$NQueries diverged:\n${failures.take(5).mkString("\n---\n")}")
+      s"${failures.size}/${queries.size} diverged:\n${failures.take(5).mkString("\n---\n")}")
   }
 }
