@@ -58,6 +58,17 @@ object Bench {
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     def heapMb(): Long = java.lang.management.ManagementFactory
       .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+    // PSI stall totals (µs since boot): the one host signal loadavg
+    // misses — cgroup CPU throttling and I/O stalls show here while
+    // loadavg stays low (the round-11 driver capture escalated q54 3.5x
+    // at loadavg 2). Per-query DELTAS make an inflated wall-clock
+    // attributable: stall delta ~ extra seconds says host, not plan.
+    def psiUs(kind: String): Long =
+      try scala.io.Source.fromFile(s"/proc/pressure/$kind").getLines()
+        .find(_.startsWith("some")).flatMap(_.split("\\s+")
+          .find(_.startsWith("total=")).map(_.stripPrefix("total=").toLong))
+        .getOrElse(-1L)
+      catch { case _: Throwable => -1L }
     def nowIso(): String = java.time.Instant.now().toString
     val (tsStart, loadStart) = (nowIso(), loadavg())
     // Dev-only subset switch (same contract as Verify's): time just the
@@ -88,10 +99,11 @@ object Bench {
       // invocations; per-run spread for these queries measures cache
       // pricing, not code.
       spark.sharedState.cacheManager.clearCache()
-      val gc0 = gcMs()
+      val (gc0, cpu0, io0) = (gcMs(), psiUs("cpu"), psiUs("io"))
       val runs = Seq(time(name, fn), time(name, fn), time(name, fn), time(name, fn))
-      val gcDelta = gcMs() - gc0
-      val ctx = (gcDelta, heapMb(), loadavg1())
+      val ctx = (gcMs() - gc0, heapMb(), loadavg1(),
+        if (cpu0 < 0) -1L else psiUs("cpu") - cpu0,
+        if (io0 < 0) -1L else psiUs("io") - io0)
       val timed = runs.drop(1) // first run is warm-up, never reported
       (name, if (runs.exists(_ < 0)) -1.0 else timed.min, timed, ctx)
     }
@@ -104,14 +116,20 @@ object Bench {
     // gc_ms: GC time accrued across the query's 4 runs; heap_mb: used heap
     // after the last run; load1: 1-min loadavg at query end. All three are
     // longs/strings rendered locale-independently.
-    val gcJson = results.map { case (k, _, _, (g, _, _)) =>
+    val gcJson = results.map { case (k, _, _, (g, _, _, _, _)) =>
       "\"" + k + "\":" + g
     }.mkString("{", ",", "}")
-    val heapJson = results.map { case (k, _, _, (_, h, _)) =>
+    val heapJson = results.map { case (k, _, _, (_, h, _, _, _)) =>
       "\"" + k + "\":" + h
     }.mkString("{", ",", "}")
-    val loadJson = results.map { case (k, _, _, (_, _, l)) =>
+    val loadJson = results.map { case (k, _, _, (_, _, l, _, _)) =>
       "\"" + k + "\":" + l
+    }.mkString("{", ",", "}")
+    val psiCpuJson = results.map { case (k, _, _, (_, _, _, c, _)) =>
+      "\"" + k + "\":" + c
+    }.mkString("{", ",", "}")
+    val psiIoJson = results.map { case (k, _, _, (_, _, _, _, i)) =>
+      "\"" + k + "\":" + i
     }.mkString("{", ",", "}")
     // Variance honesty (round-10 verdict ask): min-of-3 stays the headline
     // statistic, but a contended or pathological capture must flag ITSELF.
@@ -145,6 +163,7 @@ object Bench {
         s""""failed":[${failed.mkString(",")}],"sf":"$sfDir",""" +
         s""""runs":$runsJson,"spread":$spreadJson,""" +
         s""""gc_ms":$gcJson,"heap_mb":$heapJson,"load1":$loadJson,""" +
+        s""""psi_cpu_us":$psiCpuJson,"psi_io_us":$psiIoJson,""" +
         s""""unstable":[${unstable.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""cpus":$cpus,""" +
         s""""ts_start":"$tsStart","ts_end":"$tsEnd",""" +

@@ -1411,7 +1411,27 @@ object Dedup {
     */
   def substringSpans(docs: DataFrame, k: Int = 8,
                      textCol: String = "text",
-                     idCol: String = "doc_id"): DataFrame = {
+                     idCol: String = "doc_id"): DataFrame =
+    substringSpansImpl(docs, k, textCol, idCol, keepFirst = false)
+
+  /** [[substringSpans]] with the KEEP-ONE-COPY election: the corpus-first
+    * occurrence of each repeated k-gram — min (doc_id, pos), a total
+    * order both engines agree on — is NOT an anchor, so the earliest copy
+    * of a repeated span keeps its text and only the later copies are
+    * flagged for removal. This is the other published ExactSubstr
+    * convention (dedup the data, keep one exemplar); [[substringSpans]]
+    * is the remove-every-copy default. Costs one extra field in the
+    * per-gram aggregate (min struct rides the same groupBy(h) exchange) —
+    * the shape is otherwise identical.
+    */
+  def substringSpansKeepFirst(docs: DataFrame, k: Int = 8,
+                              textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame =
+    substringSpansImpl(docs, k, textCol, idCol, keepFirst = true)
+
+  private def substringSpansImpl(docs: DataFrame, k: Int,
+                                 textCol: String, idCol: String,
+                                 keepFirst: Boolean): DataFrame = {
     require(k >= 2, s"k-gram width must be >= 2, got $k")
     val toks = col("__toks")
     // Gram hashes are computed as an ARRAY in the same Project that holds
@@ -1429,13 +1449,26 @@ object Dedup {
         sequence(lit(1), size(toks) - (k - 1)),
         i => xxhash64(array_join(slice(toks, i, lit(k)), " ")))))
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
-    val repeated = posting.groupBy("h").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2)
     // postings never broadcast (Generate-size trap, as in q38/q64); the
     // aggregated repeated-gram side builds, riding its own groupBy(h)
     // exchange.
-    val anchors = posting.join(repeated.hint("shuffle_hash"), "h")
-      .select(col(idCol), col("pos"))
+    val anchors =
+      if (!keepFirst) {
+        val repeated = posting.groupBy("h").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2)
+        posting.join(repeated.hint("shuffle_hash"), "h")
+          .select(col(idCol), col("pos"))
+      } else {
+        // min(struct) = lexicographic (doc_id, pos) min — the canonical
+        // occurrence; every OTHER occurrence of a repeated gram anchors
+        val repeated = posting.groupBy("h").agg(count(lit(1)).as("cnt"),
+            min(struct(col(idCol), col("pos"))).as("__first"))
+          .filter(col("cnt") >= 2)
+        posting.join(repeated.hint("shuffle_hash"), "h")
+          .filter(!(col(s"__first.$idCol") === col(idCol) &&
+            col("__first.pos") === col("pos")))
+          .select(col(idCol), col("pos"))
+      }
     // anchors -> maximal spans: per-DOC islands (anchors <= k apart chain
     // into one span). The window partitions by doc id — bounded by doc
     // length, never corpus-sized.
@@ -1450,5 +1483,44 @@ object Dedup {
         (max("pos") - min("pos") + k).as("span_len"),
         count(lit(1)).as("n_anchors"))
       .select(col(idCol), col("span_start"), col("span_len"), col("n_anchors"))
+  }
+
+  /** Apply [[substringSpans]] removals: rebuild each document's text with
+    * every flagged span excised (plus kept/removed token counts). Removes
+    * ALL occurrences of a repeated span — the Lee et al. tool's default
+    * (each flagged gram occurred >= 2 times corpus-wide; removing every
+    * copy leaves the corpus free of >= k-token repeats, up to sub-k
+    * remnants). Keep-one-copy semantics would need a canonical-occurrence
+    * election across the duplicate cluster — a different operator.
+    *
+    * Shape: spans group per doc (bounded by doc length), one equi-join on
+    * the doc id back to the corpus, then a PER-ROW HOF rebuild —
+    * filter-with-index over the token array testing coverage against the
+    * doc's own span list (tokens x spans per doc, both doc-bounded). No
+    * UDF, no window, one shuffle on the id. Docs with no spans pass
+    * through verbatim via the left join (a NULL span list means "covered
+    * by nothing", folded by the coalesce around exists). Tokenization
+    * round-trips exactly: split-on-space then join-with-space preserves
+    * empty tokens, so untouched text is byte-identical.
+    */
+  def applySpanRemovals(docs: DataFrame, spans: DataFrame,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val sp = spans.groupBy(col(idCol)).agg(
+      collect_list(struct(col("span_start"), col("span_len"))).as("__spans"))
+    val covered: (Column, Column) => Column = (tok, i) =>
+      coalesce(
+        exists(col("__spans"), s =>
+          (i + 1) >= s.getField("span_start") &&
+            (i + 1) < s.getField("span_start") + s.getField("span_len")),
+        lit(false))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .join(sp, Seq(idCol), "left")
+      .withColumn("__kept", filter(col("__toks"), (t, i) => !covered(t, i)))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("cleaned"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 }

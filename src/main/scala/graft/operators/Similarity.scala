@@ -404,6 +404,39 @@ object Similarity {
     IvfIndex(cents, s.table(s"${tableBase}_cells"))
   }
 
+  /** Streaming twin of the indexed ANN probe path — query vectors arrive
+    * as a stream, each micro-batch probes the PERSISTED bucketed index
+    * through the exact [[ivfTopKIndexed]] plan the batch path runs, and
+    * the per-batch result frame goes to `onBatch`. Closes the last
+    * batch/stream asymmetry in the similarity family (admission already
+    * streams via appendIvfIndexSaved; retrieval via
+    * Retrieval.retrievalProbeStream): a probe's top-k depends only on the
+    * index, never on other probes, so any micro-batch split of a query
+    * set unions to the one-shot answer bit-for-bit (SimilaritySpec gates
+    * it against q153's plan on a MemoryStream).
+    *
+    * The index resolves BY TABLE NAME inside each micro-batch:
+    * foreachBatch hands over a frame from a cloned session, and an
+    * [[IvfIndex]] holding the launching session's DataFrames would mix
+    * resolution across sessions. Same zero-corpus-shuffle posture as the
+    * batch probe — the bucketed cell table never re-shuffles per batch.
+    */
+  def annProbeStream(tableBase: String, probes: DataFrame, k: Int,
+                     nProbe: Int = 4,
+                     onBatch: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    probes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val idx = IvfIndex(s.table(s"${tableBase}_cents"),
+            s.table(s"${tableBase}_cells"))
+          onBatch(ivfTopKIndexed(idx, batch, k, nProbe), id)
+        }
+      }
+      .start()
+
   /** Probe an [[IvfIndex]] with a query batch: nProbe nearest cells per
     * query (centroids broadcast), candidate join keyed on cell id, per-
     * query top-k. Output and tie-breaks identical to [[ivfTopK]] with the

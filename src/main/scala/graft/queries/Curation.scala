@@ -215,8 +215,44 @@ object Curation {
   def q219SubstringDedup(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.substringSpans(Tables.documents(s, dir), k = 8)
 
+  /** q221: the substring-dedup family APPLIED — every q219 span excised
+    * from its document, all occurrences removed (the Lee et al. tool's
+    * default; see [[graft.operators.Dedup.applySpanRemovals]]). Gated on
+    * the rebuilt TEXT itself (byte equality), so the oracle proves span
+    * detection AND token-exact reassembly in one statement; docs the
+    * fixture repeats verbatim collapse to empty cleaned text with
+    * n_kept = 0, which both engines must agree on.
+    */
+  def q221SubstringScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Dedup.applySpanRemovals(
+        docs, graft.operators.Dedup.substringSpans(docs, k = 8))
+      // bench honesty, not semantics: under a bare count() Spark's
+      // distinct-key propagation (the grouped spans side is unique on
+      // doc_id) ELIMINATES the left join and with it the whole scrub —
+      // 0.12 s "scrubs" that scrubbed nothing. The always-true guard
+      // references a scrub-derived column, pinning the real work into
+      // any consumer's plan. (Verify's parquet write never pruned it.)
+      .filter(col("n_removed") >= 0L)
+  }
+
+  /** q222: the keep-one-copy substring scrub — the corpus-FIRST
+    * occurrence of a repeated span keeps its text, later copies are
+    * excised ([[graft.operators.Dedup.substringSpansKeepFirst]]).
+    * Against q221's remove-every-copy: the fixture's verbatim duplicate
+    * documents stay intact under their lowest doc_id and empty elsewhere.
+    */
+  def q222SubstringKeepFirst(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Dedup.applySpanRemovals(
+        docs, graft.operators.Dedup.substringSpansKeepFirst(docs, k = 8))
+      .filter(col("n_removed") >= 0L) // q221's count-pruning honesty guard
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_substring_dedup" -> (q219SubstringDedup _),
+    "q221_substring_scrub" -> (q221SubstringScrub _),
+    "q222_substring_keepfirst" -> (q222SubstringKeepFirst _),
     "q71_sequence_pack"   -> (q71SequencePack _),
     "q70_normalize"       -> (q70Normalize _),
     "q68_profile"         -> (q68Profile _),
@@ -357,6 +393,90 @@ object Curation {
         |  MAX(pos) - MIN(pos) + 8 AS span_len,
         |  COUNT(*) AS n_anchors
         |FROM isl GROUP BY doc_id, island""".stripMargin,
+    // q219's span algebra + token-exact reassembly: string_agg skips the
+    // covered tokens (CASE -> NULL), ORDER BY pos restores document
+    // order, COALESCE('') keeps fully-scrubbed docs as empty strings —
+    // matching Spark's array_join over the filtered array.
+    "q221_substring_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+        |        array_to_string(toks[r.i : r.i + 7], ' ') AS gram
+        |      FROM t, unnest(generate_series(1, len(toks) - 7, 1)) AS r(i)),
+        |c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |a AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
+        |w AS (SELECT doc_id, pos,
+        |        CASE WHEN pos > LAG(pos) OVER
+        |          (PARTITION BY doc_id ORDER BY pos) + 8
+        |        THEN 1 ELSE 0 END AS brk
+        |      FROM a),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS island
+        |        FROM w),
+        |sp AS (SELECT doc_id, MIN(pos) AS span_start,
+        |         MAX(pos) - MIN(pos) + 8 AS span_len
+        |       FROM isl GROUP BY doc_id, island),
+        |tok AS (SELECT t.doc_id, CAST(r.i AS BIGINT) AS pos, toks[r.i] AS tok
+        |        FROM t, unnest(generate_series(1, len(toks), 1)) AS r(i)),
+        |mark AS (SELECT k.doc_id, k.pos, k.tok,
+        |           EXISTS (SELECT 1 FROM sp
+        |                   WHERE sp.doc_id = k.doc_id
+        |                     AND k.pos >= sp.span_start
+        |                     AND k.pos < sp.span_start + sp.span_len) AS cov
+        |         FROM tok k)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN NOT cov THEN tok END, ' '
+        |    ORDER BY pos), '') AS cleaned,
+        |  CAST(COALESCE(SUM(CASE WHEN NOT cov THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(SUM(CASE WHEN cov THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_removed
+        |FROM mark GROUP BY doc_id""".stripMargin,
+    // q221's algebra with the canonical-occurrence election: rn=1 over
+    // (gram ORDER BY doc_id, pos) is Spark's min(struct(doc_id, pos))
+    "q222_substring_keepfirst" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+        |        array_to_string(toks[r.i : r.i + 7], ' ') AS gram
+        |      FROM t, unnest(generate_series(1, len(toks) - 7, 1)) AS r(i)),
+        |a AS (SELECT doc_id, pos FROM (
+        |        SELECT doc_id, pos,
+        |          COUNT(*) OVER (PARTITION BY gram) AS cnt,
+        |          ROW_NUMBER() OVER (PARTITION BY gram
+        |            ORDER BY doc_id, pos) AS rn
+        |        FROM g) z WHERE cnt >= 2 AND rn > 1),
+        |w AS (SELECT doc_id, pos,
+        |        CASE WHEN pos > LAG(pos) OVER
+        |          (PARTITION BY doc_id ORDER BY pos) + 8
+        |        THEN 1 ELSE 0 END AS brk
+        |      FROM a),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS island
+        |        FROM w),
+        |sp AS (SELECT doc_id, MIN(pos) AS span_start,
+        |         MAX(pos) - MIN(pos) + 8 AS span_len
+        |       FROM isl GROUP BY doc_id, island),
+        |tok AS (SELECT t.doc_id, CAST(r.i AS BIGINT) AS pos, toks[r.i] AS tok
+        |        FROM t, unnest(generate_series(1, len(toks), 1)) AS r(i)),
+        |mark AS (SELECT k.doc_id, k.pos, k.tok,
+        |           EXISTS (SELECT 1 FROM sp
+        |                   WHERE sp.doc_id = k.doc_id
+        |                     AND k.pos >= sp.span_start
+        |                     AND k.pos < sp.span_start + sp.span_len) AS cov
+        |         FROM tok k)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN NOT cov THEN tok END, ' '
+        |    ORDER BY pos), '') AS cleaned,
+        |  CAST(COALESCE(SUM(CASE WHEN NOT cov THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(SUM(CASE WHEN cov THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_removed
+        |FROM mark GROUP BY doc_id""".stripMargin,
     "q64_dup_gram_ratio" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
         |g AS (SELECT doc_id, unnest(${Extensions.trigramListSql("sp")}) AS h

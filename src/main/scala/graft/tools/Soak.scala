@@ -44,6 +44,12 @@ object Soak {
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     def heapMb(): Long = java.lang.management.ManagementFactory
       .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+    def psiUs(kind: String): Long =
+      try scala.io.Source.fromFile(s"/proc/pressure/$kind").getLines()
+        .find(_.startsWith("some")).flatMap(_.split("\\s+")
+          .find(_.startsWith("total=")).map(_.stripPrefix("total=").toLong))
+        .getOrElse(-1L)
+      catch { case _: Throwable => -1L }
 
     names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
@@ -52,13 +58,13 @@ object Soak {
       val mins = (1 to iters).map { i =>
         spark.sharedState.cacheManager.clearCache()
         val pre = s"listeners=${graft.operators.Caching.activeListeners.get} cached=${cachedCount()} load=${loadavg()}"
-        val gc0 = gcMs()
+        val (gc0, cpu0) = (gcMs(), psiUs("cpu"))
         val runs = (1 to 4).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        println(f"[$name iter $i%2d] $pre gc_ms=${gcMs() - gc0} heap_mb=${heapMb()}  runs=${runs.map(r => f"$r%.3f").mkString(",")}")
+        println(f"[$name iter $i%2d] $pre gc_ms=${gcMs() - gc0} heap_mb=${heapMb()} psi_cpu_us=${if (cpu0 < 0) -1L else psiUs("cpu") - cpu0}  runs=${runs.map(r => f"$r%.3f").mkString(",")}")
         runs.tail.min
       }
       println(f"[$name] min-of-3 per iter: ${mins.map(m => f"$m%.3f").mkString(",")}  spread=${mins.max / mins.min}%.2fx")

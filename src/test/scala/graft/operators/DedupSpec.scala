@@ -681,7 +681,7 @@ class DedupSpec extends SparkSpecBase {
     val boiler = words("b", 12) // the 12-token span planted in both docs
     // doc 1: 5 unique tokens, boilerplate, 6 unique tokens
     // doc 2: 3 unique tokens, boilerplate, 2 unique tokens
-    // doc 3: all unique — must produce NO span
+    // doc 3: all unique -- must produce NO span
     val docs = Seq(
       (1L, s"${words("u", 5)} $boiler ${words("v", 6)}"),
       (2L, s"${words("w", 3)} $boiler ${words("x", 2)}"),
@@ -699,10 +699,8 @@ class DedupSpec extends SparkSpecBase {
 
   test("substringSpans merges adjacent repeats and counts within-doc repetition") {
     import spark.implicits._
-    // one doc repeating the same 8-token phrase twice back-to-back: every
-    // 8-gram in the 16-token text IS repeated (positions i and i+8 for
-    // i=1..? phrase p1..p8 p1..p8: gram at 1 == gram at 9; grams 2..8
-    // cross the seam... only grams 1 and 9 are equal pairs)
+    // one doc repeating the same 8-token phrase twice back-to-back: gram
+    // at pos 1 equals gram at pos 9; the seam grams 2..8 are all unique
     val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
     val docs = Seq((1L, s"$phrase $phrase")).toDF("doc_id", "text")
     val got = Dedup.substringSpans(docs, k = 8)
@@ -710,6 +708,48 @@ class DedupSpec extends SparkSpecBase {
       .toSet
     // anchors at pos 1 and 9 (gap 8 == k -> same island): one span 1..16
     assert(got == Set((1L, 1L, 16L, 2L)))
+  }
+
+  test("applySpanRemovals excises exactly the flagged spans, byte-exact elsewhere") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val boiler = words("b", 12)
+    val docs = Seq(
+      (1L, s"${words("u", 5)} $boiler ${words("v", 6)}"),
+      (2L, boiler),                     // pure boilerplate -> scrubbed empty
+      (3L, "a  double x"),              // short: untouched, double space kept
+      (4L, null.asInstanceOf[String])   // null text: dropped like substringSpans
+    ).toDF("doc_id", "text")
+    val got = Dedup.applySpanRemovals(docs, Dedup.substringSpans(docs, k = 8))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((s"${words("u", 5)} ${words("v", 6)}", 11L, 12L)))
+    assert(got(2L) == (("", 0L, 12L)))
+    // split-on-space keeps the empty token: "a","","double","x" round-trips
+    assert(got(3L) == (("a  double x", 4L, 0L)))
+    assert(!got.contains(4L) && got.size == 3)
+  }
+
+  test("substringSpansKeepFirst: the corpus-first copy survives, later copies scrub") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val boiler = words("b", 12)
+    val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${words("u", 5)} $boiler"),  // canonical copy: untouched
+      (2L, s"${words("w", 3)} $boiler"),  // later copy: boiler removed
+      (3L, s"$phrase $phrase")            // within-doc: second half removed
+    ).toDF("doc_id", "text")
+    val got = Dedup.applySpanRemovals(docs, Dedup.substringSpansKeepFirst(docs, k = 8))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((s"${words("u", 5)} $boiler", 17L, 0L)))
+    assert(got(2L) == ((words("w", 3), 3L, 12L)))
+    assert(got(3L) == ((phrase, 8L, 8L)))
   }
 
   test("substringSpans: docs shorter than k and null texts contribute nothing") {

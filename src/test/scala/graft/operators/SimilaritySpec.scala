@@ -285,6 +285,49 @@ class SimilaritySpec extends SparkSpecBase {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("annProbeStream: streamed probes of the persisted IVF index equal the one-shot q153 plan") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    val base = "graft_test_annprobe"
+    Seq(s"${base}_cents", s"${base}_cells")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Similarity.saveIvfIndex(emb, base)
+      val probeRows = emb.filter(col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, Long, Double)]
+      val q = Similarity.annProbeStream(base,
+        input.toDF().toDF("vec_id", "embedding"), k = 10,
+        onBatch = (res, _) => got.synchronized {
+          got ++= res.collect().map(r =>
+            (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        })
+      try {
+        // three uneven micro-batches: per-probe top-k must be
+        // batch-split independent
+        val (a, rest) = probeRows.splitAt(3)
+        val (b, c) = rest.splitAt(2)
+        input.addData(a); q.processAllAvailable()
+        input.addData(b); q.processAllAvailable()
+        input.addData(c); q.processAllAvailable()
+      } finally q.stop()
+      val idx = Similarity.IvfIndex(
+        spark.table(s"${base}_cents"), spark.table(s"${base}_cells"))
+      val oneShot = Similarity
+        .ivfTopKIndexed(idx, emb.filter(col("vec_id") < 8), k = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(got.sortBy(t => (t._1, t._2)).toSeq ==
+        oneShot.sortBy(t => (t._1, t._2)).toSeq,
+        "streamed probe diverged from the one-shot indexed probe")
+    } finally Seq(s"${base}_cents", s"${base}_cells")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("knnClassify matches a plain-Scala vote and beats chance on clustered labels") {
     val emb = graft.Tables.embeddings(spark, Sf0001)
     val all = emb.collect().map { r =>

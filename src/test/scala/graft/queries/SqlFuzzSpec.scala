@@ -343,6 +343,81 @@ class SqlFuzzSpec extends SparkSpecBase {
       }
   }
 
+  // --- scalar-expression + subquery-predicate generator: the remaining
+  // ANSI surface the other two grammars never touch. String functions
+  // stay on the ASCII fixtures (UPPER/LOWER/SUBSTRING/TRIM/LENGTH/||,
+  // 1-based SUBSTRING semantics shared by both engines), date parts
+  // extract as integers (no timestamp rendering), CASE expressions
+  // produce enumerable strings, and WHERE carries IN/EXISTS/scalar
+  // subqueries along FK edges. Everything integral or string — zero new
+  // float surface.
+  private def genScalarQuery(r: Random): String = r.nextInt(3) match {
+    case 0 => // string/date scalar pipeline over one table
+      val t = tabs(r.nextInt(tabs.size))
+      val strs = t.cols.filter(c => c.kind == 's')
+      val ints = t.cols.filter(c => c.kind == 'i')
+      val tss = t.cols.filter(_.kind == 't')
+      var k = -1
+      val exprs = (0 until (2 + r.nextInt(3))).map { _ =>
+        k += 1
+        r.nextInt(6) match {
+          case 0 if strs.nonEmpty =>
+            val c = strs(r.nextInt(strs.size)).name
+            s"${Seq("UPPER", "LOWER")(r.nextInt(2))}($c) AS e$k"
+          case 1 if strs.nonEmpty =>
+            val c = strs(r.nextInt(strs.size)).name
+            s"SUBSTRING($c, ${1 + r.nextInt(3)}, ${1 + r.nextInt(6)}) AS e$k"
+          case 2 if strs.nonEmpty =>
+            val c = strs(r.nextInt(strs.size)).name
+            s"LENGTH($c) AS e$k"
+          case 3 if strs.size >= 2 =>
+            val a = strs(r.nextInt(strs.size)).name
+            val b = strs(r.nextInt(strs.size)).name
+            s"$a || '#' || $b AS e$k"
+          case 4 if tss.nonEmpty =>
+            val c = tss(r.nextInt(tss.size)).name
+            val f = Seq("YEAR", "MONTH", "DAY")(r.nextInt(3))
+            s"$f($c) AS e$k"
+          case _ if ints.nonEmpty =>
+            val c = ints(r.nextInt(ints.size)).name
+            s"CASE WHEN $c % 2 = 0 THEN 'even' ELSE 'odd' END AS e$k"
+          case _ => "'x' AS e" + k
+        }
+      }
+      val whereSql = predFor(t, r).filter(_ => r.nextBoolean())
+        .fold("")(p => s"\nWHERE $p")
+      val pk = t.cols.head.name
+      s"SELECT $pk, ${exprs.mkString(",\n  ")}\nFROM ${t.name}$whereSql"
+    case 1 => // IN / NOT IN / EXISTS / NOT EXISTS subquery along an FK edge
+      val (child, fk, parent, pk) = fks(r.nextInt(fks.size))
+      val ct = byName(child); val pt = byName(parent)
+      val innerPred = predFor(pt, r).getOrElse("1 = 1")
+      val proj = r.shuffle(ct.cols.filter(_.kind != 't'))
+        .take(1 + r.nextInt(2)).map(_.name).sorted.mkString(", ")
+      val outerPred = predFor(ct, r).filter(_ => r.nextBoolean())
+        .fold("")(p => s" AND $p")
+      val shape = r.nextInt(4) match {
+        case 0 => s"$fk IN (SELECT $pk FROM $parent WHERE $innerPred)"
+        case 1 =>
+          // NOT IN only on a provably non-NULL inner side (NOT IN with
+          // NULLs is a famous 3VL footgun BOTH engines honor — but the
+          // fixture PKs are non-null, keeping the fuzz deterministic)
+          s"$fk NOT IN (SELECT $pk FROM $parent WHERE $innerPred)"
+        case 2 => s"EXISTS (SELECT 1 FROM $parent WHERE $pk = $fk AND $innerPred)"
+        case _ => s"NOT EXISTS (SELECT 1 FROM $parent WHERE $pk = $fk AND $innerPred)"
+      }
+      s"SELECT COUNT(*) AS n, COUNT(DISTINCT $fk) AS nk FROM (\n" +
+        s"  SELECT $proj, $fk FROM $child WHERE $shape$outerPred) t"
+    case _ => // scalar subquery in the SELECT list (uncorrelated, integral)
+      val (child, fk, parent, pk) = fks(r.nextInt(fks.size))
+      val ct = byName(child)
+      val g = ct.cols.filter(c => groupable(c.name))
+      val gc = if (g.nonEmpty) g(r.nextInt(g.size)).name else fk
+      s"SELECT $gc, COUNT(*) AS cnt,\n" +
+        s"  (SELECT COUNT(*) FROM $parent) AS n_parent\n" +
+        s"FROM $child GROUP BY $gc"
+  }
+
   // --- canonical rendering (mirrored in the python runner) ---------------
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
@@ -422,6 +497,11 @@ class SqlFuzzSpec extends SparkSpecBase {
   test("differential fuzz: 120 seeded ANALYTIC texts (windows, set ops, grouping sets, CTEs) agree") {
     val r = new Random(Seed + 1)
     diffFuzz((0 until 120).map(_ => genAnalyticQuery(r)))
+  }
+
+  test("differential fuzz: 80 seeded SCALAR/SUBQUERY texts (string/date funcs, IN/EXISTS, scalar subqueries) agree") {
+    val r = new Random(Seed + 2)
+    diffFuzz((0 until 80).map(_ => genScalarQuery(r)))
   }
 
   private def diffFuzz(queries: Seq[String]): Unit = {
