@@ -76,6 +76,91 @@ object Similarity {
         round(col("col.cos"), 6).as("cos_sim"))
   }
 
+  /** Deterministic sign random projection (Achlioptas 2003 / the
+    * Johnson–Lindenstrauss sparse family with ±1 entries): project each
+    * embedding onto `outDims` pseudo-random ±1 directions — the
+    * dimensionality-reduction step a billion-vector ANN pipeline runs
+    * BEFORE bucketing/LSH (JL: pairwise distances survive to within
+    * 1±eps at outDims = O(log n / eps²)). No RNG: sign(j, i) is the
+    * parity of the first md5 hex digit of "seed:j:i", materialized once
+    * driver-side as a literal matrix AND independently re-derivable in
+    * SQL (q223's oracle recomputes every sign from the same md5 formula
+    * — the matrix is pinned cross-engine, not just reproducible).
+    *
+    * Float discipline: each product accumulates through DECIMAL(38,16)
+    * (the q82 centroid device), so the per-dimension sum is
+    * order-independent and hash-identical on any engine — a double fold
+    * would be at the mercy of summation order. Map-only: one HOF
+    * evaluation per row (projected = outDims × dims multiply-adds),
+    * nothing shuffles, the output explodes to (vec_id, j, rp) only for
+    * the gate's sake.
+    */
+  def randomProjection(emb: DataFrame, outDims: Int = 16,
+                       dims: Int = 64, seed: String = "rp"): DataFrame = {
+    val signs: Seq[Int] = for (j <- 0 until outDims; i <- 0 until dims) yield {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j:$i".getBytes("UTF-8"))
+      // first hex digit = high nibble of byte 0; even -> +1, odd -> -1
+      if ((((md(0) >> 4) & 0xf) & 1) == 0) 1 else -1
+    }
+    val sgn = typedLit(signs)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 16)
+    val e = toDouble(col("embedding"))
+    // e and sgn are referenced from an enclosing select alias (not
+    // inlined expressions), so per-element lambda evaluation reads
+    // attributes — the CollapseProject HOF trap doesn't bite a cast/lit.
+    val outs = transform(sequence(lit(0), lit(outDims - 1)), j =>
+      aggregate(sequence(lit(0), lit(dims - 1)),
+        lit(java.math.BigDecimal.ZERO).cast(dec),
+        (acc, i) => (acc + (element_at(col("__e"), i + 1) *
+          element_at(col("__sgn"), j * dims + i + 1)).cast(dec)).cast(dec),
+        acc => acc.cast("double")))
+    emb.select(col("vec_id"), e.as("__e"), sgn.as("__sgn"))
+      .select(col("vec_id"), posexplode(outs))
+      // round(6): the double->DECIMAL(38,16) cast of a float-derived term
+      // can differ across engines in the 16th decimal (observed 1-2 ulp
+      // on the 64-term sums); 6 decimals is the cos_sim contract and
+      // absorbs it with ~1e-8 boundary odds per value
+      .select(col("vec_id"), col("pos").cast("int").as("j"),
+        round(col("col"), 6).as("rp"))
+  }
+
+  /** Hard-negative mining — the contrastive-training curation op: for
+    * each query vector, the k most-similar corpus vectors with a
+    * DIFFERENT label (the near-misses a contrastive loss learns most
+    * from; random negatives are trivially separable). Identical float
+    * contract to [[bruteForceTopK]] (cos = dot/(sqrt·sqrt), ties on
+    * vec_id); the label-mismatch predicate rides the scoring join, so
+    * same-label pairs never reach the heap.
+    *
+    * Scale shape = [[bruteForceTopKHeap]]: bounded query matrix
+    * broadcasts, corpus scanned once and never shuffled pre-aggregation,
+    * per-query top-k through the BoundedTopK heap (shuffle ≤ queries ×
+    * partitions × k). The IVF-bucketed variant composes the same way as
+    * q153 when the corpus outgrows the scan — mine within probed cells.
+    */
+  def hardNegatives(emb: DataFrame, k: Int, maxQueryId: Long,
+                    labelCol: String = "label"): DataFrame = {
+    val v = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"),
+        col(labelCol).as("lbl"))
+      .withColumn("nrm", norm(col("e")))
+    val q = v.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("nrm").as("qnrm"), col("lbl").as("qlbl"))
+    v.join(broadcast(q),
+        col("vec_id") =!= col("qid") && col("lbl") =!= col("qlbl"))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
+      .groupBy("qid")
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("cos"), col("vec_id"), col("lbl")), k,
+        desc = Seq(true, false, false)).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vec_id").as("negative_id"),
+        col("col.lbl").as("neg_label"),
+        round(col("col.cos"), 6).as("cos_sim"))
+  }
+
   /** kNN label classification — the evaluation harness every embedding
     * pipeline runs ("do these vectors encode the label structure?"), and
     * the simplest label-transfer mechanism (propagate curated labels to

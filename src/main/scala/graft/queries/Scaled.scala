@@ -206,6 +206,27 @@ object Scaled {
     graft.operators.Similarity.bruteForceTopKHeap(
       Tables.embeddings(s, dir), k = 10, maxQueryId = 8)
 
+  /** q224: hard-negative mining — for each query vector the 5 most
+    * similar corpus vectors with a DIFFERENT label
+    * (operators.Similarity.hardNegatives): the contrastive-curation step
+    * between the ANN family (q27/q119/q153) and the label harness (q184).
+    * Oracle = q27's float contract with the label-mismatch predicate in
+    * the scoring join.
+    */
+  def q224HardNegatives(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.hardNegatives(
+      Tables.embeddings(s, dir), k = 5, maxQueryId = 8)
+
+  /** q223: ±1 random projection 64 → 16 dims
+    * (operators.Similarity.randomProjection) — the JL reduction in front
+    * of LSH/IVF at billion-vector scale. The oracle re-derives the whole
+    * sign matrix from the md5 parity formula and re-accumulates every
+    * projection through the same DECIMAL(38,16) sums, so the gate pins
+    * the matrix AND the arithmetic cross-engine.
+    */
+  def q223RandomProjection(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.randomProjection(Tables.embeddings(s, dir))
+
   /** q131: per-source MAD (median absolute deviation) robust outlier
     * fences over token counts — the robust companion to q94's IQR: a
     * single mega-document shifts a mean/stddev fence but moves MAD not
@@ -663,6 +684,8 @@ object Scaled {
     "q211_rank_select"          -> (q211RankSelect _),
     "q115_topk_heap"            -> (q115TopkHeap _),
     "q119_ann_topk_heap"        -> (q119AnnTopkHeap _),
+    "q224_hard_negatives"       -> (q224HardNegatives _),
+    "q223_random_projection"    -> (q223RandomProjection _),
     "q129_mutual_align"         -> (q129MutualAlign _),
     "q134_mutual_align_ivf"     -> (q134MutualAlignIvf _),
     "q131_mad_outliers"         -> (q131MadOutliers _))
@@ -796,6 +819,37 @@ object Scaled {
     "q211_rank_select"           -> Relational3.oracles("q48_median"),
     "q115_topk_heap"             -> Relational.oracles("q16_topk_per_group"),
     "q119_ann_topk_heap"         -> Extensions.oracles("q27_ann_topk"),
+    // sign matrix re-derived from the md5 parity formula; DECIMAL(38,16)
+    // accumulation makes the sum order-independent on both engines
+    "q223_random_projection" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |pos AS (SELECT vec_id, t.i, u.j, e[t.i] AS x
+        |        FROM v, range(1, 65) t(i), range(0, 16) u(j)),
+        |s AS (SELECT vec_id, j,
+        |        CASE WHEN ('0x' || substring(md5('rp:' || CAST(j AS VARCHAR)
+        |            || ':' || CAST(i - 1 AS VARCHAR)), 1, 1))::INT % 2 = 0
+        |          THEN x ELSE -x END AS term
+        |      FROM pos)
+        |SELECT vec_id, CAST(j AS INTEGER) AS j,
+        |  ROUND(CAST(SUM(CAST(term AS DECIMAL(38,16))) AS DOUBLE), 6) AS rp
+        |FROM s GROUP BY vec_id, j""".stripMargin,
+    // q27's float contract with the label-mismatch predicate in the join
+    "q224_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |  q AS (SELECT vec_id AS qid, label AS qlbl, e AS qe FROM v WHERE vec_id < 8),
+        |  scored AS (
+        |    SELECT q.qid, v.vec_id, v.label,
+        |      list_dot_product(q.qe, v.e)
+        |        / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e)))
+        |        AS cos
+        |    FROM q JOIN v ON v.vec_id <> q.qid AND v.label <> q.qlbl)
+        |SELECT qid, rank, vec_id AS negative_id, label AS neg_label,
+        |  ROUND(cos, 6) AS cos_sim FROM (
+        |  SELECT qid, vec_id, label, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+        |         AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5""".stripMargin,
     "q78_media_dims" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png'

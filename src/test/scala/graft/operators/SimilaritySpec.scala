@@ -328,6 +328,74 @@ class SimilaritySpec extends SparkSpecBase {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("hardNegatives: top-k different-label neighbors, replayed in plain Scala") {
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    val all = emb.collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = all.filter(_._1 < 8).flatMap { case (qid, qe, ql) =>
+      all.filter(t => t._1 != qid && t._3 != ql)
+        .map { case (id, e, l) => (cos(qe, e), id, l) }
+        .sortBy { case (c, id, _) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((c, id, l), i) =>
+          (qid, i + 1, id, l, math.rint(c * 1e6) / 1e6) }
+    }.toSet
+    val got = Similarity.hardNegatives(emb, k = 5, maxQueryId = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4))).toSet
+    assert(got == want)
+    // every mined negative really is a different label
+    val labels = all.map(t => t._1 -> t._3).toMap
+    assert(got.forall { case (qid, _, nid, nl, _) =>
+      nl != labels(qid) && nl == labels(nid) })
+  }
+
+  test("randomProjection: deterministic, JL distance-preserving in the aggregate") {
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    val a = Similarity.randomProjection(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val b = Similarity.randomProjection(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(a == b, "projection must be rerun-deterministic")
+    assert(a.keys.map(_._2).toSet == (0 until 16).toSet)
+    // plain-Scala replay of the sign matrix + exact-double reference sum:
+    // the decimal-accumulated value must sit within round-off of it
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def sign(j: Int, i: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$j:$i".getBytes("UTF-8"))
+      if ((((md(0) >> 4) & 0xf) & 1) == 0) 1 else -1
+    }
+    rows.take(5).foreach { case (id, e) =>
+      (0 until 16).foreach { j =>
+        val ref = e.indices.map(i => e(i) * sign(j, i)).sum
+        assert(math.abs(a((id, j)) - ref) < 1e-6, s"vec $id dim $j")
+      }
+    }
+    // JL in the aggregate: projected squared distances concentrate around
+    // true squared distances x outDims (E[||Rx||^2] = outDims x ||x||^2
+    // for +-1 signs). Check the ratio over query pairs is in a wide band.
+    val byId = rows.toMap
+    val proj = a.toSeq.groupBy(_._1._1).view
+      .mapValues(s => s.sortBy(_._1._2).map(_._2).toArray).toMap
+    val ids = rows.map(_._1).filter(_ < 12)
+    val ratios = for {
+      x <- ids; y <- ids if x < y
+      dTrue = byId(x).zip(byId(y)).map { case (p, q) => (p - q) * (p - q) }.sum
+      if dTrue > 1e-9
+      dProj = proj(x).zip(proj(y)).map { case (p, q) => (p - q) * (p - q) }.sum
+    } yield dProj / (16.0 * dTrue)
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 2.0,
+      s"JL ratio mean $mean out of band (n=${ratios.size})")
+  }
+
   test("knnClassify matches a plain-Scala vote and beats chance on clustered labels") {
     val emb = graft.Tables.embeddings(spark, Sf0001)
     val all = emb.collect().map { r =>
