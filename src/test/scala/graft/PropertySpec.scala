@@ -348,4 +348,73 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("stratumRanks equals a driver-side ranking on random null-bearing strata") {
+    val gen = for {
+      n <- Gen.choose(5, 120)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.option(Gen.oneOf("a", "b", "c"))
+        v <- Gen.choose(0, 30)
+      } yield (s, v.toDouble))
+    } yield rows.zipWithIndex.map { case ((s, v), i) => (i.toLong, s, v) }
+    samples(gen, 6).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.toDF("id", "s", "score")
+      val targets: Long => Seq[Long] = n => Seq(1L, (n + 1) / 2, n)
+      for (desc <- Seq(false, true)) {
+        val got = graft.operators.StratifiedSelect
+          .stratumRanks(df, "s", "score", desc,
+            Seq(col("id")), targets, 8)
+          .select("id", "rn", "n_stratum").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val expect = rows.groupBy(_._2).values.flatMap { g =>
+          val sorted =
+            if (desc) g.sortBy(t => (-t._3, t._1)) else g.sortBy(t => (t._3, t._1))
+          val n = sorted.size.toLong
+          targets(n).filter(r => r >= 1 && r <= n).distinct
+            .map(r => (sorted((r - 1).toInt)._1, r, n))
+        }.toSet
+        assert(got == expect, s"desc=$desc rows=$rows")
+      }
+    }
+  }
+
+  test("substringSpans matches a brute-force positional reference on random corpora") {
+    val k = 4
+    val gen = for {
+      nd <- Gen.choose(2, 6)
+      docs <- Gen.listOfN(nd,
+        Gen.choose(0, 30).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("x", "y", "z", "w"))))
+    } yield docs.zipWithIndex.map { case (toks, i) =>
+      (i.toLong, toks.mkString(" "))
+    }
+    samples(gen, 8).foreach { docs =>
+      // brute-force reference: positional gram strings, global occurrence
+      // count, anchors cnt >= 2, islands with gap <= k
+      val grams = docs.flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        if (text.isEmpty || t.length < k) Seq.empty
+        else (1 to t.length - k + 1).map(i =>
+          (id, i.toLong, t.slice(i - 1, i - 1 + k).mkString(" ")))
+      }
+      val cnt = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val expect = grams.filter(g => cnt(g._3) >= 2)
+        .groupBy(_._1).flatMap { case (id, as) =>
+          val ps = as.map(_._2).distinct.sorted
+          val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          var start = -1L; var last = -1L; var cn = 0L
+          ps.foreach { p =>
+            if (start < 0) { start = p; last = p; cn = 1 }
+            else if (p <= last + k) { last = p; cn += 1 }
+            else { spans += ((start, last - start + k, cn)); start = p; last = p; cn = 1 }
+          }
+          if (start >= 0) spans += ((start, last - start + k, cn))
+          spans.map { case (st, ln, c) => (id, st, ln, c) }
+        }.toSet
+      val got = graft.operators.Dedup.substringSpans(docs.toDF("doc_id", "text"), k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expect, s"docs=$docs")
+    }
+  }
+
 }

@@ -752,6 +752,18 @@ class DedupSpec extends SparkSpecBase {
     assert(got(3L) == ((phrase, 8L, 8L)))
   }
 
+  test("substringSpans plans no cartesian and keeps the posting join shuffled") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+    val q = Dedup.substringSpans(docs, k = 8)
+    assert(q.count() > 0, "fixture must contain repeated spans")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"must not all-pairs:\n$plan")
+    // the posting side must never broadcast (Generate-size trap): the one
+    // join keyed on the gram hash is the hinted shuffled hash join
+    assert(plan.contains("ShuffledHashJoin"),
+      s"posting join must be the shuffled hash join:\n$plan")
+  }
+
   test("substringSpans: docs shorter than k and null texts contribute nothing") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]),
