@@ -1429,19 +1429,24 @@ object Dedup {
                               idCol: String = "doc_id"): DataFrame =
     substringSpansImpl(docs, k, textCol, idCol, keepFirst = true)
 
-  private def substringSpansImpl(docs: DataFrame, k: Int,
-                                 textCol: String, idCol: String,
-                                 keepFirst: Boolean): DataFrame = {
+  /** Positional k-gram posting list: one row per (doc, 1-based position),
+    * keyed by the 64-bit xxhash of the k-token gram string — the shared
+    * kernel of the substring family ([[substringSpans]] span detection,
+    * [[substrContamination]] screening, [[gramIndexFrame]] index build).
+    *
+    * Gram hashes are computed as an ARRAY in the same Project that holds
+    * __toks, then posexploded: __toks is referenced twice there (sequence
+    * bound + lambda slice), which stops CollapseProject from inlining the
+    * split() into the lambda — inlined, the doc would re-tokenize once
+    * PER POSITION (the q72 13x HOF trap, StratifiedSelect.scala).
+    * sequence(1, n-k+1) REQUIRES n >= k: Spark's sequence steps -1 when
+    * start > stop, so short docs are filtered, not clamped.
+    */
+  private def gramPosting(docs: DataFrame, k: Int,
+                          textCol: String, idCol: String): DataFrame = {
     require(k >= 2, s"k-gram width must be >= 2, got $k")
     val toks = col("__toks")
-    // Gram hashes are computed as an ARRAY in the same Project that holds
-    // __toks, then posexploded: __toks is referenced twice there (sequence
-    // bound + lambda slice), which stops CollapseProject from inlining the
-    // split() into the lambda — inlined, the doc would re-tokenize once
-    // PER POSITION (the q72 13x HOF trap, StratifiedSelect.scala).
-    // sequence(1, n-k+1) REQUIRES n >= k: Spark's sequence steps -1 when
-    // start > stop, so short docs are filtered, not clamped.
-    val posting = docs
+    docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .filter(size(toks) >= k)
@@ -1449,6 +1454,12 @@ object Dedup {
         sequence(lit(1), size(toks) - (k - 1)),
         i => xxhash64(array_join(slice(toks, i, lit(k)), " ")))))
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+  }
+
+  private def substringSpansImpl(docs: DataFrame, k: Int,
+                                 textCol: String, idCol: String,
+                                 keepFirst: Boolean): DataFrame = {
+    val posting = gramPosting(docs, k, textCol, idCol)
     // postings never broadcast (Generate-size trap, as in q38/q64); the
     // aggregated repeated-gram side builds, riding its own groupBy(h)
     // exchange.
@@ -1484,6 +1495,62 @@ object Dedup {
         count(lit(1)).as("n_anchors"))
       .select(col(idCol), col("span_start"), col("span_len"), col("n_anchors"))
   }
+
+  /** Distinct k-gram hash set of a corpus — the substring-contamination
+    * index [[substrContamination]] probes: "which k-token phrases does
+    * the corpus already contain". One hash-aggregate over the positional
+    * posting (positions dropped — membership is the signal); 8-byte keys,
+    * ~|tokens|/1 rows before dedup, never the documents themselves.
+    */
+  def gramIndexFrame(corpus: DataFrame, k: Int = 8,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    gramPosting(corpus, k, textCol, idCol).select("h").distinct()
+
+  /** [[gramIndexFrame]] materialized as a parquet table BUCKETED on the
+    * gram hash (the saveAdmissionIndex device): a long-running screening
+    * pipeline pays the corpus scan once at build time, and every later
+    * batch probe shuffles only its own grams — the bucketed scan already
+    * satisfies the join distribution. Readers in other sessions must
+    * refreshTable after appends, as with the other bucketed indexes.
+    */
+  def saveGramIndex(corpus: DataFrame, tableBase: String, k: Int = 8,
+                    numBuckets: Int = 32): DataFrame = {
+    graft.sources.Sinks.parquetBucketed(gramIndexFrame(corpus, k),
+      s"${tableBase}_grams", "h", numBuckets)
+    corpus.sparkSession.table(s"${tableBase}_grams")
+  }
+
+  /** Substring-level contamination screen — for each NEW document, how
+    * much of it the corpus has already seen: n_grams (its k-gram count),
+    * n_hit (grams present in the corpus index), and contam_ppm
+    * (n_hit/n_grams in integer parts-per-million — engine-exact, no float
+    * ratio). This is [[decontaminate]]'s posture pointed the other way:
+    * decontamination screens the corpus against a small eval set
+    * (broadcast), this screens an arriving batch against the WHOLE corpus
+    * (bucketed index join — the index is corpus-sized and must never
+    * broadcast). The admission rule a curation pipeline derives from it
+    * (reject contam_ppm above a threshold) composes with the
+    * exact/SimHash/MinHash admission screens, which only see whole-doc or
+    * near-whole-doc duplication — a fresh document quoting a corpus
+    * paragraph passes all three and is exactly what this catches.
+    *
+    * Shape: the batch's positional posting LEFT-joins the index on the
+    * 8-byte gram hash (shuffled hash join, index side built — its
+    * bucketed layout, when [[saveGramIndex]] made it, already sits on the
+    * key), then one per-doc hash-aggregate. Batch-only shuffles; corpus
+    * never moves.
+    */
+  def substrContamination(newDocs: DataFrame, gramIndex: DataFrame,
+                          k: Int = 8, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame =
+    gramPosting(newDocs, k, textCol, idCol)
+      .join(gramIndex.withColumn("__hit", lit(true)).hint("shuffle_hash"),
+        Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("contam_ppm", expr("(n_hit * 1000000) DIV n_grams"))
 
   /** Apply [[substringSpans]] removals: rebuild each document's text with
     * every flagged span excised (plus kept/removed token counts). Removes

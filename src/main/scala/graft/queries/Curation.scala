@@ -249,7 +249,25 @@ object Curation {
       .filter(col("n_removed") >= 0L) // q221's count-pruning honesty guard
   }
 
+  /** q225: substring-contamination screen at admission time — each NEW
+    * batch document's k-gram overlap with the existing corpus
+    * ([[graft.operators.Dedup.substrContamination]]): the signal that
+    * catches a fresh document QUOTING corpus text, which whole-doc
+    * (q67) and near-dup (q96/q103) admission both pass. Same
+    * new-vs-corpus split as the admission family (NewBatchSources);
+    * contam_ppm is integer, so the gate is exact.
+    */
+  def q225SubstrContam(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isNew = col("source").isin(NewBatchSources: _*)
+    graft.operators.Dedup.substrContamination(
+      docs.filter(isNew),
+      graft.operators.Dedup.gramIndexFrame(docs.filter(!isNew), k = 8),
+      k = 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_substr_contam"   -> (q225SubstrContam _),
     "q219_substring_dedup" -> (q219SubstringDedup _),
     "q221_substring_scrub" -> (q221SubstringScrub _),
     "q222_substring_keepfirst" -> (q222SubstringKeepFirst _),
@@ -393,6 +411,26 @@ object Curation {
         |  MAX(pos) - MIN(pos) + 8 AS span_len,
         |  COUNT(*) AS n_anchors
         |FROM isl GROUP BY doc_id, island""".stripMargin,
+    // gram-string replay of the hash-keyed screen (the q64 contract);
+    // contam_ppm integral on both engines
+    "q225_substr_contam" -> {
+      val inList = NewBatchSources.map(x => s"'$x'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |cg AS (SELECT DISTINCT array_to_string(toks[r.i : r.i + 7], ' ') AS gram
+        |       FROM t, unnest(generate_series(1, len(toks) - 7, 1)) AS r(i)
+        |       WHERE source NOT IN ($inList)),
+        |ng AS (SELECT doc_id, array_to_string(toks[r.i : r.i + 7], ' ') AS gram
+        |       FROM t, unnest(generate_series(1, len(toks) - 7, 1)) AS r(i)
+        |       WHERE source IN ($inList))
+        |SELECT ng.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN cg.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  (CAST(SUM(CASE WHEN cg.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000) // COUNT(*) AS contam_ppm
+        |FROM ng LEFT JOIN cg USING (gram)
+        |GROUP BY ng.doc_id""".stripMargin
+    },
     // q219's span algebra + token-exact reassembly: string_agg skips the
     // covered tokens (CASE -> NULL), ORDER BY pos restores document
     // order, COALESCE('') keeps fully-scrubbed docs as empty strings —

@@ -764,6 +764,63 @@ class DedupSpec extends SparkSpecBase {
       s"posting join must be the shuffled hash join:\n$plan")
   }
 
+  test("substrContamination: quote-level contamination caught; saved index and stream equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val corpus = Seq(
+      (100L, words("a", 20)),
+      (101L, words("b", 12))
+    ).toDF("doc_id", "text")
+    // n1 QUOTES 10 tokens of corpus doc 100 inside fresh text; n2 fresh;
+    // n3 is a verbatim copy of corpus doc 101
+    val quote = (3 to 12).map(i => s"a$i").mkString(" ")
+    val fresh = Seq(
+      (1L, s"${words("f", 5)} $quote ${words("g", 5)}"),
+      (2L, words("z", 10)),
+      (3L, words("b", 12))
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = canon(Dedup.substrContamination(
+      fresh, Dedup.gramIndexFrame(corpus, k = 8), k = 8))
+    // n1: 20 tokens -> 13 grams; only grams fully inside the quote hit
+    // (10-token quote -> 3 grams); 3e6 DIV 13 = 230769
+    assert(batch == Map(
+      1L -> ((13L, 3L, 230769L)),
+      2L -> ((3L, 0L, 0L)),
+      3L -> ((5L, 5L, 1000000L))))
+    val base = "graft_test_gramidx"
+    spark.sql(s"DROP TABLE IF EXISTS ${base}_grams")
+    try {
+      val saved = Dedup.saveGramIndex(corpus, base, k = 8)
+      assert(canon(Dedup.substrContamination(fresh, saved, k = 8)) == batch,
+        "saved bucketed index diverged from the in-plan frame")
+      // streaming twin: each micro-batch screens against the saved index
+      val rows = fresh.collect().map(r => (r.getLong(0), r.getString(1)))
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+      val q = input.toDF().toDF("doc_id", "text").writeStream
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val idx = b.sparkSession.table(s"${base}_grams")
+            got.synchronized {
+              got ++= canon(Dedup.substrContamination(b, idx, k = 8))
+            }
+          }
+          ()
+        }.start()
+      try {
+        val (x, y) = rows.splitAt(2)
+        input.addData(x); q.processAllAvailable()
+        input.addData(y); q.processAllAvailable()
+      } finally q.stop()
+      assert(got.toMap == batch, "streamed screen diverged from batch")
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${base}_grams")
+  }
+
   test("substringSpans: docs shorter than k and null texts contribute nothing") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]),
