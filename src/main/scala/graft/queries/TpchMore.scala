@@ -129,6 +129,45 @@ object TpchMore {
       |GROUP BY cntrycode
       |ORDER BY cntrycode""".stripMargin
 
+  /** Q3 shipping priority, adapted: the fixture's orders table carries
+    * o_orderpriority (no o_shippriority column), and the top-10 is
+    * tie-broken on (o_orderdate, l_orderkey) so LIMIT is deterministic.
+    * Timestamps in the OUTPUT ride the q179-certified timestamp hop.
+    */
+  val TpchQ3Text: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Q15 top supplier: the revenue CTE stands in for the view, and the
+    * WHERE total_revenue = (SELECT MAX(...)) equality compares doubles
+    * both engines derived from the SAME exact decimal sum — bit-equal by
+    * construction, so the filter cannot flake.
+    */
+  val TpchQ15Text: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+      |    AND l_shipdate < TIMESTAMP '1999-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   private def run(text: String)(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(text)
@@ -140,7 +179,9 @@ object TpchMore {
     "q214_tpch_q13" -> run(TpchQ13Text) _,
     "q215_tpch_q17" -> run(TpchQ17Text) _,
     "q216_tpch_q19" -> run(TpchQ19Text) _,
-    "q217_tpch_q22" -> run(TpchQ22Text) _)
+    "q217_tpch_q22" -> run(TpchQ22Text) _,
+    "q226_tpch_q3"  -> run(TpchQ3Text) _,
+    "q227_tpch_q15" -> run(TpchQ15Text) _)
 
   val oracles: Map[String, String] = Map(
     "q212_tpch_q7"  -> TpchQ7Text,
@@ -148,5 +189,7 @@ object TpchMore {
     "q214_tpch_q13" -> TpchQ13Text,
     "q215_tpch_q17" -> TpchQ17Text,
     "q216_tpch_q19" -> TpchQ19Text,
-    "q217_tpch_q22" -> TpchQ22Text)
+    "q217_tpch_q22" -> TpchQ22Text,
+    "q226_tpch_q3"  -> TpchQ3Text,
+    "q227_tpch_q15" -> TpchQ15Text)
 }
