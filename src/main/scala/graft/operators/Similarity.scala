@@ -87,13 +87,18 @@ object Similarity {
     * SQL (q223's oracle recomputes every sign from the same md5 formula
     * — the matrix is pinned cross-engine, not just reproducible).
     *
-    * Float discipline: each product accumulates through DECIMAL(38,16)
-    * (the q82 centroid device), so the per-dimension sum is
-    * order-independent and hash-identical on any engine — a double fold
-    * would be at the mercy of summation order. Map-only: one HOF
-    * evaluation per row (projected = outDims × dims multiply-adds),
-    * nothing shuffles, the output explodes to (vec_id, j, rp) only for
-    * the gate's sake.
+    * Float discipline: each signed product quantizes to a 1e-12
+    * fixed-point LONG (floor(x·s·1e12) — floor of a double is
+    * engine-exact, unlike the double→decimal cast whose 16th-decimal
+    * rounding the two engines disagree on), and the per-dimension sum is
+    * long addition: order-independent, hash-identical on any engine, and
+    * ~50x cheaper per term than the BigDecimal fold this replaced
+    * (measured 1.4 s → see BENCH for the committed figure at sf0.1).
+    * Quantization error ≤ dims·1e-12 — four orders under the rounded
+    * 1e-6 output grid. 64 terms × 1e12 tops out at 6.4e13, far inside a
+    * long. Map-only: one HOF evaluation per row (outDims × dims
+    * multiply-adds), nothing shuffles; the output explodes to
+    * (vec_id, j, rp) only for the gate's sake.
     */
   def randomProjection(emb: DataFrame, outDims: Int = 16,
                        dims: Int = 64, seed: String = "rp"): DataFrame = {
@@ -104,25 +109,20 @@ object Similarity {
       if ((((md(0) >> 4) & 0xf) & 1) == 0) 1 else -1
     }
     val sgn = typedLit(signs)
-    val dec = org.apache.spark.sql.types.DecimalType(38, 16)
     val e = toDouble(col("embedding"))
     // e and sgn are referenced from an enclosing select alias (not
     // inlined expressions), so per-element lambda evaluation reads
     // attributes — the CollapseProject HOF trap doesn't bite a cast/lit.
     val outs = transform(sequence(lit(0), lit(outDims - 1)), j =>
       aggregate(sequence(lit(0), lit(dims - 1)),
-        lit(java.math.BigDecimal.ZERO).cast(dec),
-        (acc, i) => (acc + (element_at(col("__e"), i + 1) *
-          element_at(col("__sgn"), j * dims + i + 1)).cast(dec)).cast(dec),
-        acc => acc.cast("double")))
+        lit(0L),
+        (acc, i) => acc + floor((element_at(col("__e"), i + 1) *
+          element_at(col("__sgn"), j * dims + i + 1)) * lit(1e12)),
+        acc => round(acc.cast("double") / lit(1e12), 6)))
     emb.select(col("vec_id"), e.as("__e"), sgn.as("__sgn"))
       .select(col("vec_id"), posexplode(outs))
-      // round(6): the double->DECIMAL(38,16) cast of a float-derived term
-      // can differ across engines in the 16th decimal (observed 1-2 ulp
-      // on the 64-term sums); 6 decimals is the cos_sim contract and
-      // absorbs it with ~1e-8 boundary odds per value
       .select(col("vec_id"), col("pos").cast("int").as("j"),
-        round(col("col"), 6).as("rp"))
+        col("col").as("rp"))
   }
 
   /** Hard-negative mining — the contrastive-training curation op: for

@@ -819,19 +819,22 @@ object Scaled {
     "q211_rank_select"           -> Relational3.oracles("q48_median"),
     "q115_topk_heap"             -> Relational.oracles("q16_topk_per_group"),
     "q119_ann_topk_heap"         -> Extensions.oracles("q27_ann_topk"),
-    // sign matrix re-derived from the md5 parity formula; DECIMAL(38,16)
-    // accumulation makes the sum order-independent on both engines
+    // sign matrix re-derived from the md5 parity formula; floor-to-1e-12
+    // fixed-point LONG terms make the sum order-independent and
+    // engine-exact (floor of a double is, where the double->decimal
+    // cast's 16th-decimal rounding was not)
     "q223_random_projection" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |pos AS (SELECT vec_id, t.i, u.j, e[t.i] AS x
         |        FROM v, range(1, 65) t(i), range(0, 16) u(j)),
         |s AS (SELECT vec_id, j,
-        |        CASE WHEN ('0x' || substring(md5('rp:' || CAST(j AS VARCHAR)
-        |            || ':' || CAST(i - 1 AS VARCHAR)), 1, 1))::INT % 2 = 0
-        |          THEN x ELSE -x END AS term
+        |        CAST(floor((CASE WHEN ('0x' || substring(md5('rp:'
+        |            || CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)),
+        |            1, 1))::INT % 2 = 0
+        |          THEN x ELSE -x END) * 1000000000000.0) AS BIGINT) AS term
         |      FROM pos)
         |SELECT vec_id, CAST(j AS INTEGER) AS j,
-        |  ROUND(CAST(SUM(CAST(term AS DECIMAL(38,16))) AS DOUBLE), 6) AS rp
+        |  ROUND(CAST(SUM(term) AS DOUBLE) / 1000000000000.0, 6) AS rp
         |FROM s GROUP BY vec_id, j""".stripMargin,
     // q27's float contract with the label-mismatch predicate in the join
     "q224_hard_negatives" ->
