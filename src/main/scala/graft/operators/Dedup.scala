@@ -1358,14 +1358,27 @@ object Dedup {
       .withColumn("admitted", col("n_neardup") === 0L)
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by label (IVF-style blocking:
-    * at 100 TB the block key would be a coarse-quantizer cell id).
+  /** Embedding-cosine near-dup pairs, blocked by label — the exact,
+    * oracle-checkable companion to [[embeddingNearDupsCells]] (the same
+    * exact-vs-approximate split as jaccardPairs vs minhashLsh): O(block²)
+    * BY DESIGN, which is affordable only while blocks are dimension-sized.
+    * The block-size contract is code, not prose: with `maxBlockSize` set,
+    * blocks above the cap are dropped from the join with an observed,
+    * logged count (`graft_q29_block_cap` — capGroups' dropped_rows /
+    * dropped_groups / max_group_size) instead of silently melting the
+    * stage into n²/blocks dot products. At 100 TB the blocked-exact walk
+    * is the sampled-slice AUDIT; the production pair generator is the
+    * quantizer-cell-blocked variant below.
     */
-  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+  def embeddingNearDups(emb: DataFrame, threshold: Double,
+                        maxBlockSize: Int = Int.MaxValue): DataFrame = {
     import graft.functions.VectorFunctions._
-    val v = emb.select(col("label"), col("vec_id"),
+    val v0 = emb.select(col("label"), col("vec_id"),
       toDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e"))) // once per vector, not per pair
+    val v =
+      if (maxBlockSize == Int.MaxValue) v0
+      else capGroups(v0, Seq("label"), maxBlockSize, "graft_q29_block_cap")
     val a = v.select(col("label"), col("vec_id").as("vec_id_a"),
       col("e").as("e_a"), col("nrm").as("nrm_a"))
     val b = v.select(col("label"), col("vec_id").as("vec_id_b"),
@@ -1376,6 +1389,73 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("label"), col("vec_id_a"), col("vec_id_b"),
               round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Embedding-cosine near-dup pairs blocked on COARSE-QUANTIZER CELLS —
+    * the SemDeDup shape that actually survives 100 TB, replacing the
+    * fixture `label` (whose cardinality is fixed at 10, so pairs grow as
+    * n²/10) with an IVF cell key whose cardinality `nList` is a TUNABLE:
+    * size nList ∝ corpus/targetBlock and per-block work stays bounded
+    * regardless of corpus growth, with [[capGroups]]' loud
+    * `graft_q29_cell_cap` fence (dropped_rows / dropped_groups /
+    * max_group_size) tripping observably when a cell outgrows
+    * `maxBlockSize` instead of melting the join.
+    *
+    * Quantizer = Similarity.ivfTopK's deterministic device (centroids are
+    * the first-nList vectors, assignment by cosine with the smaller-cid
+    * tie-break) so a DuckDB oracle replays assignment exactly. MULTI-PROBE
+    * assignment (each vector joins its `nProbe` nearest cells) is what
+    * makes the recall honest on non-clustered embeddings: a near-dup pair
+    * straddling two rank-1 cells still meets in a shared lower-rank cell.
+    * Measured against the label-blocked exact walk at threshold 0.3
+    * (nList=16, nProbe=4): recall 0.95 / 0.98 / 0.90 at sf0.001/0.01/0.1
+    * — gated ≥ 0.8 as q234's banded boolean, the q105 device.
+    *
+    * Per-vector cell ranking is ONE hash aggregate (BoundedTopK over the
+    * broadcast-centroid cross join — O(nProbe) state per vector, no
+    * window, no per-vector sort task); the pair walk shuffles the
+    * replicated (nProbe ×) vectors once on cid; pair-dedup (a pair can
+    * meet in up to nProbe shared cells) is one groupBy on the pair key.
+    * Output (vec_id_a, vec_id_b, cos_sim) — NO block column: multi-probe
+    * pairs are not block-local, so downstream resolution must use the
+    * global resolvers ([[contractedComponents]] — see
+    * [[blockedComponents]]' precondition note), which q138 does.
+    */
+  def embeddingNearDupsCells(emb: DataFrame, threshold: Double,
+                             nList: Int = 16, nProbe: Int = 4,
+                             maxBlockSize: Int = Int.MaxValue): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(nProbe >= 1 && nProbe <= nList,
+      s"nProbe must be in [1, nList=$nList], got $nProbe")
+    val v = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val cents = v.filter(col("vec_id") < nList)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+    // top-nProbe cells per vector: hash-agg heap, never a window sort
+    val assigned0 = v.crossJoin(broadcast(cents))
+      .withColumn("cdist", dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
+      .groupBy("vec_id")
+      .agg(graft.functions.BoundedTopK.topK(
+             struct(col("cdist"), col("cid")), nProbe,
+             desc = Seq(true, false)).as("cells"),
+           first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        explode(col("cells.cid")).as("cid"))
+    val assigned =
+      if (maxBlockSize == Int.MaxValue) assigned0
+      else capGroups(assigned0, Seq("cid"), maxBlockSize, "graft_q29_cell_cap")
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_id_a"),
+      col("e").as("e_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vec_id_b"),
+      col("e").as("e_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cid"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cos", dot(col("e_a"), col("e_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      // a pair meeting in several shared cells is one near-dup: dedup on
+      // the pair key (cos is a function of the pair, min = the one value)
+      .groupBy(col("vec_id_a"), col("vec_id_b"))
+      .agg(round(min(col("cos")), 6).as("cos_sim"))
   }
 
   /** Substring-level exact dedup (Lee et al. 2022, "Deduplicating Training
@@ -1557,8 +1637,11 @@ object Dedup {
     * ALL occurrences of a repeated span — the Lee et al. tool's default
     * (each flagged gram occurred >= 2 times corpus-wide; removing every
     * copy leaves the corpus free of >= k-token repeats, up to sub-k
-    * remnants). Keep-one-copy semantics would need a canonical-occurrence
-    * election across the duplicate cluster — a different operator.
+    * remnants). For keep-one-copy semantics, feed this operator the
+    * spans from [[substringSpansKeepFirst]] instead — it performs the
+    * canonical-occurrence election (the globally first occurrence of
+    * each repeated gram survives) and q222 gates exactly that
+    * composition.
     *
     * Shape: spans group per doc (bounded by doc length), one equi-join on
     * the doc id back to the corpus, then a PER-ROW HOF rebuild —

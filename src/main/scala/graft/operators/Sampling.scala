@@ -163,8 +163,12 @@ object Sampling {
     * Shape at 100 TB: map-only priority + one bounded-heap aggregate
     * ([[graft.functions.BoundedTopK]], O(k) state per stratum per
     * partition, map-side combined) — the q120 pattern; no window, no
-    * whole-stratum sort, nothing driver-side. Rows with NULL or
-    * non-positive weight cannot be drawn (P ∝ w ≤ 0) and are filtered.
+    * whole-stratum sort, nothing driver-side. Rows with NULL, NaN, or
+    * non-positive weight cannot be drawn (P ∝ w ≤ 0) and are filtered —
+    * NaN explicitly, because in Spark SQL NaN compares GREATER than any
+    * numeric, so `w > 0.0` alone would admit a NaN weight whose NaN
+    * priority could be drawn when a stratum has fewer than k
+    * positive-weight rows.
     * Returns (stratum, rk, id, weight): rk is the draw order (1 = first
     * pick, the A-ES ↔ sequential-draw correspondence).
     */
@@ -175,7 +179,7 @@ object Sampling {
       col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
     val u = (m + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
     val w = weight.cast("double")
-    df.filter(w.isNotNull && w > 0.0)
+    df.filter(w.isNotNull && !isnan(w) && w > 0.0)
       .select(col(stratumCol), col(idCol), w.as("weight"),
         (-log(u) / w).as("__pri"))
       .groupBy(stratumCol)

@@ -110,9 +110,14 @@ object Similarity {
     }
     val sgn = typedLit(signs)
     val e = toDouble(col("embedding"))
-    // e and sgn are referenced from an enclosing select alias (not
-    // inlined expressions), so per-element lambda evaluation reads
-    // attributes — the CollapseProject HOF trap doesn't bite a cast/lit.
+    // __e and __sgn are multiply-referenced NON-CHEAP aliases (__e is
+    // itself a transform() HOF): CollapseProject refuses to inline such
+    // aliases into the consuming projection, so the ~outDims×dims
+    // element_at references per row keep reading attributes instead of
+    // re-evaluating the producer. That multi-reference-non-cheap rule is
+    // the load-bearing guard here — if this is ever restructured so the
+    // aliases become single-referenced or cheap, the HOFs would inline
+    // and re-evaluate per element.
     val outs = transform(sequence(lit(0), lit(outDims - 1)), j =>
       aggregate(sequence(lit(0), lit(dims - 1)),
         lit(0L),

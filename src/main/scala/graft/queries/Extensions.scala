@@ -163,9 +163,41 @@ object Extensions {
   def q28AnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, dir), k = 10, maxQueryId = 8)
 
-  /** Embedding-cosine near-dup pairs blocked by label. */
+  /** Embedding-cosine near-dup pairs blocked by label — the exact walk,
+    * now FENCED: maxBlockSize=1<<20 puts the graft_q29_block_cap guard in
+    * the executed plan (a no-op at fixture block sizes, so the oracle is
+    * unchanged; an over-cap block at larger data trips the observed drop
+    * instead of running block²). The production-scale pair generator is
+    * q234's quantizer-cell-blocked variant; this one is its recall
+    * audit/oracle.
+    */
   def q29EmbedNeardup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.3)
+    Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.3,
+      maxBlockSize = 1 << 20)
+
+  /** q234: the q105 banded-recall device applied to embedding near-dup
+    * blocking — the gate that turns the "at 100 TB the label is an IVF
+    * cell" prose into checked code. Exact side = the label-blocked walk
+    * (q29's semantics, SQL-expressible, the oracle column); approximate
+    * side = [[Dedup.embeddingNearDupsCells]] (deterministic first-16
+    * quantizer, 4-probe assignment, fenced cells), entering only through
+    * the recall_ok boolean (oracle value TRUE). Measured recall 0.95 /
+    * 0.98 / 0.90 at sf0.001/0.01/0.1 against the 0.8 gate. One left join
+    * on the pair key counts exact and found in the same aggregate —
+    * q105's comparison shape verbatim.
+    */
+  def q234EmbedNeardupCellBanded(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val exact = Dedup.embeddingNearDups(emb, threshold = 0.3)
+      .select(col("vec_id_a"), col("vec_id_b"))
+    val cells = Dedup.embeddingNearDupsCells(emb, threshold = 0.3,
+        nList = 16, nProbe = 4, maxBlockSize = 1 << 20)
+      .select(col("vec_id_a"), col("vec_id_b"), lit(1).as("__f"))
+    exact.join(cells, Seq("vec_id_a", "vec_id_b"), "left_outer")
+      .agg(count(lit(1)).as("n_exact_pairs"), count(col("__f")).as("n_found"))
+      .select(col("n_exact_pairs"),
+        (col("n_found") * 10L >= col("n_exact_pairs") * 8L).as("recall_ok"))
+  }
 
   /** Event-time hourly rollup (the batch shape of the streaming agg). */
   def q30EventsHourly(s: SparkSession, dir: String): DataFrame =
@@ -620,6 +652,7 @@ object Extensions {
     "q184_knn_classify" -> (q184KnnClassify _),
     "q28_ann_ivf"       -> (q28AnnIvf _),
     "q29_embed_neardup" -> (q29EmbedNeardup _),
+    "q234_embed_neardup_cell_banded" -> (q234EmbedNeardupCellBanded _),
     "q30_events_hourly" -> (q30EventsHourly _),
     "q31_sessionize"    -> (q31Sessionize _),
     "q32_binary_meta"   -> (q32BinaryMeta _))
@@ -1127,6 +1160,15 @@ object Extensions {
         |  ROUND(list_dot_product(a.e, b.e)
         |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
         |    AS cos_sim
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e)
+        |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3""".stripMargin,
+    // banded gate (the q105 device): the exact label-blocked pair COUNT is
+    // the hash-checked column; the cell-blocked walk enters only through
+    // the recall_ok boolean the oracle asserts TRUE
+    "q234_embed_neardup_cell_banded" ->
+      """WITH v AS (SELECT label, vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_ok
         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.e, b.e)
         |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3""".stripMargin,

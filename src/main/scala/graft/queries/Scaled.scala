@@ -221,8 +221,10 @@ object Scaled {
     * (operators.Similarity.randomProjection) — the JL reduction in front
     * of LSH/IVF at billion-vector scale. The oracle re-derives the whole
     * sign matrix from the md5 parity formula and re-accumulates every
-    * projection through the same DECIMAL(38,16) sums, so the gate pins
-    * the matrix AND the arithmetic cross-engine.
+    * projection through the same floor-to-1e-12 fixed-point BIGINT sums
+    * (floor(x·s·1e12) per term, long addition — engine-exact and
+    * order-independent), so the gate pins the matrix AND the arithmetic
+    * cross-engine.
     */
   def q223RandomProjection(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.randomProjection(Tables.embeddings(s, dir))

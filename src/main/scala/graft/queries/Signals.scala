@@ -524,41 +524,50 @@ object Signals {
   }
 
   /** q138: SemDeDup-style semantic deduplication composed end to end —
-    * embedding-cosine near-dup pairs (q29's label-blocked exact pass) →
-    * connected-component resolution (q58's min-label fixed point) →
-    * highest-quality survivor per cluster (q81's keepBest argmax), run
+    * embedding-cosine near-dup pairs blocked on COARSE-QUANTIZER CELLS
+    * (Dedup.embeddingNearDupsCells — the published cluster-then-dedup
+    * SemDeDup shape, multi-probed, fenced, recall-gated by q234) →
+    * connected-component resolution (contracted union-find + star stitch)
+    * → highest-quality survivor per cluster (q81's keepBest argmax), run
     * over the embedded slice of the corpus (vec_id keys documents; q93
     * audits that contract). The flow a curation team runs when textual
     * dedup has already collapsed exact/near-text copies and what remains
     * is SEMANTIC redundancy — paraphrases and re-renderings that no
     * shingle overlap catches but embeddings place within a tight cone.
     *
-    * Each stage's plan is its individually-gated one (pairs: one
-    * label-blocked join, never corpus²; CC: O(log n) rounds; keepBest:
-    * one hash-agg argmax); what this gate adds is the WIRING — pair ids
-    * flowing into labels, labels into clusters, the embedded-slice
-    * restriction, and the quality tie-break — which no single-stage
-    * oracle sees. At 100 TB the label blocking becomes IVF-cell blocking
-    * (Similarity.ivfTopK's quantizer), everything downstream unchanged.
+    * Each stage's plan is its individually-gated one (pairs: cell-blocked
+    * joins sized by the TUNABLE nList, never corpus², fenced loud; CC:
+    * one union-find pass + bounded stitch rounds; keepBest: one hash-agg
+    * argmax); what this gate adds is the WIRING — pair ids flowing into
+    * labels, labels into clusters, the embedded-slice restriction, and
+    * the quality tie-break — which no single-stage oracle sees. The
+    * oracle replays the quantizer (first-16 centroids, 4-probe ranked
+    * assignment — q28's replay device), the pair walk, and the closure.
     */
   def q138SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val pairs = graft.operators.Dedup.embeddingNearDups(emb, threshold = 0.3)
-      .select(col("label"), col("vec_id_a").as("doc_id_a"),
-        col("vec_id_b").as("doc_id_b"))
+    // quantizer-CELL-blocked pairs (Dedup.embeddingNearDupsCells): the
+    // production SemDeDup blocking whose key cardinality (nList) scales
+    // with the corpus, multi-probed so rank-1 cell splits don't lose
+    // near-dup pairs (recall vs the exact label-blocked walk gated ≥ 0.8
+    // by q234), fenced so an over-cap cell trips graft_q29_cell_cap
+    // instead of running cell².
+    val pairs = graft.operators.Dedup.embeddingNearDupsCells(emb,
+        threshold = 0.3, nList = 16, nProbe = 4, maxBlockSize = 1 << 20)
+      .select(col("vec_id_a").as("doc_id_a"), col("vec_id_b").as("doc_id_b"))
     val scored = Tables.documents(s, dir)
       .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
-    // BLOCKED resolution, not the iterative resolvers: embeddingNearDups
-    // pairs are label-local by construction (a doc has one label; at
-    // 100 TB the label is an IVF cell), so each block's subgraph resolves
-    // in one in-task union-find pass — no per-round join+checkpoint loop.
-    // Matters here because cosine is not transitive: semantic clusters
-    // are CHAINS, which cost the global resolvers diameter (propagation)
-    // or log n (star) rounds of fixed stage latency — measured 4.5 s of
-    // rounds collapsing to one 0.3 s job at sf0.1 (Q138Profile).
-    val labels = graft.operators.Dedup.blockedComponents(pairs, "label")
+    // CONTRACTED resolution, not blockedComponents: multi-probe pairs are
+    // NOT block-local (a vector sits in nProbe cells, so clusters chain
+    // ACROSS cells — exactly blockedComponents' documented precondition
+    // violation). contractedComponents keeps the in-task union-find win
+    // (one pass collapses in-partition structure to depth-1) and pays the
+    // iterative stitch only on the residual cross-partition forest —
+    // 1-2 rounds on fixture graphs instead of the direct resolvers'
+    // diameter/log-n rounds over cosine-chain clusters.
+    val labels = graft.operators.Dedup.contractedComponents(pairs, stitch = "star")
     graft.operators.Dedup.keepBestLabeled(scored, labels)
   }
 
@@ -851,9 +860,18 @@ object Signals {
     // document slice
     "q138_semantic_dedup" ->
       s"""WITH RECURSIVE
-        |v AS (SELECT label, vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |p AS (SELECT a.vec_id AS da, b.vec_id AS db
-        |      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+        |ranked AS (
+        |  SELECT v.vec_id, v.e, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_dot_product(v.e, c.ce)
+        |        / (sqrt(list_dot_product(v.e, v.e))
+        |           * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cid) AS rk
+        |  FROM v CROSS JOIN cents c),
+        |asn AS (SELECT vec_id, e, cid FROM ranked WHERE rk <= 4),
+        |p AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+        |      FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
         |      WHERE list_dot_product(a.e, b.e)
         |        / (sqrt(list_dot_product(a.e, a.e))
         |           * sqrt(list_dot_product(b.e, b.e))) >= 0.3),

@@ -19,6 +19,14 @@ object Q138Profile {
     val pairs = blockedPairs.select("doc_id_a", "doc_id_b")
     println(s"[q138] n_pairs ${t("pairs cold")(pairs.count())}")
     t("pairs warm")(pairs.count())
+    // the cell-blocked pair walk q138 actually runs since round 13
+    val cellPairs = graft.operators.Dedup.embeddingNearDupsCells(emb, 0.3,
+        nList = 16, nProbe = 4, maxBlockSize = 1 << 20)
+      .select(col("vec_id_a").as("doc_id_a"), col("vec_id_b").as("doc_id_b"))
+    println(s"[q138] n_cell_pairs ${t("cell pairs cold")(cellPairs.count())}")
+    t("cell pairs warm")(cellPairs.count())
+    t("cc contracted-star over cell pairs")(graft.operators.Dedup
+      .contractedComponents(cellPairs, stitch = "star").count())
     val (starLabels, rounds) = graft.operators.Dedup.starComponents(pairs)
     t("cc star")(starLabels.count())
     println(s"[q138] star rounds: $rounds")

@@ -494,6 +494,71 @@ class DedupSpec extends SparkSpecBase {
       (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
     assert(approx(r.getAs[Double]("cos_sim"), cos, 1e-4))
   }
+
+  test("embeddingNearDupsCells: multi-probe catches a planted cross-cell near-dup") {
+    // centroids are the first-nList vectors (c0 = x-axis, c1 = y-axis);
+    // vecs 2 and 3 are near-identical but land in DIFFERENT rank-1 cells
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(1f, 0.99f)), (3L, Seq(0.99f, 1f)))
+      .toDF("vec_id", "embedding")
+    // single-probe loses the straddling pair — the failure mode multi-probe exists for
+    val p1 = Dedup.embeddingNearDupsCells(vecs, threshold = 0.9,
+      nList = 2, nProbe = 1).collect()
+    assert(p1.isEmpty)
+    // 2-probe: the pair meets in both shared cells yet is emitted ONCE
+    val out = Dedup.embeddingNearDupsCells(vecs, threshold = 0.9,
+      nList = 2, nProbe = 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
+    assert(out.head.getAs[Double]("cos_sim") > 0.999)
+  }
+
+  test("embeddingNearDupsCells maxBlockSize drops an over-cap cell with observed counts") {
+    val mega = (10 to 19).map(i => (i.toLong, Seq(1f, 0.001f * i)))
+    val sane = Seq((30L, Seq(0.01f, 1f)), (31L, Seq(0.012f, 1f)))
+    val vecs = (Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))) ++ mega ++ sane)
+      .toDF("vec_id", "embedding")
+    val df = Dedup.embeddingNearDupsCells(vecs, threshold = 0.9, nList = 2,
+      nProbe = 1, maxBlockSize = 5)
+    val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cell c0's 11 members (centroid + 10 near-copies) trip the fence and
+    // vanish; cell c1's sane trio survives
+    assert(pairs == Set((1L, 30L), (1L, 31L), (30L, 31L)))
+    val m = df.queryExecution.observedMetrics("graft_q29_cell_cap")
+    assert(m.getAs[Long]("dropped_rows") == 11L)
+    assert(m.getAs[Double]("dropped_groups") == 1.0)
+    assert(m.getAs[Long]("max_group_size") == 11L)
+  }
+
+  test("embeddingNearDups maxBlockSize drops an over-cap label block with observed counts") {
+    val mega = (1 to 12).map(i => (100L + i, Seq(1f, 0.001f * i), "big"))
+    val sane = Seq((1L, Seq(0f, 1f), "small"), (2L, Seq(0.01f, 1f), "small"))
+    val emb = (mega ++ sane).toDF("vec_id", "embedding", "label")
+    val df = Dedup.embeddingNearDups(emb, threshold = 0.9, maxBlockSize = 5)
+    val pairs = df.collect()
+      .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+    val m = df.queryExecution.observedMetrics("graft_q29_block_cap")
+    assert(m.getAs[Long]("dropped_rows") == 12L)
+    assert(m.getAs[Double]("dropped_groups") == 1.0)
+    assert(m.getAs[Long]("max_group_size") == 12L)
+  }
+
+  test("cell-blocked near-dups recover >= 80% of the exact label-blocked pairs") {
+    // q234's gate at spec level: the quantizer-cell blocking that replaces
+    // the fixture label at scale must keep recall against the exact walk
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+    val exact = Dedup.embeddingNearDups(emb, 0.3).collect()
+      .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))).toSet
+    val cellRows = Dedup.embeddingNearDupsCells(emb, 0.3).collect()
+    val cells = cellRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // multi-probe never duplicates a pair
+    assert(cellRows.length == cells.size)
+    assert(exact.nonEmpty)
+    val found = exact.count(cells.contains)
+    assert(found * 10 >= exact.size * 8, s"recall $found/${exact.size}")
+  }
+
   test("decontaminateBloom equals the exact path even under heavy fpp pressure") {
     val docs = graft.Tables.documents(spark, Sf0001)
     val exact = Dedup.decontaminate(docs, "src0", 3, 3L)
