@@ -70,6 +70,13 @@ object Bench {
         .getOrElse(-1L)
       catch { case _: Throwable => -1L }
     def nowIso(): String = java.time.Instant.now().toString
+    // Per-query CPU time (round-12 verdict ask #3): wall-clock alone can't
+    // distinguish "plan is slow" from "JVM got 1/40th of a CPU" when gc
+    // and PSI are flat. cpu_ms (whole process) and task_cpu_ms (executor
+    // tasks only) over the same 4-run window as gc_ms close that loop:
+    // cpu ~ wall4 x threads says plan; cpu << wall4 says host; task <<
+    // cpu with wall high says driver-side (planning/collect).
+    val taskCpu = PerfMeters.attachTaskCpu(spark)
     val (tsStart, loadStart) = (nowIso(), loadavg())
     // Dev-only subset switch (same contract as Verify's): time just the
     // named queries. Guarded the same way — a typo must fail, not time
@@ -100,10 +107,16 @@ object Bench {
       // pricing, not code.
       spark.sharedState.cacheManager.clearCache()
       val (gc0, cpu0, io0) = (gcMs(), psiUs("cpu"), psiUs("io"))
+      val (pcpu0, tcpu0) = (PerfMeters.procCpuMs(), taskCpu.cpuNs.get())
+      val w0 = System.nanoTime()
       val runs = Seq(time(name, fn), time(name, fn), time(name, fn), time(name, fn))
+      val wall4Ms = (System.nanoTime() - w0) / 1000000L
+      val cpuMs = if (pcpu0 < 0) -1L else PerfMeters.procCpuMs() - pcpu0
+      val taskCpuMs = (taskCpu.cpuNs.get() - tcpu0) / 1000000L
       val ctx = (gcMs() - gc0, heapMb(), loadavg1(),
         if (cpu0 < 0) -1L else psiUs("cpu") - cpu0,
-        if (io0 < 0) -1L else psiUs("io") - io0)
+        if (io0 < 0) -1L else psiUs("io") - io0,
+        cpuMs, taskCpuMs, wall4Ms)
       val timed = runs.drop(1) // first run is warm-up, never reported
       (name, if (runs.exists(_ < 0)) -1.0 else timed.min, timed, ctx)
     }
@@ -116,20 +129,34 @@ object Bench {
     // gc_ms: GC time accrued across the query's 4 runs; heap_mb: used heap
     // after the last run; load1: 1-min loadavg at query end. All three are
     // longs/strings rendered locale-independently.
-    val gcJson = results.map { case (k, _, _, (g, _, _, _, _)) =>
+    val gcJson = results.map { case (k, _, _, (g, _, _, _, _, _, _, _)) =>
       "\"" + k + "\":" + g
     }.mkString("{", ",", "}")
-    val heapJson = results.map { case (k, _, _, (_, h, _, _, _)) =>
+    val heapJson = results.map { case (k, _, _, (_, h, _, _, _, _, _, _)) =>
       "\"" + k + "\":" + h
     }.mkString("{", ",", "}")
-    val loadJson = results.map { case (k, _, _, (_, _, l, _, _)) =>
+    val loadJson = results.map { case (k, _, _, (_, _, l, _, _, _, _, _)) =>
       "\"" + k + "\":" + l
     }.mkString("{", ",", "}")
-    val psiCpuJson = results.map { case (k, _, _, (_, _, _, c, _)) =>
+    val psiCpuJson = results.map { case (k, _, _, (_, _, _, c, _, _, _, _)) =>
       "\"" + k + "\":" + c
     }.mkString("{", ",", "}")
-    val psiIoJson = results.map { case (k, _, _, (_, _, _, _, i)) =>
+    val psiIoJson = results.map { case (k, _, _, (_, _, _, _, i, _, _, _)) =>
       "\"" + k + "\":" + i
+    }.mkString("{", ",", "}")
+    // cpu_ms / task_cpu_ms / wall4_ms share gc_ms's 4-run window, so the
+    // host-vs-plan read is one artifact: cpu_ms >> wall4_ms says the runs
+    // really burned parallel cycles (plan); cpu_ms << wall4_ms says the
+    // host starved the JVM; task_cpu_ms << cpu_ms with high wall says the
+    // time went driver-side.
+    val cpuJson = results.map { case (k, _, _, (_, _, _, _, _, c, _, _)) =>
+      "\"" + k + "\":" + c
+    }.mkString("{", ",", "}")
+    val taskCpuJson = results.map { case (k, _, _, (_, _, _, _, _, _, t, _)) =>
+      "\"" + k + "\":" + t
+    }.mkString("{", ",", "}")
+    val wall4Json = results.map { case (k, _, _, (_, _, _, _, _, _, _, w)) =>
+      "\"" + k + "\":" + w
     }.mkString("{", ",", "}")
     // Variance honesty (round-10 verdict ask): min-of-3 stays the headline
     // statistic, but a contended or pathological capture must flag ITSELF.
@@ -164,6 +191,8 @@ object Bench {
         s""""runs":$runsJson,"spread":$spreadJson,""" +
         s""""gc_ms":$gcJson,"heap_mb":$heapJson,"load1":$loadJson,""" +
         s""""psi_cpu_us":$psiCpuJson,"psi_io_us":$psiIoJson,""" +
+        s""""cpu_ms":$cpuJson,"task_cpu_ms":$taskCpuJson,""" +
+        s""""wall4_ms":$wall4Json,""" +
         s""""unstable":[${unstable.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""cpus":$cpus,""" +
         s""""ts_start":"$tsStart","ts_end":"$tsEnd",""" +

@@ -51,6 +51,9 @@ object Soak {
         .getOrElse(-1L)
       catch { case _: Throwable => -1L }
 
+    // same cpu-vs-wall column Bench carries since round 13 (verdict ask
+    // #3): cpu_ms ~ wall x threads says plan, cpu_ms << wall says host
+    val taskCpu = graft.PerfMeters.attachTaskCpu(spark)
     names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'"))
@@ -59,12 +62,15 @@ object Soak {
         spark.sharedState.cacheManager.clearCache()
         val pre = s"listeners=${graft.operators.Caching.activeListeners.get} cached=${cachedCount()} load=${loadavg()}"
         val (gc0, cpu0) = (gcMs(), psiUs("cpu"))
+        val (pcpu0, tcpu0) = (graft.PerfMeters.procCpuMs(), taskCpu.cpuNs.get())
         val runs = (1 to 4).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        println(f"[$name iter $i%2d] $pre gc_ms=${gcMs() - gc0} heap_mb=${heapMb()} psi_cpu_us=${if (cpu0 < 0) -1L else psiUs("cpu") - cpu0}  runs=${runs.map(r => f"$r%.3f").mkString(",")}")
+        val cpuMs = if (pcpu0 < 0) -1L else graft.PerfMeters.procCpuMs() - pcpu0
+        val tCpuMs = (taskCpu.cpuNs.get() - tcpu0) / 1000000L
+        println(f"[$name iter $i%2d] $pre gc_ms=${gcMs() - gc0} heap_mb=${heapMb()} psi_cpu_us=${if (cpu0 < 0) -1L else psiUs("cpu") - cpu0} cpu_ms=$cpuMs task_cpu_ms=$tCpuMs  runs=${runs.map(r => f"$r%.3f").mkString(",")}")
         runs.tail.min
       }
       println(f"[$name] min-of-3 per iter: ${mins.map(m => f"$m%.3f").mkString(",")}  spread=${mins.max / mins.min}%.2fx")
