@@ -1431,7 +1431,9 @@ object Dedup {
       .withColumn("nrm", norm(col("e")))
     val cents = v.filter(col("vec_id") < nList)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
-    // top-nProbe cells per vector: hash-agg heap, never a window sort
+    // top-nProbe cells per vector: hash-agg heap, never a window sort.
+    // __probes (the vector's full probe list, nProbe ints) rides along so
+    // the pair walk can elect a canonical shared cell below.
     val assigned0 = v.crossJoin(broadcast(cents))
       .withColumn("cdist", dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
       .groupBy("vec_id")
@@ -1440,22 +1442,29 @@ object Dedup {
              desc = Seq(true, false)).as("cells"),
            first(col("e")).as("e"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("e"), col("nrm"),
+        col("cells.cid").as("__probes"),
         explode(col("cells.cid")).as("cid"))
     val assigned =
       if (maxBlockSize == Int.MaxValue) assigned0
       else capGroups(assigned0, Seq("cid"), maxBlockSize, "graft_q29_cell_cap")
     val a = assigned.select(col("cid"), col("vec_id").as("vec_id_a"),
-      col("e").as("e_a"), col("nrm").as("nrm_a"))
+      col("e").as("e_a"), col("nrm").as("nrm_a"), col("__probes").as("__pa"))
     val b = assigned.select(col("cid"), col("vec_id").as("vec_id_b"),
-      col("e").as("e_b"), col("nrm").as("nrm_b"))
+      col("e").as("e_b"), col("nrm").as("nrm_b"), col("__probes").as("__pb"))
     a.join(b, Seq("cid"))
       .filter(col("vec_id_a") < col("vec_id_b"))
+      // canonical-cell election BEFORE the dot product: a pair sharing
+      // several probe cells is a candidate once — in the numerically
+      // smallest shared cell — so duplicate 64-dim dots never compute and
+      // no pair-dedup shuffle exists. (Under an over-cap fence drop a
+      // pair whose CANONICAL cell was dropped is lost even if another
+      // shared cell survived — the fence is loud, and the recall gate
+      // prices exactly what ships.) The intersect is nProbe x nProbe over
+      // ints — noise next to one saved dot.
+      .filter(col("cid") === array_min(array_intersect(col("__pa"), col("__pb"))))
       .withColumn("cos", dot(col("e_a"), col("e_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
-      // a pair meeting in several shared cells is one near-dup: dedup on
-      // the pair key (cos is a function of the pair, min = the one value)
-      .groupBy(col("vec_id_a"), col("vec_id_b"))
-      .agg(round(min(col("cos")), 6).as("cos_sim"))
+      .select(col("vec_id_a"), col("vec_id_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
   /** Substring-level exact dedup (Lee et al. 2022, "Deduplicating Training
@@ -1491,8 +1500,10 @@ object Dedup {
     */
   def substringSpans(docs: DataFrame, k: Int = 8,
                      textCol: String = "text",
-                     idCol: String = "doc_id"): DataFrame =
-    substringSpansImpl(docs, k, textCol, idCol, keepFirst = false)
+                     idCol: String = "doc_id",
+                     saltBuckets: Int = 1): DataFrame =
+    substringSpansImpl(docs, k, textCol, idCol, keepFirst = false,
+      saltBuckets = saltBuckets)
 
   /** [[substringSpans]] with the KEEP-ONE-COPY election: the corpus-first
     * occurrence of each repeated k-gram — min (doc_id, pos), a total
@@ -1506,8 +1517,10 @@ object Dedup {
     */
   def substringSpansKeepFirst(docs: DataFrame, k: Int = 8,
                               textCol: String = "text",
-                              idCol: String = "doc_id"): DataFrame =
-    substringSpansImpl(docs, k, textCol, idCol, keepFirst = true)
+                              idCol: String = "doc_id",
+                              saltBuckets: Int = 1): DataFrame =
+    substringSpansImpl(docs, k, textCol, idCol, keepFirst = true,
+      saltBuckets = saltBuckets)
 
   /** Positional k-gram posting list: one row per (doc, 1-based position),
     * keyed by the 64-bit xxhash of the k-token gram string — the shared
@@ -1522,8 +1535,8 @@ object Dedup {
     * sequence(1, n-k+1) REQUIRES n >= k: Spark's sequence steps -1 when
     * start > stop, so short docs are filtered, not clamped.
     */
-  private def gramPosting(docs: DataFrame, k: Int,
-                          textCol: String, idCol: String): DataFrame = {
+  private[graft] def gramPosting(docs: DataFrame, k: Int,
+                                 textCol: String, idCol: String): DataFrame = {
     require(k >= 2, s"k-gram width must be >= 2, got $k")
     val toks = col("__toks")
     docs
@@ -1538,16 +1551,32 @@ object Dedup {
 
   private def substringSpansImpl(docs: DataFrame, k: Int,
                                  textCol: String, idCol: String,
-                                 keepFirst: Boolean): DataFrame = {
+                                 keepFirst: Boolean,
+                                 saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val posting = gramPosting(docs, k, textCol, idCol)
     // postings never broadcast (Generate-size trap, as in q38/q64); the
     // aggregated repeated-gram side builds, riding its own groupBy(h)
-    // exchange.
+    // exchange. HOT-GRAM SKEW: a boilerplate gram repeated 10^6x lands
+    // every posting row on ONE reducer of this join. That task streams
+    // (one output row per input row — no blowup), so the default path is
+    // fine until a single gram's postings outgrow a partition
+    // (~10^7 rows / 256 MB), where AQE's skew split handles the
+    // sort-merge plan; saltBuckets > 1 is the EXPLICIT route
+    // (Skew.saltedJoin: postings salt deterministically on (doc, pos),
+    // the aggregated side replicates saltBuckets x), bounding any gram's
+    // per-task rows to postings/saltBuckets at the price of a
+    // saltBuckets-x larger build side — identical spans either way
+    // (DedupSpec pins equality under a planted hot gram).
+    def joinRepeated(repeated: DataFrame): DataFrame =
+      if (saltBuckets == 1) posting.join(repeated.hint("shuffle_hash"), "h")
+      else Skew.saltedJoin(posting, repeated, "h",
+        saltSrc = struct(col(idCol), col("pos")), saltBuckets = saltBuckets)
     val anchors =
       if (!keepFirst) {
         val repeated = posting.groupBy("h").agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") >= 2)
-        posting.join(repeated.hint("shuffle_hash"), "h")
+        joinRepeated(repeated)
           .select(col(idCol), col("pos"))
       } else {
         // min(struct) = lexicographic (doc_id, pos) min — the canonical
@@ -1555,7 +1584,7 @@ object Dedup {
         val repeated = posting.groupBy("h").agg(count(lit(1)).as("cnt"),
             min(struct(col(idCol), col("pos"))).as("__first"))
           .filter(col("cnt") >= 2)
-        posting.join(repeated.hint("shuffle_hash"), "h")
+        joinRepeated(repeated)
           .filter(!(col(s"__first.$idCol") === col(idCol) &&
             col("__first.pos") === col("pos")))
           .select(col(idCol), col("pos"))

@@ -55,6 +55,57 @@ object Expectations {
     wide.select(explode(array(pairs: _*)).as("__r")).select(col("__r.*"))
   }
 
+  /** Row-level quarantine annotation — the gate half of the audit: each
+    * row gains `violations` (the names of the rules it fails; NULL
+    * evaluations are failures, the [[audit]] convention) and `admitted`
+    * (no failures) — the admitStream output convention, so expectation
+    * gating composes with the dedup admission stages downstream. Map-only:
+    * every rule evaluates once per row inside one Project; nothing
+    * shuffles, nothing reaches the driver.
+    */
+  def gateRows(df: DataFrame, rules: Seq[Expect]): DataFrame = {
+    require(rules.nonEmpty, "gateRows needs at least one expectation")
+    require(rules.map(_.rule).distinct.size == rules.size,
+      "duplicate rule names would collapse in the violations list")
+    val checked = array(rules.map { e =>
+      struct(lit(e.rule).as("rule"),
+        coalesce(e.holds, lit(false)).as("ok"))
+    }: _*)
+    df.withColumn("violations",
+        transform(filter(checked, s => !s.getField("ok")),
+          s => s.getField("rule")))
+      .withColumn("admitted", size(col("violations")) === 0)
+  }
+
+  /** Batch-REJECT admission — the dbt-test blocking convention (a failed
+    * test blocks the build; a failed expectation blocks the ingest):
+    * audit the batch, and append it to `snapshotTable` only when the
+    * audit reports ZERO violations; a violating batch appends — whole,
+    * with its per-row `violations` annotation — to `quarantineTable`
+    * instead, so nothing partial ever reaches consumers and the
+    * quarantine is self-describing for triage. Returns the audit report.
+    *
+    * The verdict is ONE bounded collect of the rules-sized report (the
+    * 1-row-aggregate convention); the batch itself flows straight to its
+    * destination table. A streaming ingest runs this per micro-batch in
+    * foreachBatch — ExpectationsSpec's MemoryStream twin proves a planted
+    * violation never reaches the snapshot while clean batches land.
+    */
+  def gateBatch(batch: DataFrame, rules: Seq[Expect],
+                snapshotTable: String, quarantineTable: String): DataFrame = {
+    val report = audit(batch, rules)
+    val bad = report.agg(coalesce(sum(col("n_violations")), lit(0L)))
+      .collect()(0).getLong(0)
+    if (bad == 0L)
+      batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(snapshotTable)
+    else
+      gateRows(batch, rules).write
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(quarantineTable)
+    report
+  }
+
   /** Referential-integrity expectation: rows of `child` whose `childKey`
     * has no match in `parent.parentKey` (NULL child keys are orphans —
     * same conservative convention as [[audit]]). Same report schema.

@@ -204,4 +204,64 @@ object TextIndex {
       .withColumn("score", score)
       .groupBy("doc_id").agg(dsum(col("score"), 10).as("bm25"))
   }
+
+  /** BPE merge-pair training loop (Sennrich et al. 2016) — the one
+    * standard LLM-pipeline stage with no operator until round 13:
+    * `rounds` iterations of count-adjacent-pairs → argmax → merge every
+    * (left-to-right, non-overlapping) occurrence corpus-wide. Returns the
+    * merge TABLE — (merge_round, tok, nxt, merged, cnt): the artifact tokenizer
+    * training actually produces — with cnt the pair's corpus count at
+    * pick time and ties broken (cnt DESC, tok ASC, nxt ASC) so the
+    * sequence is total-ordered and cross-engine deterministic.
+    *
+    * The corpus rewrite is ONE scalar `replace` per document on a
+    * sentinel-wrapped join of the token array (token t renders \u0001t\u0001,
+    * adjacency renders \u0001\u0001): `replace` is left-to-right
+    * non-overlapping in Spark and DuckDB alike, which IS the published
+    * greedy merge — a run "a a a" under pair (a,a) merges once, leftmost,
+    * exactly like the reference implementation's word-by-word scan. The
+    * sentinel guarantees matches can't cross token boundaries; tokens
+    * must not contain \u0001 (whitespace-split text never does). Pair
+    * COUNTS include overlapping occurrences (the published counting —
+    * "a a a" counts (a,a) twice), which the zip_with pair stream gives
+    * for free.
+    *
+    * Shape at 100 TB, per round: one map-side-combined pair hash-agg;
+    * argmax is a TakeOrdered(1) (per-partition top-1, no global sort);
+    * the rewrite is map-only under a 1-row broadcast. Rounds unroll into
+    * one lazy plan — round r's pair count re-reads the rewrite chain of
+    * rounds < r (map-only, so the recompute is r extra scans, the same
+    * trade q167's unrolled PageRank makes); a production loop with
+    * hundreds of merges would checkpoint the representation every few
+    * rounds instead, exactly like the iterative resolvers' ckpt cadence.
+    */
+  def bpeMergeRounds(docs: DataFrame, rounds: Int = 3,
+                     textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val S = "\u0001"
+    val SS = S + S
+    var rep = docs.filter(col(textCol).isNotNull)
+      .select(concat(lit(S),
+        array_join(split(col(textCol), " "), SS), lit(S)).as("rep"))
+    val rounds_ = (0 until rounds).map { r =>
+      val ts = col("ts")
+      val pairs = rep
+        .select(split(expr("substr(rep, 2, length(rep) - 2)"), SS).as("ts"))
+        .filter(size(ts) >= 2)
+        .select(explode(zip_with(
+          slice(ts, lit(1), size(ts) - 1),
+          slice(ts, lit(2), size(ts) - 1),
+          (a, b) => struct(a.as("tok"), b.as("nxt")))).as("p"))
+        .select(col("p.tok"), col("p.nxt"))
+      val best = pairs.groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"), col("nxt")).limit(1)
+      rep = rep.crossJoin(broadcast(best))
+        .select(expr(
+          "replace(rep, concat('\u0001', tok, '\u0001\u0001', nxt, '\u0001')," +
+            " concat('\u0001', tok, nxt, '\u0001'))").as("rep"))
+      best.select(lit(r).cast("int").as("merge_round"), col("tok"), col("nxt"),
+        concat(col("tok"), col("nxt")).as("merged"), col("cnt"))
+    }
+    rounds_.reduce(_.unionByName(_))
+  }
 }

@@ -118,9 +118,15 @@ object Curation2 {
     // stage 1: admission — corpus docs plus ADMITTED new docs form the pool
     val admitted = Dedup.admitIncremental(docs, isNew)
       .filter(col("admitted")).select("doc_id")
+    // The pool is consumed by THREE downstream branches (the quality
+    // scoring that feeds the output, the jaccard pair walk, and the
+    // survivor join); without a persist each branch re-pays the
+    // admission band-join. Scoped-release persist (the q131 device):
+    // built once, freed after the caller's terminal action.
     val pool = docs.filter(!isNew)
       .unionByName(docs.filter(isNew).join(admitted, "doc_id"))
       .select("doc_id", "lang", "source", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stage 2: near-dup resolve + one survivor per cluster (q81 machinery)
     val scored = pool.select(col("doc_id"), col("lang"), col("text"),
       TextFunctions.qualityScore(col("text")).as("quality"))
@@ -146,11 +152,12 @@ object Curation2 {
     // stage 5: greedy sequence packing at 2048 tokens (q71 shape)
     val wp = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    budgeted
+    val res = budgeted
       .withColumn("pack_before",
         coalesce(sum(col("n_tokens").cast("long")).over(wp), lit(0L)))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         expr("pack_before DIV 2048").as("seq_id"))
+    graft.operators.Caching.releaseAfterConsumed(res, pool)
   }
 
   /** q104: apply q88's weights by REPETITION — the upsampling half q92's

@@ -172,7 +172,62 @@ object TextStats {
       .orderBy("lang")
   }
 
+  /** q228: BPE merge-pair training statistics
+    * (operators.TextIndex.bpeMergeRounds) — 3 unrolled merge rounds over
+    * the documents corpus, gated on the full merge TABLE (round, pair,
+    * merged token, pick-time count). The oracle re-derives every round —
+    * pair counts (the q166 UNNEST device), the total-ordered argmax, and
+    * the sentinel-string greedy rewrite — because `replace` is
+    * left-to-right non-overlapping in BOTH engines, making the published
+    * greedy merge semantics an engine-shared primitive rather than a
+    * procedural loop. The q167 unrolled-rounds oracle shape.
+    */
+  def q228BpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.bpeMergeRounds(Tables.documents(s, dir),
+      rounds = 3)
+
+  /** q228's oracle: rounds unroll as CTE triples (rep_r, pairs over
+    * rep_r, best_r); chr(1) is the sentinel the operator uses.
+    */
+  private val bpeSql: String = {
+    def pairsCte(pv: String, rv: String): String =
+      s"""$pv AS (
+         |  SELECT ts[i] AS tok, ts[i + 1] AS nxt
+         |  FROM (SELECT string_split(substr(rep, 2, length(rep) - 2),
+         |          chr(1) || chr(1)) AS ts FROM $rv) t,
+         |    UNNEST(range(1, len(ts))) AS u(i)
+         |  WHERE len(ts) >= 2)""".stripMargin
+    def bestCte(bv: String, pv: String): String =
+      s"""$bv AS (
+         |  SELECT tok, nxt, COUNT(*) AS cnt FROM $pv GROUP BY 1, 2
+         |  ORDER BY cnt DESC, tok, nxt LIMIT 1)""".stripMargin
+    def rewriteCte(rv: String, prev: String, bv: String): String =
+      s"""$rv AS (
+         |  SELECT replace(rep,
+         |      chr(1) || $bv.tok || chr(1) || chr(1) || $bv.nxt || chr(1),
+         |      chr(1) || $bv.tok || $bv.nxt || chr(1)) AS rep
+         |  FROM $prev CROSS JOIN $bv)""".stripMargin
+    s"""WITH r0 AS (
+       |  SELECT chr(1) || array_to_string(string_split(text, ' '),
+       |      chr(1) || chr(1)) || chr(1) AS rep
+       |  FROM documents WHERE text IS NOT NULL),
+       |${pairsCte("p0", "r0")},
+       |${bestCte("b0", "p0")},
+       |${rewriteCte("r1", "r0", "b0")},
+       |${pairsCte("p1", "r1")},
+       |${bestCte("b1", "p1")},
+       |${rewriteCte("r2", "r1", "b1")},
+       |${pairsCte("p2", "r2")},
+       |${bestCte("b2", "p2")}
+       |SELECT 0 AS merge_round, tok, nxt, tok || nxt AS merged, cnt FROM b0
+       |UNION ALL
+       |SELECT 1 AS merge_round, tok, nxt, tok || nxt AS merged, cnt FROM b1
+       |UNION ALL
+       |SELECT 2 AS merge_round, tok, nxt, tok || nxt AS merged, cnt FROM b2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_bpe_merges"   -> (q228BpeMerges _),
     "q206_mixture_plan" -> (q206MixturePlan _),
     "q205_dedup_impact" -> (q205DedupImpact _),
     "q204_corpus_concentration" -> (q204CorpusConcentration _),
@@ -181,6 +236,7 @@ object TextStats {
     "q187_token_fertility" -> (q187TokenFertility _))
 
   val oracles: Map[String, String] = Map(
+    "q228_bpe_merges" -> bpeSql,
     "q206_mixture_plan" ->
       """WITH b AS (
         |  SELECT lang, COUNT(*) AS n_docs,

@@ -762,6 +762,45 @@ class DedupSpec extends SparkSpecBase {
     assert(got == Set((1L, 6L, 12L, 5L), (2L, 4L, 12L, 5L)))
   }
 
+  test("substringSpans hot-gram salting: identical spans, bounded per-task rows") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    // the hot gram: one doc of 100k identical tokens — every one of its
+    // ~10^5 positions posts the SAME 64-bit gram key, so the unsalted
+    // posting⋈repeated join funnels all of them through one reducer
+    val hot = (1 to 100000).map(_ => "b").mkString(" ")
+    val boiler = words("s", 12)
+    val docs = Seq(
+      (1L, hot),
+      (2L, s"${words("u", 5)} $boiler ${words("v", 6)}"),
+      (3L, s"${words("w", 3)} $boiler ${words("x", 2)}")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val plain = canon(Dedup.substringSpans(docs, k = 8))
+    val salted = canon(Dedup.substringSpans(docs, k = 8, saltBuckets = 8))
+    // the hot doc is one giant span (all positions anchored); the planted
+    // boilerplate pair is found either way — salting changes the shuffle
+    // layout, never the spans
+    assert(plain == salted)
+    assert(plain == Set((1L, 1L, 100000L, 99993L),
+      (2L, 6L, 12L, 5L), (3L, 4L, 12L, 5L)))
+    // mechanism bound: under the deterministic (doc, pos) salt, no
+    // (gram, salt) shuffle group carries more than ~2x the ideal
+    // hot/saltBuckets share — the property that caps per-task rows
+    val maxGroup = Dedup.gramPosting(docs, 8, "text", "doc_id")
+      .withColumn("__salt", Skew.saltFor(struct($"doc_id", $"pos"), 8))
+      .groupBy("h", "__salt").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxGroup <= 2L * 99993L / 8L, s"max salted group $maxGroup")
+    // keepFirst routes through the same salted join: equality there too
+    val kfPlain = canon(Dedup.substringSpansKeepFirst(docs, k = 8))
+    val kfSalted = canon(Dedup.substringSpansKeepFirst(docs, k = 8,
+      saltBuckets = 8))
+    assert(kfPlain == kfSalted && kfPlain.nonEmpty)
+  }
+
   test("substringSpans merges adjacent repeats and counts within-doc repetition") {
     import spark.implicits._
     // one doc repeating the same 8-token phrase twice back-to-back: gram

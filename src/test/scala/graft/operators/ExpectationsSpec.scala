@@ -70,6 +70,61 @@ class ExpectationsSpec extends SparkSpecBase {
     assert(r.getLong(2) == 2L) // 9L unmatched + NULL
   }
 
+  test("gateRows annotates per-row violations with the admitStream convention") {
+    val out = gateRows(docs, Seq(
+      Expect("text_min_len_6", length(col("text")) >= 6),
+      Expect("lang_nonnull", col("lang").isNotNull)
+    )).collect().map(r => r.getAs[Long]("id") ->
+      ((r.getSeq[String](r.fieldIndex("violations")).toList,
+        r.getAs[Boolean]("admitted")))).toMap
+    assert(out(1L) == (Nil, true))
+    assert(out(2L) == (List("text_min_len_6"), false))
+    assert(out(3L) == (List("text_min_len_6"), false)) // NULL text = violation
+    assert(out(4L) == (List("text_min_len_6", "lang_nonnull"), false))
+  }
+
+  test("gateBatch quarantine: a planted violation never reaches the snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val snap = "exp_gate_snapshot"
+    val quar = "exp_gate_quarantine"
+    def drop(): Unit = Seq(snap, quar).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    drop()
+    try {
+      val rules = Seq(
+        Expect("id_positive", col("id") > 0L),
+        Expect("text_nonnull", col("text").isNotNull))
+      // the streaming twin: every micro-batch runs the SAME batch gate
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            Expectations.gateBatch(b, rules, snap, quar); ()
+          }
+        }.start()
+      try {
+        input.addData(Seq((1L, "clean one"), (2L, "clean two")))
+        q.processAllAvailable()
+        // planted violation: NULL text fails text_nonnull -> whole batch
+        // quarantined, including its clean sibling row
+        input.addData(Seq((3L, null.asInstanceOf[String]), (4L, "rides along")))
+        q.processAllAvailable()
+        input.addData(Seq((5L, "clean three")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val snapped = spark.table(snap).collect().map(_.getLong(0)).toSet
+      assert(snapped == Set(1L, 2L, 5L),
+        s"violating batch leaked into the snapshot: $snapped")
+      val quarantined = spark.table(quar)
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[String](r.fieldIndex("violations")).toList).toMap
+      assert(quarantined == Map(3L -> List("text_nonnull"), 4L -> Nil))
+    } finally drop()
+  }
+
   test("q218 shape on the sf0.001 fixture: 8 rules, known violation rows") {
     val rows = graft.queries.Quality.q218Expectations(spark, Sf0001)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

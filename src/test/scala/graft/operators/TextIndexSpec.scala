@@ -206,4 +206,41 @@ class TextIndexSpec extends SparkSpecBase {
       assert(direct.nonEmpty)
     } finally dropBg()
   }
+
+  test("bpeMergeRounds reproduces a known merge sequence on a planted corpus") {
+    import spark.implicits._
+    // pair counts: (a,b)=3, (b,c)=2, (b,a)=1, (c,c)=1
+    // round 0 merges (a,b)->ab: "ab ab c" / "ab c c"
+    // round 1 pairs: (ab,ab)=1, (ab,c)=2, (c,c)=1 -> merges (ab,c)->abc:
+    //   "ab abc" / "abc c"
+    // round 2 pairs: (ab,abc)=1, (abc,c)=1 -> tie, lexicographic tok
+    //   picks (ab,abc)->ababc
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c c")).toDF("doc_id", "text")
+    val got = TextIndex.bpeMergeRounds(docs, rounds = 3)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0, "a", "b", "ab", 3L),
+      (1, "ab", "c", "abc", 2L),
+      (2, "ab", "abc", "ababc", 1L)))
+  }
+
+  test("bpeMergeRounds run-merge is greedy left-to-right (the published semantics)") {
+    import spark.implicits._
+    // "a a a a a": (a,a) counts 4 (overlaps count); the greedy rewrite
+    // merges non-overlapping leftmost-first -> "aa aa a"
+    // round 1: (aa,aa)=1, (aa,a)=1 -> tie on cnt, tok equal, nxt "a"<"aa"
+    //   picks (aa,a) -> "aa aaa" (the SECOND aa is the one followed by a)
+    // round 2: (aa,aaa)=1
+    val docs = Seq((1L, "a a a a a")).toDF("doc_id", "text")
+    val got = TextIndex.bpeMergeRounds(docs, rounds = 3)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0, "a", "a", "aa", 4L),
+      (1, "aa", "a", "aaa", 1L),
+      (2, "aa", "aaa", "aaaaa", 1L)))
+  }
 }
