@@ -188,15 +188,52 @@ object Quality {
         orders, "o_custkey", cust, "c_custkey"))
   }
 
+  /** q236: the expectations QUARANTINE gate as a gated query — q218's
+    * audit tells you HOW MANY rows violate each rule; this one is the
+    * admission side ([[graft.operators.Expectations.gateRows]]): every
+    * document annotated with the exact rule-set it fails, histogrammed by
+    * violation combination. The combination histogram is what a triage
+    * owner reads (which failure MODES co-occur), and it proves per-row
+    * rule evaluation + the three-valued NULL=violation convention
+    * cross-engine, which q218's aggregate cannot. Map-only per-row rule
+    * evaluation + one hash-agg; the violation list renders as a
+    * comma-join in DECLARATION order on both engines (concat_ws skips
+    * the NULL non-violations identically).
+    */
+  def q236ExpectationsGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations.{Expect, gateRows}
+    gateRows(Tables.documents(s, dir), Seq(
+        Expect("text_nonnull", col("text").isNotNull),
+        Expect("text_min_len", length(col("text")) >= lit(200)),
+        Expect("lang_known", col("lang").isin("en", "de", "fr", "es"))))
+      .groupBy(array_join(col("violations"), ",").as("violation_set"),
+        col("admitted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_group_percentiles" -> (q194GroupPercentiles _),
     "q195_hist_drift" -> (q195HistDrift _),
     "q93_ref_integrity" -> (q93RefIntegrity _),
     "q94_iqr_outliers"  -> (q94IqrOutliers _),
     "q98_table_profile" -> (q98TableProfile _),
-    "q218_expectations" -> (q218Expectations _))
+    "q218_expectations" -> (q218Expectations _),
+    "q236_expectations_gate" -> (q236ExpectationsGate _))
 
   val oracles: Map[String, String] = Map(
+    "q236_expectations_gate" ->
+      """WITH g AS (
+        |  SELECT concat_ws(',',
+        |    CASE WHEN NOT COALESCE(text IS NOT NULL, FALSE)
+        |         THEN 'text_nonnull' END,
+        |    CASE WHEN NOT COALESCE(length(text) >= 200, FALSE)
+        |         THEN 'text_min_len' END,
+        |    CASE WHEN NOT COALESCE(lang IN ('en','de','fr','es'), FALSE)
+        |         THEN 'lang_known' END) AS violation_set
+        |  FROM documents)
+        |SELECT violation_set, violation_set = '' AS admitted,
+        |  COUNT(*) AS n_docs
+        |FROM g GROUP BY 1, 2""".stripMargin,
     "q218_expectations" ->
       """SELECT 'orders_pk_nonnull' AS rule, COUNT(*) AS n_checked,
         |  CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(o_orderkey IS NOT NULL,
