@@ -264,4 +264,45 @@ object TextIndex {
     }
     rounds_.reduce(_.unionByName(_))
   }
+
+  /** The tokenizer ENCODE step — apply a learned merge table
+    * ([[bpeMergeRounds]]'s output, or any frame with merge_round/tok/nxt)
+    * to a corpus: each document's token sequence folds through the merges
+    * IN TRAINING ORDER (BPE's defining invariant — applying out of order
+    * changes segmentations), each merge the same sentinel-string greedy
+    * `replace` the trainer used, so encode(corpus) is byte-consistent
+    * with the representation the trainer ended on. Returns (idCol,
+    * n_tokens_raw, n_tokens_bpe, tokens_bpe) — the fertility numbers a
+    * tokenizer eval reads plus the encoded sequence itself.
+    *
+    * Shape at 100 TB: the merge table is rounds-sized (thousands at
+    * most) — ONE bounded collect builds the fold expression; the corpus
+    * pass is map-only (a chain of `rounds` scalar replaces per row),
+    * nothing shuffles. The merge table is tiny by construction, so the
+    * collect is the broadcast-dim convention, not a data collect.
+    */
+  def bpeEncode(docs: DataFrame, merges: DataFrame,
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val S = "\u0001"
+    val SS = S + S
+    val ordered = merges.select("merge_round", "tok", "nxt")
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val rep0 = concat(lit(S),
+      array_join(split(col(textCol), " "), SS), lit(S))
+    val encoded = ordered.foldLeft(rep0) { case (rep, (tok, nxt)) =>
+      org.apache.spark.sql.functions.replace(rep,
+        lit(S + tok + SS + nxt + S), lit(S + tok + nxt + S))
+    }
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens_raw"),
+        encoded.as("__rep"))
+      .select(col(idCol), col("n_tokens_raw"),
+        split(expr("substr(__rep, 2, length(__rep) - 2)"), SS).as("tokens_bpe"))
+      .select(col(idCol), col("n_tokens_raw"),
+        size(col("tokens_bpe")).cast("long").as("n_tokens_bpe"),
+        col("tokens_bpe"))
+  }
 }

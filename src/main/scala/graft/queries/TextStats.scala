@@ -186,10 +186,11 @@ object TextStats {
     graft.operators.TextIndex.bpeMergeRounds(Tables.documents(s, dir),
       rounds = 3)
 
-  /** q228's oracle: rounds unroll as CTE triples (rep_r, pairs over
-    * rep_r, best_r); chr(1) is the sentinel the operator uses.
+  /** q228/q237's shared oracle prefix: rounds unroll as CTE triples
+    * (rep_r, pairs over rep_r, best_r); chr(1) is the sentinel the
+    * operator uses.
     */
-  private val bpeSql: String = {
+  private val bpeCtePrefix: String = {
     def pairsCte(pv: String, rv: String): String =
       s"""$pv AS (
          |  SELECT ts[i] AS tok, ts[i + 1] AS nxt
@@ -207,7 +208,7 @@ object TextStats {
          |      chr(1) || $bv.tok || chr(1) || chr(1) || $bv.nxt || chr(1),
          |      chr(1) || $bv.tok || $bv.nxt || chr(1)) AS rep
          |  FROM $prev CROSS JOIN $bv)""".stripMargin
-    s"""WITH r0 AS (
+    s"""r0 AS (
        |  SELECT chr(1) || array_to_string(string_split(text, ' '),
        |      chr(1) || chr(1)) || chr(1) AS rep
        |  FROM documents WHERE text IS NOT NULL),
@@ -218,16 +219,57 @@ object TextStats {
        |${bestCte("b1", "p1")},
        |${rewriteCte("r2", "r1", "b1")},
        |${pairsCte("p2", "r2")},
-       |${bestCte("b2", "p2")}
+       |${bestCte("b2", "p2")}""".stripMargin
+  }
+
+  private val bpeSql: String =
+    s"""WITH $bpeCtePrefix
        |SELECT 0 AS merge_round, tok, nxt, tok || nxt AS merged, cnt FROM b0
        |UNION ALL
        |SELECT 1 AS merge_round, tok, nxt, tok || nxt AS merged, cnt FROM b1
        |UNION ALL
        |SELECT 2 AS merge_round, tok, nxt, tok || nxt AS merged, cnt FROM b2""".stripMargin
+
+  /** q237: the tokenizer ENCODE step (operators.TextIndex.bpeEncode) —
+    * the learned 3-round merge table applied to the corpus in training
+    * order, gated on per-document raw-vs-BPE token counts (the fertility
+    * numbers a tokenizer eval reads). The oracle re-learns the merges
+    * (the shared q228 prefix) and re-applies them as the same three
+    * nested greedy replaces per document.
+    */
+  def q237BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.TextIndex.bpeEncode(docs,
+        graft.operators.TextIndex.bpeMergeRounds(docs, rounds = 3))
+      .select("doc_id", "n_tokens_raw", "n_tokens_bpe")
   }
+
+  private def mergePat(bv: String): String =
+    s"chr(1) || $bv.tok || chr(1) || chr(1) || $bv.nxt || chr(1)"
+  private def mergeRep(bv: String): String =
+    s"chr(1) || $bv.tok || $bv.nxt || chr(1)"
+
+  private val bpeEncodeSql: String =
+    s"""WITH $bpeCtePrefix,
+       |enc AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_raw,
+       |    replace(replace(replace(
+       |        chr(1) || array_to_string(string_split(text, ' '),
+       |          chr(1) || chr(1)) || chr(1),
+       |        ${mergePat("b0")}, ${mergeRep("b0")}),
+       |        ${mergePat("b1")}, ${mergeRep("b1")}),
+       |        ${mergePat("b2")}, ${mergeRep("b2")}) AS rep
+       |  FROM documents CROSS JOIN b0 CROSS JOIN b1 CROSS JOIN b2
+       |  WHERE text IS NOT NULL)
+       |SELECT doc_id, n_tokens_raw,
+       |  CAST(len(string_split(substr(rep, 2, length(rep) - 2),
+       |    chr(1) || chr(1))) AS BIGINT) AS n_tokens_bpe
+       |FROM enc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q228_bpe_merges"   -> (q228BpeMerges _),
+    "q237_bpe_encode"   -> (q237BpeEncode _),
     "q206_mixture_plan" -> (q206MixturePlan _),
     "q205_dedup_impact" -> (q205DedupImpact _),
     "q204_corpus_concentration" -> (q204CorpusConcentration _),
@@ -237,6 +279,7 @@ object TextStats {
 
   val oracles: Map[String, String] = Map(
     "q228_bpe_merges" -> bpeSql,
+    "q237_bpe_encode" -> bpeEncodeSql,
     "q206_mixture_plan" ->
       """WITH b AS (
         |  SELECT lang, COUNT(*) AS n_docs,

@@ -243,4 +243,17 @@ class TextIndexSpec extends SparkSpecBase {
       (1, "aa", "a", "aaa", 1L),
       (2, "aa", "aaa", "aaaaa", 1L)))
   }
+
+  test("bpeEncode applies the merge table in training order") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c c")).toDF("doc_id", "text")
+    val merges = TextIndex.bpeMergeRounds(docs, rounds = 2)
+    val out = TextIndex.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[String](3).toList))).toMap
+    // round 0 merges (a,b)->ab, round 1 (ab,c)->abc; encode must replay
+    // that exact order ("abc" only exists because "ab" merged first)
+    assert(out(1L) == (5L, 2L, List("ab", "abc")))
+    assert(out(2L) == (4L, 2L, List("abc", "c")))
+  }
 }
