@@ -557,6 +557,50 @@ object Similarity {
               round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** SEMANTIC admission — the embedding member of the admission family
+    * (exact md5 → q67, SimHash → q96, MinHash → q103's banded walk):
+    * admit an arriving vector batch iff NO indexed corpus vector sits
+    * within cosine >= threshold. This is SemDeDup pointed at ingest —
+    * the screen that rejects a paraphrase whose text passed every
+    * lexical admission stage.
+    *
+    * Shape: the batch assigns to its nProbe nearest cells (one
+    * BoundedTopK hash-agg under the broadcast centroid table — no
+    * window), probes ONLY those cells of the index (left join keyed on
+    * cid — a saved index's bucketed cell scan satisfies it with zero
+    * corpus-side shuffle, the q103/q153 posture), and one hash-agg
+    * counts threshold hits per batch vector. A vector probing only
+    * empty cells survives the left join with n_neardup 0. The corpus is
+    * never broadcast and never re-shuffled; per-batch work is
+    * batch × probed-cell population. Recall is the standard IVF probe
+    * trade (the corpus side sits in its rank-1 cell; a near-dup is
+    * found iff that cell is among the batch vector's nProbe) — the same
+    * contract q28/q153 carry, recall-gated there.
+    */
+  def admitEmbedding(newEmb: DataFrame, index: IvfIndex, threshold: Double,
+                     nProbe: Int = 4): DataFrame = {
+    val v = newEmb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val probes = v.crossJoin(broadcast(index.centroids))
+      .withColumn("cdist", dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
+      .groupBy("vec_id")
+      .agg(graft.functions.BoundedTopK.topK(
+             struct(col("cdist"), col("cid")), nProbe,
+             desc = Seq(true, false)).as("cells"),
+           first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        explode(col("cells.cid")).as("cid"))
+    val cand = index.assigned.select(col("cid"),
+      col("vec_id").as("cand_id"), col("e").as("ie"), col("nrm").as("inrm"))
+    probes.join(cand.hint("shuffle_hash"), Seq("cid"), "left")
+      .withColumn("hit",
+        col("cand_id").isNotNull &&
+          dot(col("e"), col("ie")) / (col("nrm") * col("inrm")) >= threshold)
+      .groupBy("vec_id")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_neardup"))
+      .withColumn("admitted", col("n_neardup") === 0L)
+  }
+
   /** Deterministic sampled k-means for the IVF coarse quantizer (the
     * production path docs/SCALE.md names; first-N is the fixture-scale
     * stand-in). Everything is reproducible by construction — no RNG:

@@ -445,6 +445,25 @@ object Scaled {
       IvfIndexTables.ensure(s, dir),
       Tables.embeddings(s, dir).filter(col("vec_id") < 8), k = 10)
 
+  /** q238: SEMANTIC admission (operators.Similarity.admitEmbedding) —
+    * the embedding member of the admission family: an arriving vector
+    * batch (vec_id % 7 == 3, the deterministic split) is screened
+    * against the rest of the corpus through the IVF cell index; a batch
+    * vector is admitted iff no indexed vector sits within cosine ≥ 0.3
+    * of it. SemDeDup pointed at ingest — rejects the paraphrase whose
+    * TEXT passed q67/q96/q103's lexical screens. The oracle replays the
+    * quantizer (q28's device over the corpus slice), the batch's 4-probe
+    * ranking, the probed-cells-only candidate join, and the hit count.
+    */
+  def q238AdmitEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") % 7 =!= 3)
+    val batch = emb.filter(col("vec_id") % 7 === 3)
+    graft.operators.Similarity.admitEmbedding(batch,
+      graft.operators.Similarity.ivfIndexFrames(corpus, nList = 16),
+      threshold = 0.3, nProbe = 4)
+  }
+
   /** q155: the persisted IVF index GROWN by admission instead of rebuilt.
     * The base index is built from a deterministic slice of the corpus
     * (everything with an even vec_id, plus all centroid ids so the frozen
@@ -667,6 +686,7 @@ object Scaled {
     "q102_profile_banded"       -> (q102ProfileBanded _),
     "q103_admit_indexed"        -> (q103AdmitIndexed _),
     "q153_ann_ivf_indexed"      -> (q153AnnIvfIndexed _),
+    "q238_admit_embedding"      -> (q238AdmitEmbedding _),
     "q155_ann_ivf_append"       -> (q155AnnIvfAppend _),
     "q156_ann_ivf_compact"      -> (q156AnnIvfCompact _),
     "q157_admit_rolling"        -> (q157AdmitRolling _),
@@ -697,6 +717,44 @@ object Scaled {
     * oracle (sketch), matching q44's precedent.
     */
   val oracles: Map[String, String] = Map(
+    // the q28 quantizer-replay device over the corpus slice + the
+    // batch's 4-probe ranking + probed-cells-only hit count
+    "q238_admit_embedding" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |corpus AS (SELECT * FROM v WHERE vec_id % 7 <> 3),
+        |b AS (SELECT * FROM v WHERE vec_id % 7 = 3),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM corpus WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, e, cid FROM (
+        |    SELECT corpus.vec_id, corpus.e, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY corpus.vec_id
+        |        ORDER BY list_dot_product(corpus.e, c.ce)
+        |          / (sqrt(list_dot_product(corpus.e, corpus.e))
+        |             * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+        |          c.cid ASC) AS rn
+        |    FROM corpus CROSS JOIN c) t
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id, e, cid FROM (
+        |    SELECT b.vec_id, b.e, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |        ORDER BY list_dot_product(b.e, c.ce)
+        |          / (sqrt(list_dot_product(b.e, b.e))
+        |             * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+        |          c.cid ASC) AS rk
+        |    FROM b CROSS JOIN c) t
+        |  WHERE rk <= 4),
+        |hits AS (
+        |  SELECT p.vec_id,
+        |    CASE WHEN a.vec_id IS NOT NULL AND
+        |      list_dot_product(p.e, a.e)
+        |        / (sqrt(list_dot_product(p.e, p.e))
+        |           * sqrt(list_dot_product(a.e, a.e))) >= 0.3
+        |    THEN 1 ELSE 0 END AS hit
+        |  FROM probes p LEFT JOIN assigned a ON p.cid = a.cid)
+        |SELECT vec_id, CAST(SUM(hit) AS BIGINT) AS n_neardup,
+        |  SUM(hit) = 0 AS admitted
+        |FROM hits GROUP BY vec_id""".stripMargin,
     // q48's middle-rank formula twice (x, then |x - median|), then the
     // 3*MAD fence count — same expression shapes on both engines
     "q131_mad_outliers" ->

@@ -455,4 +455,56 @@ class SimilaritySpec extends SparkSpecBase {
       s"expected both argmax branches to read the cache, saw $cacheScans:\n${nodes.head}")
   }
 
+  test("admitEmbedding: planted near-dup rejected, distant and empty-cell vectors admitted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus: two centroids (x-axis, y-axis) + one indexed vector near x
+    val corpus = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(1f, 0.05f))).toDF("vec_id", "embedding")
+    val idx = Similarity.ivfIndexFrames(corpus, nList = 2)
+    // batch: 100 ~ near-dup of 2; 101 ~ distant from everything indexed
+    // in its probed cells (but still probes both cells, nProbe=2)
+    val batch = Seq(
+      (100L, Seq(1f, 0.06f)),      // cos vs vec 2 ~ 1.0 -> rejected
+      (101L, Seq(-1f, -1f))).toDF("vec_id", "embedding")
+    val out = Similarity.admitEmbedding(batch, idx, threshold = 0.9, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(100L)._2 == false && out(100L)._1 >= 1L)
+    assert(out(101L) == (0L, true))
+    // streaming twin over the PERSISTED index (the admission convention):
+    // micro-batch splits must union to the one-shot answer
+    val base = "graft_test_admitemb"
+    Seq(s"${base}_cents", s"${base}_cells")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Similarity.saveIvfIndex(corpus, base, nList = 2)
+      implicit val sqlCtx = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val got = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
+      val q = input.toDF().toDF("vec_id", "embedding")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val s = b.sparkSession
+            val i = Similarity.IvfIndex(s.table(s"${base}_cents"),
+              s.table(s"${base}_cells"))
+            Similarity.admitEmbedding(b, i, threshold = 0.9, nProbe = 2)
+              .collect().foreach(r => got.synchronized {
+                got(r.getLong(0)) = (r.getLong(1), r.getBoolean(2))
+              })
+          }
+        }.start()
+      try {
+        input.addData(Seq((100L, Seq(1f, 0.06f))))
+        q.processAllAvailable()
+        input.addData(Seq((101L, Seq(-1f, -1f))))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(got.toMap == out)
+    } finally Seq(s"${base}_cents", s"${base}_cells")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
 }
