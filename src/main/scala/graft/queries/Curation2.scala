@@ -235,6 +235,32 @@ object Curation2 {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct("fp").as("n_clusters"))
 
+  /** q239: NEAR-dup-safe train/val/test split — q132's docstring promise
+    * ("swap in the resolved CC label for near-dup-safe splits") made
+    * gated code: the split key is the resolved near-dup CLUSTER label
+    * (q24's exact blocked pairs → contracted CC → min-id component,
+    * unclustered docs their own cluster), so a test doc whose NEAR
+    * duplicate sits in train — the leakage an exact-fingerprint split
+    * quietly commits — cannot happen by construction. Output is the
+    * per-(source, split) doc and cluster census; the pair-level
+    * no-straddle invariant is additionally asserted in SamplingSpec.
+    * Scale shape: the pair walk and resolver keep their own contracts;
+    * the split assignment is one map-only md5 bucket on the label.
+    */
+  def q239SplitNeardupSafe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val labels = graft.operators.Dedup.contractedComponents(
+      graft.operators.Dedup.jaccardPairs(docs, threshold = 0.8),
+      stitch = "star")
+    docs.select("doc_id", "source")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("split", graft.operators.Sampling.splitAssign(col("cluster")))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("cluster").as("n_clusters"))
+  }
+
   /** q165: curriculum/annealing schedule — the whole corpus ordered by
     * ascending q39 quality score (ties to doc_id) and cut into 4 equal-size
     * training stages, so the loader feeds noisier text first and anneals
@@ -276,6 +302,7 @@ object Curation2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_curriculum"   -> (q165Curriculum _),
     "q132_split_assign" -> (q132SplitAssign _),
+    "q239_split_neardup_safe" -> (q239SplitNeardupSafe _),
     "q126_pps_sample" -> (q126PpsSample _),
     "q120_sample_k_per_source" -> (q120SampleKPerSource _),
     "q220_weighted_sample" -> (q220WeightedSample _),
@@ -325,6 +352,32 @@ object Curation2 {
         |  COUNT(*) AS n_docs,
         |  COUNT(DISTINCT fp) AS n_clusters
         |FROM d GROUP BY 1, 2""".stripMargin,
+    // q58's pair+closure CTEs, then q132's md5 bucket on the CLUSTER label
+    "q239_split_neardup_safe" ->
+      s"""WITH RECURSIVE
+        |${Extensions.unigramPairCtes},
+        |edges AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (SELECT a AS doc_id, least(a, min(b)) AS component
+        |           FROM reach GROUP BY a),
+        |d AS (SELECT doc_id, source FROM documents WHERE text IS NOT NULL),
+        |cl AS (SELECT d.doc_id, d.source,
+        |         coalesce(l.component, d.doc_id) AS cluster
+        |       FROM d LEFT JOIN labels l USING (doc_id)),
+        |bk AS (SELECT source, cluster,
+        |         ('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)),
+        |           1, 4))::INT % 100 AS b
+        |       FROM cl)
+        |SELECT source,
+        |  CASE WHEN b < 90 THEN 'train'
+        |       WHEN b < 95 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT cluster) AS n_clusters
+        |FROM bk GROUP BY 1, 2""".stripMargin,
     // same integer threshold algebra over a window cumsum; CASTs keep
     // DuckDB's HUGEINT window sums in the BIGINT domain Spark emits
     "q126_pps_sample" ->

@@ -173,4 +173,24 @@ class SamplingSpec extends SparkSpecBase {
       .filter(col("rk") <= 100).collect().map(_.getLong(0)).toSet
     assert(picked.toSet == expect)
   }
+
+  test("near-dup-safe split: no jaccard pair ever straddles train/val/test") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull)
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.8)
+      .select("doc_id_a", "doc_id_b")
+    val labels = Dedup.contractedComponents(pairs, stitch = "star")
+    val splits = docs.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("split", Sampling.splitAssign(col("cluster")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pr = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pr.nonEmpty)
+    pr.foreach { case (a, b) =>
+      assert(splits(a) == splits(b),
+        s"near-dup pair ($a, $b) straddles ${splits(a)}/${splits(b)}")
+    }
+  }
 }
