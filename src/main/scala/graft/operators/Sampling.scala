@@ -90,7 +90,7 @@ object Sampling {
     * lands in the same split — the leakage a row-keyed split quietly
     * commits (a test doc whose duplicate sits in train is a leaked
     * answer). `clusterKey` is any cluster-constant column: md5(text) for
-    * exact-dup clusters (map-only, used by q132); swap in the resolved CC
+    * exact-dup clusters (map-only, used by q132); q239 swaps in the resolved CC
     * label (Dedup.connectedComponents) for near-dup-safe splits — the
     * assignment algebra is identical. Deterministic md5 bucketing, same
     * engine-agreement contract as [[hashBucket]]; map-only, no shuffle.
