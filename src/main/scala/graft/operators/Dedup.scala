@@ -1420,10 +1420,17 @@ object Dedup {
     * pairs are not block-local, so downstream resolution must use the
     * global resolvers ([[contractedComponents]] — see
     * [[blockedComponents]]' precondition note), which q138 does.
+    *
+    * `nSuper > 0` routes the cell ranking through
+    * Similarity.rankCellsTwoLevel — only √nList-ish super-centroids
+    * broadcast, the centroid table itself never does — which is the
+    * posture once nList tracks corpus/targetBlock (the round-13 verdict's
+    * one remaining 100-TB assumption, now a parameter q234 gates on).
     */
   def embeddingNearDupsCells(emb: DataFrame, threshold: Double,
                              nList: Int = 16, nProbe: Int = 4,
-                             maxBlockSize: Int = Int.MaxValue): DataFrame = {
+                             maxBlockSize: Int = Int.MaxValue,
+                             nSuper: Int = 0, cSuper: Int = 2): DataFrame = {
     import graft.functions.VectorFunctions._
     require(nProbe >= 1 && nProbe <= nList,
       s"nProbe must be in [1, nList=$nList], got $nProbe")
@@ -1434,19 +1441,27 @@ object Dedup {
     // top-nProbe cells per vector: hash-agg heap, never a window sort.
     // __probes (the vector's full probe list, nProbe ints) rides along so
     // the pair walk can elect a canonical shared cell below.
-    val assigned0 = v.crossJoin(broadcast(cents))
-      .withColumn("cdist", dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
-      .groupBy("vec_id")
-      .agg(graft.functions.BoundedTopK.topK(
-             struct(col("cdist"), col("cid")), nProbe,
-             desc = Seq(true, false)).as("cells"),
-           first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+    val ranked =
+      if (nSuper <= 0) Similarity.rankCellsFlat(v, cents, nProbe)
+      else Similarity.rankCellsTwoLevel(v, cents, nSuper, cSuper, nProbe)
+    val assigned0 = ranked
       .select(col("vec_id"), col("e"), col("nrm"),
         col("cells.cid").as("__probes"),
         explode(col("cells.cid")).as("cid"))
     val assigned =
       if (maxBlockSize == Int.MaxValue) assigned0
-      else capGroups(assigned0, Seq("cid"), maxBlockSize, "graft_q29_cell_cap")
+      else
+        // re-derive __probes from the rows that SURVIVE the cap, so the
+        // canonical-cell election below only considers surviving cells: a
+        // pair whose numerically-smallest shared cell was capped away is
+        // still found in its smallest SURVIVING shared cell (round-13
+        // advice — previously such pairs were collateral loss beyond the
+        // rows the fence counts). One extra thin window in the capped
+        // route only; the uncapped route is untouched.
+        capGroups(assigned0.drop("__probes"), Seq("cid"), maxBlockSize,
+            "graft_q29_cell_cap")
+          .withColumn("__probes", collect_list(col("cid")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("vec_id")))
     val a = assigned.select(col("cid"), col("vec_id").as("vec_id_a"),
       col("e").as("e_a"), col("nrm").as("nrm_a"), col("__probes").as("__pa"))
     val b = assigned.select(col("cid"), col("vec_id").as("vec_id_b"),
@@ -1456,11 +1471,11 @@ object Dedup {
       // canonical-cell election BEFORE the dot product: a pair sharing
       // several probe cells is a candidate once — in the numerically
       // smallest shared cell — so duplicate 64-dim dots never compute and
-      // no pair-dedup shuffle exists. (Under an over-cap fence drop a
-      // pair whose CANONICAL cell was dropped is lost even if another
-      // shared cell survived — the fence is loud, and the recall gate
-      // prices exactly what ships.) The intersect is nProbe x nProbe over
-      // ints — noise next to one saved dot.
+      // no pair-dedup shuffle exists. Under an over-cap fence drop the
+      // election runs over the SURVIVING probe lists (re-derived above),
+      // so capping only loses pairs with no surviving shared cell at all
+      // — the truly uncoverable ones the fence counts. The intersect is
+      // nProbe x nProbe over ints — noise next to one saved dot.
       .filter(col("cid") === array_min(array_intersect(col("__pa"), col("__pb"))))
       .withColumn("cos", dot(col("e_a"), col("e_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)

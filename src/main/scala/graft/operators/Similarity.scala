@@ -447,6 +447,116 @@ object Similarity {
            first(col("e")).as("e"), first(col("nrm")).as("nrm"))
   }
 
+  /** FLAT top-`topCells` cell ranking: one BoundedTopK hash aggregate
+    * under the broadcast centroid table (no window, no per-vector sort).
+    * `v` carries (vec_id, e, nrm); `cents` carries (cid, ce, cnrm).
+    * Output: (vec_id, e, nrm, cells) with `cells` the ranked
+    * array<struct<cdist, cid>> — best first, ties toward the smaller cid,
+    * the tie-break every quantizer device in this file uses. Correct plan
+    * while `cents` is broadcast-sized; above that, use
+    * [[rankCellsTwoLevel]] (identical output contract).
+    */
+  private[graft] def rankCellsFlat(v: DataFrame, cents: DataFrame,
+                                   topCells: Int): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .withColumn("cdist", dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
+      .groupBy("vec_id")
+      .agg(graft.functions.BoundedTopK.topK(
+             struct(col("cdist"), col("cid")), topCells,
+             desc = Seq(true, false)).as("cells"),
+           first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cells"))
+
+  /** TWO-LEVEL (coarse → fine) top-`topCells` cell ranking — the
+    * assignment device that survives nList >> broadcast (round-13
+    * verdict's one remaining 100-TB assumption): [[rankCellsFlat]]'s
+    * `crossJoin(broadcast(cents))` costs nList·dim per vector and needs
+    * the WHOLE centroid table resident per task, which stops working once
+    * nList tracks corpus/targetBlock (10⁶+ cells at 100 TB). Here only
+    * the `nSuper` SUPER-centroids broadcast (size it ~√nList and both
+    * levels stay ~√nList·dim per vector):
+    *
+    *  1. super-centroids = the centroids with cid < nSuper (the same
+    *     deterministic first-N device as the quantizer itself — callers'
+    *     centroid ids are dense from 0 by construction);
+    *  2. every centroid assigns to its rank-1 super-cell (one broadcast
+    *     pass over the nList-row centroid table — the only full-centroid
+    *     scan, and it is per-CENTROID, not per-vector);
+    *  3. every vector ranks its top-`cSuper` super-cells (BoundedTopK
+    *     under the nSuper-row broadcast);
+    *  4. the vector joins the MEMBER centroids of those super-cells on
+    *     the super-cell id — an explicit shuffle_hash join, never a
+    *     broadcast of the centroid table — and one more BoundedTopK
+    *     ranks the final `topCells` cells among the candidates.
+    *
+    * Same output contract and tie-breaks as [[rankCellsFlat]], and
+    * EQUAL OUTPUT when cSuper == nSuper (all super-cells probed ⇒ the
+    * candidate set is the whole centroid table — SimilaritySpec pins
+    * it); with cSuper < nSuper the ranking is approximate in the
+    * standard IVF sense (a true top cell hiding in an unprobed
+    * super-cell is missed), priced by the same recall gates that price
+    * the flat quantizer's own nProbe trade (q234/q238).
+    *
+    * Scale note: the stage-4 shuffle keys on sid, so its parallelism is
+    * bounded by nSuper — another reason nSuper ~ √nList (10³ partitions
+    * at nList = 10⁶), not a constant.
+    */
+  def rankCellsTwoLevel(v: DataFrame, cents: DataFrame, nSuper: Int,
+                        cSuper: Int, topCells: Int): DataFrame = {
+    require(nSuper >= 1, s"nSuper must be >= 1, got $nSuper")
+    require(cSuper >= 1 && cSuper <= nSuper,
+      s"cSuper must be in [1, nSuper=$nSuper], got $cSuper")
+    require(topCells >= 1, s"topCells must be >= 1, got $topCells")
+    val supers = cents.filter(col("cid") < nSuper)
+      .select(col("cid").as("sid"), col("ce").as("se"), col("cnrm").as("senrm"))
+    // centroid → rank-1 super-cell: the nList-row table never broadcasts;
+    // it flows INTO a shuffle keyed on sid for the stage-4 join.
+    val centAssign = cents.crossJoin(broadcast(supers))
+      .withColumn("sdist", dot(col("ce"), col("se")) / (col("cnrm") * col("senrm")))
+      .groupBy("cid")
+      .agg(max_by(col("sid"), struct(col("sdist"), -col("sid"))).as("sid"),
+           first(col("ce")).as("ce"), first(col("cnrm")).as("cnrm"))
+    val vsup = v.crossJoin(broadcast(supers))
+      .withColumn("sdist", dot(col("e"), col("se")) / (col("nrm") * col("senrm")))
+      .groupBy("vec_id")
+      .agg(graft.functions.BoundedTopK.topK(
+             struct(col("sdist"), col("sid")), cSuper,
+             desc = Seq(true, false)).as("sups"),
+           first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        explode(col("sups.sid")).as("sid"))
+    vsup.join(centAssign.hint("shuffle_hash"), Seq("sid"))
+      .withColumn("cdist", dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
+      .groupBy("vec_id")
+      .agg(graft.functions.BoundedTopK.topK(
+             struct(col("cdist"), col("cid")), topCells,
+             desc = Seq(true, false)).as("cells"),
+           first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cells"))
+  }
+
+  /** [[ivfIndexFrames]] with TWO-LEVEL corpus assignment
+    * ([[rankCellsTwoLevel]] at topCells = 1): the index build for
+    * nList >> broadcast. The centroid table itself is unchanged (first-N
+    * device), so probes of either index are structurally identical; cell
+    * CONTENTS differ from the flat build exactly where a vector's rank-1
+    * centroid hides in an unprobed super-cell — the standard coarse-
+    * quantizer trade, gated where it ships (q238's oracle replays the
+    * composed assignment end to end).
+    */
+  def ivfIndexFramesTwoLevel(emb: DataFrame, nList: Int = 16,
+                             nSuper: Int = 4, cSuper: Int = 2): IvfIndex = {
+    val v = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val cents = v.filter(col("vec_id") < nList)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+    val assigned = rankCellsTwoLevel(v, cents, nSuper, cSuper, topCells = 1)
+      .select(col("vec_id"), col("e"), col("nrm"),
+        explode(col("cells.cid")).as("cid"))
+      .select(col("cid"), col("vec_id"), col("e"), col("nrm"))
+    IvfIndex(cents, assigned)
+  }
+
   /** Materialize the IVF index: the cell table as parquet BUCKETED on cid
     * (Sinks.parquetBucketed — the q103 admission-index device) and the
     * centroid table as a plain saved table. A corpus that outgrows
@@ -576,18 +686,21 @@ object Similarity {
     * trade (the corpus side sits in its rank-1 cell; a near-dup is
     * found iff that cell is among the batch vector's nProbe) — the same
     * contract q28/q153 carry, recall-gated there.
+    *
+    * `nSuper > 0` routes the batch's cell ranking through
+    * [[rankCellsTwoLevel]] (probing top-`cSuper` super-cells first) —
+    * the nList >> broadcast posture; the default stays flat, which is
+    * the right plan while the centroid table genuinely broadcasts.
     */
   def admitEmbedding(newEmb: DataFrame, index: IvfIndex, threshold: Double,
-                     nProbe: Int = 4): DataFrame = {
+                     nProbe: Int = 4, nSuper: Int = 0,
+                     cSuper: Int = 2): DataFrame = {
     val v = newEmb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
-    val probes = v.crossJoin(broadcast(index.centroids))
-      .withColumn("cdist", dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
-      .groupBy("vec_id")
-      .agg(graft.functions.BoundedTopK.topK(
-             struct(col("cdist"), col("cid")), nProbe,
-             desc = Seq(true, false)).as("cells"),
-           first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+    val ranked =
+      if (nSuper <= 0) rankCellsFlat(v, index.centroids, nProbe)
+      else rankCellsTwoLevel(v, index.centroids, nSuper, cSuper, nProbe)
+    val probes = ranked
       .select(col("vec_id"), col("e"), col("nrm"),
         explode(col("cells.cid")).as("cid"))
     val cand = index.assigned.select(col("cid"),

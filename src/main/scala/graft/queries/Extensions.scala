@@ -179,19 +179,24 @@ object Extensions {
     * blocking — the gate that turns the "at 100 TB the label is an IVF
     * cell" prose into checked code. Exact side = the label-blocked walk
     * (q29's semantics, SQL-expressible, the oracle column); approximate
-    * side = [[Dedup.embeddingNearDupsCells]] (deterministic first-16
-    * quantizer, 4-probe assignment, fenced cells), entering only through
-    * the recall_ok boolean (oracle value TRUE). Measured recall 0.95 /
-    * 0.98 / 0.90 at sf0.001/0.01/0.1 against the 0.8 gate. One left join
-    * on the pair key counts exact and found in the same aggregate —
-    * q105's comparison shape verbatim.
+    * side = [[Dedup.embeddingNearDupsCells]] with the TWO-LEVEL quantizer
+    * route ON (nSuper=4, cSuper=3 — Similarity.rankCellsTwoLevel, the
+    * nList >> broadcast posture: only the 4 super-centroids broadcast,
+    * the centroid table itself joins shuffle_hash on the super-cell id),
+    * entering only through the recall_ok boolean (oracle value TRUE).
+    * Measured recall 0.902 / 0.901 / 0.890 at sf0.001/0.01/0.1 against
+    * the 0.8 gate (flat route: 0.95/0.98/0.90 — the ~0.05 give-up is the
+    * coarse level's standard miss, priced HERE, where it ships). One
+    * left join on the pair key counts exact and found in the same
+    * aggregate — q105's comparison shape verbatim.
     */
   def q234EmbedNeardupCellBanded(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val exact = Dedup.embeddingNearDups(emb, threshold = 0.3)
       .select(col("vec_id_a"), col("vec_id_b"))
     val cells = Dedup.embeddingNearDupsCells(emb, threshold = 0.3,
-        nList = 16, nProbe = 4, maxBlockSize = 1 << 20)
+        nList = 16, nProbe = 4, maxBlockSize = 1 << 20,
+        nSuper = 4, cSuper = 3)
       .select(col("vec_id_a"), col("vec_id_b"), lit(1).as("__f"))
     exact.join(cells, Seq("vec_id_a", "vec_id_b"), "left_outer")
       .agg(count(lit(1)).as("n_exact_pairs"), count(col("__f")).as("n_found"))

@@ -451,17 +451,26 @@ object Scaled {
     * against the rest of the corpus through the IVF cell index; a batch
     * vector is admitted iff no indexed vector sits within cosine ≥ 0.3
     * of it. SemDeDup pointed at ingest — rejects the paraphrase whose
-    * TEXT passed q67/q96/q103's lexical screens. The oracle replays the
-    * quantizer (q28's device over the corpus slice), the batch's 4-probe
-    * ranking, the probed-cells-only candidate join, and the hit count.
+    * TEXT passed q67/q96/q103's lexical screens.
+    *
+    * Round 14: BOTH assignment passes run the TWO-LEVEL quantizer route
+    * (Similarity.rankCellsTwoLevel, nSuper=4 / cSuper=3) — corpus index
+    * build via ivfIndexFramesTwoLevel and the batch's 4-probe ranking —
+    * so the admission path carries the nList >> broadcast posture
+    * end-to-end: only the 4 super-centroids broadcast; the centroid
+    * table joins shuffle_hash on the super-cell id. The oracle replays
+    * the COMPOSED assignment exactly: centroid→super rank-1, vector→
+    * top-3 supers, rank among member centroids of the probed supers —
+    * then the probed-cells-only candidate join and the hit count.
     */
   def q238AdmitEmbedding(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val corpus = emb.filter(col("vec_id") % 7 =!= 3)
     val batch = emb.filter(col("vec_id") % 7 === 3)
     graft.operators.Similarity.admitEmbedding(batch,
-      graft.operators.Similarity.ivfIndexFrames(corpus, nList = 16),
-      threshold = 0.3, nProbe = 4)
+      graft.operators.Similarity.ivfIndexFramesTwoLevel(corpus, nList = 16,
+        nSuper = 4, cSuper = 3),
+      threshold = 0.3, nProbe = 4, nSuper = 4, cSuper = 3)
   }
 
   /** q155: the persisted IVF index GROWN by admission instead of rebuilt.
@@ -717,32 +726,65 @@ object Scaled {
     * oracle (sketch), matching q44's precedent.
     */
   val oracles: Map[String, String] = Map(
-    // the q28 quantizer-replay device over the corpus slice + the
-    // batch's 4-probe ranking + probed-cells-only hit count
+    // the COMPOSED two-level quantizer replay over the corpus slice
+    // (centroid→super rank-1, vector→top-3 supers, rank-1 among member
+    // centroids) + the batch's two-level 4-probe ranking +
+    // probed-cells-only hit count
     "q238_admit_embedding" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |corpus AS (SELECT * FROM v WHERE vec_id % 7 <> 3),
         |b AS (SELECT * FROM v WHERE vec_id % 7 = 3),
         |c AS (SELECT vec_id AS cid, e AS ce FROM corpus WHERE vec_id < 16),
+        |sc AS (SELECT cid AS sid, ce AS se FROM c WHERE cid < 4),
+        |ca AS (
+        |  SELECT cid, ce, sid FROM (
+        |    SELECT c.cid, c.ce, sc.sid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.cid
+        |        ORDER BY list_dot_product(c.ce, sc.se)
+        |          / (sqrt(list_dot_product(c.ce, c.ce))
+        |             * sqrt(list_dot_product(sc.se, sc.se))) DESC,
+        |          sc.sid ASC) AS rn
+        |    FROM c CROSS JOIN sc) t
+        |  WHERE rn = 1),
+        |vsup AS (
+        |  SELECT vec_id, e, sid FROM (
+        |    SELECT corpus.vec_id, corpus.e, sc.sid,
+        |      ROW_NUMBER() OVER (PARTITION BY corpus.vec_id
+        |        ORDER BY list_dot_product(corpus.e, sc.se)
+        |          / (sqrt(list_dot_product(corpus.e, corpus.e))
+        |             * sqrt(list_dot_product(sc.se, sc.se))) DESC,
+        |          sc.sid ASC) AS rn
+        |    FROM corpus CROSS JOIN sc) t
+        |  WHERE rn <= 3),
         |assigned AS (
         |  SELECT vec_id, e, cid FROM (
-        |    SELECT corpus.vec_id, corpus.e, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY corpus.vec_id
-        |        ORDER BY list_dot_product(corpus.e, c.ce)
-        |          / (sqrt(list_dot_product(corpus.e, corpus.e))
-        |             * sqrt(list_dot_product(c.ce, c.ce))) DESC,
-        |          c.cid ASC) AS rn
-        |    FROM corpus CROSS JOIN c) t
+        |    SELECT vsup.vec_id, vsup.e, ca.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vsup.vec_id
+        |        ORDER BY list_dot_product(vsup.e, ca.ce)
+        |          / (sqrt(list_dot_product(vsup.e, vsup.e))
+        |             * sqrt(list_dot_product(ca.ce, ca.ce))) DESC,
+        |          ca.cid ASC) AS rn
+        |    FROM vsup JOIN ca ON vsup.sid = ca.sid) t
         |  WHERE rn = 1),
+        |bsup AS (
+        |  SELECT vec_id, e, sid FROM (
+        |    SELECT b.vec_id, b.e, sc.sid,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |        ORDER BY list_dot_product(b.e, sc.se)
+        |          / (sqrt(list_dot_product(b.e, b.e))
+        |             * sqrt(list_dot_product(sc.se, sc.se))) DESC,
+        |          sc.sid ASC) AS rn
+        |    FROM b CROSS JOIN sc) t
+        |  WHERE rn <= 3),
         |probes AS (
         |  SELECT vec_id, e, cid FROM (
-        |    SELECT b.vec_id, b.e, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-        |        ORDER BY list_dot_product(b.e, c.ce)
-        |          / (sqrt(list_dot_product(b.e, b.e))
-        |             * sqrt(list_dot_product(c.ce, c.ce))) DESC,
-        |          c.cid ASC) AS rk
-        |    FROM b CROSS JOIN c) t
+        |    SELECT bsup.vec_id, bsup.e, ca.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY bsup.vec_id
+        |        ORDER BY list_dot_product(bsup.e, ca.ce)
+        |          / (sqrt(list_dot_product(bsup.e, bsup.e))
+        |             * sqrt(list_dot_product(ca.ce, ca.ce))) DESC,
+        |          ca.cid ASC) AS rk
+        |    FROM bsup JOIN ca ON bsup.sid = ca.sid) t
         |  WHERE rk <= 4),
         |hits AS (
         |  SELECT p.vec_id,

@@ -507,4 +507,74 @@ class SimilaritySpec extends SparkSpecBase {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("rankCellsTwoLevel with cSuper == nSuper equals the flat ranking exactly") {
+    // probing ALL super-cells makes the fine candidate set the whole
+    // centroid table, so the two-level ranking must reproduce the flat
+    // one bit-for-bit — the exactness anchor under the approximate trade.
+    import graft.functions.VectorFunctions._
+    val v = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val cents = v.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cells.cid").as("cids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val flat = cellsOf(Similarity.rankCellsFlat(v, cents, topCells = 4))
+    val two = cellsOf(Similarity.rankCellsTwoLevel(v, cents,
+      nSuper = 4, cSuper = 4, topCells = 4))
+    assert(two == flat)
+  }
+
+  test("rankCellsTwoLevel never broadcasts the centroid table (nList above any auto threshold)") {
+    // the device's whole reason to exist: with nList too big to broadcast,
+    // the member-centroid join must be a ShuffledHashJoin keyed on the
+    // super-cell id; the only broadcasts in the plan are the nSuper-row
+    // super-centroid table. autoBroadcastJoinThreshold=-1 kills automatic
+    // broadcasts, so any broadcast seen below comes from an explicit
+    // broadcast()/hint — which the two-level route applies ONLY to supers.
+    import graft.functions.VectorFunctions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val v = emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", norm(col("e")))
+      // nList = 256 of 500 fixture vectors: a centroid table that at real
+      // dims/corpus ratios would blow any broadcast budget
+      val cents = v.filter(col("vec_id") < 256)
+        .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+      val ranked = Similarity.rankCellsTwoLevel(v, cents,
+        nSuper = 16, cSuper = 4, topCells = 4)
+      ranked.count() // finalize AQE
+      val p = ranked.queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin"),
+        s"member-centroid join must be shuffle_hash, got:\n$p")
+      // broadcasts present = the two explicit super-centroid broadcasts
+      // (ReuseExchange may collapse them to one); anything more means the
+      // centroid table leaked into a broadcast
+      val nB = p.linesIterator.count(_.contains("BroadcastExchange"))
+      assert(nB <= 2, s"expected only super-centroid broadcasts, saw $nB:\n$p")
+      assert(ranked.columns.toSeq ==
+        Seq("vec_id", "e", "nrm", "cells"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("two-level admission (q238 wiring) matches flat admission verdicts on the fixture") {
+    // nSuper=4/cSuper=3 at nList=16: measured verdict-identical to flat on
+    // all three fixtures (round-14 probe) — pin it here so a regression in
+    // either route shows as a diff against the other, not just an oracle
+    // failure downstream.
+    val corpus = emb.filter(col("vec_id") % 7 =!= 3)
+    val batch = emb.filter(col("vec_id") % 7 === 3)
+    val flat = Similarity.admitEmbedding(batch,
+        Similarity.ivfIndexFrames(corpus, nList = 16), 0.3, nProbe = 4)
+      .select("vec_id", "admitted").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val two = Similarity.admitEmbedding(batch,
+        Similarity.ivfIndexFramesTwoLevel(corpus, nList = 16, nSuper = 4, cSuper = 3),
+        0.3, nProbe = 4, nSuper = 4, cSuper = 3)
+      .select("vec_id", "admitted").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(two == flat)
+  }
+
 }
