@@ -18,8 +18,9 @@ object Bench {
     // Warm-up: trigger codegen + parquet footer reads once, untimed.
     try Tables.lineitem(spark, sfDir).limit(1).count()
     catch { case _: Throwable => () }
-    // Per-query: one UNTIMED warm-up run (codegen compilation, parquet
-    // footer cache, JIT) then three timed runs, report the min — a single
+    // Per-query: ADAPTIVE untimed warm-ups (repeat while the run shows the
+    // JIT-compiling signature — process-CPU >> task-CPU — max 3; see the
+    // loop below) then three timed runs, report the min — a single
     // GC/JIT-unlucky run must not masquerade as a cross-round regression
     // (two consecutive bench invocations should agree within ~5%).
     // A failing query must surface as -1, never as a fast-looking timing.
@@ -106,19 +107,42 @@ object Bench {
       // invocations; per-run spread for these queries measures cache
       // pricing, not code.
       spark.sharedState.cacheManager.clearCache()
+      // ADAPTIVE warm-up (round-13 verdict ask #3 — end the phantom-
+      // regression adjudication loop): one fixed warm-up was measurably
+      // not enough for the big ANSI-text queries, whose JIT/codegen
+      // compilation landed INSIDE the timed window in two consecutive
+      // driver captures (q40 3.34 s captured vs 0.83 s idle, the
+      // cpu_ms ≈ 5-15× task_cpu_ms signature). The signature is
+      // measurable per run, so warm up UNTIL it clears: repeat the
+      // untimed run while process-CPU exceeds 4× task-CPU (compiler
+      // threads burning cycles tasks don't see), max 3 warm-ups. Queries
+      // already warm pay exactly the old single warm-up. jit_cold=true
+      // marks a query still compiling after 3 — its timings are
+      // untrusted-by-the-artifact, no post-hoc forensics needed.
+      var warmups = 0
+      var stillCold = true
+      while (warmups < 3 && stillCold) {
+        val (p0, t0) = (PerfMeters.procCpuMs(), taskCpu.cpuNs.get())
+        time(name, fn) // untimed warm-up, result discarded
+        val pd = PerfMeters.procCpuMs() - p0
+        val td = (taskCpu.cpuNs.get() - t0) / 1000000L
+        // td <= 50 ms: too little task work to read the ratio (driver-
+        // bound or trivial queries) — treat as warm, one warm-up is right
+        stillCold = p0 >= 0 && td > 50 && pd > 4 * td
+        warmups += 1
+      }
       val (gc0, cpu0, io0) = (gcMs(), psiUs("cpu"), psiUs("io"))
       val (pcpu0, tcpu0) = (PerfMeters.procCpuMs(), taskCpu.cpuNs.get())
       val w0 = System.nanoTime()
-      val runs = Seq(time(name, fn), time(name, fn), time(name, fn), time(name, fn))
-      val wall4Ms = (System.nanoTime() - w0) / 1000000L
+      val timed = Seq(time(name, fn), time(name, fn), time(name, fn))
+      val wallMs = (System.nanoTime() - w0) / 1000000L
       val cpuMs = if (pcpu0 < 0) -1L else PerfMeters.procCpuMs() - pcpu0
       val taskCpuMs = (taskCpu.cpuNs.get() - tcpu0) / 1000000L
       val ctx = (gcMs() - gc0, heapMb(), loadavg1(),
         if (cpu0 < 0) -1L else psiUs("cpu") - cpu0,
         if (io0 < 0) -1L else psiUs("io") - io0,
-        cpuMs, taskCpuMs, wall4Ms)
-      val timed = runs.drop(1) // first run is warm-up, never reported
-      (name, if (runs.exists(_ < 0)) -1.0 else timed.min, timed, ctx)
+        cpuMs, taskCpuMs, wallMs, warmups, stillCold)
+      (name, if (timed.exists(_ < 0)) -1.0 else timed.min, timed, ctx)
     }
     val (tsEnd, loadEnd) = (nowIso(), loadavg())
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
@@ -126,37 +150,46 @@ object Bench {
     val runsJson = results.map { case (k, _, timed, _) =>
       "\"" + k + "\":" + timed.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    // gc_ms: GC time accrued across the query's 4 runs; heap_mb: used heap
-    // after the last run; load1: 1-min loadavg at query end. All three are
-    // longs/strings rendered locale-independently.
-    val gcJson = results.map { case (k, _, _, (g, _, _, _, _, _, _, _)) =>
+    // gc_ms: GC time accrued across the query's 3 timed runs; heap_mb:
+    // used heap after the last run; load1: 1-min loadavg at query end.
+    // All three are longs/strings rendered locale-independently.
+    val gcJson = results.map { case (k, _, _, (g, _, _, _, _, _, _, _, _, _)) =>
       "\"" + k + "\":" + g
     }.mkString("{", ",", "}")
-    val heapJson = results.map { case (k, _, _, (_, h, _, _, _, _, _, _)) =>
+    val heapJson = results.map { case (k, _, _, (_, h, _, _, _, _, _, _, _, _)) =>
       "\"" + k + "\":" + h
     }.mkString("{", ",", "}")
-    val loadJson = results.map { case (k, _, _, (_, _, l, _, _, _, _, _)) =>
+    val loadJson = results.map { case (k, _, _, (_, _, l, _, _, _, _, _, _, _)) =>
       "\"" + k + "\":" + l
     }.mkString("{", ",", "}")
-    val psiCpuJson = results.map { case (k, _, _, (_, _, _, c, _, _, _, _)) =>
+    val psiCpuJson = results.map { case (k, _, _, (_, _, _, c, _, _, _, _, _, _)) =>
       "\"" + k + "\":" + c
     }.mkString("{", ",", "}")
-    val psiIoJson = results.map { case (k, _, _, (_, _, _, _, i, _, _, _)) =>
+    val psiIoJson = results.map { case (k, _, _, (_, _, _, _, i, _, _, _, _, _)) =>
       "\"" + k + "\":" + i
     }.mkString("{", ",", "}")
-    // cpu_ms / task_cpu_ms / wall4_ms share gc_ms's 4-run window, so the
-    // host-vs-plan read is one artifact: cpu_ms >> wall4_ms says the runs
-    // really burned parallel cycles (plan); cpu_ms << wall4_ms says the
-    // host starved the JVM; task_cpu_ms << cpu_ms with high wall says the
-    // time went driver-side.
-    val cpuJson = results.map { case (k, _, _, (_, _, _, _, _, c, _, _)) =>
+    // cpu_ms / task_cpu_ms / wall_ms share gc_ms's 3-timed-run window
+    // (warm-ups now EXCLUDED — they absorb compilation, so these columns
+    // read clean): cpu_ms >> wall_ms says the runs really burned parallel
+    // cycles (plan); cpu_ms << wall_ms says the host starved the JVM;
+    // task_cpu_ms << cpu_ms with high wall says driver-side time.
+    val cpuJson = results.map { case (k, _, _, (_, _, _, _, _, c, _, _, _, _)) =>
       "\"" + k + "\":" + c
     }.mkString("{", ",", "}")
-    val taskCpuJson = results.map { case (k, _, _, (_, _, _, _, _, _, t, _)) =>
+    val taskCpuJson = results.map { case (k, _, _, (_, _, _, _, _, _, t, _, _, _)) =>
       "\"" + k + "\":" + t
     }.mkString("{", ",", "}")
-    val wall4Json = results.map { case (k, _, _, (_, _, _, _, _, _, _, w)) =>
+    val wallJson = results.map { case (k, _, _, (_, _, _, _, _, _, _, w, _, _)) =>
       "\"" + k + "\":" + w
+    }.mkString("{", ",", "}")
+    // warm-up forensics: how many warm-ups each query took (1 = was warm
+    // immediately) and whether it STILL showed the compiling signature
+    // after 3 — the in-run replacement for the post-hoc JIT adjudication.
+    val warmupsJson = results.map { case (k, _, _, (_, _, _, _, _, _, _, _, n, _)) =>
+      "\"" + k + "\":" + n
+    }.mkString("{", ",", "}")
+    val jitColdJson = results.map { case (k, _, _, (_, _, _, _, _, _, _, _, _, j)) =>
+      "\"" + k + "\":" + j
     }.mkString("{", ",", "}")
     // Variance honesty (round-10 verdict ask): min-of-3 stays the headline
     // statistic, but a contended or pathological capture must flag ITSELF.
@@ -192,7 +225,8 @@ object Bench {
         s""""gc_ms":$gcJson,"heap_mb":$heapJson,"load1":$loadJson,""" +
         s""""psi_cpu_us":$psiCpuJson,"psi_io_us":$psiIoJson,""" +
         s""""cpu_ms":$cpuJson,"task_cpu_ms":$taskCpuJson,""" +
-        s""""wall4_ms":$wall4Json,""" +
+        s""""wall_ms":$wallJson,""" +
+        s""""warmups":$warmupsJson,"jit_cold":$jitColdJson,""" +
         s""""unstable":[${unstable.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""cpus":$cpus,""" +
         s""""ts_start":"$tsStart","ts_end":"$tsEnd",""" +

@@ -1,0 +1,31 @@
+package graft.tools
+
+/** Dev harness: per-round wall time of the BPE trainer with and without
+  * the checkpoint cadence (round-13 verdict ask #2's "Soak entry") —
+  * walls at rounds = 4/8/12/16 over the sf documents table. Flat
+  * per-round time = wall linear in rounds; the lazy unrolled plan's
+  * re-executed aggregation subtrees show as super-linear growth.
+  * Usage: runMain graft.tools.BpeProfile [sfDir]
+  */
+object BpeProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = graft.GraftSession.get()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    def wall(rounds: Int, ckptEvery: Int): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.TextIndex.bpeMergeRounds(docs, rounds,
+        ckptEvery = ckptEvery).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    wall(2, 0) // JIT/codegen warm-up, untimed
+    for (mode <- Seq(0, 4); r <- Seq(4, 8, 12, 16)) {
+      val w = wall(r, mode)
+      println(f"[bpe] sf=$sfDir rounds=$r ckptEvery=$mode wall=$w%.2f s " +
+        f"perRound=${w / r}%.3f s")
+    }
+    spark.stop()
+  }
+}

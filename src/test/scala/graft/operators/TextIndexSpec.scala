@@ -244,6 +244,52 @@ class TextIndexSpec extends SparkSpecBase {
       (2, "aa", "aaa", "aaaaa", 1L)))
   }
 
+  test("bpeMergeRounds at 16 rounds: ckpt cadences equal the lazy plan and a driver-side reference") {
+    import spark.implicits._
+    // a corpus rich enough that 16 merge rounds never exhaust the pair
+    // stream; deterministic token soup over an 11-token vocabulary
+    val corpus = (1 to 8).map(i => (i.toLong,
+      (0 until 24).map(j => "t" + ((i * 7 + j * j) % 11)).mkString(" ")))
+    // driver-side reference: count adjacent pairs (overlaps count), pick
+    // (cnt DESC, tok ASC, nxt ASC), merge greedy left-to-right
+    // non-overlapping — the published semantics the operator encodes
+    var docs0: Seq[Array[String]] = corpus.map(_._2.split(" ").toArray)
+    val expected = (0 until 16).flatMap { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      docs0.foreach(ts => ts.zip(ts.tail).foreach(p =>
+        counts(p) = counts.getOrElse(p, 0L) + 1))
+      if (counts.isEmpty) Nil
+      else {
+        val ((tok, nxt), cnt) =
+          counts.toSeq.minBy { case ((t, n), c) => (-c, t, n) }
+        docs0 = docs0.map { ts =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < ts.length) {
+            if (i + 1 < ts.length && ts(i) == tok && ts(i + 1) == nxt) {
+              out += tok + nxt; i += 2
+            } else { out += ts(i); i += 1 }
+          }
+          out.toArray
+        }
+        Seq((r, tok, nxt, tok + nxt, cnt))
+      }
+    }
+    assert(expected.size == 16,
+      s"planted corpus exhausted early: ${expected.size} rounds")
+    val df = corpus.toDF("doc_id", "text")
+    def run(ckptEvery: Int, dir: Option[String]) =
+      TextIndex.bpeMergeRounds(df, rounds = 16, ckptEvery = ckptEvery,
+          checkpointDir = dir)
+        .orderBy("merge_round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    assert(run(0, None) == expected) // lazy unrolled plan
+    assert(run(4, None) == expected) // local-checkpoint cadence
+    val tmp = java.nio.file.Files.createTempDirectory("bpeckpt").toString
+    assert(run(3, Some(tmp)) == expected) // reliable-checkpoint cadence
+  }
+
   test("bpeEncode applies the merge table in training order") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b c"), (2L, "a b c c")).toDF("doc_id", "text")
