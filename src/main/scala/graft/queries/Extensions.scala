@@ -204,6 +204,34 @@ object Extensions {
         (col("n_found") * 10L >= col("n_exact_pairs") * 8L).as("recall_ok"))
   }
 
+  /** q240: the k-means coarse quantizer GATED (round-13 verdict ask #4).
+    * q28's IVF runs the deterministic first-N stand-in quantizer; the
+    * production path — `ivfTopK(kmeansIters = 2)`, two sampled-Lloyd
+    * refinement rounds over spherical (unit-vector-mean) decimal-exact
+    * statistics, `Similarity.kmeansCentroids` — had no declared query
+    * until this one. The k-means rounds aren't SQL-replayable, so the
+    * q234/q105 banded device applies: the exact side is the brute-force
+    * top-10 (q27's semantics, the hash-checked n_exact count), and the
+    * k-means IVF enters only through the recall_ok boolean the oracle
+    * asserts TRUE. Measured recall 0.863 / 0.850 / 1.000 at
+    * sf0.001/0.01/0.1 against the 0.8 gate (first-N quantizer:
+    * 0.900/0.900/0.988 — tools.KmeansProbe re-measures both). One left
+    * join on (qid, neighbor_id) counts exact and found in the same
+    * aggregate, q234's comparison shape verbatim.
+    */
+  def q240AnnIvfKmeansBanded(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val exact = Similarity.bruteForceTopK(emb, k = 10, maxQueryId = 8)
+      .select(col("qid"), col("neighbor_id"))
+    val approx = Similarity.ivfTopK(emb, k = 10, maxQueryId = 8,
+        nList = 16, nProbe = 4, kmeansIters = 2)
+      .select(col("qid"), col("neighbor_id"), lit(1).as("__f"))
+    exact.join(approx, Seq("qid", "neighbor_id"), "left_outer")
+      .agg(count(lit(1)).as("n_exact"), count(col("__f")).as("n_found"))
+      .select(col("n_exact"),
+        (col("n_found") * 10L >= col("n_exact") * 8L).as("recall_ok"))
+  }
+
   /** Event-time hourly rollup (the batch shape of the streaming agg). */
   def q30EventsHourly(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -658,6 +686,7 @@ object Extensions {
     "q28_ann_ivf"       -> (q28AnnIvf _),
     "q29_embed_neardup" -> (q29EmbedNeardup _),
     "q234_embed_neardup_cell_banded" -> (q234EmbedNeardupCellBanded _),
+    "q240_ann_ivf_kmeans_banded" -> (q240AnnIvfKmeansBanded _),
     "q30_events_hourly" -> (q30EventsHourly _),
     "q31_sessionize"    -> (q31Sessionize _),
     "q32_binary_meta"   -> (q32BinaryMeta _))
@@ -1177,6 +1206,23 @@ object Extensions {
         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.e, b.e)
         |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3""".stripMargin,
+    // banded gate for the k-means quantizer: the brute-force top-10 COUNT
+    // is the hash-checked column (q27's float contract); the kmeansIters=2
+    // IVF walk enters only through the recall_ok boolean asserted TRUE
+    "q240_ann_ivf_kmeans_banded" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |  q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 8),
+        |  scored AS (
+        |    SELECT q.qid, v.vec_id,
+        |      list_dot_product(q.qe, v.e)
+        |        / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e)))
+        |        AS cos
+        |    FROM q JOIN v ON v.vec_id <> q.qid)
+        |SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM (
+        |  SELECT qid, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 10""".stripMargin,
     "q30_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n_events,
