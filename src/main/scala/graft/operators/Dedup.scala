@@ -608,7 +608,8 @@ object Dedup {
     */
   def contractedComponents(pairs: DataFrame, stitch: String = "star",
                            maxIters: Int = 50,
-                           checkpointDir: Option[String] = None): DataFrame = {
+                           checkpointDir: Option[String] = None,
+                           smallGraph: Long = 1L << 22): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     val edges = pairs
       .select(col("doc_id_a").cast("long"), col("doc_id_b").cast("long"))
@@ -623,7 +624,46 @@ object Dedup {
     val forest = ckpt(
       contractOnce(contractOnce(edges, "doc_id_a"), "doc_id_b"),
       checkpointDir, eager = false)
-    stitch match {
+    // Small-graph fast path: the contracted forest is |touched nodes|-ish
+    // rows (16 bytes each), NOT |edges| — when it fits one task
+    // comfortably, the iterative stitch's per-round job latency (joins +
+    // shuffles, ~0.2-0.3 s each even on trivial data) costs more than
+    // just finishing the union-find in a single pass. The count reads the
+    // forest checkpoint the stitch would materialize anyway, so the
+    // branch costs one count job; exactness is unchanged (the forest
+    // preserves connectivity, and one task holding ALL forest rows is
+    // precisely the in-task union-find's precondition — no block-locality
+    // certificate needed, unlike blockedComponents). At 100 TB the forest
+    // exceeds the bound and the stitch resolvers run as before; the
+    // default bound (4M rows ≈ 64 MB per task) is the same order as a
+    // healthy shuffle partition. smallGraph = 0 disables the branch.
+    if (smallGraph > 0 && forest.count() <= smallGraph) {
+      val s = forest.sparkSession
+      import s.implicits._
+      forest.coalesce(1).as[(Long, Long)]
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val n = parent.getOrElse(c, c); parent(c) = r; c = n
+            }
+            r
+          }
+          it.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a)
+            parent.getOrElseUpdate(b, b)
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) {
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+          parent.keysIterator.toArray.iterator.map(id => (id, find(id)))
+        }
+        .toDF("doc_id", "component")
+    } else stitch match {
       case "star"        => starComponents(forest, maxIters, checkpointDir)._1
       case "propagation" => propagationComponents(forest, maxIters, checkpointDir)
       case other => throw new IllegalArgumentException(
@@ -1462,11 +1502,22 @@ object Dedup {
             "graft_q29_cell_cap")
           .withColumn("__probes", collect_list(col("cid")).over(
             org.apache.spark.sql.expressions.Window.partitionBy("vec_id")))
+    // The a/b self-join computes the ranking pipeline (centroid cross join
+    // → BoundedTopK agg → explode → cap window) twice — Catalyst's
+    // exchange reuse does not unify the branches (CollectMetrics +
+    // differing projections break canonical equality). Measured, the
+    // recompute is noise next to the pair walk itself (A/B'd against a
+    // persist() — which thrashed the columnar cache on the array columns
+    // — and a localCheckpoint(), which matched the lazy plan's time while
+    // pinning nProbe × corpus vector rows in executor storage), so the
+    // plan stays pure/lazy: audit-legible, and at 100 TB the
+    // materialize-once shape belongs to the PERSISTED index
+    // (saveIvfIndex's bucketed layout), not an in-query checkpoint.
     val a = assigned.select(col("cid"), col("vec_id").as("vec_id_a"),
       col("e").as("e_a"), col("nrm").as("nrm_a"), col("__probes").as("__pa"))
     val b = assigned.select(col("cid"), col("vec_id").as("vec_id_b"),
       col("e").as("e_b"), col("nrm").as("nrm_b"), col("__probes").as("__pb"))
-    a.join(b, Seq("cid"))
+    val joined = a.join(b, Seq("cid"))
       .filter(col("vec_id_a") < col("vec_id_b"))
       // canonical-cell election BEFORE the dot product: a pair sharing
       // several probe cells is a candidate once — in the numerically
@@ -1480,6 +1531,7 @@ object Dedup {
       .withColumn("cos", dot(col("e_a"), col("e_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("vec_id_a"), col("vec_id_b"), round(col("cos"), 6).as("cos_sim"))
+    joined
   }
 
   /** Substring-level exact dedup (Lee et al. 2022, "Deduplicating Training

@@ -395,23 +395,35 @@ class DedupSpec extends SparkSpecBase {
       .select("doc_id_a", "doc_id_b")
     val direct = canon(Dedup.connectedComponents(pairs))
     for (stitch <- Seq("propagation", "star")) {
+      // default: fixture forests are under the smallGraph bound, so this
+      // exercises the single-task fast path
       assert(canon(Dedup.contractedComponents(pairs, stitch)) == direct,
-        s"contract+$stitch diverges from direct propagation")
+        s"contract+$stitch (fast path) diverges from direct propagation")
+      // smallGraph = 0 forces the iterative stitch — same fixed point
+      assert(canon(Dedup.contractedComponents(pairs, stitch,
+        smallGraph = 0L)) == direct,
+        s"contract+$stitch (forced stitch) diverges from direct propagation")
       assert(canon(Dedup.connectedComponents(pairs,
         algorithm = s"contract-$stitch")) == direct)
     }
     // adversarial 256-node chain: the contraction must leave a residual
     // the star stitch still resolves (and collapse most of the diameter)
+    // — forced past the fast path, which would hide the stitch entirely
     val chain = (0L until 256L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("doc_id_a", "doc_id_b")
-    val out = Dedup.contractedComponents(chain, "star").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = Dedup.contractedComponents(chain, "star", smallGraph = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length == 256 && out.forall(_._2 == 0L))
-    // a self-loop-only node must keep its own label (direct-path parity)
+    // the fast path resolves the same chain through the one-task walk
+    val outFast = Dedup.contractedComponents(chain, "star").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(outFast.length == 256 && outFast.forall(_._2 == 0L))
+    // a self-loop-only node must keep its own label (direct-path parity),
+    // on both sides of the smallGraph branch
     val selfy = Seq((7L, 7L), (1L, 2L)).toDF("doc_id_a", "doc_id_b")
-    for (stitch <- Seq("propagation", "star"))
-      assert(canon(Dedup.contractedComponents(selfy, stitch)) ==
-        Set((7L, 7L), (1L, 1L), (2L, 1L)), s"self-loop under $stitch")
+    for (stitch <- Seq("propagation", "star"); sg <- Seq(1L << 22, 0L))
+      assert(canon(Dedup.contractedComponents(selfy, stitch, smallGraph = sg)) ==
+        Set((7L, 7L), (1L, 1L), (2L, 1L)), s"self-loop under $stitch sg=$sg")
   }
 
   test("blockedComponents equals the iterative resolvers on block-local graphs") {
