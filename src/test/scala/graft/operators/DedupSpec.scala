@@ -659,6 +659,158 @@ class DedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("splitStreamMinhash: stream splits equal batch q239 assignment, no straddle") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val thr = 0.5
+    val docs0 = graft.Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+    // arrivals = the TOP id range: the ascending-doc_id arrival contract
+    // (admitRollingExact's), under which an arrival can never undercut
+    // its matched cluster's min id. Doc 9000 is a PLANTED word-identical
+    // copy of a corpus doc — the equal-shingle-set tier (which banding
+    // can never miss) must route it into its copy's cluster
+    // unconditionally.
+    val plantedSrc = docs0.filter(col("doc_id") === 42L)
+      .select(lit(9000L).as("doc_id"), col("text"),
+        col("lang"), col("source"))
+    val docs = docs0.select("doc_id", "text", "lang", "source")
+      .unionByName(plantedSrc)
+    val isNew = col("doc_id") >= 400
+    val corpus = docs.filter(!isNew)
+    val arrivals = docs.filter(isNew).select("doc_id", "text")
+
+    // ground truth #1 (the operator's CONTRACT, computed independently
+    // driver-side): expected cluster = min corpus-CC label over the
+    // arrival's equal-set (j == 1.0) verified partners, else over all
+    // verified partners, else self — from the SAME banded pair semantics
+    // the stream screens by (minhashLsh: band collision + exact Jaccard
+    // verify). The exact jaccardPairs walk would disagree wherever
+    // banding misses a borderline pair (j ~ 0.5 collides with p ~ 0.4 at
+    // 8x4 banding) — that recall is q105's gate, not this spec's subject.
+    val lshPairs = Dedup.minhashLsh(docs, shingleSize = 3, numHashes = 32,
+        bands = 8, threshold = thr)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val corpusLabels = Dedup.contractedComponents(
+      Dedup.minhashLsh(corpus, shingleSize = 3, numHashes = 32, bands = 8,
+        threshold = thr).select("doc_id_a", "doc_id_b"))
+    val cclMap = corpusLabels.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val arrivalIds = arrivals.select("doc_id").collect().map(_.getLong(0)).toSet
+    val partnersOf = lshPairs
+      .flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+      .filter { case (n, c, _) => arrivalIds.contains(n) && !arrivalIds.contains(c) }
+      .groupBy(_._1).view
+      .mapValues(_.map { case (_, c, j) => (cclMap.getOrElse(c, c), j) }).toMap
+    def expectedCluster(a: Long): Long = partnersOf.get(a) match {
+      case None => a
+      case Some(ps) =>
+        val exact = ps.filter(_._2 == 1.0)
+        if (exact.nonEmpty) exact.map(_._1).min else ps.map(_._1).min
+    }
+
+    val idx = Dedup.minhashSplitIndex(corpus, corpusLabels)
+    val batch = Dedup.splitStreamMinhash(arrivals, idx, threshold = thr)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(batch.keySet == arrivalIds)
+    batch.foreach { case (id, (cl, _, _)) =>
+      assert(cl == expectedCluster(id),
+        s"arrival $id: stream cluster $cl != contract ${expectedCluster(id)}")
+    }
+    assert(batch.exists { case (id, (cl, _, _)) => cl != id },
+      "fixture planted no inherited cluster — the inheritance path is untested")
+    assert(batch.exists { case (id, (cl, _, _)) => cl == id },
+      "every arrival matched — the self path is untested")
+    // the planted copy inherited its source doc's cluster (tier-1), so a
+    // word-identical test copy of a train doc is impossible by
+    // construction
+    assert(batch(9000L)._1 == cclMap.getOrElse(42L, 42L),
+      "planted exact copy did not inherit its source's cluster")
+
+    // ground truth #2 (batch q239 over the full graph, same pair
+    // semantics): equality holds on the static twin's declared domain —
+    // arrivals whose duplicate relations route through the corpus. Every
+    // divergent arrival must be EXPLAINED: its full-graph component
+    // either contains no corpus doc (arrival-only cluster — batch sees
+    // the arrival-arrival link, a corpus-only index cannot) or spans >=2
+    // corpus clusters (an arrival BRIDGES them; batch re-resolution
+    // merges, the stream cannot relabel already-split corpus docs).
+    val fullLabels = Dedup.contractedComponents(
+        Dedup.minhashLsh(docs, shingleSize = 3, numHashes = 32, bands = 8,
+          threshold = thr).select("doc_id_a", "doc_id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val compMembers = fullLabels.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    val divergent = arrivalIds.filter(id =>
+      batch(id)._1 != fullLabels.getOrElse(id, id))
+    divergent.foreach { id =>
+      val comp = compMembers(fullLabels(id))
+      val corpusClusters = comp.filterNot(arrivalIds).map(c => cclMap.getOrElse(c, c))
+      assert(corpusClusters.isEmpty || corpusClusters.size >= 2,
+        s"arrival $id diverges from batch q239 without an arrival-only or " +
+          s"bridged component to explain it (corpus clusters: $corpusClusters)")
+    }
+    assert((arrivalIds -- divergent).exists(id => batch(id)._1 != id),
+      "no corpus-routed arrival actually inherited — the domain equality is vacuous")
+
+    // no-straddle invariant: an arrival with a single matched corpus
+    // cluster (n_clusters <= 1 — everything except explicit bridges)
+    // never lands in a different split than any verified corpus partner;
+    // for word-identical copies the equal-set tier makes this
+    // unconditional even for bridging arrivals.
+    def splitOf(cl: Long): String = {
+      import spark.implicits._
+      Seq(cl).toDF("c")
+        .select(graft.operators.Sampling.splitAssign(col("c")))
+        .head().getString(0)
+    }
+    val crossPairs = lshPairs
+      .flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+      .filter { case (n, c, _) => arrivalIds.contains(n) && !arrivalIds.contains(c) }
+    assert(crossPairs.nonEmpty, "fixture planted no cross pairs")
+    crossPairs.foreach { case (a, c, j) =>
+      if (batch(a)._2 <= 1L || j == 1.0) {
+        val partnerSplit = splitOf(cclMap.getOrElse(c, c))
+        assert(batch(a)._3 == partnerSplit,
+          s"arrival $a split ${batch(a)._3} straddles corpus partner $c ($partnerSplit)")
+      }
+    }
+
+    // the SAME operator over a MemoryStream, fed in two batches
+    val input = MemoryStream[(Long, String)]
+    val q = Dedup.splitStreamMinhash(input.toDF().toDF("doc_id", "text"),
+        idx, threshold = thr)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("split_stream").start()
+    try {
+      val rowsIn = arrivals.collect().map(r => (r.getLong(0), r.getString(1)))
+      val (a, b) = rowsIn.splitAt(rowsIn.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      val streamed = spark.table("split_stream")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("splitStreamMinhash never broadcasts the corpus-derived index") {
+    val docs = graft.Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+    val isNew = col("doc_id") % 5 === 0
+    val corpus = docs.filter(!isNew)
+    val labels = Dedup.contractedComponents(
+      Dedup.jaccardPairs(corpus, 0.5).select("doc_id_a", "doc_id_b"))
+    val out = Dedup.splitStreamMinhash(
+      docs.filter(isNew).select("doc_id", "text"),
+      Dedup.minhashSplitIndex(corpus, labels), threshold = 0.5)
+    val plan = out.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastExchange"), s"corpus broadcast in plan:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"corpus broadcast join in plan:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled hash joins:\n$plan")
+  }
+
   test("admitStreamMinhash never broadcasts the corpus-derived index") {
     val docs = graft.Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
     val isNew = col("doc_id") % 5 === 0
