@@ -35,6 +35,42 @@ object Curation2 {
     TextChunks.stripFrequentLines(planted, maxDf = 5)
   }
 
+  /** q241: HTML/markup-aware text extraction feeding the line-level
+    * boilerplate strip — the tag-level stage (script/style/comment
+    * removal, CDATA unwrap, block-tag→newline, entity decode:
+    * functions.Html.htmlExtract) that runs BEFORE line dedup on web
+    * corpora, composed with q85's stripFrequentLines in the
+    * CCNet/trafilatura order. The fixture has no markup, so each doc is
+    * wrapped in a deterministic hostile-ish page (q85's planting device):
+    * a script whose body contains a bare `<`, a style block, a comment,
+    * a CDATA section and a nav div keyed on doc_id mod (line-frequent →
+    * stripped downstream), an entity-laced line unique per doc (decode
+    * lands in the hash-checked output, including the `&amp;amp;` →
+    * literal `&amp;` double-encoding case), and an every-doc footer. The
+    * oracle rebuilds the page and replays the IDENTICAL regex chain
+    * (Html.RegexSteps is written to be engine-agreed: `\z` not `$`,
+    * literal entity replaces ordered &amp;-last) plus q85's
+    * line-frequency SQL.
+    */
+  def q241HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val page = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), concat(
+        lit("<html><!-- nav follows --><head>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "<style>p { color: red }</style></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"), lit("</p><![CDATA[cdata_"),
+        (col("doc_id") % 3).cast("string"),
+        lit("]]><DIV class=\"nav\">boiler_"),
+        (col("doc_id") % 7).cast("string"),
+        lit("</DIV><p>ent_&lt;"), col("doc_id").cast("string"),
+        lit("&gt; &amp;amp; &quot;&nbsp;&apos;</p>" +
+          "<footer>(c) corp footer</footer></body></html>")).as("text"))
+    val extracted = page.select(col("doc_id"),
+      graft.functions.Html.htmlExtract(col("text")).as("text"))
+    TextChunks.stripFrequentLines(extracted, maxDf = 5)
+  }
+
   /** q86: sliding-window chunking — 32-token chunks every 24 tokens
     * (8-token overlap), the training-sequence / RAG splitter. Pure map
     * work; the oracle replays the identical slice arithmetic.
@@ -309,6 +345,7 @@ object Curation2 {
     "q99_curation_chain"    -> (q99CurationChain _),
     "q104_mixture_upsample" -> (q104MixtureUpsample _),
     "q85_boilerplate_strip" -> (q85BoilerplateStrip _),
+    "q241_html_extract"     -> (q241HtmlExtract _),
     "q86_doc_chunks"        -> (q86DocChunks _),
     "q87_embed_quantize"    -> (q87EmbedQuantize _),
     "q88_mixture_weights"   -> (q88MixtureWeights _),
@@ -481,6 +518,41 @@ object Curation2 {
         |    // 2048 AS seq_id
         |FROM budg""".stripMargin
     },
+    // the identical rewrite chain (RE2 inline flags, \z end-of-input,
+    // \1 backref, 'g' option) + q85's line-frequency SQL over the result
+    "q241_html_extract" ->
+      """WITH page AS (SELECT doc_id,
+        |    '<html><!-- nav follows --><head><script type="text/javascript">var x = 1 < 2;</script><style>p { color: red }</style></head><body><h1>Doc '
+        |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+        |    || '</p><![CDATA[cdata_' || CAST(doc_id % 3 AS VARCHAR)
+        |    || ']]><DIV class="nav">boiler_' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '</DIV><p>ent_&lt;' || CAST(doc_id AS VARCHAR)
+        |    || '&gt; &amp;amp; &quot;&nbsp;&apos;</p><footer>(c) corp footer</footer></body></html>'
+        |    AS html
+        |  FROM documents WHERE text IS NOT NULL),
+        |x AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script\b[^>]*>.*?(</script\s*>|\z)', '', 'g'),
+        |      '(?is)<style\b[^>]*>.*?(</style\s*>|\z)', '', 'g'),
+        |      '(?s)<!--.*?(-->|\z)', '', 'g'),
+        |      '(?s)<!\[CDATA\[(.*?)(\]\]>|\z)', '\1', 'g'),
+        |      '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|section|article|header|footer|nav|blockquote|pre|hr|form|title)\b[^>]*>', chr(10), 'g'),
+        |      '<[^>]*>', '', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS t2
+        |  FROM page),
+        |lines AS (SELECT doc_id,
+        |    generate_subscripts(string_split(t2, chr(10)), 1) AS pos,
+        |    unnest(string_split(t2, chr(10))) AS line FROM x),
+        |freq AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1)
+        |SELECT l.doc_id,
+        |  CAST(SUM(CASE WHEN f.df < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  string_agg(CASE WHEN f.df < 5 THEN l.line END, chr(10)
+        |             ORDER BY l.pos) AS cleaned
+        |FROM lines l JOIN freq f USING (line)
+        |GROUP BY 1""".stripMargin,
     "q85_boilerplate_strip" ->
       """WITH docs AS (SELECT doc_id,
         |    text || chr(10) || 'boiler_' || CAST(doc_id % 7 AS VARCHAR)

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** Pins Html.htmlExtract's regex CONTRACT on hostile markup — unclosed
+  * tags/comments/CDATA, entities (named, double-encoded, numeric),
+  * attribute edge cases, stray `<`. The happy path + DuckDB parity is
+  * q241's oracle gate; this spec is where the defined-behavior corners
+  * live.
+  */
+class HtmlSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(Html.htmlExtract(col("h"))).head().getString(0)
+
+  test("script/style strip with content, case-insensitive, unclosed to EOF") {
+    assert(extract("a<script>var x = 1 < 2;</script>b") == "ab")
+    assert(extract("a<SCRIPT type=\"t\">x</ScRiPt >b") == "ab")
+    assert(extract("a<style>p { color: red }</style>b") == "ab")
+    // unclosed: drops to end of input — boilerplate never leaks through
+    assert(extract("a<script>var x = 1;") == "a")
+    assert(extract("a<style>p {}") == "a")
+    // a closed script followed by text keeps the text (lazy, not greedy)
+    assert(extract("<script>x</script>a<script>y</script>b") == "ab")
+  }
+
+  test("comments strip, unclosed to EOF, commented-out markup stays gone") {
+    assert(extract("a<!-- hidden <b>bold</b> -->c") == "ac")
+    assert(extract("a<!-- unclosed") == "a")
+    // comments strip after script: a commented script is just a comment
+    assert(extract("a<!--<script>x</script>-->b") == "ab")
+  }
+
+  test("CDATA unwraps to character data; unclosed unwraps to EOF") {
+    assert(extract("a<![CDATA[x < y & z]]>b") == "ax < y & zb")
+    assert(extract("a<![CDATA[tail") == "atail")
+    // pinned order: a <!-- INSIDE CDATA text opens a comment (comments
+    // strip before CDATA unwrap) — the documented, engine-agreed contract
+    assert(extract("a<![CDATA[x<!--y]]>b") == "ax")
+  }
+
+  test("block tags become newlines; other tags vanish; stray < survives") {
+    assert(extract("<p>a</p><div>b</div>") == "\na\n\nb\n")
+    assert(extract("a<br/>b<BR>c") == "a\nb\nc")
+    assert(extract("<span>a</span><em>b</em>") == "ab")
+    assert(extract("<H2 class=\"x\">t</h2>") == "\nt\n")
+    // the <[^>]*> contract: a bare < with a LATER > forms a "tag" and the
+    // span drops (what a regex extractor does to unescaped comparisons —
+    // valid HTML escapes them); with no > anywhere after, the < survives
+    assert(extract("1 < 2 and 3 > 2") == "1  2")
+    assert(extract("a < b") == "a < b")
+    // malformed nesting: <div <span> is ONE tag per the <[^>]*> contract
+    assert(extract("a<div <span>b") == "a\nb")
+    // blockish prefix must not match: <preface> is not <pre>
+    assert(extract("a<preface>b") == "ab")
+  }
+
+  test("entities: named set, &amp; last, double-encoding, numeric intact") {
+    assert(extract("&lt;b&gt; &quot;q&quot; &apos;a&apos;") ==
+      "<b> \"q\" 'a'")
+    assert(extract("a&nbsp;b") == "a b")
+    // &amp;lt; is an ENCODED &lt; — must yield the literal text "&lt;",
+    // never a second decode round (and never a fresh tag)
+    assert(extract("&amp;lt;script&amp;gt;") == "&lt;script&gt;")
+    // decoded angle brackets appear AFTER tag stripping: no fresh tag
+    assert(extract("&lt;script&gt;x&lt;/script&gt;") == "<script>x</script>")
+    // numeric character references are out of the named contract: intact
+    assert(extract("&#65;&#x41;") == "&#65;&#x41;")
+    assert(extract("&unknown;") == "&unknown;")
+  }
+
+  test("composed page: structure to lines, boilerplate positions") {
+    val page = "<html><head><title>T</title><script>s</script></head>" +
+      "<body><h1>Head</h1><p>body text</p><!--c--><footer>f</footer></body></html>"
+    assert(extract(page) == "\nT\n\nHead\n\nbody text\n\nf\n")
+  }
+}
