@@ -93,17 +93,32 @@ object Expectations {
     */
   def gateBatch(batch: DataFrame, rules: Seq[Expect],
                 snapshotTable: String, quarantineTable: String): DataFrame = {
-    val report = audit(batch, rules)
-    val bad = report.agg(coalesce(sum(col("n_violations")), lit(0L)))
-      .collect()(0).getLong(0)
-    if (bad == 0L)
-      batch.write.mode(org.apache.spark.sql.SaveMode.Append)
-        .format("parquet").saveAsTable(snapshotTable)
-    else
-      gateRows(batch, rules).write
-        .mode(org.apache.spark.sql.SaveMode.Append)
-        .format("parquet").saveAsTable(quarantineTable)
-    report
+    // Pin the batch across its two actions (audit collect, then the
+    // table write): with a non-replay-stable source — a changing view, a
+    // non-deterministic projection — an unpinned batch could pass a clean
+    // audit yet WRITE different rows, letting a violating row reach the
+    // snapshot behind a green verdict. foreachBatch frames are already
+    // stable; the API accepts any DataFrame, so the gate must not trust
+    // that. (round-13 advice)
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE audit job, collected once (rules-sized): the verdict and the
+      // returned report come from the same rows, and the returned frame
+      // is materialized so it never re-reads the source after unpersist
+      val report = audit(pinned, rules)
+      val reportRows = report.collect()
+      val bad = reportRows.map(_.getAs[Long]("n_violations")).sum
+      if (bad == 0L)
+        pinned.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").saveAsTable(snapshotTable)
+      else
+        gateRows(pinned, rules).write
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").saveAsTable(quarantineTable)
+      val s = batch.sparkSession
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(reportRows.toSeq.asJava, report.schema)
+    } finally pinned.unpersist(blocking = false)
   }
 
   /** Referential-integrity expectation: rows of `child` whose `childKey`

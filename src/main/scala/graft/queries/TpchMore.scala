@@ -184,6 +184,14 @@ object TpchMore {
     * rounding luck. Both engines RE-DERIVE the table per query — the
     * oracle is the same text, so the derivation itself is under the
     * hash gate.
+    *
+    * ASSUMES supplier count S >= 4 (round-13 advice): the ring-walk
+    * stride GREATEST(1, floor(S/4)) only yields 4 DISTINCT offsets —
+    * and with them partsupp's (ps_partkey, ps_suppkey) PK — when S >= 4
+    * (S = 2 would repeat offsets 0,1 and double-count in Q2/Q9/Q11/Q16
+    * on BOTH engines, green but wrong). Every fixture has >= 10
+    * suppliers; a sub-4-supplier fixture needs a collision-free offset
+    * (e.g. i * max(1, S/4) + min(i, S - 1)) or DISTINCT ON the pair.
     */
   private val PartsuppCte: String =
     """partsupp AS (

@@ -17,7 +17,11 @@ object PlanAudit {
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'"))
       val df = fn(spark, sfDir)
-      df.count() // force AQE to finalize
+      // df.count() would build a SEPARATE QueryExecution and leave THIS
+      // one's AdaptiveSparkPlan unexecuted (isFinalPlan=false, runtime
+      // join-strategy changes invisible); executing df's own physical
+      // RDD finalizes the plan the audit then reads (round-13 advice)
+      df.queryExecution.toRdd.count()
       val p = df.queryExecution.executedPlan.toString
       val cart = p.linesIterator.count(_.contains("CartesianProduct"))
       val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoop"))
