@@ -132,7 +132,8 @@ object Curation2 {
   }
 
   /** q99: the WHOLE curation pipeline as one declared, hash-verified
-    * composition — admission (q67) → near-dup resolve + survivor
+    * composition — expectations gate (q236's gateRows, the validate-first
+    * ingest order) → admission (q67) → near-dup resolve + survivor
     * selection (q81) → top-quartile quality gate (q66) → per-lang token
     * budget (q61) → sequence packing (q71). Each stage is an
     * already-oracle-checked operator; what this query adds is the
@@ -149,7 +150,22 @@ object Curation2 {
     */
   def q99CurationChain(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    // stage 0: expectations as the ingest gate (round-13 verdict ask #8 —
+    // the real pipeline order is validate → admit → dedup → select →
+    // pack). Map-only row gate (Expectations.gateRows); the len_max rule
+    // is LIVE on the fixture (~5% of docs exceed 520 chars), so the gate
+    // demonstrably shapes everything downstream and the oracle carries
+    // the same three predicates.
+    val docs = graft.operators.Expectations.gateRows(
+        Tables.documents(s, dir).filter(col("text").isNotNull),
+        Seq(
+          graft.operators.Expectations.Expect("len_min_20",
+            length(col("text")) >= 20),
+          graft.operators.Expectations.Expect("len_max_520",
+            length(col("text")) <= 520),
+          graft.operators.Expectations.Expect("tokens_min_3",
+            TextFunctions.tokenCount(col("text")) >= 3)))
+      .filter(col("admitted")).drop("violations", "admitted")
     val isNew = col("source").isin(Curation.NewBatchSources: _*)
     // stage 1: admission — corpus docs plus ADMITTED new docs form the pool
     val admitted = Dedup.admitIncremental(docs, isNew)
@@ -469,7 +485,9 @@ object Curation2 {
         |base AS (
         |  SELECT d.doc_id, d.lang, d.source, d.text, md5(d.text) AS xfp, f.fp
         |  FROM documents d JOIN fps f USING (doc_id)
-        |  WHERE d.text IS NOT NULL),
+        |  WHERE d.text IS NOT NULL
+        |    AND length(d.text) >= 20 AND length(d.text) <= 520
+        |    AND len(string_split(d.text, ' ')) >= 3),
         |nw AS (SELECT * FROM base WHERE source IN ($inList)),
         |co AS (SELECT * FROM base WHERE source NOT IN ($inList)),
         |rej AS (

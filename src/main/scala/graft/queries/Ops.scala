@@ -302,10 +302,24 @@ object Ops {
     * composed.
     */
   def q133CdcChain(s: SparkSession, dir: String): DataFrame = {
-    val docs = requireKeyDomain(Tables.documents(s, dir), cacheKey = dir)
+    val docs0 = requireKeyDomain(Tables.documents(s, dir), cacheKey = dir)
       .filter(col("text").isNotNull)
+    val isNew = col("source").isin(Curation.NewBatchSources: _*)
+    // stage 0: expectations gate on the ARRIVING batch only (round-13
+    // verdict ask #8 — validate before admit; the corpus snapshot is
+    // already-landed data and passes through). Map-only (gateRows); the
+    // len_max rule is live on the fixture, and the oracle's new-batch CTE
+    // carries the same predicates.
+    val docs = graft.operators.Expectations.gateRows(docs0, Seq(
+        graft.operators.Expectations.Expect("len_min_20",
+          length(col("text")) >= 20),
+        graft.operators.Expectations.Expect("len_max_520",
+          length(col("text")) <= 520),
+        graft.operators.Expectations.Expect("tokens_min_3",
+          graft.functions.TextFunctions.tokenCount(col("text")) >= 3)))
+      .filter(!isNew || col("admitted")).drop("violations", "admitted")
     val admitted = Dedup.admitIncremental(docs,
-        isNew = col("source").isin(Curation.NewBatchSources: _*), maxHamming = 3)
+        isNew = isNew, maxHamming = 3)
       .filter(col("admitted")).select("doc_id")
     val inserts = docs.join(admitted, "doc_id")
       .select((col("doc_id") + SyntheticIdOffset).as("doc_id"), col("source"),
@@ -384,10 +398,13 @@ object Ops {
       val inList = Curation.NewBatchSources.map(x => s"'$x'").mkString(", ")
       s"""WITH ${Extensions.simhashFpCtes},
         |base AS (
-        |  SELECT dd.doc_id, dd.source, md5(dd.text) AS xfp, f.fp
+        |  SELECT dd.doc_id, dd.source, md5(dd.text) AS xfp, f.fp,
+        |    length(dd.text) AS tlen,
+        |    len(string_split(dd.text, ' ')) AS ntok
         |  FROM documents dd JOIN fps f USING (doc_id)
         |  WHERE dd.text IS NOT NULL),
-        |n AS (SELECT * FROM base WHERE source IN ($inList)),
+        |n AS (SELECT * FROM base WHERE source IN ($inList)
+        |      AND tlen >= 20 AND tlen <= 520 AND ntok >= 3),
         |c AS (SELECT * FROM base WHERE source NOT IN ($inList)),
         |ex AS (SELECT DISTINCT n.doc_id FROM n JOIN c ON n.xfp = c.xfp),
         |nd AS (SELECT n.doc_id, COUNT(*) AS n_neardup
