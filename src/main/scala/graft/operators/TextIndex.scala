@@ -232,26 +232,36 @@ object TextIndex {
     *
     * Plan-depth contract (round-13 verdict ask #2 — the "production loop
     * checkpoints" prose is now code): with the default `ckptEvery = 0`
-    * the rounds unroll into ONE lazy plan — round r's pair count re-reads
-    * the rewrite chain of rounds < r, the right trade at a handful of
-    * gated rounds (eager per-round materialization costs a fixed-latency
-    * job each — the q167 lesson). A production vocabulary (thousands of
-    * merges) sets `ckptEvery = k`: each round's 1-row `best` materializes
-    * eagerly (localCheckpoint — the pair aggregation runs exactly once
-    * per round, and the final merge-table union reads rounds 1-row
-    * snapshots instead of re-running every aggregation subtree), and the
-    * representation checkpoints every k rounds exactly like the iterative
-    * resolvers' cadence (Dedup.propagationComponents) — reliable under
-    * `checkpointDir`, local otherwise — so plan depth and per-round wall
-    * time stay FLAT in the round number (tools.BpeProfile measures it;
-    * TextIndexSpec pins ckpt-vs-lazy merge-table equality at 16 rounds
-    * against a driver-side reference).
+    * the rounds unroll into ONE lazy plan — and because round r's
+    * representation references round r-1's TWICE (under the pair
+    * aggregation that picks `best`, and as the rewrite join's left
+    * side), the unrolled plan tree is EXPONENTIAL in the round count
+    * (~2^rounds subtrees for Catalyst's structural passes — measured:
+    * ~1.4 s/round through 8 rounds, ~47 s/round at 12, stalled-minutes
+    * at 16; tools.BpeProfile). Lazy is therefore fenced LOUDLY at 8
+    * rounds — right for the handful of gated rounds (q228 runs 3), where
+    * eager per-round materialization would cost a fixed-latency job each
+    * (the q167 lesson). Anything deeper sets `ckptEvery = k`: each
+    * round's 1-row `best` materializes eagerly (localCheckpoint — the
+    * pair aggregation runs exactly once per round, and the final
+    * merge-table union reads rounds 1-row snapshots instead of live
+    * aggregation subtrees), and the representation checkpoints every k
+    * rounds exactly like the iterative resolvers' cadence
+    * (Dedup.propagationComponents) — reliable under `checkpointDir`,
+    * local otherwise — so plan depth and per-round wall time stay FLAT
+    * in the round number (docs/perf/BPE_SOAK_r14.txt measures it;
+    * TextIndexSpec pins ckpt-vs-lazy merge-table equality against a
+    * driver-side reference, ckpt cadences at 16 rounds).
     */
   def bpeMergeRounds(docs: DataFrame, rounds: Int = 3,
                      textCol: String = "text",
                      ckptEvery: Int = 0,
                      checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(ckptEvery > 0 || rounds <= 8,
+      s"rounds=$rounds with ckptEvery=0: the lazy unrolled plan is " +
+        "EXPONENTIAL in rounds (round r references round r-1 twice) — " +
+        "set ckptEvery (e.g. 4) past 8 rounds")
     checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)

@@ -21,9 +21,18 @@ object BpeProfile {
       (System.nanoTime() - t0) / 1e9
     }
     wall(2, 0) // JIT/codegen warm-up, untimed
-    for (mode <- Seq(0, 4); r <- Seq(4, 8, 12, 16)) {
-      val w = wall(r, mode)
-      println(f"[bpe] sf=$sfDir rounds=$r ckptEvery=$mode wall=$w%.2f s " +
+    // lazy arm capped at 8 rounds: a prior full run measured the blow-up
+    // directly (1.44 s/round at 8 -> 47 s/round at 12 — the re-executed
+    // aggregation subtrees plus Catalyst analysis over the deepening
+    // plan), and past it the lazy mode is minutes per point
+    for (r <- Seq(4, 8)) {
+      val w = wall(r, 0)
+      println(f"[bpe] sf=$sfDir rounds=$r ckptEvery=0 wall=$w%.2f s " +
+        f"perRound=${w / r}%.3f s")
+    }
+    for (r <- Seq(4, 8, 12, 16)) {
+      val w = wall(r, 4)
+      println(f"[bpe] sf=$sfDir rounds=$r ckptEvery=4 wall=$w%.2f s " +
         f"perRound=${w / r}%.3f s")
     }
     spark.stop()

@@ -278,16 +278,23 @@ class TextIndexSpec extends SparkSpecBase {
     assert(expected.size == 16,
       s"planted corpus exhausted early: ${expected.size} rounds")
     val df = corpus.toDF("doc_id", "text")
-    def run(ckptEvery: Int, dir: Option[String]) =
-      TextIndex.bpeMergeRounds(df, rounds = 16, ckptEvery = ckptEvery,
+    def run(rounds: Int, ckptEvery: Int, dir: Option[String]) =
+      TextIndex.bpeMergeRounds(df, rounds = rounds, ckptEvery = ckptEvery,
           checkpointDir = dir)
         .orderBy("merge_round").collect()
         .map(r => (r.getInt(0), r.getString(1), r.getString(2),
           r.getString(3), r.getLong(4))).toSeq
-    assert(run(0, None) == expected) // lazy unrolled plan
-    assert(run(4, None) == expected) // local-checkpoint cadence
+    // lazy unrolled plan only to its fence: the plan tree is EXPONENTIAL
+    // in rounds (round r references round r-1 twice), so lazy-16 is
+    // minutes of pure Catalyst analysis — the exact failure mode the
+    // ckptEvery cadence exists for, fenced loudly in the operator
+    assert(run(6, 0, None) == expected.take(6))
+    assert(intercept[IllegalArgumentException] {
+      TextIndex.bpeMergeRounds(df, rounds = 16)
+    }.getMessage.contains("EXPONENTIAL"))
+    assert(run(16, 4, None) == expected) // local-checkpoint cadence
     val tmp = java.nio.file.Files.createTempDirectory("bpeckpt").toString
-    assert(run(3, Some(tmp)) == expected) // reliable-checkpoint cadence
+    assert(run(16, 3, Some(tmp)) == expected) // reliable-checkpoint cadence
   }
 
   test("bpeEncode applies the merge table in training order") {

@@ -39,11 +39,17 @@ class OpsSpec extends SparkSpecBase {
       s"missed=${(q122 -- nonOffset).take(3)} extra=${(nonOffset -- q122).take(3)}")
 
     // stage-1 wiring: the offset keys are EXACTLY the admitted new-batch
-    // docs — a doc rejected by the near-dup screen must not insert
+    // docs — a doc rejected by the expectations gate (round 14: length
+    // bounds + min token count on the ARRIVING batch only) or by the
+    // near-dup screen must not insert
+    val isNewCol = col("source").isin(Curation.NewBatchSources: _*)
+    val gatedDocs = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .filter(!isNewCol || (length(col("text")) >= 20 &&
+        length(col("text")) <= 520 &&
+        size(split(col("text"), " ")) >= 3))
     val admitted = graft.operators.Dedup.admitIncremental(
-        graft.Tables.documents(spark, sf).filter(col("text").isNotNull),
-        isNew = col("source").isin(Curation.NewBatchSources: _*),
-        maxHamming = 3)
+        gatedDocs, isNew = isNewCol, maxHamming = 3)
       .filter(col("admitted")).collect().map(_.getLong(0)).toSet
     val offsetKeys = out.filter(_.getLong(0) >= Ops.SyntheticIdOffset)
       .map(_.getLong(0) - Ops.SyntheticIdOffset).toSet
