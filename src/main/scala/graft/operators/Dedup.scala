@@ -1515,6 +1515,150 @@ object Dedup {
           trainPct, valPct).as("split"))
   }
 
+  /** [[splitStreamMinhash]]'s ROLLING lifecycle — the variant that also
+    * resolves arrival-to-arrival duplicate relations, which a frozen
+    * corpus-only index structurally cannot (the static twin labels such
+    * arrivals self; this one labels them like batch q239 does):
+    *
+    *  1. The index is a FLAT posting table ((band, mbucket) → cid, ccl,
+    *    cxh), bucketed on mbucket, seeded from the corpus + its resolved
+    *    labels. Flat (unlike [[minhashAdmissionIndex]]'s grouped lists)
+    *    because a rolling index must APPEND — a bucketed append adds at
+    *    most one file per touched bucket (the [[admitRollingExact]]
+    *    shape), whereas appended list rows would double up the
+    *    one-row-per-bucket lookup.
+    *  2. Per batch: candidates = batch postings ⋈ index postings on
+    *    (band, mbucket) — one row per colliding band — then a
+    *    batch-sized groupBy counts collisions per (doc, candidate) and
+    *    the exact-Jaccard verify (identical formula) keeps true
+    *    near-dups; per doc, inherit min(ccl) (exact-set tier first —
+    *    the [[splitStreamMinhash]] rule).
+    *  3. WITHIN-batch near-dup pairs ([[minhashLsh]] over the batch
+    *    alone — microbatch-sized, the same banded semantics) resolve via
+    *    [[contractedComponents]] (the small-graph fast path makes this a
+    *    single extra pass at microbatch scale), and each component takes
+    *    the MIN over its members' inherited-or-self labels — plain
+    *    min-propagation, which is exactly batch q239's fixed point over
+    *    the arrivals (tier priority stays per-doc; across a component
+    *    the smaller label wins, as a batch re-resolution would decide).
+    *  4. The batch's postings append to the index CARRYING the resolved
+    *    labels, so later batches inherit through earlier arrivals
+    *    (multi-hop chains close across batches); results append to
+    *    `<tableBase>_splits`.
+    *
+    * Batches must arrive in ascending doc_id ranges (the
+    * [[admitRollingExact]] contract): then an arrival can never undercut
+    * an already-assigned cluster's min id, and the rolling assignment
+    * equals batch q239 over the same banded pair semantics except where
+    * an arrival BRIDGES clusters split in different lifecycles — the
+    * irreducible streaming compromise, asserted-and-explained in
+    * DedupSpec. Scale shape: index side bucketed (no re-shuffle, never
+    * broadcast, shuffle_hash-hinted); per batch the work is batch-sized
+    * joins + one tiny CC; the index grows by |batch| × bands rows per
+    * batch.
+    */
+  def splitRollingMinhash(corpus: DataFrame, labels: DataFrame,
+                          batches: Seq[DataFrame], tableBase: String,
+                          threshold: Double,
+                          minBandCollisions: Int = 1,
+                          shingleSize: Int = 3, numHashes: Int = 32,
+                          bands: Int = 8, numBuckets: Int = 32,
+                          trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+    val s = corpus.sparkSession
+    val rows = numHashes / bands
+    val postT = s"${tableBase}_post"
+    val resT = s"${tableBase}_splits"
+
+    def postings(docs: DataFrame, ccl: Column): DataFrame = {
+      val withSig = docs
+        .select(col("doc_id"), ccl.as("ccl"),
+          graft.functions.WordGramHashes
+            .wordGramHashes(col("text"), shingleSize).as("xh"))
+        .withColumn("sig",
+          graft.functions.MinHashSig.minhashSig(col("xh"), numHashes))
+        .filter(col("sig").isNotNull)
+      // the band index FOLDS into the bucket key (hash(band, slice)), so
+      // the lookup is a single-key join on the table's one bucket column
+      // — the bucketed layout satisfies the join distribution with zero
+      // index-side shuffle. A cross-band hash collision can only ADD a
+      // candidate, which the exact verify then rejects — lossless.
+      withSig.select(col("doc_id").as("cid"), col("ccl"), col("xh").as("cxh"),
+        explode(array((0 until bands).map(b =>
+          hash(lit(b), slice(col("sig"), lit(b * rows + 1), lit(rows)))): _*))
+          .as("mbucket"))
+        .select(col("mbucket"), col("cid"), col("ccl"), col("cxh"))
+    }
+
+    graft.sources.Sinks.parquetBucketed(
+      postings(corpus.join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("text"),
+            coalesce(col("component"), col("doc_id")).as("ccl0")),
+        col("ccl0")),
+      postT, "mbucket", numBuckets)
+    graft.sources.Sinks.reclaimOrphanTableLocation(s, resT)
+    s.sql(s"DROP TABLE IF EXISTS $resT")
+
+    batches.foreach { b0 =>
+      val b = b0.select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // (2) index lookup: one row per colliding band, then batch-sized
+        // aggregation — the index side is bucketed on the join key
+        val bp = postings(b, col("doc_id"))
+          .select(col("mbucket"), col("cid").as("doc_id"),
+            col("cxh").as("xh"))
+        val cand = bp
+          .join(s.table(postT).hint("shuffle_hash"), Seq("mbucket"))
+          .filter(col("cid") =!= col("doc_id"))
+          .groupBy("doc_id", "cid")
+          .agg(count(lit(1)).as("n_coll"), first("xh").as("xh"),
+            first("ccl").as("ccl"), first("cxh").as("cxh"))
+          .filter(col("n_coll") >= minBandCollisions)
+        val ic = graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("xh"), col("cxh")).cast("double")
+        val verified = cand
+          .filter(ic / (size(col("xh")) + size(col("cxh")) - ic)
+            >= lit(threshold))
+        val inherited = verified
+          .groupBy("doc_id")
+          .agg(min(when(col("cxh") === col("xh"), col("ccl"))).as("exactMin"),
+            min(col("ccl")).as("nearMin"))
+          .select(col("doc_id"),
+            coalesce(col("exactMin"), col("nearMin")).as("inh"))
+        // (3) within-batch resolution: banded pairs over the batch alone,
+        // min-propagation over (inherited-or-self) labels per component
+        val own = b.select(col("doc_id"))
+          .join(inherited, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("inh"), col("doc_id")).as("lbl"))
+        val comp = contractedComponents(
+          minhashLsh(b, shingleSize, numHashes, bands, threshold)
+            .select("doc_id_a", "doc_id_b"))
+        val labeled = own
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("comp", coalesce(col("component"), col("doc_id")))
+        val finalLbl = labeled
+          .groupBy("comp").agg(min("lbl").as("cluster"))
+        val out = labeled.join(finalLbl, Seq("comp"))
+          .select(col("doc_id"), col("cluster"),
+            graft.operators.Sampling.splitAssign(col("cluster"),
+              trainPct, valPct).as("split"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").saveAsTable(resT)
+        // (4) postings carry the RESOLVED labels into the index
+        postings(b.join(out.select(col("doc_id"), col("cluster")), "doc_id"),
+            col("cluster"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+          .bucketBy(numBuckets, "mbucket").sortBy("mbucket")
+          .saveAsTable(postT)
+        out.unpersist(blocking = false)
+      } finally b.unpersist(blocking = false)
+    }
+    s.table(resT)
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by label — the exact,
     * oracle-checkable companion to [[embeddingNearDupsCells]] (the same
     * exact-vs-approximate split as jaccardPairs vs minhashLsh): O(block²)

@@ -796,6 +796,76 @@ class DedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("splitRollingMinhash resolves arrival-arrival relations the static twin cannot") {
+    import spark.implicits._
+    val thr = 0.5
+    val base = "graft_test_rollsplit"
+    Seq(s"${base}_post", s"${base}_splits")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val docs = graft.Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
+      val isNew = col("doc_id") >= 400
+      val corpus = docs.filter(!isNew)
+      val arrivals = docs.filter(isNew).select("doc_id", "text")
+
+      // batch ground truth: q239 over the full graph, SAME banded pair
+      // semantics (splitStreamMinhash spec's device)
+      val fullLabels = Dedup.contractedComponents(
+          Dedup.minhashLsh(docs, shingleSize = 3, numHashes = 32, bands = 8,
+            threshold = thr).select("doc_id_a", "doc_id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val corpusLabels = Dedup.contractedComponents(
+        Dedup.minhashLsh(corpus, shingleSize = 3, numHashes = 32, bands = 8,
+          threshold = thr).select("doc_id_a", "doc_id_b"))
+      val cclMap = corpusLabels.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val arrivalIds = arrivals.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+
+      // two ascending batches — the rolling contract
+      val rowsIn = arrivals.collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      val (lo, hi) = rowsIn.partition(_._1 < 460)
+      val got = Dedup.splitRollingMinhash(corpus, corpusLabels,
+          Seq(lo.toSeq.toDF("doc_id", "text"), hi.toSeq.toDF("doc_id", "text")),
+          base, threshold = thr)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+        .toMap
+      assert(got.keySet == arrivalIds)
+
+      // every arrival matches batch q239 UNLESS a bridge explains it:
+      // its full component spans >= 2 corpus clusters, or chains through
+      // an arrival assigned in an earlier lifecycle than its partner
+      val compMembers = fullLabels.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+      val divergent = arrivalIds.filter(id =>
+        got(id)._1 != fullLabels.getOrElse(id, id))
+      divergent.foreach { id =>
+        val comp = compMembers(fullLabels(id))
+        val corpusClusters = comp.filterNot(arrivalIds).map(c => cclMap.getOrElse(c, c))
+        assert(corpusClusters.size >= 2,
+          s"arrival $id: rolling ${got(id)._1} != batch ${fullLabels(id)} " +
+            s"without a bridged component (corpus clusters $corpusClusters)")
+      }
+      // the arrival-only components the STATIC twin self-labels must now
+      // match batch exactly — this is the lifecycle's whole point
+      val arrivalOnly = arrivalIds.filter { id =>
+        fullLabels.contains(id) &&
+          compMembers(fullLabels(id)).forall(arrivalIds)
+      }
+      assert(arrivalOnly.nonEmpty,
+        "fixture lost its arrival-only components — slice needs re-picking")
+      arrivalOnly.foreach { id =>
+        assert(got(id)._1 == fullLabels(id),
+          s"arrival-only member $id: rolling ${got(id)._1} != batch ${fullLabels(id)}")
+      }
+      // and cluster-mates always share a split (the no-straddle shape)
+      got.groupBy(_._2._1).values.foreach { members =>
+        assert(members.map(_._2._2).toSet.size == 1)
+      }
+    } finally Seq(s"${base}_post", s"${base}_splits")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("splitStreamMinhash never broadcasts the corpus-derived index") {
     val docs = graft.Tables.documents(spark, Sf0001).filter(col("text").isNotNull)
     val isNew = col("doc_id") % 5 === 0
