@@ -186,41 +186,67 @@ object TextStats {
     graft.operators.TextIndex.bpeMergeRounds(Tables.documents(s, dir),
       rounds = 3)
 
+  /** q242: the BPE trainer's CHECKPOINT-CADENCE path under the hash gate
+    * — 6 merge rounds with ckptEvery = 2, the mode a production
+    * vocabulary must use (the lazy unrolled plan is exponential in
+    * rounds and fenced at 8; see bpeMergeRounds). Same oracle device as
+    * q228 at 6 rounds: the eager per-round materialization and the
+    * representation checkpoints must change NOTHING about the learned
+    * merge sequence, and DuckDB re-derives all six rounds from scratch
+    * to prove it.
+    */
+  def q242BpeCkpt(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.bpeMergeRounds(Tables.documents(s, dir),
+      rounds = 6, ckptEvery = 2)
+
   /** q228/q237's shared oracle prefix: rounds unroll as CTE triples
     * (rep_r, pairs over rep_r, best_r); chr(1) is the sentinel the
     * operator uses.
     */
-  private val bpeCtePrefix: String = {
-    def pairsCte(pv: String, rv: String): String =
-      s"""$pv AS (
-         |  SELECT ts[i] AS tok, ts[i + 1] AS nxt
-         |  FROM (SELECT string_split(substr(rep, 2, length(rep) - 2),
-         |          chr(1) || chr(1)) AS ts FROM $rv) t,
-         |    UNNEST(range(1, len(ts))) AS u(i)
-         |  WHERE len(ts) >= 2)""".stripMargin
-    def bestCte(bv: String, pv: String): String =
-      s"""$bv AS (
-         |  SELECT tok, nxt, COUNT(*) AS cnt FROM $pv GROUP BY 1, 2
-         |  ORDER BY cnt DESC, tok, nxt LIMIT 1)""".stripMargin
-    def rewriteCte(rv: String, prev: String, bv: String): String =
-      s"""$rv AS (
-         |  SELECT replace(rep,
-         |      chr(1) || $bv.tok || chr(1) || chr(1) || $bv.nxt || chr(1),
-         |      chr(1) || $bv.tok || $bv.nxt || chr(1)) AS rep
-         |  FROM $prev CROSS JOIN $bv)""".stripMargin
-    s"""r0 AS (
-       |  SELECT chr(1) || array_to_string(string_split(text, ' '),
-       |      chr(1) || chr(1)) || chr(1) AS rep
-       |  FROM documents WHERE text IS NOT NULL),
-       |${pairsCte("p0", "r0")},
-       |${bestCte("b0", "p0")},
-       |${rewriteCte("r1", "r0", "b0")},
-       |${pairsCte("p1", "r1")},
-       |${bestCte("b1", "p1")},
-       |${rewriteCte("r2", "r1", "b1")},
-       |${pairsCte("p2", "r2")},
-       |${bestCte("b2", "p2")}""".stripMargin
+  private def pairsCte(pv: String, rv: String): String =
+    s"""$pv AS (
+       |  SELECT ts[i] AS tok, ts[i + 1] AS nxt
+       |  FROM (SELECT string_split(substr(rep, 2, length(rep) - 2),
+       |          chr(1) || chr(1)) AS ts FROM $rv) t,
+       |    UNNEST(range(1, len(ts))) AS u(i)
+       |  WHERE len(ts) >= 2)""".stripMargin
+  private def bestCte(bv: String, pv: String): String =
+    s"""$bv AS (
+       |  SELECT tok, nxt, COUNT(*) AS cnt FROM $pv GROUP BY 1, 2
+       |  ORDER BY cnt DESC, tok, nxt LIMIT 1)""".stripMargin
+  private def rewriteCte(rv: String, prev: String, bv: String): String =
+    s"""$rv AS (
+       |  SELECT replace(rep,
+       |      chr(1) || $bv.tok || chr(1) || chr(1) || $bv.nxt || chr(1),
+       |      chr(1) || $bv.tok || $bv.nxt || chr(1)) AS rep
+       |  FROM $prev CROSS JOIN $bv)""".stripMargin
+
+  private val bpeCtePrefix: String = bpeCtePrefixN(3)
+
+  /** The unrolled-rounds CTE chain for an arbitrary round count — r0,
+    * then per round r: pairs p_r over rep r, argmax b_r, rewrite
+    * r_{r+1} (no rewrite after the last round). q228/q237 use the
+    * 3-round instance; q242 gates the checkpoint-cadence path at 6.
+    */
+  private def bpeCtePrefixN(rounds: Int): String = {
+    val head =
+      s"""r0 AS (
+         |  SELECT chr(1) || array_to_string(string_split(text, ' '),
+         |      chr(1) || chr(1)) || chr(1) AS rep
+         |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+    val rest = (0 until rounds).flatMap { r =>
+      Seq(pairsCte(s"p$r", s"r$r"), bestCte(s"b$r", s"p$r")) ++
+        (if (r == rounds - 1) Nil
+         else Seq(rewriteCte(s"r${r + 1}", s"r$r", s"b$r")))
+    }
+    (head +: rest).mkString(",\n")
   }
+
+  private def bpeSqlN(rounds: Int): String =
+    s"WITH ${bpeCtePrefixN(rounds)}\n" +
+      (0 until rounds).map(r =>
+        s"SELECT $r AS merge_round, tok, nxt, tok || nxt AS merged, cnt FROM b$r")
+        .mkString("\nUNION ALL\n")
 
   private val bpeSql: String =
     s"""WITH $bpeCtePrefix
@@ -269,6 +295,7 @@ object TextStats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q228_bpe_merges"   -> (q228BpeMerges _),
+    "q242_bpe_ckpt"     -> (q242BpeCkpt _),
     "q237_bpe_encode"   -> (q237BpeEncode _),
     "q206_mixture_plan" -> (q206MixturePlan _),
     "q205_dedup_impact" -> (q205DedupImpact _),
@@ -279,6 +306,7 @@ object TextStats {
 
   val oracles: Map[String, String] = Map(
     "q228_bpe_merges" -> bpeSql,
+    "q242_bpe_ckpt" -> bpeSqlN(6),
     "q237_bpe_encode" -> bpeEncodeSql,
     "q206_mixture_plan" ->
       """WITH b AS (
