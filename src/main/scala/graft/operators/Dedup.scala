@@ -1369,8 +1369,16 @@ object Dedup {
       .withColumn("sig",
         graft.functions.MinHashSig.minhashSig(col("xh"), index.numHashes))
     (0 until index.bands).foreach { b =>
+      // null-sig arrivals (no shingles) get a NULL bucket — an equi-join
+      // null key matches nothing, so they fall straight through to the
+      // self/admit path. Mirrors the index side's .filter(sig.isNotNull)
+      // (round-14 advice): without it, hash(null) is a CONSTANT, so every
+      // null-sig arrival would drag one bucket's full candidate list
+      // through all `bands` joins (results stayed correct — the Jaccard
+      // verify nulls out — but the defense-in-depth was asymmetric).
       s = s.withColumn(s"mbucket_$b",
-          hash(slice(col("sig"), lit(b * rows + 1), lit(rows))))
+          when(col("sig").isNotNull,
+            hash(slice(col("sig"), lit(b * rows + 1), lit(rows)))))
         .join(index.bandMaps(b).hint("shuffle_hash"), Seq(s"mbucket_$b"), "left")
     }
     val emptyCands = array().cast("array<struct<cid:bigint,cxh:array<bigint>>>")
@@ -1481,8 +1489,16 @@ object Dedup {
       .withColumn("sig",
         graft.functions.MinHashSig.minhashSig(col("xh"), index.numHashes))
     (0 until index.bands).foreach { b =>
+      // null-sig arrivals (no shingles) get a NULL bucket — an equi-join
+      // null key matches nothing, so they fall straight through to the
+      // self/admit path. Mirrors the index side's .filter(sig.isNotNull)
+      // (round-14 advice): without it, hash(null) is a CONSTANT, so every
+      // null-sig arrival would drag one bucket's full candidate list
+      // through all `bands` joins (results stayed correct — the Jaccard
+      // verify nulls out — but the defense-in-depth was asymmetric).
       s = s.withColumn(s"mbucket_$b",
-          hash(slice(col("sig"), lit(b * rows + 1), lit(rows))))
+          when(col("sig").isNotNull,
+            hash(slice(col("sig"), lit(b * rows + 1), lit(rows)))))
         .join(index.bandMaps(b).hint("shuffle_hash"), Seq(s"mbucket_$b"), "left")
     }
     val emptyCands = array()

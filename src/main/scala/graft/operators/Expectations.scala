@@ -100,25 +100,35 @@ object Expectations {
     // snapshot behind a green verdict. foreachBatch frames are already
     // stable; the API accepts any DataFrame, so the gate must not trust
     // that. (round-13 advice)
-    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // ONE audit job, collected once (rules-sized): the verdict and the
-      // returned report come from the same rows, and the returned frame
-      // is materialized so it never re-reads the source after unpersist
-      val report = audit(pinned, rules)
-      val reportRows = report.collect()
-      val bad = reportRows.map(_.getAs[Long]("n_violations")).sum
-      if (bad == 0L)
-        pinned.write.mode(org.apache.spark.sql.SaveMode.Append)
-          .format("parquet").saveAsTable(snapshotTable)
-      else
-        gateRows(pinned, rules).write
-          .mode(org.apache.spark.sql.SaveMode.Append)
-          .format("parquet").saveAsTable(quarantineTable)
-      val s = batch.sparkSession
-      import scala.jdk.CollectionConverters._
-      s.createDataFrame(reportRows.toSeq.asJava, report.schema)
-    } finally pinned.unpersist(blocking = false)
+    //
+    // localCheckpoint, NOT persist (round-14 advice): persist is not
+    // executor-loss tolerant — a cached partition lost between the audit
+    // collect and the write would silently RECOMPUTE from the original
+    // source, reopening the divergence the pin closes. localCheckpoint
+    // TRUNCATES lineage, so a lost block fails the write loudly instead
+    // of silently diverging — fail-loud is the right failure mode for an
+    // admission gate (and the ckpt discipline bpeMergeRounds /
+    // propagationComponents already use). The eager materialization is
+    // the same one job persist+collect paid; the checkpoint blocks are
+    // microbatch-sized and reclaimed by the ContextCleaner when the
+    // frame goes out of scope.
+    val pinned = batch.localCheckpoint(eager = true)
+    // ONE audit job, collected once (rules-sized): the verdict and the
+    // returned report come from the same rows, and the returned frame is
+    // materialized so it never re-reads the source
+    val report = audit(pinned, rules)
+    val reportRows = report.collect()
+    val bad = reportRows.map(_.getAs[Long]("n_violations")).sum
+    if (bad == 0L)
+      pinned.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(snapshotTable)
+    else
+      gateRows(pinned, rules).write
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(quarantineTable)
+    val s = batch.sparkSession
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(reportRows.toSeq.asJava, report.schema)
   }
 
   /** Referential-integrity expectation: rows of `child` whose `childKey`

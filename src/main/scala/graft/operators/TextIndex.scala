@@ -181,6 +181,69 @@ object TextIndex {
   def bigramTopKIndexed(stats: DataFrame, k: Int = 3): DataFrame =
     bigramTopK(stats.groupBy("tok", "nxt").agg(sum("cnt").as("cnt")), k)
 
+  /** Backoff NLL for a bigram ABSENT from the statistics table: the same
+    * micro-nat formula evaluated at the 1-ppm floor probability —
+    * floor(-ln(1e-6) * 1e6). Hardcoded (not computed at class-load) so
+    * the Scala constant and the oracle SQL literal cannot drift through
+    * a libm change; derivation pinned in TextIndexSpec.
+    */
+  val UnkNllMicro: Long = 13815510L
+
+  /** Per-document negative log-likelihood under a persisted bigram LM —
+    * the CCNet perplexity-filter scoring stage (Wenzek et al. 2020): a
+    * document's quality signal is its mean per-bigram NLL against a
+    * reference language model, here the [[saveBigramStats]] table.
+    *
+    * ENGINE-AGREED BY ENUMERATION, not probability: probabilities
+    * quantize to integer ppm first (p_ppm = cnt*1e6 DIV tot, exact
+    * integer arithmetic; 0 floors to 1 ppm), and the per-pair NLL is
+    * floor(-ln(p_ppm/1e6) * 1e6) — a function of p_ppm with only 10^6
+    * possible inputs, exhaustively verified bit-identical between
+    * java.lang.Math.log and DuckDB's ln over ALL of them (round 15).
+    * From there everything is exact BIGINT arithmetic: sum_nll is an
+    * order-invariant integer sum, avg_nll_u an integer floor-division.
+    * Bigrams missing from the stats (scoring NEW text against a frozen
+    * reference LM) back off to [[UnkNllMicro]], the 1-ppm NLL.
+    *
+    * Returns keyCols ++ (n_pairs, sum_nll, avg_nll_u), one row per doc
+    * with >= 1 bigram (sub-2-token docs have no NLL and are dropped —
+    * callers that must keep them left-join this result back).
+    *
+    * Shape at 100 TB: the probability table is vocab²-bounded (built
+    * shuffle-free on the stats table's tok bucketing); the corpus pass
+    * is one map-only pair explode, one (tok, nxt) join against the
+    * shuffle_hash-hinted probability side (never broadcast — a web-scale
+    * vocab² doesn't fit; AQE handles the Zipf-head skew), and one
+    * doc-keyed aggregation. No window anywhere.
+    */
+  def docNllFromStats(docs: DataFrame, stats: DataFrame,
+                      textCol: String = "text",
+                      keyCols: Seq[String] = Seq("doc_id"),
+                      unicode: Boolean = false): DataFrame = {
+    val pairCnt = stats.groupBy("tok", "nxt").agg(sum("cnt").as("cnt"))
+    val tot = pairCnt.groupBy("tok").agg(sum("cnt").as("tot"))
+    val prob = pairCnt.join(tot, "tok")
+      .select(col("tok"), col("nxt"),
+        floor(-log(greatest(expr("cnt * 1000000 DIV tot"), lit(1L))
+          .cast("double") / lit(1000000.0)) * lit(1000000.0))
+          .cast("long").as("nll_u"))
+    val ts = TextFunctions.tokens(col(textCol), unicode)
+    val pairs = docs
+      .filter(col(textCol).isNotNull && size(ts) >= 2)
+      .select(keyCols.map(col) :+
+        explode(zip_with(
+          slice(ts, lit(1), size(ts) - 1),
+          slice(ts, lit(2), size(ts) - 1),
+          (a, b) => struct(a.as("tok"), b.as("nxt")))).as("p"): _*)
+      .select(keyCols.map(col) :+ col("p.tok") :+ col("p.nxt"): _*)
+    pairs
+      .join(prob.hint("shuffle_hash"), Seq("tok", "nxt"), "left")
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("nll_u"), lit(UnkNllMicro))).as("sum_nll"))
+      .withColumn("avg_nll_u", expr("sum_nll DIV n_pairs"))
+  }
+
   /** BM25 (k1 = 1.25, b = 0.75, rational idf — Signals.bm25's algebra)
     * answered from the persisted index. The corpus is never touched: tf
     * and df come from the term-pruned posting read (df is a shuffle-free

@@ -46,11 +46,13 @@ object Curation2 {
     * a CDATA section and a nav div keyed on doc_id mod (line-frequent →
     * stripped downstream), an entity-laced line unique per doc (decode
     * lands in the hash-checked output, including the `&amp;amp;` →
-    * literal `&amp;` double-encoding case), and an every-doc footer. The
-    * oracle rebuilds the page and replays the IDENTICAL regex chain
-    * (Html.RegexSteps is written to be engine-agreed: `\z` not `$`,
-    * literal entity replaces ordered &amp;-last) plus q85's
-    * line-frequency SQL.
+    * literal `&amp;` double-encoding case and the numeric
+    * `&#76;`/`&#x4d;` printable-ASCII references), and an every-doc
+    * footer. The oracle rebuilds the page and replays the IDENTICAL
+    * rewrite — GENERATED from Html.RegexSteps/EntitySteps via
+    * Html.htmlExtractSql (engine-agreed by construction: `\z` not `$`,
+    * explicit whitespace class not `\s`, literal entity replaces
+    * &-producers-last) — plus q85's line-frequency SQL.
     */
   def q241HtmlExtract(s: SparkSession, dir: String): DataFrame = {
     val page = Tables.documents(s, dir).filter(col("text").isNotNull)
@@ -64,7 +66,7 @@ object Curation2 {
         lit("]]><DIV class=\"nav\">boiler_"),
         (col("doc_id") % 7).cast("string"),
         lit("</DIV><p>ent_&lt;"), col("doc_id").cast("string"),
-        lit("&gt; &amp;amp; &quot;&nbsp;&apos;</p>" +
+        lit("&gt; &amp;amp; &quot;&nbsp;&apos; num_&#76;&#x4d;</p>" +
           "<footer>(c) corp footer</footer></body></html>")).as("text"))
     val extracted = page.select(col("doc_id"),
       graft.functions.Html.htmlExtract(col("text")).as("text"))
@@ -536,29 +538,21 @@ object Curation2 {
         |    // 2048 AS seq_id
         |FROM budg""".stripMargin
     },
-    // the identical rewrite chain (RE2 inline flags, \z end-of-input,
-    // \1 backref, 'g' option) + q85's line-frequency SQL over the result
+    // the identical rewrite chain, GENERATED from Html.RegexSteps /
+    // EntitySteps (Html.htmlExtractSql — one Scala source of truth, two
+    // engine renderings) + q85's line-frequency SQL over the result
     "q241_html_extract" ->
-      """WITH page AS (SELECT doc_id,
+      s"""WITH page AS (SELECT doc_id,
         |    '<html><!-- nav follows --><head><script type="text/javascript">var x = 1 < 2;</script><style>p { color: red }</style></head><body><h1>Doc '
         |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
         |    || '</p><![CDATA[cdata_' || CAST(doc_id % 3 AS VARCHAR)
         |    || ']]><DIV class="nav">boiler_' || CAST(doc_id % 7 AS VARCHAR)
         |    || '</DIV><p>ent_&lt;' || CAST(doc_id AS VARCHAR)
-        |    || '&gt; &amp;amp; &quot;&nbsp;&apos;</p><footer>(c) corp footer</footer></body></html>'
+        |    || '&gt; &amp;amp; &quot;&nbsp;&apos; num_&#76;&#x4d;</p><footer>(c) corp footer</footer></body></html>'
         |    AS html
         |  FROM documents WHERE text IS NOT NULL),
         |x AS (SELECT doc_id,
-        |  replace(replace(replace(replace(replace(replace(
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-        |      '(?is)<script\b[^>]*>.*?(</script\s*>|\z)', '', 'g'),
-        |      '(?is)<style\b[^>]*>.*?(</style\s*>|\z)', '', 'g'),
-        |      '(?s)<!--.*?(-->|\z)', '', 'g'),
-        |      '(?s)<!\[CDATA\[(.*?)(\]\]>|\z)', '\1', 'g'),
-        |      '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|section|article|header|footer|nav|blockquote|pre|hr|form|title)\b[^>]*>', chr(10), 'g'),
-        |      '<[^>]*>', '', 'g'),
-        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
-        |    '&nbsp;', ' '), '&amp;', '&') AS t2
+        |  ${graft.functions.Html.htmlExtractSql("html")} AS t2
         |  FROM page),
         |lines AS (SELECT doc_id,
         |    generate_subscripts(string_split(t2, chr(10)), 1) AS pos,

@@ -57,7 +57,7 @@ class HtmlSpec extends SparkSpecBase {
     assert(extract("a<preface>b") == "ab")
   }
 
-  test("entities: named set, &amp; last, double-encoding, numeric intact") {
+  test("entities: named set, &-producers last, double-encoding, numeric") {
     assert(extract("&lt;b&gt; &quot;q&quot; &apos;a&apos;") ==
       "<b> \"q\" 'a'")
     assert(extract("a&nbsp;b") == "a b")
@@ -66,8 +66,17 @@ class HtmlSpec extends SparkSpecBase {
     assert(extract("&amp;lt;script&amp;gt;") == "&lt;script&gt;")
     // decoded angle brackets appear AFTER tag stripping: no fresh tag
     assert(extract("&lt;script&gt;x&lt;/script&gt;") == "<script>x</script>")
-    // numeric character references are out of the named contract: intact
-    assert(extract("&#65;&#x41;") == "&#65;&#x41;")
+    // printable-ASCII numeric refs DECODE (round-15): decimal + lowercase
+    // hex twins, 32..126
+    assert(extract("&#65;&#x41;") == "AA")
+    assert(extract("&#32;&#x7e;&#126;") == " ~~")
+    // the &-producing numeric forms behave like &amp;: last, no cascade
+    assert(extract("&#38;lt;") == "&lt;")
+    assert(extract("&#x26;gt;") == "&gt;")
+    // non-canonical / out-of-range forms stay intact — the contract is
+    // the generated literal chain, not a codepoint parser
+    assert(extract("&#X41;&#065;&#10;&#200;&#x1f600;") ==
+      "&#X41;&#065;&#10;&#200;&#x1f600;")
     assert(extract("&unknown;") == "&unknown;")
   }
 
