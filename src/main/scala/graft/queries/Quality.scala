@@ -211,6 +211,42 @@ object Quality {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** q243: perplexity-based quality filter from the PERSISTED bigram LM —
+    * the CCNet stage (Wenzek et al. 2020) that was the one standard
+    * quality filter still missing after rule-based Gopher (q160) and
+    * repetition screens (q56): score every document by its mean
+    * per-bigram NLL against the persisted statistics table
+    * (TextIndex.saveBigramStats through q169's full lifecycle — build,
+    * admit, compact), cut each source into perplexity TERTILES, and keep
+    * the head+middle buckets (CCNet's keep rule; the tail tertile is the
+    * gibberish/boilerplate band).
+    *
+    * Cross-engine exactness is BY ENUMERATION (TextIndex.docNllFromStats
+    * scaladoc): probabilities quantize to integer ppm, per-pair NLL is
+    * floor(-ln(p_ppm/1e6)*1e6) — verified bit-identical between
+    * Math.log and DuckDB's ln over all 10^6 possible inputs — and
+    * everything downstream is exact BIGINT arithmetic. The per-source
+    * tertile rank rides StratifiedSelect.chunkedPrefix (q165's device):
+    * NO single-task sort even when one source dominates a 100 TB corpus;
+    * the oracle replays it as a plain ROW_NUMBER window.
+    */
+  def q243PerplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    val stats = BigramStatsTables.ensure(s, dir)
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select("doc_id", "source", "text")
+    val scored = graft.operators.TextIndex.docNllFromStats(
+      docs, stats, keyCols = Seq("doc_id", "source"))
+    val ranked = StratifiedSelect.chunkedPrefix(scored,
+      stratum = "source", primary = "avg_nll_u", desc = false,
+      tieBreak = Seq(col("doc_id")), value = lit(1L),
+      nChunks = math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt))
+    ranked
+      .withColumn("ppl_bucket", expr("CAST((rn - 1) * 3 DIV n_stratum + 1 AS INT)"))
+      .withColumn("keep", col("ppl_bucket") <= 2)
+      .select("doc_id", "source", "n_pairs", "sum_nll", "avg_nll_u",
+        "ppl_bucket", "keep")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_group_percentiles" -> (q194GroupPercentiles _),
     "q195_hist_drift" -> (q195HistDrift _),
@@ -218,9 +254,45 @@ object Quality {
     "q94_iqr_outliers"  -> (q94IqrOutliers _),
     "q98_table_profile" -> (q98TableProfile _),
     "q218_expectations" -> (q218Expectations _),
-    "q236_expectations_gate" -> (q236ExpectationsGate _))
+    "q236_expectations_gate" -> (q236ExpectationsGate _),
+    "q243_perplexity_filter" -> (q243PerplexityFilter _))
 
   val oracles: Map[String, String] = Map(
+    // replays the persisted-stats fold from the corpus directly (the
+    // additive-monoid invariant: any batch split folds to the same
+    // statistics — q169's device), then the exact integer NLL algebra
+    // and a plain per-source ROW_NUMBER for the chunkedPrefix rank.
+    // 13815510 = floor(-ln(1e-6)*1e6), TextIndex.UnkNllMicro.
+    "q243_perplexity_filter" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+        |           FROM documents WHERE text IS NOT NULL),
+        |pr AS (SELECT doc_id, source, ts[i] AS tok, ts[i + 1] AS nxt
+        |       FROM t, UNNEST(range(1, len(ts))) AS u(i)
+        |       WHERE len(ts) >= 2),
+        |c AS (SELECT tok, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM pr GROUP BY 1, 2),
+        |tt AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |p AS (SELECT c.tok, c.nxt,
+        |        CAST(floor(-ln(CAST(GREATEST(c.cnt * 1000000 // tt.tot, 1)
+        |          AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT) AS nll_u
+        |      FROM c JOIN tt USING (tok)),
+        |d AS (SELECT pr.doc_id, pr.source,
+        |        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |        CAST(SUM(COALESCE(p.nll_u, 13815510)) AS BIGINT) AS sum_nll
+        |      FROM pr LEFT JOIN p ON pr.tok = p.tok AND pr.nxt = p.nxt
+        |      GROUP BY 1, 2),
+        |r AS (SELECT doc_id, source, n_pairs, sum_nll,
+        |        CAST(sum_nll // n_pairs AS BIGINT) AS avg_nll_u
+        |      FROM d),
+        |w AS (SELECT *,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY avg_nll_u, doc_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY source) AS n
+        |      FROM r)
+        |SELECT doc_id, source, n_pairs, sum_nll, avg_nll_u,
+        |  CAST((rn - 1) * 3 // n + 1 AS INTEGER) AS ppl_bucket,
+        |  ((rn - 1) * 3 // n + 1) <= 2 AS keep
+        |FROM w""".stripMargin,
     "q236_expectations_gate" ->
       """WITH g AS (
         |  SELECT concat_ws(',',

@@ -207,6 +207,35 @@ class TextIndexSpec extends SparkSpecBase {
     } finally dropBg()
   }
 
+  test("docNllFromStats: hand-computed micro-nat NLL, backoff, UnkNllMicro pin") {
+    import spark.implicits._
+    // the hardcoded backoff constant IS floor(-ln(1e-6)*1e6) — pinned so a
+    // libm change can never silently shift it out from under the oracles
+    assert(TextIndex.UnkNllMicro ==
+      math.floor(-math.log(1e-6) * 1e6).toLong)
+    // planted stats: (a,b)x3, (b,a)x1, (b,c)x1 → tot a=3, b=2
+    // p_ppm(a,b) = 1e6 → nll 0; p_ppm(b,·) = 500000 → floor(-ln(.5)*1e6)
+    val stats = Seq(("a", "b", 3L), ("b", "a", 1L), ("b", "c", 1L))
+      .toDF("tok", "nxt", "cnt")
+    val halfNll = math.floor(-math.log(0.5) * 1e6).toLong // 693147
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextIndex.docNllFromStats(docs, stats)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // d1: pairs (a,b)(b,a)(a,b) → 0 + 693147 + 0
+    assert(got(1L) == ((3L, halfNll, halfNll / 3)))
+    // d2: pairs (a,b)(b,c) → 0 + 693147
+    assert(got(2L) == ((2L, halfNll, halfNll / 2)))
+    // scoring NEW text against the frozen stats: unseen bigram backs off
+    val unk = TextIndex.docNllFromStats(
+      Seq((9L, "x y")).toDF("doc_id", "text"), stats)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(unk(9L) == TextIndex.UnkNllMicro)
+    // sub-2-token docs have no bigram and are dropped, not zero-scored
+    assert(TextIndex.docNllFromStats(
+      Seq((8L, "solo")).toDF("doc_id", "text"), stats).isEmpty)
+  }
+
   test("bpeMergeRounds reproduces a known merge sequence on a planted corpus") {
     import spark.implicits._
     // pair counts: (a,b)=3, (b,c)=2, (b,a)=1, (c,c)=1
