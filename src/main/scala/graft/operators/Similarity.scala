@@ -500,6 +500,19 @@ object Similarity {
     * Scale note: the stage-4 shuffle keys on sid, so its parallelism is
     * bounded by nSuper — another reason nSuper ~ √nList (10³ partitions
     * at nList = 10⁶), not a constant.
+    *
+    * Shuffle-bytes note (round-14 verdict): the fine-ranking aggregation
+    * carries ONLY (vec_id, cdist, cid) — e/nrm re-attach afterwards by a
+    * vec_id join against `v`, which co-locates with the aggregation's own
+    * hashPartitioning(vec_id) (no extra exchange on the ranked side), so
+    * exactly ONE exchange in the whole plan bears each vector's embedding
+    * more than once: the inherent sid-keyed candidate join, where e must
+    * meet its cSuper super-cells' member centroids. The earlier shape
+    * (first(e)/first(nrm) through the final agg) re-shipped e up to
+    * cSuper more times per vector at fine-ranking time — at 10⁹ vectors
+    * that roughly doubled the stage's shuffle bytes. The re-attach
+    * re-scans v's source projection instead (map-only, columnar) — a
+    * scan is the cheap side of that trade at every scale.
     */
   def rankCellsTwoLevel(v: DataFrame, cents: DataFrame, nSuper: Int,
                         cSuper: Int, topCells: Int): DataFrame = {
@@ -525,13 +538,14 @@ object Similarity {
            first(col("e")).as("e"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("e"), col("nrm"),
         explode(col("sups.sid")).as("sid"))
-    vsup.join(centAssign.hint("shuffle_hash"), Seq("sid"))
+    val fine = vsup.join(centAssign.hint("shuffle_hash"), Seq("sid"))
       .withColumn("cdist", dot(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
       .groupBy("vec_id")
       .agg(graft.functions.BoundedTopK.topK(
              struct(col("cdist"), col("cid")), topCells,
-             desc = Seq(true, false)).as("cells"),
-           first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+             desc = Seq(true, false)).as("cells"))
+    v.select(col("vec_id"), col("e"), col("nrm"))
+      .join(fine, Seq("vec_id"))
       .select(col("vec_id"), col("e"), col("nrm"), col("cells"))
   }
 

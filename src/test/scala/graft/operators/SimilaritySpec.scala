@@ -555,6 +555,14 @@ class SimilaritySpec extends SparkSpecBase {
       assert(nB <= 2, s"expected only super-centroid broadcasts, saw $nB:\n$p")
       assert(ranked.columns.toSeq ==
         Seq("vec_id", "e", "nrm", "cells"))
+      // round-15 shuffle-bytes contract: the FINE-ranking aggregation
+      // must not carry the embedding (e/nrm re-attach via the vec_id
+      // join) — first(e…) appears in exactly ONE aggregate pair
+      // (partial + final, the super-cell ranking), not two
+      val nFirstE = "first\\(e#".r.findAllIn(p).length
+      assert(nFirstE <= 2,
+        s"fine-ranking agg re-ships the embedding ($nFirstE first(e) " +
+          s"occurrences, expected <= 2 from the single vsup agg):\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
