@@ -199,6 +199,28 @@ object TextStats {
     graft.operators.TextIndex.bpeMergeRounds(Tables.documents(s, dir),
       rounds = 6, ckptEvery = 2)
 
+  /** q245: tokenizer-training DEPTH under the hash gate (round-14
+    * verdict ask #9) — a 64-round bpeMergeRounds(ckptEvery = 4) run whose
+    * EXACT final merge table DuckDB re-derives round by round. q242
+    * gates the cadence mechanics at 6 rounds; this gates that a real
+    * vocabulary's worth of sequential merges stays correct AND flat
+    * per round (docs/perf/BPE_SOAK_r15.txt carries the per-round walls;
+    * the lazy alternative is measured exponential and fenced at 8).
+    *
+    * Trains on the doc_id < 500 slice — the WHOLE corpus at sf0.001/0.01,
+    * a fixed slice at larger SFs — deliberately SF-INDEPENDENT work: a
+    * depth gate measures rounds, not corpus breadth (q242 scales with
+    * the corpus and covers breadth). 64 sequential rounds are inherent
+    * latency (~0.12 s/round of fixed job cost), so bounding the slice
+    * keeps the gate honest without pricing depth × breadth twice.
+    * Oracle: the same unrolled-CTE device as q228/q242 at 64 rounds,
+    * MATERIALIZED per round so DuckDB evaluates the chain linearly.
+    */
+  def q245BpeDeep(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.bpeMergeRounds(
+      Tables.documents(s, dir).filter(col("doc_id") < 500),
+      rounds = 64, ckptEvery = 4)
+
   /** q228/q237's shared oracle prefix: rounds unroll as CTE triples
     * (rep_r, pairs over rep_r, best_r); chr(1) is the sentinel the
     * operator uses.
@@ -210,12 +232,18 @@ object TextStats {
        |          chr(1) || chr(1)) AS ts FROM $rv) t,
        |    UNNEST(range(1, len(ts))) AS u(i)
        |  WHERE len(ts) >= 2)""".stripMargin
+  // AS MATERIALIZED on every rep/best CTE (round 15): DuckDB 1.0 INLINES
+  // plain CTEs, and round r's rep is referenced twice (pair count +
+  // rewrite) — inlined, the unrolled chain re-opens the parquet source
+  // 2^rounds times (the exact exponential bpeMergeRounds documents on
+  // the Spark side; 64 rounds died on open file handles). MATERIALIZED
+  // evaluates each round once — same results, linear cost.
   private def bestCte(bv: String, pv: String): String =
-    s"""$bv AS (
+    s"""$bv AS MATERIALIZED (
        |  SELECT tok, nxt, COUNT(*) AS cnt FROM $pv GROUP BY 1, 2
        |  ORDER BY cnt DESC, tok, nxt LIMIT 1)""".stripMargin
   private def rewriteCte(rv: String, prev: String, bv: String): String =
-    s"""$rv AS (
+    s"""$rv AS MATERIALIZED (
        |  SELECT replace(rep,
        |      chr(1) || $bv.tok || chr(1) || chr(1) || $bv.nxt || chr(1),
        |      chr(1) || $bv.tok || $bv.nxt || chr(1)) AS rep
@@ -228,12 +256,12 @@ object TextStats {
     * r_{r+1} (no rewrite after the last round). q228/q237 use the
     * 3-round instance; q242 gates the checkpoint-cadence path at 6.
     */
-  private def bpeCtePrefixN(rounds: Int): String = {
+  private def bpeCtePrefixN(rounds: Int, extraWhere: String = ""): String = {
     val head =
-      s"""r0 AS (
+      s"""r0 AS MATERIALIZED (
          |  SELECT chr(1) || array_to_string(string_split(text, ' '),
          |      chr(1) || chr(1)) || chr(1) AS rep
-         |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+         |  FROM documents WHERE text IS NOT NULL$extraWhere)""".stripMargin
     val rest = (0 until rounds).flatMap { r =>
       Seq(pairsCte(s"p$r", s"r$r"), bestCte(s"b$r", s"p$r")) ++
         (if (r == rounds - 1) Nil
@@ -242,8 +270,8 @@ object TextStats {
     (head +: rest).mkString(",\n")
   }
 
-  private def bpeSqlN(rounds: Int): String =
-    s"WITH ${bpeCtePrefixN(rounds)}\n" +
+  private def bpeSqlN(rounds: Int, extraWhere: String = ""): String =
+    s"WITH ${bpeCtePrefixN(rounds, extraWhere)}\n" +
       (0 until rounds).map(r =>
         s"SELECT $r AS merge_round, tok, nxt, tok || nxt AS merged, cnt FROM b$r")
         .mkString("\nUNION ALL\n")
@@ -296,6 +324,7 @@ object TextStats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q228_bpe_merges"   -> (q228BpeMerges _),
     "q242_bpe_ckpt"     -> (q242BpeCkpt _),
+    "q245_bpe_deep"     -> (q245BpeDeep _),
     "q237_bpe_encode"   -> (q237BpeEncode _),
     "q206_mixture_plan" -> (q206MixturePlan _),
     "q205_dedup_impact" -> (q205DedupImpact _),
@@ -307,6 +336,7 @@ object TextStats {
   val oracles: Map[String, String] = Map(
     "q228_bpe_merges" -> bpeSql,
     "q242_bpe_ckpt" -> bpeSqlN(6),
+    "q245_bpe_deep" -> bpeSqlN(64, " AND doc_id < 500"),
     "q237_bpe_encode" -> bpeEncodeSql,
     "q206_mixture_plan" ->
       """WITH b AS (

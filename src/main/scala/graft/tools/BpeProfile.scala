@@ -30,10 +30,17 @@ object BpeProfile {
       println(f"[bpe] sf=$sfDir rounds=$r ckptEvery=0 wall=$w%.2f s " +
         f"perRound=${w / r}%.3f s")
     }
-    for (r <- Seq(4, 8, 12, 16)) {
+    // 32/64 added in round 15 (q245's depth): the marginal per-round wall
+    // between consecutive points is the flatness statistic — the lazy
+    // plan's exponential signature would show as super-linear marginals
+    var prev = (0, 0.0)
+    for (r <- Seq(4, 8, 12, 16, 32, 64)) {
       val w = wall(r, 4)
+      val marginal = if (prev._1 == 0) w / r
+                     else (w - prev._2) / (r - prev._1)
       println(f"[bpe] sf=$sfDir rounds=$r ckptEvery=4 wall=$w%.2f s " +
-        f"perRound=${w / r}%.3f s")
+        f"perRound=${w / r}%.3f s marginalPerRound=$marginal%.3f s")
+      prev = (r, w)
     }
     spark.stop()
   }
