@@ -1021,6 +1021,34 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[decontaminate]] with a FRACTION threshold instead of an absolute
+    * count: a doc is contaminated when >= `minSharedPpm` (ppm) of ITS OWN
+    * distinct shingles appear in the eval set. The absolute-count rule is
+    * right for "does this doc quote the benchmark" (q57); the fraction
+    * rule is the one that survives eval-set GROWTH — the eval union's
+    * background overlap with ordinary text scales with |eval|, so any
+    * fixed count eventually flags everything (measured: the q244 fixture
+    * chain kept 217/217 at sf0.01 and 2/1323 at sf0.1 under count >= 9,
+    * while the true planted leaks sit at fraction 0.9+ against a
+    * background p99 ~ 0.52). Same broadcast shape and shingle kernel;
+    * threshold in integer ppm so the comparison is exact cross-engine
+    * (n_shared * 1e6 >= ppm * n_grams — no float division).
+    */
+  def decontaminateFraction(docs: DataFrame, evalSource: String,
+                            shingleSize: Int, minSharedPpm: Long): DataFrame = {
+    val sh = graft.functions.WordGramHashes.wordGramHashes(col("text"), shingleSize)
+    val evalSh = docs.filter(col("source") === evalSource)
+      .select(explode(sh).as("h")).distinct()
+    docs.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), size(sh).cast("long").as("n_grams"),
+        explode(sh).as("h"))
+      .join(broadcast(evalSh), Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"), first("n_grams").as("n_grams"))
+      .filter(col("n_shared") * lit(1000000L) >=
+        lit(minSharedPpm) * col("n_grams"))
+  }
+
   /** [[decontaminate]] with a Bloom pre-screen — the 100 TB shape when the
     * eval shingle set itself is broadcast-heavy: the corpus posting
     * explode first filters through a fixed-size Bloom filter (Spark's own

@@ -31,19 +31,26 @@ object TextChunks {
     * at most megabytes; it is the corpus that is 100 TB), the same
     * contract as q71's per-doc token collect.
     *
-    * Output: (id, n_kept, n_dropped, cleaned) with `cleaned` NULL when
-    * every line was boilerplate (matches SQL string_agg-over-no-rows).
+    * Output: (id, carryCols..., n_kept, n_dropped, cleaned) with `cleaned`
+    * NULL when every line was boilerplate (matches SQL
+    * string_agg-over-no-rows). `carryCols` ride the per-doc re-aggregate
+    * as extra grouping keys (functions of the id — lang/source tags), so
+    * a pipeline doesn't pay a corpus-sized join to re-attach them.
     */
   def stripFrequentLines(docs: DataFrame, maxDf: Int,
                          idCol: String = "doc_id",
-                         textCol: String = "text"): DataFrame = {
+                         textCol: String = "text",
+                         carryCols: Seq[String] = Nil): DataFrame = {
+    val keyCols = idCol +: carryCols
     val lines = docs
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .select(col(idCol), col("pos"), col("line"), xxhash64(col("line")).as("lh"))
+      .select(keyCols.map(col) :+
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")): _*)
+      .select(keyCols.map(col) :+ col("pos") :+ col("line") :+
+        xxhash64(col("line")).as("lh"): _*)
     val freq = lines.groupBy("lh").agg(countDistinct(idCol).as("df"))
     val keep = col("df") < maxDf
     lines.join(freq, "lh")
-      .groupBy(idCol)
+      .groupBy(keyCols.map(col): _*)
       .agg(
         sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
         sum(when(keep, 0L).otherwise(1L)).as("n_dropped"),
@@ -52,8 +59,8 @@ object TextChunks {
             array_sort(collect_list(when(keep, struct(col("pos").as("p"), col("line").as("l"))))),
             s => s.getField("l")),
           "\n").as("joined"))
-      .select(col(idCol), col("n_kept"), col("n_dropped"),
-        when(col("n_kept") > 0, col("joined")).as("cleaned"))
+      .select(keyCols.map(col) :+ col("n_kept") :+ col("n_dropped") :+
+        when(col("n_kept") > 0, col("joined")).as("cleaned"): _*)
   }
 
   /** Fixed-size sliding-window chunking with overlap — the RAG /

@@ -55,22 +55,147 @@ object Curation2 {
     * &-producers-last) — plus q85's line-frequency SQL.
     */
   def q241HtmlExtract(s: SparkSession, dir: String): DataFrame = {
-    val page = Tables.documents(s, dir).filter(col("text").isNotNull)
-      .select(col("doc_id"), concat(
-        lit("<html><!-- nav follows --><head>" +
-          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
-          "<style>p { color: red }</style></head><body><h1>Doc "),
-        col("doc_id").cast("string"),
-        lit("</h1><p>"), col("text"), lit("</p><![CDATA[cdata_"),
-        (col("doc_id") % 3).cast("string"),
-        lit("]]><DIV class=\"nav\">boiler_"),
-        (col("doc_id") % 7).cast("string"),
-        lit("</DIV><p>ent_&lt;"), col("doc_id").cast("string"),
-        lit("&gt; &amp;amp; &quot;&nbsp;&apos; num_&#76;&#x4d;</p>" +
-          "<footer>(c) corp footer</footer></body></html>")).as("text"))
-    val extracted = page.select(col("doc_id"),
-      graft.functions.Html.htmlExtract(col("text")).as("text"))
+    val extracted = hostilePage(Tables.documents(s, dir)
+        .filter(col("text").isNotNull))
+      .select(col("doc_id"),
+        graft.functions.Html.htmlExtract(col("text")).as("text"))
     TextChunks.stripFrequentLines(extracted, maxDf = 5)
+  }
+
+  /** q241/q244's deterministic hostile page wrap (the fixture corpus has
+    * no markup — q85's planting device): a script whose body contains a
+    * bare `<`, a style block, a comment, a CDATA section and a nav div
+    * keyed on doc_id mods (line-frequent → stripped by the line stage),
+    * a per-doc entity-laced line (named + double-encoded + numeric
+    * refs), an every-doc footer. lang/source carried for the pipeline
+    * stages that stratify on them. [[hostilePageSql]] is the same wrap
+    * as a DuckDB CTE body — the two renderings are pinned to each other
+    * by the q241/q244 hash gates.
+    */
+  private def hostilePage(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"), concat(
+      lit("<html><!-- nav follows --><head>" +
+        "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+        "<style>p { color: red }</style></head><body><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"), lit("</p><![CDATA[cdata_"),
+      (col("doc_id") % 3).cast("string"),
+      lit("]]><DIV class=\"nav\">boiler_"),
+      (col("doc_id") % 7).cast("string"),
+      lit("</DIV><p>ent_&lt;"), col("doc_id").cast("string"),
+      lit("&gt; &amp;amp; &quot;&nbsp;&apos; num_&#76;&#x4d;</p>" +
+        "<footer>(c) corp footer</footer></body></html>")).as("text"))
+
+  // one physical line per concat step, operators at line END: this text
+  // interpolates into stripMargin'd oracle templates, where a
+  // line-leading || would lose its first pipe to the margin strip
+  private val hostilePageSql: String =
+    "SELECT doc_id, lang, source, " +
+      "'<html><!-- nav follows --><head><script type=\"text/javascript\">var x = 1 < 2;</script><style>p { color: red }</style></head><body><h1>Doc ' || " +
+      "CAST(doc_id AS VARCHAR) || '</h1><p>' || text || " +
+      "'</p><![CDATA[cdata_' || CAST(doc_id % 3 AS VARCHAR) || " +
+      "']]><DIV class=\"nav\">boiler_' || CAST(doc_id % 7 AS VARCHAR) || " +
+      "'</DIV><p>ent_&lt;' || CAST(doc_id AS VARCHAR) || " +
+      "'&gt; &amp;amp; &quot;&nbsp;&apos; num_&#76;&#x4d;</p><footer>(c) corp footer</footer></body></html>' " +
+      "AS html FROM documents WHERE text IS NOT NULL"
+
+  /** q244: the WEB-CURATION CAPSTONE — the full published web-corpus
+    * pipeline (CCNet/Gopher/RefinedWeb order) as ONE hash-gated chain,
+    * every stage an operator this engine already gates in isolation:
+    *
+    *   extract (Html.htmlExtract, q241) → line-boilerplate strip
+    *   (TextChunks.stripFrequentLines, q85) → Gopher rules (q160's
+    *   formula) → perplexity filter vs the PERSISTED reference bigram LM
+    *   (TextIndex.docNllFromStats, q243 — per-source tertiles, tail
+    *   dropped) → near-dup resolve + keep-first (jaccardPairs +
+    *   contractedComponents, q24/q58) → decontaminate vs the held-out
+    *   eval source (Dedup.decontaminateFraction — src0 is the benchmark;
+    *   its docs leave the pool and its post-extraction trigrams are the
+    *   screen. FRACTION rule at 0.6 of the doc's own grams, because an
+    *   absolute count cannot survive eval-set growth: background overlap
+    *   p99 measured 0.17 at sf0.01 vs 0.52 at sf0.1 while true planted
+    *   leaks sit at 0.9+) →
+    *   NEAR-DUP-SAFE split on the resolved cluster label (q239's device —
+    *   leakage impossible by construction) → per-(split, lang) token
+    *   budget + 512-token sequence packing through chunkedPrefix (q165's
+    *   rank device: no single-task sort even when one split×lang cell is
+    *   corpus-scale).
+    *
+    * Output: the per-doc training manifest (doc_id, lang, source,
+    * cluster, split, n_tokens, cum_before, seq_id). The DuckDB oracle
+    * replays the ENTIRE chain — page wrap, generated rewrite chain,
+    * line frequencies, rule algebra, the enumeration-exact NLL fold,
+    * recursive-CTE closure, trigram decontamination, md5 split buckets,
+    * and the pack windows — so the stage WIRING is under the hash gate,
+    * not just the stages.
+    *
+    * Scale: every stage keeps its own operator's 100 TB contract; the
+    * only additions are map-only projections between stages. flat and
+    * kept persist once each (three consumers each — the q99 scoped-
+    * release device).
+    */
+  def q244WebPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Sampling, StratifiedSelect, TextIndex}
+    val extracted = hostilePage(Tables.documents(s, dir)
+        .filter(col("text").isNotNull))
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.Html.htmlExtract(col("text")).as("text"))
+    val flat = TextChunks.stripFrequentLines(extracted, maxDf = 5,
+        carryCols = Seq("lang", "source"))
+      .filter(col("cleaned").isNotNull)
+      .select(col("doc_id"), col("lang"), col("source"),
+        call_function("replace", col("cleaned"), lit("\n"), lit(" ")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // src0 is the held-out benchmark: out of the pool, into the screen
+    val evalDocs = flat.filter(col("source") === "src0")
+    val pool = flat.filter(col("source") =!= "src0")
+    val t = TextFunctions.tokens(col("text"))
+    val nWords = size(t)
+    val meanWlen = (length(col("text")) - (nWords - lit(1))).cast("double") /
+      nWords.cast("double")
+    val distinctRatio = size(array_distinct(t)).cast("double") /
+      nWords.cast("double")
+    val gop = pool.filter(
+      nWords.between(20, 100) && meanWlen >= 4.0 && meanWlen <= 5.0 &&
+        distinctRatio >= 0.40 &&
+        arrays_overlap(t, array(lit("the"), lit("a"), lit("data"))))
+    val scored = TextIndex.docNllFromStats(gop,
+      BigramStatsTables.ensure(s, dir), keyCols = Seq("doc_id", "source"))
+    val ranked = StratifiedSelect.chunkedPrefix(
+      scored.select("doc_id", "source", "avg_nll_u"),
+      stratum = "source", primary = "avg_nll_u", desc = false,
+      tieBreak = Seq(col("doc_id")), value = lit(1L),
+      nChunks = math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt))
+    val keptIds = ranked
+      .filter(expr("(rn - 1) * 3 DIV n_stratum + 1") <= 2)
+      .select("doc_id")
+    val kept = gop.join(keptIds, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = Dedup.contractedComponents(
+      Dedup.jaccardPairs(kept, threshold = 0.8), stitch = "star")
+    val surv = kept.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .filter(col("doc_id") === col("cluster")) // keep-first == label
+    val contaminated = Dedup.decontaminateFraction(
+      surv.select("doc_id", "source", "text")
+        .unionByName(evalDocs.select("doc_id", "source", "text")),
+      evalSource = "src0", shingleSize = 3, minSharedPpm = 600000L)
+    val clean = surv
+      .join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("split", Sampling.splitAssign(col("cluster")))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("cell", concat_ws("|", col("split"), col("lang")))
+    val packed = StratifiedSelect.chunkedPrefix(
+        clean.select("doc_id", "lang", "source", "cluster", "split",
+          "n_tokens", "cell"),
+        stratum = "cell", primary = "doc_id", desc = false,
+        tieBreak = Seq(col("doc_id")), value = col("n_tokens"),
+        nChunks = math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt))
+      .filter(col("cum_before") < 2000L)
+      .select(col("doc_id"), col("lang"), col("source"), col("cluster"),
+        col("split"), col("n_tokens"), col("cum_before"),
+        expr("cum_before DIV 512").as("seq_id"))
+    graft.operators.Caching.releaseAfterConsumed(packed, flat, kept)
   }
 
   /** q86: sliding-window chunking — 32-token chunks every 24 tokens
@@ -364,6 +489,7 @@ object Curation2 {
     "q104_mixture_upsample" -> (q104MixtureUpsample _),
     "q85_boilerplate_strip" -> (q85BoilerplateStrip _),
     "q241_html_extract"     -> (q241HtmlExtract _),
+    "q244_web_pipeline"     -> (q244WebPipeline _),
     "q86_doc_chunks"        -> (q86DocChunks _),
     "q87_embed_quantize"    -> (q87EmbedQuantize _),
     "q88_mixture_weights"   -> (q88MixtureWeights _),
@@ -541,16 +667,118 @@ object Curation2 {
     // the identical rewrite chain, GENERATED from Html.RegexSteps /
     // EntitySteps (Html.htmlExtractSql — one Scala source of truth, two
     // engine renderings) + q85's line-frequency SQL over the result
+    // the WHOLE web pipeline replayed: page wrap + the generated rewrite
+    // chain (Html.htmlExtractSql), q85's line frequencies, q160's rule
+    // algebra, q243's enumeration-exact NLL fold + per-source tertile,
+    // q24/q58's pair walk + recursive closure, q57's trigram screen
+    // (minShared 9 — survivor background overlap p99), q132's md5 split
+    // buckets on the cluster label, and the budget/pack windows
+    // (chunkedPrefix ≡ ROW_NUMBER/SUM, q165's equivalence)
+    "q244_web_pipeline" ->
+      s"""WITH RECURSIVE page AS ($hostilePageSql),
+        |x AS (SELECT doc_id, lang, source,
+        |  ${graft.functions.Html.htmlExtractSql("html")} AS t2
+        |  FROM page),
+        |lines AS (SELECT doc_id, lang, source,
+        |    generate_subscripts(string_split(t2, chr(10)), 1) AS pos,
+        |    unnest(string_split(t2, chr(10))) AS line FROM x),
+        |freq AS (SELECT line, COUNT(DISTINCT doc_id) AS df
+        |         FROM lines GROUP BY 1),
+        |flat AS (SELECT doc_id, lang, source,
+        |    replace(cleaned, chr(10), ' ') AS text
+        |  FROM (SELECT l.doc_id, l.lang, l.source,
+        |      string_agg(CASE WHEN f.df < 5 THEN l.line END, chr(10)
+        |                 ORDER BY l.pos) AS cleaned
+        |    FROM lines l JOIN freq f USING (line) GROUP BY 1, 2, 3)
+        |  WHERE cleaned IS NOT NULL),
+        |evalg AS (SELECT DISTINCT g AS gram FROM (
+        |    SELECT unnest(${Extensions.trigramListSql("string_split(text, ' ')")}) AS g
+        |    FROM flat WHERE source = 'src0')),
+        |pool AS (SELECT * FROM flat WHERE source <> 'src0'),
+        |gop AS (SELECT doc_id, lang, source, text FROM (
+        |    SELECT *, len(string_split(text, ' ')) AS nw,
+        |      CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |        / len(string_split(text, ' ')) AS mw,
+        |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) AS dr,
+        |      list_has_any(string_split(text, ' '), ['the', 'a', 'data']) AS hs
+        |    FROM pool)
+        |  WHERE nw BETWEEN 20 AND 100 AND mw >= 4.0 AND mw <= 5.0
+        |    AND dr >= 0.40 AND hs),
+        |lm0 AS (SELECT string_split(text, ' ') AS ts
+        |        FROM documents WHERE text IS NOT NULL),
+        |lmp AS (SELECT ts[i] AS tok, ts[i + 1] AS nxt
+        |        FROM lm0, UNNEST(range(1, len(ts))) AS u(i)
+        |        WHERE len(ts) >= 2),
+        |lmc AS (SELECT tok, nxt, CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM lmp GROUP BY 1, 2),
+        |lmt AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS tot
+        |        FROM lmc GROUP BY 1),
+        |prob AS (SELECT lmc.tok, lmc.nxt,
+        |    CAST(floor(-ln(CAST(GREATEST(lmc.cnt * 1000000 // lmt.tot, 1)
+        |      AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT) AS nll_u
+        |  FROM lmc JOIN lmt USING (tok)),
+        |gp AS (SELECT doc_id, source, ts[i] AS tok, ts[i + 1] AS nxt
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ts FROM gop) t,
+        |    UNNEST(range(1, len(ts))) AS u(i)
+        |  WHERE len(ts) >= 2),
+        |nll AS (SELECT gp.doc_id, gp.source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(COALESCE(prob.nll_u, 13815510)) AS BIGINT) AS sum_nll
+        |  FROM gp LEFT JOIN prob ON gp.tok = prob.tok AND gp.nxt = prob.nxt
+        |  GROUP BY 1, 2),
+        |ppl AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY sum_nll // n_pairs, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM nll),
+        |kept AS (SELECT g.doc_id, g.lang, g.source, g.text,
+        |    CAST(len(string_split(g.text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM gop g JOIN ppl USING (doc_id)
+        |  WHERE (ppl.rn - 1) * 3 // ppl.n + 1 <= 2),
+        |kt AS (SELECT doc_id, lang, source,
+        |    list_distinct(string_split(text, ' ')) AS ts FROM kept),
+        |pp AS (SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM kt a JOIN kt b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ts, b.ts))
+        |      / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.8),
+        |edges AS (SELECT da AS a, db AS b FROM pp UNION SELECT db, da FROM pp),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (SELECT a AS doc_id, least(a, min(b)) AS component
+        |           FROM reach GROUP BY a),
+        |surv AS (SELECT k.doc_id, k.lang, k.source, k.text, k.n_tokens,
+        |    COALESCE(l.component, k.doc_id) AS cluster
+        |  FROM kept k LEFT JOIN labels l USING (doc_id)
+        |  WHERE k.doc_id = COALESCE(l.component, k.doc_id)),
+        |dg AS (SELECT doc_id,
+        |    unnest(${Extensions.trigramListSql("string_split(text, ' ')")}) AS gram
+        |  FROM surv),
+        |contam AS (SELECT dg.doc_id FROM dg LEFT JOIN evalg e ON dg.gram = e.gram
+        |           GROUP BY 1
+        |           HAVING SUM(CASE WHEN e.gram IS NOT NULL
+        |                       THEN 1 ELSE 0 END) * 1000000 >= 600000 * COUNT(*)),
+        |clean AS (SELECT s.*,
+        |    CASE WHEN ('0x' || substr(md5('split:' || CAST(s.cluster AS VARCHAR)),
+        |           1, 4))::INT % 100 < 90 THEN 'train'
+        |         WHEN ('0x' || substr(md5('split:' || CAST(s.cluster AS VARCHAR)),
+        |           1, 4))::INT % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM surv s ANTI JOIN contam c USING (doc_id)),
+        |packed AS (SELECT doc_id, lang, source, cluster, split, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY split, lang
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM clean)
+        |SELECT doc_id, lang, source, cluster, split, n_tokens, cum_before,
+        |  cum_before // 512 AS seq_id
+        |FROM packed WHERE cum_before < 2000""".stripMargin,
     "q241_html_extract" ->
-      s"""WITH page AS (SELECT doc_id,
-        |    '<html><!-- nav follows --><head><script type="text/javascript">var x = 1 < 2;</script><style>p { color: red }</style></head><body><h1>Doc '
-        |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
-        |    || '</p><![CDATA[cdata_' || CAST(doc_id % 3 AS VARCHAR)
-        |    || ']]><DIV class="nav">boiler_' || CAST(doc_id % 7 AS VARCHAR)
-        |    || '</DIV><p>ent_&lt;' || CAST(doc_id AS VARCHAR)
-        |    || '&gt; &amp;amp; &quot;&nbsp;&apos; num_&#76;&#x4d;</p><footer>(c) corp footer</footer></body></html>'
-        |    AS html
-        |  FROM documents WHERE text IS NOT NULL),
+      s"""WITH page AS ($hostilePageSql),
         |x AS (SELECT doc_id,
         |  ${graft.functions.Html.htmlExtractSql("html")} AS t2
         |  FROM page),

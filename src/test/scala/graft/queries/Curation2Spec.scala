@@ -183,4 +183,38 @@ class Curation2Spec extends SparkSpecBase {
     assert(plan.contains("Window"), "chunked prefix still uses bounded windows")
   }
 
+
+  test("decontaminateFraction: near-copy of an eval doc flagged, background overlap not") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, "src0", evalText),                                    // the benchmark doc
+      (2L, "srcX", "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-copy
+      (3L, "srcX", "alpha beta unrelated words everywhere else entirely fresh text here"), // shares 1 gram
+      (4L, "srcX", "totally different vocabulary nothing shared at all with eval")
+    ).toDF("doc_id", "source", "text")
+    val flagged = Dedup.decontaminateFraction(docs, "src0",
+        shingleSize = 3, minSharedPpm = 600000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(2L), s"expected only the near-copy, got $flagged")
+  }
+
+  test("q244 web pipeline: near-dup-safe splits (cluster never straddles), packing sane") {
+    val out = Curation2.q244WebPipeline(spark, Sf0001)
+    out.cache()
+    try {
+      val straddlers = out.groupBy("cluster")
+        .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+      assert(straddlers == 0, "a near-dup cluster straddles splits")
+      // packing: cum_before strictly under budget, seq_id consistent
+      assert(out.filter(col("cum_before") >= 2000L).isEmpty)
+      assert(out.filter(expr("seq_id != cum_before DIV 512")).isEmpty)
+      // the eval source is held out of the training pool
+      assert(out.filter(col("source") === "src0").isEmpty)
+      assert(out.count() > 50, "the funnel collapsed")
+      assert(out.select("split").distinct().count() >= 2)
+    } finally out.unpersist()
+  }
+
 }
