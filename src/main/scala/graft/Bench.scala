@@ -94,7 +94,17 @@ object Bench {
     }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Long-query economy (round 15, with q245's 64-round trainer in the
+    // suite): a query whose FIRST timed run exceeds this many seconds is
+    // measured once, not three times — its latency is dominated by
+    // inherent sequential rounds, not run-to-run noise, and two more runs
+    // would triple a cost the artifact can already read. Recorded in
+    // "single_run" so min-of-1 is never mistaken for min-of-3.
+    val longQuerySec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LONG_SEC", "5.0").toDouble
+    def measure(name: String,
+                fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+                warmupsMax: Int) = {
       // cache isolation BETWEEN queries: no query may ride a cache another
       // query built, and the full run doesn't accumulate executor memory.
       // Since Caching.releaseAfterConsumed (round 9), self-persisting
@@ -120,8 +130,8 @@ object Bench {
       // marks a query still compiling after 3 — its timings are
       // untrusted-by-the-artifact, no post-hoc forensics needed.
       var warmups = 0
-      var stillCold = true
-      while (warmups < 3 && stillCold) {
+      var stillCold = warmupsMax > 0
+      while (warmups < warmupsMax && stillCold) {
         val (p0, t0) = (PerfMeters.procCpuMs(), taskCpu.cpuNs.get())
         time(name, fn) // untimed warm-up, result discarded
         val pd = PerfMeters.procCpuMs() - p0
@@ -134,7 +144,11 @@ object Bench {
       val (gc0, cpu0, io0) = (gcMs(), psiUs("cpu"), psiUs("io"))
       val (pcpu0, tcpu0) = (PerfMeters.procCpuMs(), taskCpu.cpuNs.get())
       val w0 = System.nanoTime()
-      val timed = Seq(time(name, fn), time(name, fn), time(name, fn))
+      val first = time(name, fn)
+      val timed =
+        if (first < 0 || first <= longQuerySec)
+          Seq(first, time(name, fn), time(name, fn))
+        else Seq(first)
       val wallMs = (System.nanoTime() - w0) / 1000000L
       val cpuMs = if (pcpu0 < 0) -1L else PerfMeters.procCpuMs() - pcpu0
       val taskCpuMs = (taskCpu.cpuNs.get() - tcpu0) / 1000000L
@@ -143,6 +157,42 @@ object Bench {
         if (io0 < 0) -1L else psiUs("io") - io0,
         cpuMs, taskCpuMs, wallMs, warmups, stillCold)
       (name, if (timed.exists(_ < 0)) -1.0 else timed.min, timed, ctx)
+    }
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.sharedState.cacheManager.clearCache()
+      measure(name, fn, warmupsMax = 3)
+    }
+    // Idle-capture discipline (round-14 verdict ask #3): a query whose
+    // run spread exceeds 3x WITHOUT the gc signature (gc delta < 1 s —
+    // i.e. not our own JVM under memory pressure) carries the documented
+    // host-contention fingerprint (gc≈0, load1 spikes, PSI deltas). Such
+    // a query re-measures ONCE after the 1-min load average drops below
+    // threshold (or 60 s elapse), and the retry REPLACES its numbers;
+    // the artifact lists the query under "retried" with its first-pass
+    // runs in "runs_first" so nothing is hidden. A spread with a real gc
+    // delta is ours — it stays, loudly, in "unstable".
+    def spreadOf(timed: Seq[Double]): Double =
+      if (timed.exists(_ <= 0) || timed.size < 2) -1.0 else timed.max / timed.min
+    val retryLoad1 =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_LOAD1", "3.0").toDouble
+    val retriedFirstRuns = scala.collection.mutable.Map[String, Seq[Double]]()
+    val results = firstPass.map { case r @ (name, _, timed, ctx) =>
+      val hostSignature = spreadOf(timed) > 3.0 && ctx._1 < 1000L
+      if (!hostSignature) r
+      else {
+        var waited = 0
+        while (waited < 60 &&
+               (try loadavg1().toDouble catch { case _: Throwable => 0.0 })
+                 >= retryLoad1) {
+          Thread.sleep(5000); waited += 5
+        }
+        System.err.println(s"[bench] RETRY $name (spread " +
+          f"${spreadOf(timed)}%.1f, gc ${ctx._1} ms — host signature); " +
+          s"waited ${waited}s for load1 < $retryLoad1")
+        retriedFirstRuns(name) = timed
+        spark.sharedState.cacheManager.clearCache()
+        measure(name, selected(name), warmupsMax = 1)
+      }
     }
     val (tsEnd, loadEnd) = (nowIso(), loadavg())
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
@@ -196,8 +246,8 @@ object Bench {
     // spread = max/min of the timed runs per query; anything past 3x goes
     // in an explicit "unstable" list (and a loud stderr line), so a judge
     // reading the artifact never has to diff the runs map by hand.
-    def spreadOf(timed: Seq[Double]): Double =
-      if (timed.exists(_ <= 0)) -1.0 else timed.max / timed.min
+    // (spreadOf defined above for the retry pass; single-run queries
+    // report spread -1 — unmeasurable, not unstable.)
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would render "spread":{"q01":1,234} — invalid
     // JSON (round-11 advice). Every other number here goes through
@@ -218,6 +268,19 @@ object Bench {
     // a broken query can never read as a speedup.
     val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
+    // retry + single-run forensics (round-14 ask #3 / round-15 economy):
+    // "retried" queries were re-measured once on an idle-ish host and
+    // their numbers REPLACED (first-pass runs preserved in "runs_first");
+    // "single_run" queries exceeded the long-query threshold and were
+    // timed once — their spread is -1 by construction, not instability.
+    val retriedJson = retriedFirstRuns.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val runsFirstJson = retriedFirstRuns.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val singleRun = results.collect {
+      case (k, _, timed, _) if timed.size == 1 => k
+    }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":[${failed.mkString(",")}],"sf":"$sfDir",""" +
@@ -228,6 +291,9 @@ object Bench {
         s""""wall_ms":$wallJson,""" +
         s""""warmups":$warmupsJson,"jit_cold":$jitColdJson,""" +
         s""""unstable":[${unstable.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""retried":$retriedJson,"runs_first":$runsFirstJson,""" +
+        s""""single_run":[${singleRun.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""long_query_sec":$longQuerySec,""" +
         s""""cpus":$cpus,""" +
         s""""ts_start":"$tsStart","ts_end":"$tsEnd",""" +
         s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
@@ -240,39 +306,26 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    // The numbered per-round artifact has twice been snapshotted from a
-    // truncated stdout tail (r4, r5 — lost the map head + total). Write
-    // the lossless line to the current round's numbered file directly.
-    // The round is keyed off CORRECTNESS_r*.json (max + 1), which the
-    // driver writes exactly ONCE per round — so repeated local bench runs
-    // within a round overwrite the same BENCH_r{N}.json instead of
-    // bumping the number each time (the flaw of keying off BENCH_r*
-    // itself). An explicit SPARK_GRAFT_BENCH_OUT marks a dev-loop run
-    // (subset sf, drive-by timing) — those must NOT clobber the round
-    // artifact, so the numbered write is skipped. Likewise any run off the
-    // round SF (the driver benches sf0.1): a forgotten BENCH_OUT once
-    // replaced the round's sf0.1 numbers with an sf0.001 smoke run.
+    // The numbered per-round artifact is written ONLY when the round is
+    // stated EXPLICITLY (SPARK_GRAFT_ROUND=N → BENCH_r{N}.json). The
+    // previous max(CORRECTNESS_r*)+1 heuristic misfired in round 14: the
+    // driver's mid-round correctness write made the builder's own bench
+    // land in BENCH_r15.json while BENCH_r14.json held a raw stdout tail
+    // — a future judge reading by filename got the wrong round (round-14
+    // verdict ask #5). An inferred round number is worse than none:
+    // BENCH_LAST.json always has the latest structured run, and the
+    // round-close capture sets the round explicitly. Subset runs and
+    // off-round SFs still never write a numbered artifact.
     val roundSf = sfDir.endsWith("sf0.1") || sfDir.endsWith("sf0.1/")
-    try if (sys.env.contains("SPARK_GRAFT_BENCH_OUT") || only.isDefined ||
-            !roundSf) () else {
-      val dir = java.nio.file.Paths.get(".")
-      val rx = "CORRECTNESS_r(\\d+)\\.json".r
-      val listing = java.nio.file.Files.list(dir)
-      val maxR =
-        try {
-          val it = listing.iterator()
-          var m = 0
-          while (it.hasNext) {
-            it.next().getFileName.toString match {
-              case rx(n) => m = math.max(m, n.toInt)
-              case _     => ()
-            }
-          }
-          m
-        } finally listing.close()
-      if (maxR > 0)
+    try sys.env.get("SPARK_GRAFT_ROUND") match {
+      case Some(r) if !only.isDefined && roundSf &&
+          !sys.env.contains("SPARK_GRAFT_BENCH_OUT") =>
         java.nio.file.Files.writeString(
-          dir.resolve(f"BENCH_r${maxR + 1}%02d.json"), json + "\n")
+          java.nio.file.Paths.get(f"BENCH_r${r.toInt}%02d.json"), json + "\n")
+      case Some(r) =>
+        System.err.println(s"[bench] SPARK_GRAFT_ROUND=$r set but this is " +
+          "a subset/off-sf/redirected run — numbered artifact skipped")
+      case None => ()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write numbered artifact: ${e.getMessage}")
     }
