@@ -17,14 +17,22 @@ import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
   *  - CartesianProduct anywhere → hard failure;
   *  - every BroadcastNestedLoopJoin's build side must have produced
   *    <= [[MaxBnljBuildRows]] rows (read from the EXECUTED broadcast's
-  *    own numOutputRows metric, so the bound is measured, not inferred)
-  *    — the verified-benign class is 1-row aggregate crossJoins and
-  *    tiny VALUES frames; a real nested-loop join fails the run.
+  *    own numOutputRows metric, so the bound is measured, not inferred);
+  *    a real nested-loop join fails the run.
+  *
+  * The measured benign classes (round-15 audit over all 243 queries):
+  * 1-row aggregate crossJoins, <=4-row VALUES frames, and the BOUNDED
+  * QUERY BATCHES the brute-force ANN/kNN baselines deliberately
+  * crossJoin against the corpus (8-32 query vectors — that crossJoin IS
+  * the documented brute-force algorithm, corpus-linear x nQueries). The
+  * cap is the largest intentional class observed; the round-14 verdict's
+  * "1-row aggregates / 4-row VALUES" characterization was incomplete —
+  * the first measured run of this fence found the query-batch class.
   */
 object PlanAudit {
 
   /** Max rows a BNLJ build side may produce before the audit fails. */
-  val MaxBnljBuildRows = 4L
+  val MaxBnljBuildRows = 32L
 
   final case class Audit(cartesian: Int, bnljBuildRows: Seq[Long]) {
     def clean: Boolean =

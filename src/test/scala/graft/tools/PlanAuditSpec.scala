@@ -26,6 +26,8 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("a real nested-loop join fails the fence loudly") {
+    // 50 rows: above the 32-row cap (the largest measured INTENTIONAL
+    // class — the brute-force ANN query batches)
     val a = Seq.tabulate(50)(i => (i.toLong, i * 2.0)).toDF("id", "x")
     val b = Seq.tabulate(50)(i => (i.toLong, i * 3.0)).toDF("id2", "y")
     // non-equi condition forces nested-loop; explicit broadcast makes it
