@@ -144,9 +144,94 @@ object Html {
     val stripped = RegexSteps.foldLeft(c) { case (acc, (pat, repl)) =>
       regexp_replace(acc, pat, repl)
     }
-    EntitySteps.foldLeft(stripped) { case (acc, (from, to)) =>
-      // replace(): literal, codegen'd, identical builtin in DuckDB
-      call_function("replace", acc, lit(from), lit(to))
-    }
+    org.apache.spark.sql.GraftColumnBridge.column(
+      EntityChain(org.apache.spark.sql.GraftColumnBridge.expression(stripped)))
   }
+
+  /** [[EntityChain]]'s kernel: the EXACT left fold of literal replaces
+    * over [[EntitySteps]] — semantics identical to chaining Spark's
+    * `replace` builtin 201 times (HtmlSpec pins equality against that
+    * naive fold on adversarial inputs, including the cascades where one
+    * step's output forms a later step's pattern) — but &-ANCHORED: every
+    * pattern starts with '&', so each step checks only the string's '&'
+    * positions (a handful per document) instead of scanning the whole
+    * text. The naive fold is 201 full passes per document — a ~200×
+    * read amplification that took q241 from 0.6 s to 4.6 s the round
+    * the numeric range landed; this kernel pays one position scan plus
+    * ~|amps|·|pattern| compares per step, and a full `String.replace`
+    * only for the steps that actually fire (≤ the number of distinct
+    * entity kinds present).
+    */
+  def applyEntitySteps(text: String): String = {
+    var s = text
+    var amps = ampPositions(s)
+    if (amps.length == 0) return s
+    var k = 0
+    while (k < StepsFrom.length) {
+      val from = StepsFrom(k)
+      var found = false
+      var i = 0
+      while (!found && i < amps.length) {
+        if (s.startsWith(from, amps(i))) found = true
+        i += 1
+      }
+      if (found) {
+        // literal replace-all, left-to-right non-overlapping — the exact
+        // builtin semantics the chain contract is defined by
+        s = s.replace(from, StepsTo(k))
+        amps = ampPositions(s) // a fired step can shift/consume/mint '&'s
+      }
+      k += 1
+    }
+    s
+  }
+
+  private[this] lazy val StepsFrom: Array[String] = EntitySteps.map(_._1).toArray
+  private[this] lazy val StepsTo: Array[String] = EntitySteps.map(_._2).toArray
+
+  private def ampPositions(s: String): Array[Int] = {
+    var n = 0
+    var i = s.indexOf('&')
+    while (i >= 0) { n += 1; i = s.indexOf('&', i + 1) }
+    val out = new Array[Int](n)
+    var j = 0
+    i = s.indexOf('&')
+    while (i >= 0) { out(j) = i; j += 1; i = s.indexOf('&', i + 1) }
+    out
+  }
+}
+
+/** The entity tail of [[Html.htmlExtract]] as ONE native codegen
+  * expression (custom-operator preference order (b)): result identical to
+  * the 201-step builtin replace chain — [[Html.applyEntitySteps]] IS that
+  * fold — at ~1 pass instead of ~201 (scaladoc there). The q241/q244
+  * oracles still replay the chain itself (Html.entityChainSql's
+  * list_reduce fold), so the fusion is hash-gated against the contract
+  * every round. Same StaticInvoke-shaped codegen as [[NormalizeText]].
+  */
+case class EntityChain(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, StringType}
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"EntityChain requires string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      Html.applyEntitySteps(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Html.applyEntitySteps($c.toString()))")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): EntityChain =
+    copy(child = newChild)
 }

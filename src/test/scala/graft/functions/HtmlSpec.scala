@@ -80,6 +80,28 @@ class HtmlSpec extends SparkSpecBase {
     assert(extract("&unknown;") == "&unknown;")
   }
 
+  test("EntityChain kernel equals the naive 201-step replace fold") {
+    // the &-anchored kernel's CONTRACT is the sequential literal-replace
+    // fold over EntitySteps — pin equality on adversarial inputs,
+    // including cascades where one step's output forms a later pattern
+    def naive(s: String): String =
+      Html.EntitySteps.foldLeft(s) { case (acc, (f, t)) => acc.replace(f, t) }
+    val cases = Seq(
+      "", "no entities here", "&", "&&", "&#", "&#;", "&amp;", "&amp;amp;",
+      "&&#35;65;", // '#' output forms a LATER numeric pattern -> decodes on
+      "&#38;#65;", // '&' output is LAST -> cannot cascade into numerics
+      "&#38;lt;", "&#x26;gt;", "&lt;&#76;&#x4d;&gt;", "&#32;&#x7e;&#126;",
+      "&#065;&#X41;&#10;&#200;&#x1f600;&unknown;",
+      "a&nbsp;b&quot;c&apos;d", "&#3", "x&#35;65;y", "&#35;&#38;&#35;",
+      "&#38;&#38;#65;", "trailing amp &")
+    cases.foreach { s =>
+      assert(Html.applyEntitySteps(s) == naive(s), s"kernel diverged on '$s'")
+    }
+    // the cascade pinned by value too: &#35; -> '#', minting &#65; -> 'A'
+    assert(Html.applyEntitySteps("&&#35;65;") == "A")
+    assert(extract("&&#35;65;") == "A")
+  }
+
   test("composed page: structure to lines, boilerplate positions") {
     val page = "<html><head><title>T</title><script>s</script></head>" +
       "<body><h1>Head</h1><p>body text</p><!--c--><footer>f</footer></body></html>"
