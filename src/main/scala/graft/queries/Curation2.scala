@@ -159,8 +159,13 @@ object Curation2 {
       nWords.between(20, 100) && meanWlen >= 4.0 && meanWlen <= 5.0 &&
         distinctRatio >= 0.40 &&
         arrays_overlap(t, array(lit("the"), lit("a"), lit("data"))))
+    // scored/clean persist alongside flat/kept: chunkedPrefix makes TWO
+    // passes over its input (boundary sketch + ranking), so an unpersisted
+    // stage would re-run its whole upstream chain per pass — measured
+    // ~4 s of pure recomputation at sf0.1 (tools.Q244Profile)
     val scored = TextIndex.docNllFromStats(gop,
-      BigramStatsTables.ensure(s, dir), keyCols = Seq("doc_id", "source"))
+        BigramStatsTables.ensure(s, dir), keyCols = Seq("doc_id", "source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranked = StratifiedSelect.chunkedPrefix(
       scored.select("doc_id", "source", "avg_nll_u"),
       stratum = "source", primary = "avg_nll_u", desc = false,
@@ -185,6 +190,7 @@ object Curation2 {
       .withColumn("split", Sampling.splitAssign(col("cluster")))
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
       .withColumn("cell", concat_ws("|", col("split"), col("lang")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val packed = StratifiedSelect.chunkedPrefix(
         clean.select("doc_id", "lang", "source", "cluster", "split",
           "n_tokens", "cell"),
@@ -195,7 +201,8 @@ object Curation2 {
       .select(col("doc_id"), col("lang"), col("source"), col("cluster"),
         col("split"), col("n_tokens"), col("cum_before"),
         expr("cum_before DIV 512").as("seq_id"))
-    graft.operators.Caching.releaseAfterConsumed(packed, flat, kept)
+    graft.operators.Caching.releaseAfterConsumed(packed, flat, kept,
+      scored, clean)
   }
 
   /** q86: sliding-window chunking — 32-token chunks every 24 tokens

@@ -499,6 +499,22 @@ object Extensions {
     Dedup.decontaminate(Tables.documents(s, dir), evalSource = "src0",
       shingleSize = 3, minShared = 3L)
 
+  /** q246: q57's FRACTION-rule twin (Dedup.decontaminateFraction, born in
+    * q244's chain and gated first-class here): a training doc is
+    * contaminated when >= 60% of ITS OWN distinct trigrams appear in the
+    * held-out 'src0' slice — the rule that survives eval-set growth where
+    * any absolute count eventually flags everything (the operator's
+    * scaladoc carries the measured divergence). Integer-ppm compare, no
+    * float division; same broadcast shape as q57. Output carries both
+    * sides of the ratio so a triage owner sees WHY a doc was flagged.
+    * Live at every SF on the fixture (5/2/76 docs flagged, the
+    * near-copy tail at fraction 1.0).
+    */
+  def q246DecontamFraction(s: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminateFraction(
+      Tables.documents(s, dir).filter(col("text").isNotNull),
+      evalSource = "src0", shingleSize = 3, minSharedPpm = 600000L)
+
   /** Dedup resolution under the gate: connected components over q24's
     * exact near-dup pairs — each involved doc labeled with its cluster's
     * minimum doc_id (the canonical survivor). Oracle: transitive closure
@@ -676,6 +692,7 @@ object Extensions {
     "q55_simhash_pairs" -> (q55SimhashPairs _),
     "q56_repetition"    -> (q56Repetition _),
     "q57_decontam"      -> (q57Decontam _),
+    "q246_decontam_fraction" -> (q246DecontamFraction _),
     "q58_dedup_resolve" -> (q58DedupResolve _),
     "q109_cluster_sizes" -> (q109ClusterSizes _),
     "q59_sql_kernels"   -> (q59SqlKernels _),
@@ -940,6 +957,22 @@ object Extensions {
         |FROM t""".stripMargin,
     // decontamination: distinct 3-gram shingles per doc, eval = src0 slice,
     // n_shared = |train-doc shingles ∩ eval shingle union|
+    // q57's CTE shape with the integer-ppm fraction HAVING; n_grams is the
+    // doc's own distinct-trigram count (COUNT(*) over the left join)
+    "q246_decontam_fraction" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS sp
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, source, ${trigramListSql("sp")} AS sh FROM t),
+        |ev AS (SELECT DISTINCT unnest(sh) AS h FROM g WHERE source = 'src0'),
+        |tp AS (SELECT doc_id, unnest(sh) AS h FROM g WHERE source <> 'src0')
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams
+        |FROM tp LEFT JOIN ev ON tp.h = ev.h
+        |GROUP BY doc_id
+        |HAVING SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |  >= 600000 * COUNT(*)""".stripMargin,
     "q57_decontam" ->
       s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS sp FROM documents),
         |g AS (SELECT doc_id, source, ${trigramListSql("sp")} AS sh
