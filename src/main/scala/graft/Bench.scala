@@ -158,8 +158,8 @@ object Bench {
         cpuMs, taskCpuMs, wallMs, warmups, stillCold)
       (name, if (timed.exists(_ < 0)) -1.0 else timed.min, timed, ctx)
     }
+    // cache isolation is owned by measure() itself (its first statement)
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.sharedState.cacheManager.clearCache()
       measure(name, fn, warmupsMax = 3)
     }
     // Idle-capture discipline (round-14 verdict ask #3): a query whose
@@ -189,9 +189,16 @@ object Bench {
         System.err.println(s"[bench] RETRY $name (spread " +
           f"${spreadOf(timed)}%.1f, gc ${ctx._1} ms — host signature); " +
           s"waited ${waited}s for load1 < $retryLoad1")
-        retriedFirstRuns(name) = timed
-        spark.sharedState.cacheManager.clearCache()
-        measure(name, selected(name), warmupsMax = 1)
+        val retry = measure(name, selected(name), warmupsMax = 1)
+        // a FAILED retry must not turn three successful first-pass runs
+        // into a reported failure (the 'broken query can never read as a
+        // speedup' discipline, both directions) — keep the first pass,
+        // flagged unstable as before (round-15 review catch)
+        if (retry._2 < 0 && r._2 >= 0) {
+          System.err.println(s"[bench] RETRY $name FAILED — keeping the " +
+            "first-pass numbers (query stays in 'unstable')")
+          r
+        } else { retriedFirstRuns(name) = timed; retry }
       }
     }
     val (tsEnd, loadEnd) = (nowIso(), loadavg())

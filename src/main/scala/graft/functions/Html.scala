@@ -70,11 +70,14 @@ object Html {
     (s"(?i)</?($BlockTags)\\b[^>]*>", "\n"),
     ("<[^>]*>", ""))
 
-  /** Literal entity decodes, in application order. The &-PRODUCING steps
-    * (&amp;, &#38;, &#x26;) come unconditionally LAST so `&amp;lt;` /
-    * `&#38;lt;` yield the literal `&lt;` — decoding the ampersand first
-    * would cascade into a second decode, which is NOT HTML's (single-pass)
-    * semantics for the common double-escaped case.
+  /** Literal entity decodes, in application order. The &-PRODUCING forms
+    * (&amp;, &#38;, &#x26;) are NOT in this list — they decode after it
+    * as ONE simultaneous regex pass ([[AmpFormsPattern]]), unconditionally
+    * last, so `&amp;lt;` / `&#38;lt;` yield the literal `&lt;` AND the
+    * double-escaped `&#38;amp;` yields the literal `&amp;` (a sequential
+    * trio would cascade: its `&#38;`→`&` output feeds the later `&amp;`
+    * step — exactly the re-decode the &-last ordering exists to prevent;
+    * round-15 review catch).
     *
     * Numeric character references decode for the PRINTABLE-ASCII range —
     * `&#32;`..`&#126;` and their lowercase-hex twins `&#x20;`..`&#x7e;`
@@ -94,9 +97,14 @@ object Html {
       val ch = cp.toChar.toString
       Seq((s"&#$cp;", ch), (f"&#x$cp%x;", ch))
     }
-    val ampLast = Seq(("&#38;", "&"), ("&#x26;", "&"), ("&amp;", "&"))
-    named ++ numeric ++ ampLast
+    named ++ numeric
   }
+
+  /** The &-producing forms as one simultaneous (regex replace-all) pass:
+    * left-to-right, produced text never re-scanned — both engines' regex
+    * replace semantics, so `&#38;amp;` → `&amp;`, never `&`. Runs LAST.
+    */
+  private[graft] val AmpFormsPattern: String = "&(amp|#38|#x26);"
 
   /** The entity chain as DuckDB SQL wrapped around `inner` — generated
     * from the SAME EntitySteps list the Column chain folds over, so the
@@ -112,8 +120,11 @@ object Html {
   private[graft] def entityChainSql(inner: String): String = {
     def q(s: String) = "'" + s.replace("'", "''") + "'"
     val elems = EntitySteps.map { case (from, to) => q(to + from) }
-    s"list_reduce(list_prepend($inner, [${elems.mkString(", ")}]), " +
+    val folded = s"list_reduce(list_prepend($inner, [${elems.mkString(", ")}]), " +
       "(acc, x) -> replace(acc, x[2:], x[1]))"
+    // the &-producing forms: ONE simultaneous regex pass, last (see
+    // AmpFormsPattern — a sequential trio would cascade &#38;amp; to &)
+    s"regexp_replace($folded, ${q(AmpFormsPattern)}, '&', 'g')"
   }
 
   /** The WHOLE htmlExtract rewrite rendered as DuckDB SQL over `inner` —
@@ -144,13 +155,14 @@ object Html {
     val stripped = RegexSteps.foldLeft(c) { case (acc, (pat, repl)) =>
       regexp_replace(acc, pat, repl)
     }
-    org.apache.spark.sql.GraftColumnBridge.column(
+    val decoded = org.apache.spark.sql.GraftColumnBridge.column(
       EntityChain(org.apache.spark.sql.GraftColumnBridge.expression(stripped)))
+    regexp_replace(decoded, AmpFormsPattern, "&")
   }
 
   /** [[EntityChain]]'s kernel: the EXACT left fold of literal replaces
     * over [[EntitySteps]] — semantics identical to chaining Spark's
-    * `replace` builtin 201 times (HtmlSpec pins equality against that
+    * `replace` builtin 195 times (HtmlSpec pins equality against that
     * naive fold on adversarial inputs, including the cascades where one
     * step's output forms a later step's pattern) — but &-ANCHORED: every
     * pattern starts with '&', so each step checks only the string's '&'
@@ -160,7 +172,9 @@ object Html {
     * the numeric range landed; this kernel pays one position scan plus
     * ~|amps|·|pattern| compares per step, and a full `String.replace`
     * only for the steps that actually fire (≤ the number of distinct
-    * entity kinds present).
+    * entity kinds present). The &-producing forms are NOT part of this
+    * fold — htmlExtract applies [[AmpFormsPattern]] as one regex pass
+    * after it.
     */
   def applyEntitySteps(text: String): String = {
     var s = text
@@ -203,8 +217,8 @@ object Html {
 
 /** The entity tail of [[Html.htmlExtract]] as ONE native codegen
   * expression (custom-operator preference order (b)): result identical to
-  * the 201-step builtin replace chain — [[Html.applyEntitySteps]] IS that
-  * fold — at ~1 pass instead of ~201 (scaladoc there). The q241/q244
+  * the 195-step builtin replace chain — [[Html.applyEntitySteps]] IS that
+  * fold — at ~1 pass instead of ~195 (scaladoc there). The q241/q244
   * oracles still replay the chain itself (Html.entityChainSql's
   * list_reduce fold), so the fusion is hash-gated against the contract
   * every round. Same StaticInvoke-shaped codegen as [[NormalizeText]].

@@ -109,26 +109,34 @@ object Expectations {
     // of silently diverging — fail-loud is the right failure mode for an
     // admission gate (and the ckpt discipline bpeMergeRounds /
     // propagationComponents already use). The eager materialization is
-    // the same one job persist+collect paid; the checkpoint blocks are
-    // microbatch-sized and reclaimed by the ContextCleaner when the
-    // frame goes out of scope.
+    // the same one job persist+collect paid. The checkpoint blocks are
+    // released DETERMINISTICALLY in the finally (unpersisting the
+    // LogicalRDD's checkpointed rdd) — waiting for the ContextCleaner
+    // would let a long foreachBatch stream pile up a block set per
+    // microbatch until a driver GC (round-15 review catch).
     val pinned = batch.localCheckpoint(eager = true)
-    // ONE audit job, collected once (rules-sized): the verdict and the
-    // returned report come from the same rows, and the returned frame is
-    // materialized so it never re-reads the source
-    val report = audit(pinned, rules)
-    val reportRows = report.collect()
-    val bad = reportRows.map(_.getAs[Long]("n_violations")).sum
-    if (bad == 0L)
-      pinned.write.mode(org.apache.spark.sql.SaveMode.Append)
-        .format("parquet").saveAsTable(snapshotTable)
-    else
-      gateRows(pinned, rules).write
-        .mode(org.apache.spark.sql.SaveMode.Append)
-        .format("parquet").saveAsTable(quarantineTable)
-    val s = batch.sparkSession
-    import scala.jdk.CollectionConverters._
-    s.createDataFrame(reportRows.toSeq.asJava, report.schema)
+    try {
+      // ONE audit job, collected once (rules-sized): the verdict and the
+      // returned report come from the same rows, and the returned frame is
+      // materialized so it never re-reads the source
+      val report = audit(pinned, rules)
+      val reportRows = report.collect()
+      val bad = reportRows.map(_.getAs[Long]("n_violations")).sum
+      if (bad == 0L)
+        pinned.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").saveAsTable(snapshotTable)
+      else
+        gateRows(pinned, rules).write
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").saveAsTable(quarantineTable)
+      val s = batch.sparkSession
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(reportRows.toSeq.asJava, report.schema)
+    } finally pinned.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => () // checkpoint shape changed upstream: ContextCleaner path
+    }
   }
 
   /** Referential-integrity expectation: rows of `child` whose `childKey`

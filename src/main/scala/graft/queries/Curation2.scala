@@ -677,8 +677,8 @@ object Curation2 {
     // the WHOLE web pipeline replayed: page wrap + the generated rewrite
     // chain (Html.htmlExtractSql), q85's line frequencies, q160's rule
     // algebra, q243's enumeration-exact NLL fold + per-source tertile,
-    // q24/q58's pair walk + recursive closure, q57's trigram screen
-    // (minShared 9 — survivor background overlap p99), q132's md5 split
+    // q24/q58's pair walk + recursive closure, the FRACTION trigram
+    // screen (600000 ppm of the doc's own grams), q132's md5 split
     // buckets on the cluster label, and the budget/pack windows
     // (chunkedPrefix ≡ ROW_NUMBER/SUM, q165's equivalence)
     "q244_web_pipeline" ->

@@ -1198,20 +1198,35 @@ private[queries] object ZOrderedOrders {
   * rebuilds rather than serving a half-grown table as the gated one.
   */
 private[queries] object BigramStatsTables {
-  // per-(session, table) memo of a PASSED completeness check: the check's
+  // per-session memo of a PASSED completeness check: the check's
   // total-count invariant costs a full corpus scan + a stats scan, and
   // with q169/q243/q244 all probing the table, a bench run paid it 4-6
-  // times per query invocation (round 15: ~0.4 s each at sf0.1). Crash
-  // safety is unchanged — a fresh session always re-verifies once, and
-  // in-session the table only changes through this synchronized ensure.
-  private val verified = scala.collection.mutable.Set[String]()
+  // times per query invocation (round 15: ~0.4 s each at sf0.1). Keyed
+  // on the SESSION OBJECT (WeakHashMap — no identityHashCode collisions,
+  // GC-friendly) and the source parquet's (length, mtime), so a
+  // regenerated fixture dir invalidates the memo instead of serving
+  // stale statistics (round-15 review catch). Crash safety unchanged —
+  // a fresh session always re-verifies once.
+  private val verified =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[String]]()
+
+  private def srcStamp(dir: String): String =
+    try {
+      val f = new java.io.File(s"$dir/documents.parquet")
+      s"${f.length}|${f.lastModified}"
+    } catch { case _: Throwable => "nostat" }
 
   def ensure(s: SparkSession, dir: String): DataFrame = synchronized {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val table = s"graft_bigram_$tag"
-    val memoKey = s"${System.identityHashCode(s)}|$table"
-    if (verified.contains(memoKey) && s.catalog.tableExists(table))
+    val memoKey = s"$table|${srcStamp(dir)}"
+    val sessionMemo = {
+      var m = verified.get(s)
+      if (m == null) { m = scala.collection.mutable.Set[String](); verified.put(s, m) }
+      m
+    }
+    if (sessionMemo.contains(memoKey) && s.catalog.tableExists(table))
       return s.table(table)
     val numBuckets = 32
     val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
@@ -1241,7 +1256,7 @@ private[queries] object BigramStatsTables {
         numBuckets)
       graft.operators.TextIndex.compactBigramStats(table, numBuckets)
     }
-    verified += memoKey
+    sessionMemo += memoKey
     s.table(table)
   }
 }

@@ -80,26 +80,35 @@ class HtmlSpec extends SparkSpecBase {
     assert(extract("&unknown;") == "&unknown;")
   }
 
-  test("EntityChain kernel equals the naive 201-step replace fold") {
+  test("EntityChain kernel + amp pass equals the naive replace fold") {
     // the &-anchored kernel's CONTRACT is the sequential literal-replace
-    // fold over EntitySteps — pin equality on adversarial inputs,
-    // including cascades where one step's output forms a later pattern
+    // fold over EntitySteps followed by ONE simultaneous amp-forms regex
+    // pass — pin equality on adversarial inputs, including cascades
+    // where one step's output forms a later pattern
     def naive(s: String): String =
       Html.EntitySteps.foldLeft(s) { case (acc, (f, t)) => acc.replace(f, t) }
+        .replaceAll(Html.AmpFormsPattern, "&")
+    def full(s: String): String =
+      Html.applyEntitySteps(s).replaceAll(Html.AmpFormsPattern, "&")
     val cases = Seq(
       "", "no entities here", "&", "&&", "&#", "&#;", "&amp;", "&amp;amp;",
       "&&#35;65;", // '#' output forms a LATER numeric pattern -> decodes on
-      "&#38;#65;", // '&' output is LAST -> cannot cascade into numerics
+      "&#38;#65;", // '&' output is the amp pass -> cannot cascade into numerics
       "&#38;lt;", "&#x26;gt;", "&lt;&#76;&#x4d;&gt;", "&#32;&#x7e;&#126;",
       "&#065;&#X41;&#10;&#200;&#x1f600;&unknown;",
       "a&nbsp;b&quot;c&apos;d", "&#3", "x&#35;65;y", "&#35;&#38;&#35;",
-      "&#38;&#38;#65;", "trailing amp &")
+      "&#38;&#38;#65;", "&#38;amp;", "&#x26;amp;lt;", "trailing amp &")
     cases.foreach { s =>
-      assert(Html.applyEntitySteps(s) == naive(s), s"kernel diverged on '$s'")
+      assert(full(s) == naive(s), s"kernel diverged on '$s'")
     }
     // the cascade pinned by value too: &#35; -> '#', minting &#65; -> 'A'
-    assert(Html.applyEntitySteps("&&#35;65;") == "A")
+    assert(full("&&#35;65;") == "A")
     assert(extract("&&#35;65;") == "A")
+    // the amp pass is SIMULTANEOUS: double-escaped ampersand decodes one
+    // level, never cascades to a bare & (round-15 review catch)
+    assert(extract("&#38;amp;") == "&amp;")
+    assert(extract("&#x26;amp;") == "&amp;")
+    assert(extract("&#38;lt;") == "&lt;")
   }
 
   test("composed page: structure to lines, boilerplate positions") {

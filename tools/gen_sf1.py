@@ -13,12 +13,13 @@ fences at 10x bench scale. Uses driver-side python libs only.
 
 Usage: python3 tools/gen_sf1.py [outDir]
 """
-import sys, random
+import os, sys, random
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 out = sys.argv[1] if len(sys.argv) > 1 else "testdata_sf1"
+os.makedirs(out, exist_ok=True)
 rng = random.Random(42)
 nprng = np.random.default_rng(42)
 
