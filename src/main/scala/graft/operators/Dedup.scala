@@ -118,6 +118,76 @@ object Dedup {
     else pairs.select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** [[jaccardPairs]] in FOREST mode — the resolution-bound consumer's
+    * shape (q239's near-dup-safe split, q244's dedup stage): downstream
+    * connected components need only a SPANNING SUBGRAPH of the pair
+    * graph, so materializing every true pair is pure output cost.
+    *
+    * Documents are first collapsed to identity groups (same distinct
+    * token set within the same (lang, source) block ⇒ pairwise Jaccard
+    * exactly 1, and identical Jaccard against everything else). The
+    * block² walk then runs over one REPRESENTATIVE per group — the
+    * quadratic term falls from documents to distinct contents, the
+    * [[minhashLshDistinct]] device applied to the exact walk — and the
+    * emission is O(docs + rep-pairs): star edges rep→member inside each
+    * group, ONE rep→rep edge per verified representative pair. Recall is
+    * 1.0 by construction (the collapse is exact, not probabilistic), so
+    * connected components over this output are IDENTICAL to components
+    * over [[jaccardPairs]]'s full list — q239/q244 route it with their
+    * full-closure oracles unchanged, which is the hash gate for the
+    * equivalence.
+    *
+    * The full walk's exact pair count survives as the `n_pairs` column
+    * (rep edge: |A|·|B| group product; r-th member's star edge: its r-1
+    * within-group pairs) — sum(n_pairs) equals count([[jaccardPairs]])
+    * without materializing it (DedupSpec pins both invariants).
+    *
+    * `maxBlockSize` caps block size in REPRESENTATIVES (same
+    * `graft_q24_block_cap` observation).
+    */
+  def jaccardPairsForest(docs: DataFrame, threshold: Double,
+                         maxBlockSize: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    // empty/null token sets can never reach a positive threshold in the
+    // full walk (jaccard is 0 or NULL there) — drop them BEFORE identity
+    // grouping, or empty docs would wrongly star-edge each other at "1.0"
+    val withSets = docs.select(
+        col("doc_id"), col("lang"), col("source"),
+        graft.functions.WordGramHashes.wordGramHashes(col("text"), 1).as("tset"))
+      .filter(col("tset").isNotNull && size(col("tset")) > 0)
+      .withColumn("k", xxhash64(col("tset")))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source", "k")
+    val ranked = withSets
+      .withColumn("r", row_number().over(wg.orderBy("doc_id")))
+      .withColumn("rep", min("doc_id").over(wg))
+      .withColumn("gsz", count(lit(1)).over(wg))
+    val reps0 = ranked.filter(col("r") === 1)
+      .select(col("lang"), col("source"), col("doc_id"), col("tset"), col("gsz"))
+    val reps =
+      if (maxBlockSize == Int.MaxValue) reps0
+      else capGroups(reps0, Seq("lang", "source"), maxBlockSize,
+        "graft_q24_block_cap")
+    val a = reps.select(col("lang"), col("source"),
+      col("doc_id").as("doc_id_a"), col("tset").as("tset_a"), col("gsz").as("gsz_a"))
+    val b = reps.select(col("lang"), col("source"),
+      col("doc_id").as("doc_id_b"), col("tset").as("tset_b"), col("gsz").as("gsz_b"))
+    val repEdges = a.join(b, Seq("lang", "source"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("ic", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("tset_a"), col("tset_b")))
+      .withColumn("jaccard", col("ic").cast("double") /
+        (size(col("tset_a")) + size(col("tset_b")) - col("ic")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"),
+        (col("gsz_a") * col("gsz_b")).as("n_pairs"))
+    val star = ranked.filter(col("r") >= 2)
+      .select(col("rep").as("doc_id_a"), col("doc_id").as("doc_id_b"),
+        lit(1.0).as("jaccard"), (col("r") - 1).cast("long").as("n_pairs"))
+    repEdges.unionByName(star)
+  }
+
   /** Asymmetric near-dup: CONTAINMENT |A∩B|/|A| catches what Jaccard
     * misses — a short doc quoted wholesale inside a long one scores
     * near-zero Jaccard (union is dominated by the long doc) but
@@ -413,6 +483,25 @@ object Dedup {
     * the shingle hashing itself already accepts. `maxBucketSize` caps
     * bucket size in REPRESENTATIVES; identical-text clusters no longer
     * need the over-cap exact route (collapse handles them for free).
+    *
+    * `pairsMode` (round 16 — the one measured scale cost left at sf1,
+    * where the q25 walk spent ~772 s materializing 3.69 M true pairs that
+    * downstream CC reduces straight back to components):
+    *  - "all" (default): every true near-dup pair, as above — the recall
+    *    audit / pair-list consumers' contract.
+    *  - "forest": a SPANNING SUBGRAPH of the same pair graph, O(docs +
+    *    rep-pairs) instead of O(true pairs). Within each identity group,
+    *    star edges rep→member (each a true 1.0-Jaccard pair); across
+    *    groups, ONE rep→rep edge per verified representative pair (a true
+    *    pair carrying the group pair's shared Jaccard). Connectivity — and
+    *    so every connected-component label downstream — is EXACTLY that of
+    *    the full pair list (forest ⊆ full, and any full edge a–b is
+    *    spanned by a–rep(A)–rep(B)–b; DedupSpec pins label equality). The
+    *    exact pair COUNT the full walk would emit is kept as the extra
+    *    `n_pairs` column: a rep edge carries |A|·|B| (its group-product
+    *    expansion), the r-th member's star edge carries r-1 (its
+    *    within-group pairs to earlier members), so sum(n_pairs) equals the
+    *    full walk's pair count without materializing it.
     */
   def minhashLshDistinct(
       docs: DataFrame,
@@ -421,7 +510,10 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.7,
       minBandCollisions: Int = 1,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue,
+      pairsMode: String = "all"): DataFrame = {
+    require(pairsMode == "all" || pairsMode == "forest",
+      s"pairsMode must be 'all' or 'forest', got '$pairsMode'")
     val rows = numHashes / bands
     val withSets = docs.select(
         col("doc_id"),
@@ -453,30 +545,64 @@ object Dedup {
       .select("doc_id_a", "doc_id_b")
     val repPairs =
       verifiedPairs(pruned, repSets.select(col("doc_id"), col("xh")), threshold)
-    // expand representative pairs through the identity groups: every
-    // (member of A's group, member of B's group) pair shares A×B's Jaccard
-    val cross = repPairs
-      .join(repSets.select(col("doc_id").as("doc_id_a"), col("k").as("k_a")),
-        Seq("doc_id_a"))
-      .join(repSets.select(col("doc_id").as("doc_id_b"), col("k").as("k_b")),
-        Seq("doc_id_b"))
-      .join(members.select(col("k").as("k_a"), col("doc_id").as("a")), Seq("k_a"))
-      .join(members.select(col("k").as("k_b"), col("doc_id").as("b")), Seq("k_b"))
-      .select(least(col("a"), col("b")).as("doc_id_a"),
-        greatest(col("a"), col("b")).as("doc_id_b"), col("jaccard"))
-    // within-group pairs: identical sets, Jaccard exactly 1.0 (what the
-    // doc-level walk verifies to 1.0 through every shared bucket). An
+    // the guard shared by both modes' identity-group emissions: an
     // identical pair collides in exactly `bands` bands and verifies at
     // exactly 1.0, so it survives the doc-level walk iff
-    // minBandCollisions <= bands AND threshold <= 1.0 — the guard keeps
-    // the row-identity contract for the degenerate settings outside that
-    // range.
-    val within = members.select(col("k"), col("doc_id").as("doc_id_a"))
-      .join(members.select(col("k"), col("doc_id").as("doc_id_b")), Seq("k"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .select(col("doc_id_a"), col("doc_id_b"), lit(1.0).as("jaccard"))
-      .where(lit(minBandCollisions <= bands && threshold <= 1.0))
-    cross.unionByName(within)
+    // minBandCollisions <= bands AND threshold <= 1.0 — outside that
+    // degenerate range identity groups contribute nothing, keeping the
+    // row-identity (and forest-connectivity) contract.
+    val withinLegal = minBandCollisions <= bands && threshold <= 1.0
+    if (pairsMode == "forest") {
+      // group sizes ride one hash-agg over the member map; rep edges stay
+      // un-expanded (one row per verified representative pair)
+      val sizes = members.groupBy("k").agg(count(lit(1)).as("gsz"))
+      val repKeyed = repSets.select(col("doc_id"), col("k"))
+      val cross = repPairs
+        .join(repKeyed.select(col("doc_id").as("doc_id_a"), col("k").as("k_a")),
+          Seq("doc_id_a"))
+        .join(repKeyed.select(col("doc_id").as("doc_id_b"), col("k").as("k_b")),
+          Seq("doc_id_b"))
+        .join(sizes.select(col("k").as("k_a"), col("gsz").as("gsz_a")), Seq("k_a"))
+        .join(sizes.select(col("k").as("k_b"), col("gsz").as("gsz_b")), Seq("k_b"))
+        .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"),
+          (col("gsz_a") * col("gsz_b")).as("n_pairs"))
+      // star edges rep→member: the per-group window sorts ONE identity
+      // group per task (bounded by duplication multiplicity — the same
+      // per-key window contract the rest of the family relies on); the
+      // r-th member's edge carries its r-1 within-group pairs so the
+      // group's k(k-1)/2 total survives as an aggregate, not a blowup
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("doc_id")
+      val star = members
+        .withColumn("r", row_number().over(wk))
+        .withColumn("rep", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k")))
+        .filter(col("r") >= 2)
+        .select(col("rep").as("doc_id_a"), col("doc_id").as("doc_id_b"),
+          lit(1.0).as("jaccard"), (col("r") - 1).cast("long").as("n_pairs"))
+        .where(lit(withinLegal))
+      cross.unionByName(star)
+    } else {
+      // expand representative pairs through the identity groups: every
+      // (member of A's group, member of B's group) pair shares A×B's Jaccard
+      val cross = repPairs
+        .join(repSets.select(col("doc_id").as("doc_id_a"), col("k").as("k_a")),
+          Seq("doc_id_a"))
+        .join(repSets.select(col("doc_id").as("doc_id_b"), col("k").as("k_b")),
+          Seq("doc_id_b"))
+        .join(members.select(col("k").as("k_a"), col("doc_id").as("a")), Seq("k_a"))
+        .join(members.select(col("k").as("k_b"), col("doc_id").as("b")), Seq("k_b"))
+        .select(least(col("a"), col("b")).as("doc_id_a"),
+          greatest(col("a"), col("b")).as("doc_id_b"), col("jaccard"))
+      // within-group pairs: identical sets, Jaccard exactly 1.0 (what the
+      // doc-level walk verifies to 1.0 through every shared bucket)
+      val within = members.select(col("k"), col("doc_id").as("doc_id_a"))
+        .join(members.select(col("k"), col("doc_id").as("doc_id_b")), Seq("k"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .select(col("doc_id_a"), col("doc_id_b"), lit(1.0).as("jaccard"))
+        .where(lit(withinLegal))
+      cross.unionByName(within)
+    }
   }
 
   /** LSH candidate generation: explode each signature into `bands` bucket
@@ -703,6 +829,49 @@ object Dedup {
         }
         val ids = parent.keysIterator.toArray
         ids.iterator.map(id => (id, find(id)))
+      }
+      .toDF("doc_id_a", "doc_id_b")
+  }
+
+  /** Forest contraction of an arbitrary pair list IN PLACE — no shuffle:
+    * each task runs the in-task union-find over the pairs it already
+    * holds (the pair generator's own output partitioning, e.g. the IVF
+    * cell join's) and emits its local spanning forest as (node,
+    * localRoot) rows. Connectivity is preserved exactly (per-partition
+    * spanning forests union to a spanning subgraph — the
+    * [[contractedComponents]] edge-filtering argument), so feeding
+    * [[connectedComponents]]/[[contractedComponents]] this instead of the
+    * raw pairs yields IDENTICAL labels while the resolver's first shuffle
+    * moves O(touched nodes) rows instead of O(pairs) — the forest route
+    * for pair generators with no identity-group structure to collapse
+    * (q138's embedding pairs: all-distinct vectors, cell-partitioned
+    * verified pairs).
+    */
+  def forestEdges(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.select(col("doc_id_a").cast("long"), col("doc_id_b").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent.getOrElse(c, c); parent(c) = r; c = n
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        parent.keysIterator.toArray.iterator.map(id => (id, find(id)))
       }
       .toDF("doc_id_a", "doc_id_b")
   }

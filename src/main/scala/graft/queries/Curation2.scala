@@ -176,8 +176,10 @@ object Curation2 {
       .select("doc_id")
     val kept = gop.join(keptIds, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // forest pair route (q239's device): CC-identical spanning subgraph,
+    // O(docs + rep-pairs) emission — the full-closure oracle gates it
     val labels = Dedup.contractedComponents(
-      Dedup.jaccardPairs(kept, threshold = 0.8), stitch = "star")
+      Dedup.jaccardPairsForest(kept, threshold = 0.8), stitch = "star")
     val surv = kept.join(labels, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("component"), col("doc_id")))
       .filter(col("doc_id") === col("cluster")) // keep-first == label
@@ -435,8 +437,12 @@ object Curation2 {
     */
   def q239SplitNeardupSafe(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    // FOREST pair route (round 16): the resolver needs a spanning
+    // subgraph, not the pair list — jaccardPairsForest emits O(docs +
+    // rep-pairs) edges with identical components (the oracle's recursive
+    // closure over the FULL pair list is the hash gate for that claim)
     val labels = graft.operators.Dedup.contractedComponents(
-      graft.operators.Dedup.jaccardPairs(docs, threshold = 0.8),
+      graft.operators.Dedup.jaccardPairsForest(docs, threshold = 0.8),
       stitch = "star")
     docs.select("doc_id", "source")
       .join(labels, Seq("doc_id"), "left")

@@ -530,6 +530,37 @@ object Extensions {
       Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8),
       stitch = "propagation")
 
+  /** q247: dedup resolution over the FOREST pair walk (round 16) —
+    * [[graft.operators.Dedup.jaccardPairsForest]] emits a spanning
+    * subgraph (star edges inside identity groups, one edge per verified
+    * representative pair) instead of the full O(true-pairs) list, and the
+    * resolver labels it. The oracle is q58's — the full recursive closure
+    * over the COMPLETE exact pair list — so the hash gate IS the proof
+    * that forest connectivity equals full-list connectivity on this
+    * corpus. The walk whose sf1 cost motivated the mode (3.69 M pairs,
+    * ~772 s, SOAK_r15_sf1) becomes O(docs + rep-pairs) with labels
+    * unchanged.
+    */
+  def q247ForestResolve(s: SparkSession, dir: String): DataFrame =
+    Dedup.contractedComponents(
+      Dedup.jaccardPairsForest(Tables.documents(s, dir), threshold = 0.8),
+      stitch = "star")
+
+  /** q248: the forest walk's pair-count accounting — forest mode must
+    * not LOSE the pair count the full walk would have emitted (dedup
+    * dashboards read it), so every forest edge carries `n_pairs` (rep
+    * edge: its |A|·|B| group-product expansion; r-th star edge: its r-1
+    * within-group pairs) and this gate pins BOTH invariants as exact
+    * aggregates: sum(n_pairs) equals the full walk's pair count, and the
+    * edge count equals Σ(k-1) star edges + distinct verified
+    * representative pairs — each replayed from first principles in the
+    * oracle (identity groups keyed on the sorted distinct token set).
+    */
+  def q248ForestPairCount(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsForest(Tables.documents(s, dir), threshold = 0.8)
+      .agg(count(lit(1)).as("n_edges"),
+        coalesce(sum(col("n_pairs")), lit(0L)).as("sum_pairs"))
+
   /** q109: the dedup diagnostics view over q58's resolution fixed point —
     * how big are the clusters? (cluster_size, n_clusters) histogram: the
     * number a curation owner reads to decide whether near-dup mass is a
@@ -694,6 +725,8 @@ object Extensions {
     "q57_decontam"      -> (q57Decontam _),
     "q246_decontam_fraction" -> (q246DecontamFraction _),
     "q58_dedup_resolve" -> (q58DedupResolve _),
+    "q247_forest_resolve" -> (q247ForestResolve _),
+    "q248_forest_pair_count" -> (q248ForestPairCount _),
     "q109_cluster_sizes" -> (q109ClusterSizes _),
     "q59_sql_kernels"   -> (q59SqlKernels _),
     "q60_mixture_sample" -> (q60MixtureSample _),
@@ -995,6 +1028,41 @@ object Extensions {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, least(a, min(b)) AS component
         |FROM reach GROUP BY a""".stripMargin,
+    // q58's closure verbatim: forest edges must resolve to the SAME
+    // components as the complete pair list — the spanning-subgraph claim
+    // under the hash gate
+    "q247_forest_resolve" ->
+      s"""WITH RECURSIVE
+        |$unigramPairCtes,
+        |edges AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS component
+        |FROM reach GROUP BY a""".stripMargin,
+    // forest accounting from first principles: identity groups keyed on
+    // the sorted distinct token set (the engine keys on xxhash64 of the
+    // hashed set — same grouping, the accepted hash-set contract);
+    // n_edges = Σ(k-1) star edges + distinct verified rep pairs,
+    // sum_pairs = the full walk's exact pair count
+    "q248_forest_pair_count" ->
+      s"""WITH $unigramPairCtes,
+        |g AS (SELECT doc_id, lang, source, list_sort(ts) AS key
+        |  FROM t WHERE ts IS NOT NULL AND len(ts) > 0),
+        |r AS (SELECT lang, source, key, min(doc_id) AS rep, count(*) AS k
+        |  FROM g GROUP BY 1, 2, 3),
+        |m AS (SELECT g.doc_id, r.rep FROM g JOIN r
+        |  ON g.lang = r.lang AND g.source = r.source AND g.key = r.key),
+        |re AS (SELECT DISTINCT least(ma.rep, mb.rep) AS ra,
+        |    greatest(ma.rep, mb.rep) AS rb
+        |  FROM p JOIN m ma ON p.da = ma.doc_id
+        |         JOIN m mb ON p.db = mb.doc_id
+        |  WHERE ma.rep <> mb.rep)
+        |SELECT
+        |  CAST((SELECT coalesce(sum(k - 1), 0) FROM r)
+        |     + (SELECT count(*) FROM re) AS BIGINT) AS n_edges,
+        |  CAST((SELECT count(*) FROM p) AS BIGINT) AS sum_pairs""".stripMargin,
     // q58's closure + the two aggregation levels
     "q109_cluster_sizes" ->
       s"""WITH RECURSIVE

@@ -567,7 +567,14 @@ object Signals {
     // iterative stitch only on the residual cross-partition forest —
     // 1-2 rounds on fixture graphs instead of the direct resolvers'
     // diameter/log-n rounds over cosine-chain clusters.
-    val labels = graft.operators.Dedup.contractedComponents(pairs, stitch = "star")
+    // FOREST contraction in place (round 16): the verified pairs stream
+    // out of the cell join already partitioned — forestEdges collapses
+    // each partition's pairs to its spanning forest with NO shuffle, so
+    // the resolver's first exchange moves O(vectors), not O(pairs).
+    // Labels are provably identical (spanning subgraph); this query's
+    // own closure-replaying oracle is the hash gate.
+    val labels = graft.operators.Dedup.contractedComponents(
+      graft.operators.Dedup.forestEdges(pairs), stitch = "star")
     graft.operators.Dedup.keepBestLabeled(scored, labels)
   }
 

@@ -141,8 +141,45 @@ class PropertySpec extends SparkSpecBase {
           shingleSize = 2, numHashes = 16, bands = 4, threshold = 0.6,
           minBandCollisions = mbc))
         assert(dis === doc, s"walks diverged on corpus $i (mbc=$mbc)")
+        // forest mode: a true-pair subset spanning the same components,
+        // carrying the full walk's pair count as its n_pairs aggregate
+        val forest = graft.operators.Dedup.minhashLshDistinct(docs,
+          shingleSize = 2, numHashes = 16, bands = 4, threshold = 0.6,
+          minBandCollisions = mbc, pairsMode = "forest")
+        assert(canon(forest.select("doc_id_a", "doc_id_b", "jaccard"))
+          .subsetOf(doc), s"forest edge not a true pair (corpus $i, mbc=$mbc)")
+        val sumPairs = forest.agg(org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum("n_pairs"),
+            org.apache.spark.sql.functions.lit(0L)))
+          .collect()(0).getLong(0)
+        assert(sumPairs == doc.size.toLong,
+          s"n_pairs sum $sumPairs != ${doc.size} (corpus $i, mbc=$mbc)")
+        assert(componentsOf(forest) == componentsOf(
+          doc.toSeq.map(p => (p._1, p._2)).toDF("doc_id_a", "doc_id_b")),
+          s"forest components diverged (corpus $i, mbc=$mbc)")
       }
     }
+  }
+
+  /** Driver-side min-label components of an edge frame — the reference
+    * the forest-mode properties compare against.
+    */
+  private def componentsOf(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+    val es = edges.select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.groupBy(find).values.flatMap { ns =>
+      val mn = ns.min; ns.map(_ -> mn)
+    }.toMap
   }
 
   test("capGroups drops exactly the oversized groups with exact metrics") {

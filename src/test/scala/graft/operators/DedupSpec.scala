@@ -387,6 +387,77 @@ class DedupSpec extends SparkSpecBase {
       "minBandCollisions > bands admits no pair on either walk")
   }
 
+  test("forest pair modes: spanning components identical, pair count exact") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id_a", "doc_id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def labels(edges: org.apache.spark.sql.DataFrame) =
+      Dedup.contractedComponents(edges.select("doc_id_a", "doc_id_b"),
+        stitch = "star").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixture = graft.Tables.documents(spark, Sf0001)
+    val boiler = (1 to 12).map(i =>
+      (200L + i, "same same same boilerplate text here", "en", "s0"))
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val planted = docsDF(Seq(
+      (1L, base, "en", "s0"), (2L, nearDup, "en", "s0"),
+      (3L, null, "en", "s0"), (5L, "", "en", "s0"),
+      (6L, "", "en", "s0")) ++ boiler)
+    for (docs <- Seq(fixture, planted)) {
+      // LSH walk: forest vs all (q25's parameters)
+      val all = Dedup.minhashLshDistinct(docs, shingleSize = 1,
+        numHashes = 32, bands = 8, threshold = 0.8, minBandCollisions = 2)
+      val forest = Dedup.minhashLshDistinct(docs, shingleSize = 1,
+        numHashes = 32, bands = 8, threshold = 0.8, minBandCollisions = 2,
+        pairsMode = "forest")
+      val allSet = pairSet(all)
+      assert(pairSet(forest).subsetOf(allSet),
+        "every forest edge must be a true pair of the full walk")
+      assert(forest.agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum("n_pairs"),
+          org.apache.spark.sql.functions.lit(0L)))
+        .collect()(0).getLong(0) == allSet.size.toLong,
+        "sum(n_pairs) must equal the full walk's pair count")
+      if (allSet.nonEmpty) assert(labels(forest) === labels(all),
+        "forest edges must resolve to identical components")
+      // exact walk: jaccardPairsForest vs jaccardPairs
+      val allJ = Dedup.jaccardPairs(docs, 0.8)
+      val forJ = Dedup.jaccardPairsForest(docs, 0.8)
+      val allJSet = pairSet(allJ)
+      assert(pairSet(forJ).subsetOf(allJSet))
+      assert(forJ.agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum("n_pairs"),
+          org.apache.spark.sql.functions.lit(0L)))
+        .collect()(0).getLong(0) == allJSet.size.toLong)
+      if (allJSet.nonEmpty) assert(labels(forJ) === labels(allJ))
+    }
+    // degenerate settings: star emission obeys the same guards as the
+    // full walk's within-group expansion
+    assert(Dedup.minhashLshDistinct(planted, shingleSize = 3, numHashes = 32,
+      bands = 8, threshold = 1.5, pairsMode = "forest").count() == 0,
+      "threshold > 1.0 admits no forest edge")
+    assert(Dedup.minhashLshDistinct(planted, shingleSize = 3, numHashes = 32,
+      bands = 8, threshold = 0.5, minBandCollisions = 9,
+      pairsMode = "forest").count() == 0,
+      "minBandCollisions > bands admits no forest edge")
+  }
+
+  test("forestEdges contracts pairs in place with identical components") {
+    def labelSet(edges: org.apache.spark.sql.DataFrame) =
+      Dedup.contractedComponents(edges, stitch = "star")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = Dedup.jaccardPairs(graft.Tables.documents(spark, Sf0001), 0.8)
+      .select("doc_id_a", "doc_id_b")
+    val contracted = Dedup.forestEdges(pairs)
+    assert(contracted.count() <= pairs.count() * 2,
+      "forest is node-bounded, never super-quadratic")
+    assert(labelSet(contracted) === labelSet(pairs))
+    // a chain split across partitions must survive the local contraction
+    val chain = spark.range(0, 50).selectExpr("id AS doc_id_a", "id + 1 AS doc_id_b")
+      .repartition(8)
+    assert(labelSet(Dedup.forestEdges(chain)) === labelSet(chain))
+  }
+
   test("contractedComponents equals direct resolvers, handles chains and self-loops") {
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
