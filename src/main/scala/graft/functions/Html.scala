@@ -110,7 +110,7 @@ object Html {
     * from the SAME EntitySteps list the Column chain folds over, so the
     * q241/q244 oracles replay the identical rewrite by construction
     * (one Scala source of truth, two engine renderings). Rendered as a
-    * list_reduce FOLD, not nested replace() calls: 201 steps nested
+    * list_reduce FOLD, not nested replace() calls: EntitySteps.size steps nested
     * would blow DuckDB's 128-deep binder recursion cap, while the fold
     * is one flat list literal — semantics identical (left fold of
     * literal replaces, in EntitySteps order). Each list element encodes
@@ -162,12 +162,12 @@ object Html {
 
   /** [[EntityChain]]'s kernel: the EXACT left fold of literal replaces
     * over [[EntitySteps]] — semantics identical to chaining Spark's
-    * `replace` builtin 195 times (HtmlSpec pins equality against that
+    * `replace` builtin EntitySteps.size times (HtmlSpec pins equality against that
     * naive fold on adversarial inputs, including the cascades where one
     * step's output forms a later step's pattern) — but &-ANCHORED: every
     * pattern starts with '&', so each step checks only the string's '&'
     * positions (a handful per document) instead of scanning the whole
-    * text. The naive fold is 201 full passes per document — a ~200×
+    * text. The naive fold is EntitySteps.size full passes per document — a ~200×
     * read amplification that took q241 from 0.6 s to 4.6 s the round
     * the numeric range landed; this kernel pays one position scan plus
     * ~|amps|·|pattern| compares per step, and a full `String.replace`
@@ -217,8 +217,8 @@ object Html {
 
 /** The entity tail of [[Html.htmlExtract]] as ONE native codegen
   * expression (custom-operator preference order (b)): result identical to
-  * the 195-step builtin replace chain — [[Html.applyEntitySteps]] IS that
-  * fold — at ~1 pass instead of ~195 (scaladoc there). The q241/q244
+  * the EntitySteps.size-step builtin replace chain — [[Html.applyEntitySteps]] IS that
+  * fold — at ~1 pass instead of one per step (scaladoc there). The q241/q244
   * oracles still replay the chain itself (Html.entityChainSql's
   * list_reduce fold), so the fusion is hash-gated against the contract
   * every round. Same StaticInvoke-shaped codegen as [[NormalizeText]].

@@ -170,7 +170,7 @@ object Curation2 {
       scored.select("doc_id", "source", "avg_nll_u"),
       stratum = "source", primary = "avg_nll_u", desc = false,
       tieBreak = Seq(col("doc_id")), value = lit(1L),
-      nChunks = math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt))
+      nChunks = defaultChunks(s))
     val keptIds = ranked
       .filter(expr("(rn - 1) * 3 DIV n_stratum + 1") <= 2)
       .select("doc_id")
@@ -198,7 +198,7 @@ object Curation2 {
           "n_tokens", "cell"),
         stratum = "cell", primary = "doc_id", desc = false,
         tieBreak = Seq(col("doc_id")), value = col("n_tokens"),
-        nChunks = math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt))
+        nChunks = defaultChunks(s))
       .filter(col("cum_before") < 2000L)
       .select(col("doc_id"), col("lang"), col("source"), col("cluster"),
         col("split"), col("n_tokens"), col("cum_before"),
@@ -479,7 +479,7 @@ object Curation2 {
     val ranked = graft.operators.StratifiedSelect.chunkedPrefix(base,
       stratum = "corpus", primary = "quality", desc = false,
       tieBreak = Seq(col("doc_id")), value = col("n_tokens"),
-      nChunks = math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt))
+      nChunks = defaultChunks(s))
     ranked
       .withColumn("stage",
         expr("CAST((rn - 1) * 4 DIV n_stratum + 1 AS INT)"))

@@ -650,7 +650,7 @@ object Extensions {
     */
   def q54ApproxMedian(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.StratifiedSelect
-    val nChunks = math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val nChunks = defaultChunks(s)
     val base = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"))

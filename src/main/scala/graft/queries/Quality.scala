@@ -57,7 +57,7 @@ object Quality {
         .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")),
       stratum = "o_orderpriority", primary = "o_totalprice", desc = false,
       tieBreak = Seq(col("o_orderkey")), value = lit(1L),
-      nChunks = math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt))
+      nChunks = defaultChunks(s))
     val quartiles = ranked
       .filter(col("rn") === expr("(n_stratum + 3) DIV 4") ||
               col("rn") === expr("(3 * n_stratum + 3) DIV 4"))
@@ -239,7 +239,7 @@ object Quality {
     val ranked = StratifiedSelect.chunkedPrefix(scored,
       stratum = "source", primary = "avg_nll_u", desc = false,
       tieBreak = Seq(col("doc_id")), value = lit(1L),
-      nChunks = math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt))
+      nChunks = defaultChunks(s))
     ranked
       .withColumn("ppl_bucket", expr("CAST((rn - 1) * 3 DIV n_stratum + 1 AS INT)"))
       .withColumn("keep", col("ppl_bucket") <= 2)

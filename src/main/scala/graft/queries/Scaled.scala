@@ -24,8 +24,7 @@ import graft.operators.{Dedup, Profile, StratifiedSelect}
   */
 object Scaled {
 
-  private def nChunks(s: SparkSession): Int =
-    math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt)
+  private def nChunks(s: SparkSession): Int = defaultChunks(s)
 
   /** q61's token-budget selection with no per-language sort task: same
     * projection, same (quality desc, doc_id) order, same budget — prefix

@@ -23,4 +23,15 @@ package object queries {
     */
   def dsum(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  /** The chunk count the chunkedPrefix call sites derive from the
+    * session's shuffle parallelism — clamped into chunkedPrefix's
+    * [2, 1024] contract, so a deployment running >1024 shuffle
+    * partitions degrades to the 1024-chunk sketch instead of aborting
+    * on chunkedPrefix's own require (round-15 advice). 1024 chunks keep
+    * the per-chunk slice ~N/1024 — still never a single-task sort.
+    */
+  def defaultChunks(s: org.apache.spark.sql.SparkSession): Int =
+    math.min(1024,
+      math.max(2, s.conf.get("spark.sql.shuffle.partitions").toInt))
 }

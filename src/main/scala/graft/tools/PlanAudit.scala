@@ -34,7 +34,8 @@ object PlanAudit {
   /** Max rows a BNLJ build side may produce before the audit fails. */
   val MaxBnljBuildRows = 32L
 
-  final case class Audit(cartesian: Int, bnljBuildRows: Seq[Long]) {
+  final case class Audit(cartesian: Int, bnljBuildRows: Seq[Long],
+                         exchanges: Int = 0, arrayExchanges: Int = 0) {
     def clean: Boolean =
       cartesian == 0 && bnljBuildRows.forall(r => r >= 0 && r <= MaxBnljBuildRows)
   }
@@ -70,8 +71,66 @@ object PlanAudit {
       walk(side).flatMap(_.metrics.get("numOutputRows").map(_.value))
         .headOption.getOrElse(-1L)
     }
-    Audit(cart, builds)
+    // Exchange budget (round-15 verdict ask #7): the cartesian/BNLJ fence
+    // catches strategy failures, but a silently-ADDED shuffle (the
+    // round-15 two-level-IVF double embedding carry) only showed up in a
+    // hand-read plan. Count the finalized plan's ShuffleExchanges — by
+    // REFERENCE identity, so a ReusedExchange's target (reachable twice
+    // through the walk) is one exchange, which is exactly what it costs —
+    // and, separately, the ones whose rows carry a float/double ARRAY
+    // column (embedding-bearing: the expensive bytes to move).
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    val shuffles = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if seen.add(e) => e
+    }
+    def bearsArray(e: SparkPlan): Boolean = e.output.exists(a =>
+      a.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType |
+          org.apache.spark.sql.types.FloatType, _) => true
+        case _ => false
+      })
+    Audit(cart, builds, shuffles.size, shuffles.count(bearsArray))
   }
+
+  /** Per-query exchange budgets committed at docs/perf/EXCHANGE_BUDGET.txt
+    * (`name exchanges arrayExchanges` per line, '#' comments) — the audit
+    * fails LOUDLY when a query's finalized plan grows past its budget, so
+    * the next accidental extra shuffle is a red main, not a hand-read
+    * plan diff. Regenerate deliberately with --write-budget after a
+    * justified plan change.
+    */
+  def readBudget(path: String): Map[String, (Int, Int)] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(p).asScala
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val parts = l.split("\\s+")
+          require(parts.length == 3, s"bad budget line: '$l'")
+          parts(0) -> ((parts(1).toInt, parts(2).toInt))
+        }.toMap
+    }
+  }
+
+  /** Loud gate of a measured audit against a committed budget entry. */
+  def requireBudget(name: String, a: Audit,
+                    budget: Option[(Int, Int)]): Unit =
+    budget.foreach { case (ex, arrEx) =>
+      require(a.exchanges <= ex,
+        s"$name: ${a.exchanges} ShuffleExchanges in the executed plan " +
+          s"(budget $ex) — an extra shuffle crept in; justify it and " +
+          "regenerate docs/perf/EXCHANGE_BUDGET.txt with --write-budget")
+      require(a.arrayExchanges <= arrEx,
+        s"$name: ${a.arrayExchanges} embedding-bearing ShuffleExchanges " +
+          s"(budget $arrEx) — an exchange now carries a float/double " +
+          "array column it didn't before (the round-15 double-carry bug " +
+          "class); justify it and regenerate the budget")
+    }
 
   /** Loud gate over [[audit]]'s measurement. */
   def requireClean(name: String, a: Audit): Unit = {
@@ -85,23 +144,37 @@ object PlanAudit {
     }
   }
 
+  val BudgetPath = "docs/perf/EXCHANGE_BUDGET.txt"
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: PlanAudit <sfDir> <query> [query...] [-v]")
+    require(args.length >= 2,
+      "usage: PlanAudit <sfDir> <query> [query...] [-v] [--write-budget]")
     val sfDir = args.head
     val verbose = args.contains("-v")
-    val names = args.tail.filterNot(_ == "-v").toSeq
+    val writeBudget = args.contains("--write-budget")
+    val names = args.tail.filterNot(a => a == "-v" || a == "--write-budget").toSeq
     val spark = graft.GraftSession.get()
     spark.sparkContext.setLogLevel("ERROR")
+    val budget = if (writeBudget) Map.empty[String, (Int, Int)]
+                 else readBudget(BudgetPath)
+    val measured = scala.collection.mutable.ListBuffer[(String, Int, Int)]()
     var failures = List.empty[String]
     names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'"))
       val df = fn(spark, sfDir)
       val a = audit(df)
+      measured += ((name, a.exchanges, a.arrayExchanges))
+      val b = budget.get(name)
+      val budgetStr = b.map { case (ex, arrEx) =>
+        s" (budget $ex/$arrEx)"
+      }.getOrElse(if (writeBudget) "" else " (no budget entry)")
       println(s"[plan] $name cartesian=${a.cartesian} " +
         s"bnlj=${a.bnljBuildRows.size} " +
-        s"bnljBuildRows=[${a.bnljBuildRows.mkString(",")}]")
-      try requireClean(name, a)
+        s"bnljBuildRows=[${a.bnljBuildRows.mkString(",")}] " +
+        s"exchanges=${a.exchanges} arrayExchanges=${a.arrayExchanges}" +
+        budgetStr)
+      try { requireClean(name, a); requireBudget(name, a, b) }
       catch { case e: IllegalArgumentException =>
         failures ::= e.getMessage; println(s"[plan] FAIL ${e.getMessage}")
       }
@@ -109,6 +182,18 @@ object PlanAudit {
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
+    if (writeBudget) {
+      val header = "# per-query ShuffleExchange budget: name exchanges " +
+        "arrayExchanges\n# regenerate deliberately with PlanAudit " +
+        "--write-budget after a justified plan change\n"
+      val body = measured.sortBy(_._1)
+        .map { case (n, e, ae) => s"$n $e $ae" }.mkString("", "\n", "\n")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("docs/perf"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(BudgetPath), header + body)
+      println(s"[plan] wrote ${measured.size} budget entries to $BudgetPath")
+    }
     if (failures.nonEmpty)
       sys.error(s"${failures.size} plan-audit failure(s):\n" +
         failures.reverse.mkString("\n"))

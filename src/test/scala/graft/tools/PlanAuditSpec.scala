@@ -43,6 +43,48 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(e.getMessage.contains("build side produced"))
   }
 
+  test("exchange budget: a deliberately-added extra shuffle fails the audit") {
+    val docs = graft.Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull)
+    val base = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val a0 = PlanAudit.audit(base)
+    assert(a0.exchanges >= 1, s"groupBy must shuffle: $a0")
+    // the committed-budget happy path: measured == budget passes
+    PlanAudit.requireBudget("base", a0, Some((a0.exchanges, a0.arrayExchanges)))
+    // one deliberate extra exchange (repartition before the agg) must
+    // trip the SAME budget — the round-15 double-carry bug class as a
+    // red assertion instead of a hand-read plan
+    val extra = PlanAudit.audit(
+      docs.repartition(col("doc_id")).groupBy("lang").agg(count(lit(1)).as("n")))
+    assert(extra.exchanges > a0.exchanges,
+      s"repartition must add an exchange: $extra vs $a0")
+    val e = intercept[IllegalArgumentException] {
+      PlanAudit.requireBudget("base", extra,
+        Some((a0.exchanges, a0.arrayExchanges)))
+    }
+    assert(e.getMessage.contains("extra shuffle"))
+    // embedding-bearing count: an exchange carrying the double-array
+    // column is seen as such, and growing it trips its own message
+    val emb = graft.Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("e"))
+    // the array must be CONSUMED above the shuffle or column pruning
+    // (correctly) drops it from the exchange — which is precisely the
+    // discipline the counter audits
+    val carried = PlanAudit.audit(
+      emb.repartition(col("vec_id"))
+        .agg(sum(aggregate(col("e"), lit(0.0), (a, x) => a + x)).as("s")))
+    assert(carried.arrayExchanges >= 1,
+      s"the repartition carries the embedding array: $carried")
+    val e2 = intercept[IllegalArgumentException] {
+      PlanAudit.requireBudget("emb", carried,
+        Some((carried.exchanges, carried.arrayExchanges - 1)))
+    }
+    assert(e2.getMessage.contains("embedding-bearing"))
+    // a query with no budget entry is not gated (bootstrap path)
+    PlanAudit.requireBudget("unknown", extra, None)
+  }
+
   test("cartesian products fail the fence") {
     val a = Seq.tabulate(10)(i => i.toLong).toDF("id")
     val b = Seq.tabulate(10)(i => i.toLong).toDF("id2")
