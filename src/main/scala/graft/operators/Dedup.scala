@@ -1418,32 +1418,86 @@ object Dedup {
     * unseen in the corpus", a batch-split-independent statement the q157
     * oracle makes in one SQL query. The batch frame is persisted across
     * its two writes (result + index) so the anti-join runs once.
+    *
+    * CRASH CONSISTENCY (round 16): a batch's result rows and its index
+    * fingerprints share one IndexCommits epoch, committed AFTER both
+    * writes — a crash between them previously left admitted rows whose
+    * fingerprints never reached the screen (a re-run would re-admit
+    * duplicates). Probes (the anti-join inside the loop AND the returned
+    * result) read committed epochs only, so a reader sees the pre-batch
+    * state or the fully-admitted batch, never between (DedupSpec's
+    * kill-point test walks both windows via the stopAfter hook).
     */
   def admitRollingExact(corpus: DataFrame, batches: Seq[DataFrame],
                         tableBase: String, numBuckets: Int = 32): DataFrame = {
     val s = corpus.sparkSession
     val idxT = s"${tableBase}_exact"
     val resT = s"${tableBase}_admitted"
+    graft.sources.IndexCommits.reset(s, tableBase)
+    val e0 = graft.sources.IndexCommits.begin(s, tableBase)
     graft.sources.Sinks.parquetBucketed(
-      corpus.select(md5(col("text")).as("xfp")).distinct(), idxT,
-      "xfp", numBuckets)
+      corpus.select(md5(col("text")).as("xfp")).distinct()
+        .withColumn("epoch", lit(e0)),
+      idxT, "xfp", numBuckets)
     graft.sources.Sinks.reclaimOrphanTableLocation(s, resT)
     s.sql(s"DROP TABLE IF EXISTS $resT")
+    graft.sources.IndexCommits.commit(s, tableBase, e0)
     batches.foreach { b =>
-      val adm = b.select(col("doc_id"), md5(col("text")).as("xfp"))
-        .groupBy("xfp").agg(min("doc_id").as("doc_id"))
-        .join(s.table(idxT).hint("shuffle_hash"), Seq("xfp"), "left_anti")
-        .select("doc_id", "xfp")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        adm.write.mode(org.apache.spark.sql.SaveMode.Append)
-          .format("parquet").saveAsTable(resT)
-        adm.select("xfp").write
-          .mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
-          .bucketBy(numBuckets, "xfp").sortBy("xfp").saveAsTable(idxT)
-      } finally adm.unpersist(blocking = false)
+      val e = admitRollingStep(b, tableBase, numBuckets, stopAfter = 2)
+      graft.sources.IndexCommits.commit(s, tableBase, e)
     }
     s.table(resT)
+      .filter(graft.sources.IndexCommits.committedFilter(s, tableBase))
+      .drop("epoch")
+  }
+
+  /** Reopen a rolling-admission result table at its COMMITTED state —
+    * the view [[admitRollingExact]] returns, reconstructable in a later
+    * session (or after a crash: uncommitted batches invisible).
+    */
+  def loadAdmitted(s: org.apache.spark.sql.SparkSession,
+                   tableBase: String): DataFrame =
+    s.table(s"${tableBase}_admitted")
+      .filter(graft.sources.IndexCommits.committedFilter(s, tableBase))
+      .drop("epoch")
+
+  /** Reopen a rolling-split result table at its COMMITTED state — the
+    * view [[splitRollingMinhash]] returns.
+    */
+  def loadRollingSplits(s: org.apache.spark.sql.SparkSession,
+                        tableBase: String): DataFrame =
+    s.table(s"${tableBase}_splits")
+      .filter(graft.sources.IndexCommits.committedFilter(s, tableBase))
+      .drop("epoch")
+
+  /** One [[admitRollingExact]] batch WITHOUT the commit — the kill-point
+    * hook (stopAfter = 1: result rows only; 2: + index fingerprints,
+    * crash before commit). Returns the batch's epoch.
+    */
+  private[graft] def admitRollingStep(b: DataFrame, tableBase: String,
+                                      numBuckets: Int,
+                                      stopAfter: Int): Long = {
+    val s = b.sparkSession
+    val idxT = s"${tableBase}_exact"
+    val resT = s"${tableBase}_admitted"
+    val e = graft.sources.IndexCommits.begin(s, tableBase)
+    val vis = graft.sources.IndexCommits.committedFilter(s, tableBase)
+    val adm = b.select(col("doc_id"), md5(col("text")).as("xfp"))
+      .groupBy("xfp").agg(min("doc_id").as("doc_id"))
+      .join(s.table(idxT).filter(vis).hint("shuffle_hash"),
+        Seq("xfp"), "left_anti")
+      .select("doc_id", "xfp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      adm.withColumn("epoch", lit(e))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(resT)
+      if (stopAfter >= 2)
+        adm.select("xfp").withColumn("epoch", lit(e)).write
+          .mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+          .bucketBy(numBuckets, "xfp").sortBy("xfp").saveAsTable(idxT)
+    } finally adm.unpersist(blocking = false)
+    e
   }
 
   /** [[admitIncremental]] reshaped so the NEW side needs no aggregation —
@@ -1779,97 +1833,144 @@ object Dedup {
                           trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
     val s = corpus.sparkSession
-    val rows = numHashes / bands
     val postT = s"${tableBase}_post"
     val resT = s"${tableBase}_splits"
 
-    def postings(docs: DataFrame, ccl: Column): DataFrame = {
-      val withSig = docs
-        .select(col("doc_id"), ccl.as("ccl"),
-          graft.functions.WordGramHashes
-            .wordGramHashes(col("text"), shingleSize).as("xh"))
-        .withColumn("sig",
-          graft.functions.MinHashSig.minhashSig(col("xh"), numHashes))
-        .filter(col("sig").isNotNull)
-      // the band index FOLDS into the bucket key (hash(band, slice)), so
-      // the lookup is a single-key join on the table's one bucket column
-      // — the bucketed layout satisfies the join distribution with zero
-      // index-side shuffle. A cross-band hash collision can only ADD a
-      // candidate, which the exact verify then rejects — lossless.
-      withSig.select(col("doc_id").as("cid"), col("ccl"), col("xh").as("cxh"),
-        explode(array((0 until bands).map(b =>
-          hash(lit(b), slice(col("sig"), lit(b * rows + 1), lit(rows)))): _*))
-          .as("mbucket"))
-        .select(col("mbucket"), col("cid"), col("ccl"), col("cxh"))
-    }
-
+    // CRASH CONSISTENCY (round 16): each batch's split rows (resT) and
+    // its label-carrying postings (postT) share one IndexCommits epoch,
+    // committed after both writes — a crash between them previously left
+    // split assignments whose clusters the index never learned, so a
+    // later arrival could not inherit them. Lookups and the returned
+    // result read committed epochs only.
+    graft.sources.IndexCommits.reset(s, tableBase)
+    val e0 = graft.sources.IndexCommits.begin(s, tableBase)
     graft.sources.Sinks.parquetBucketed(
-      postings(corpus.join(labels, Seq("doc_id"), "left")
+      splitRollingPostings(
+        corpus.join(labels, Seq("doc_id"), "left")
           .select(col("doc_id"), col("text"),
             coalesce(col("component"), col("doc_id")).as("ccl0")),
-        col("ccl0")),
+        col("ccl0"), shingleSize, numHashes, bands)
+        .withColumn("epoch", lit(e0)),
       postT, "mbucket", numBuckets)
     graft.sources.Sinks.reclaimOrphanTableLocation(s, resT)
     s.sql(s"DROP TABLE IF EXISTS $resT")
+    graft.sources.IndexCommits.commit(s, tableBase, e0)
 
     batches.foreach { b0 =>
-      val b = b0.select(col("doc_id"), col("text"))
+      val e = splitRollingStep(b0, tableBase, threshold, minBandCollisions,
+        shingleSize, numHashes, bands, numBuckets, trainPct, valPct,
+        stopAfter = 2)
+      graft.sources.IndexCommits.commit(s, tableBase, e)
+    }
+    s.table(resT)
+      .filter(graft.sources.IndexCommits.committedFilter(s, tableBase))
+      .drop("epoch")
+  }
+
+  /** The (mbucket, cid, ccl, cxh) posting stream behind
+    * [[splitRollingMinhash]] — the band index FOLDS into the bucket key
+    * (hash(band, slice)), so the lookup is a single-key join on the
+    * table's one bucket column: the bucketed layout satisfies the join
+    * distribution with zero index-side shuffle. A cross-band hash
+    * collision can only ADD a candidate, which the exact verify then
+    * rejects — lossless.
+    */
+  private def splitRollingPostings(docs: DataFrame, ccl: Column,
+                                   shingleSize: Int, numHashes: Int,
+                                   bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = docs
+      .select(col("doc_id"), ccl.as("ccl"),
+        graft.functions.WordGramHashes
+          .wordGramHashes(col("text"), shingleSize).as("xh"))
+      .withColumn("sig",
+        graft.functions.MinHashSig.minhashSig(col("xh"), numHashes))
+      .filter(col("sig").isNotNull)
+    withSig.select(col("doc_id").as("cid"), col("ccl"), col("xh").as("cxh"),
+      explode(array((0 until bands).map(b =>
+        hash(lit(b), slice(col("sig"), lit(b * rows + 1), lit(rows)))): _*))
+        .as("mbucket"))
+      .select(col("mbucket"), col("cid"), col("ccl"), col("cxh"))
+  }
+
+  /** One [[splitRollingMinhash]] batch WITHOUT the commit — the
+    * kill-point hook (stopAfter = 1: split rows only; 2: + postings,
+    * crash before commit). Returns the batch's epoch.
+    */
+  private[graft] def splitRollingStep(b0: DataFrame, tableBase: String,
+                                      threshold: Double,
+                                      minBandCollisions: Int,
+                                      shingleSize: Int, numHashes: Int,
+                                      bands: Int, numBuckets: Int,
+                                      trainPct: Int, valPct: Int,
+                                      stopAfter: Int): Long = {
+    val s = b0.sparkSession
+    val postT = s"${tableBase}_post"
+    val resT = s"${tableBase}_splits"
+    val e = graft.sources.IndexCommits.begin(s, tableBase)
+    val vis = graft.sources.IndexCommits.committedFilter(s, tableBase)
+    val b = b0.select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // (2) index lookup: one row per colliding band, then batch-sized
+      // aggregation — the index side is bucketed on the join key
+      val bp = splitRollingPostings(b, col("doc_id"), shingleSize,
+          numHashes, bands)
+        .select(col("mbucket"), col("cid").as("doc_id"),
+          col("cxh").as("xh"))
+      val cand = bp
+        .join(s.table(postT).filter(vis).drop("epoch").hint("shuffle_hash"),
+          Seq("mbucket"))
+        .filter(col("cid") =!= col("doc_id"))
+        .groupBy("doc_id", "cid")
+        .agg(count(lit(1)).as("n_coll"), first("xh").as("xh"),
+          first("ccl").as("ccl"), first("cxh").as("cxh"))
+        .filter(col("n_coll") >= minBandCollisions)
+      val ic = graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("xh"), col("cxh")).cast("double")
+      val verified = cand
+        .filter(ic / (size(col("xh")) + size(col("cxh")) - ic)
+          >= lit(threshold))
+      val inherited = verified
+        .groupBy("doc_id")
+        .agg(min(when(col("cxh") === col("xh"), col("ccl"))).as("exactMin"),
+          min(col("ccl")).as("nearMin"))
+        .select(col("doc_id"),
+          coalesce(col("exactMin"), col("nearMin")).as("inh"))
+      // (3) within-batch resolution: banded pairs over the batch alone,
+      // min-propagation over (inherited-or-self) labels per component
+      val own = b.select(col("doc_id"))
+        .join(inherited, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("inh"), col("doc_id")).as("lbl"))
+      val comp = contractedComponents(
+        minhashLsh(b, shingleSize, numHashes, bands, threshold)
+          .select("doc_id_a", "doc_id_b"))
+      val labeled = own
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("comp", coalesce(col("component"), col("doc_id")))
+      val finalLbl = labeled
+        .groupBy("comp").agg(min("lbl").as("cluster"))
+      val out = labeled.join(finalLbl, Seq("comp"))
+        .select(col("doc_id"), col("cluster"),
+          graft.operators.Sampling.splitAssign(col("cluster"),
+            trainPct, valPct).as("split"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        // (2) index lookup: one row per colliding band, then batch-sized
-        // aggregation — the index side is bucketed on the join key
-        val bp = postings(b, col("doc_id"))
-          .select(col("mbucket"), col("cid").as("doc_id"),
-            col("cxh").as("xh"))
-        val cand = bp
-          .join(s.table(postT).hint("shuffle_hash"), Seq("mbucket"))
-          .filter(col("cid") =!= col("doc_id"))
-          .groupBy("doc_id", "cid")
-          .agg(count(lit(1)).as("n_coll"), first("xh").as("xh"),
-            first("ccl").as("ccl"), first("cxh").as("cxh"))
-          .filter(col("n_coll") >= minBandCollisions)
-        val ic = graft.functions.SortedIntersectCount
-          .sortedIntersectCount(col("xh"), col("cxh")).cast("double")
-        val verified = cand
-          .filter(ic / (size(col("xh")) + size(col("cxh")) - ic)
-            >= lit(threshold))
-        val inherited = verified
-          .groupBy("doc_id")
-          .agg(min(when(col("cxh") === col("xh"), col("ccl"))).as("exactMin"),
-            min(col("ccl")).as("nearMin"))
-          .select(col("doc_id"),
-            coalesce(col("exactMin"), col("nearMin")).as("inh"))
-        // (3) within-batch resolution: banded pairs over the batch alone,
-        // min-propagation over (inherited-or-self) labels per component
-        val own = b.select(col("doc_id"))
-          .join(inherited, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("inh"), col("doc_id")).as("lbl"))
-        val comp = contractedComponents(
-          minhashLsh(b, shingleSize, numHashes, bands, threshold)
-            .select("doc_id_a", "doc_id_b"))
-        val labeled = own
-          .join(comp, Seq("doc_id"), "left")
-          .withColumn("comp", coalesce(col("component"), col("doc_id")))
-        val finalLbl = labeled
-          .groupBy("comp").agg(min("lbl").as("cluster"))
-        val out = labeled.join(finalLbl, Seq("comp"))
-          .select(col("doc_id"), col("cluster"),
-            graft.operators.Sampling.splitAssign(col("cluster"),
-              trainPct, valPct).as("split"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        out.write.mode(org.apache.spark.sql.SaveMode.Append)
-          .format("parquet").saveAsTable(resT)
-        // (4) postings carry the RESOLVED labels into the index
-        postings(b.join(out.select(col("doc_id"), col("cluster")), "doc_id"),
-            col("cluster"))
+      out.withColumn("epoch", lit(e))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").saveAsTable(resT)
+      // (4) postings carry the RESOLVED labels into the index
+      if (stopAfter >= 2)
+        splitRollingPostings(
+            b.join(out.select(col("doc_id"), col("cluster")), "doc_id"),
+            col("cluster"), shingleSize, numHashes, bands)
+          .withColumn("epoch", lit(e))
           .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
           .bucketBy(numBuckets, "mbucket").sortBy("mbucket")
           .saveAsTable(postT)
-        out.unpersist(blocking = false)
-      } finally b.unpersist(blocking = false)
-    }
-    s.table(resT)
+      out.unpersist(blocking = false)
+    } finally b.unpersist(blocking = false)
+    e
   }
 
   /** Embedding-cosine near-dup pairs, blocked by label — the exact,
@@ -2166,10 +2267,52 @@ object Dedup {
     */
   def saveGramIndex(corpus: DataFrame, tableBase: String, k: Int = 8,
                     numBuckets: Int = 32): DataFrame = {
-    graft.sources.Sinks.parquetBucketed(gramIndexFrame(corpus, k),
+    val s = corpus.sparkSession
+    graft.sources.IndexCommits.reset(s, tableBase)
+    val e = graft.sources.IndexCommits.begin(s, tableBase)
+    graft.sources.Sinks.parquetBucketed(
+      gramIndexFrame(corpus, k).withColumn("epoch", lit(e)),
       s"${tableBase}_grams", "h", numBuckets)
-    corpus.sparkSession.table(s"${tableBase}_grams")
+    graft.sources.IndexCommits.commit(s, tableBase, e)
+    loadGramIndex(s, tableBase)
   }
+
+  /** Admit a new batch's grams into a persisted gram index: only the
+    * batch's OWN distinct gram hashes append (one new file per touched
+    * bucket), under a fresh epoch committed after the write. A gram
+    * already indexed may append again from a later batch — the index is
+    * a SET probed through a left-join hit flag, so duplicate hash rows
+    * change bytes, not answers (compact on the usual bucketed cadence).
+    */
+  def appendGramIndex(newDocs: DataFrame, tableBase: String, k: Int = 8,
+                      numBuckets: Int = 32): DataFrame = {
+    val s = newDocs.sparkSession
+    val e = appendGramIndexPartial(newDocs, tableBase, k, numBuckets)
+    graft.sources.IndexCommits.commit(s, tableBase, e)
+    loadGramIndex(s, tableBase)
+  }
+
+  /** [[appendGramIndex]] without the commit — the kill-point hook. */
+  private[graft] def appendGramIndexPartial(newDocs: DataFrame,
+                                            tableBase: String, k: Int = 8,
+                                            numBuckets: Int = 32): Long = {
+    val s = newDocs.sparkSession
+    val e = graft.sources.IndexCommits.begin(s, tableBase)
+    gramIndexFrame(newDocs, k).withColumn("epoch", lit(e))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, "h").sortBy("h")
+      .saveAsTable(s"${tableBase}_grams")
+    e
+  }
+
+  /** The gram index at its COMMITTED state (IndexCommits) — crashed
+    * admissions' orphan rows invisible to [[substrContamination]].
+    */
+  def loadGramIndex(s: org.apache.spark.sql.SparkSession,
+                    tableBase: String): DataFrame =
+    s.table(s"${tableBase}_grams")
+      .filter(graft.sources.IndexCommits.committedFilter(s, tableBase))
+      .drop("epoch")
 
   /** Substring-level contamination screen — for each NEW document, how
     * much of it the corpus has already seen: n_grams (its k-gram count),

@@ -582,14 +582,30 @@ object Similarity {
   def saveIvfIndex(emb: DataFrame, tableBase: String, nList: Int = 16,
                    numBuckets: Int = 32): IvfIndex = {
     val s = emb.sparkSession
+    graft.sources.IndexCommits.reset(s, tableBase)
+    val e = graft.sources.IndexCommits.begin(s, tableBase)
     val idx = ivfIndexFrames(emb, nList)
-    graft.sources.Sinks.parquetBucketed(idx.assigned, s"${tableBase}_cells",
-      "cid", numBuckets)
+    graft.sources.Sinks.parquetBucketed(
+      idx.assigned.withColumn("epoch", org.apache.spark.sql.functions.lit(e)),
+      s"${tableBase}_cells", "cid", numBuckets)
     graft.sources.Sinks.reclaimOrphanTableLocation(s, s"${tableBase}_cents")
     idx.centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${tableBase}_cents")
-    IvfIndex(s.table(s"${tableBase}_cents"), s.table(s"${tableBase}_cells"))
+    graft.sources.IndexCommits.commit(s, tableBase, e)
+    loadIvfIndex(s, tableBase)
   }
+
+  /** Open a persisted IVF index at its COMMITTED state (IndexCommits):
+    * the cell table filtered to `_SUCCESS`-carrying epochs, so a crashed
+    * admission's orphan rows never reach a probe; centroids are frozen
+    * at build time and read as-is.
+    */
+  def loadIvfIndex(s: org.apache.spark.sql.SparkSession,
+                   tableBase: String): IvfIndex =
+    IvfIndex(s.table(s"${tableBase}_cents"),
+      s.table(s"${tableBase}_cells")
+        .filter(graft.sources.IndexCommits.committedFilter(s, tableBase))
+        .drop("epoch"))
 
   /** Admit a NEW vector batch into a persisted IVF index without touching
     * the corpus already indexed: the saved centroids (frozen at build
@@ -609,13 +625,27 @@ object Similarity {
   def appendIvfIndexSaved(newEmb: DataFrame, tableBase: String,
                           numBuckets: Int = 32): IvfIndex = {
     val s = newEmb.sparkSession
+    val e = appendIvfIndexPartial(newEmb, tableBase, numBuckets)
+    graft.sources.IndexCommits.commit(s, tableBase, e)
+    loadIvfIndex(s, tableBase)
+  }
+
+  /** [[appendIvfIndexSaved]] without the commit — the kill-point hook
+    * (cell rows landed under a fresh epoch, never flipped visible).
+    */
+  private[graft] def appendIvfIndexPartial(newEmb: DataFrame,
+                                           tableBase: String,
+                                           numBuckets: Int = 32): Long = {
+    val s = newEmb.sparkSession
+    val e = graft.sources.IndexCommits.begin(s, tableBase)
     val cents = s.table(s"${tableBase}_cents")
     assignToCells(cents, newEmb)
+      .withColumn("epoch", org.apache.spark.sql.functions.lit(e))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .format("parquet")
       .bucketBy(numBuckets, "cid").sortBy("cid")
       .saveAsTable(s"${tableBase}_cells")
-    IvfIndex(cents, s.table(s"${tableBase}_cells"))
+    e
   }
 
   /** Streaming twin of the indexed ANN probe path — query vectors arrive
@@ -644,9 +674,11 @@ object Similarity {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          val idx = IvfIndex(s.table(s"${tableBase}_cents"),
-            s.table(s"${tableBase}_cells"))
-          onBatch(ivfTopKIndexed(idx, batch, k, nProbe), id)
+          // committed view per micro-batch: an admission committing
+          // between batches becomes visible at the next batch boundary,
+          // and a crashed one never does
+          onBatch(ivfTopKIndexed(loadIvfIndex(s, tableBase), batch, k,
+            nProbe), id)
         }
       }
       .start()

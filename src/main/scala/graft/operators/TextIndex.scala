@@ -32,24 +32,37 @@ object TextIndex {
   /** Build and persist the index. One corpus pass computes the postings,
     * doc lengths, and collection stats; the bucketed writes are the only
     * shuffles, each keyed on its table's own bucket column.
+    *
+    * CRASH CONSISTENCY (round 16): every row carries the admission
+    * `epoch` (0 for the build) and the three-table write set is flipped
+    * visible by ONE IndexCommits marker — see [[loadBm25Index]]. The
+    * stats table holds one ADDITIVE row per epoch (n_docs, tot, epoch),
+    * not a rewritten singleton: appends never read-modify-write shared
+    * state, so no admission can clobber another's totals and a crashed
+    * admission leaves no half-applied stats.
     */
   def saveBm25Index(docs: DataFrame, tableBase: String, numBuckets: Int = 32,
                     unicode: Boolean = false): Bm25Index = {
     val s = docs.sparkSession
+    graft.sources.IndexCommits.reset(s, tableBase)
+    val e = graft.sources.IndexCommits.begin(s, tableBase) // 0 after reset
     val terms = docs.select(col("doc_id"),
       explode(TextFunctions.tokens(col("text"), unicode)).as("term"))
     val postings = terms.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("epoch", lit(e))
     graft.sources.Sinks.parquetBucketed(postings, s"${tableBase}_post",
       "term", numBuckets)
     val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .withColumn("epoch", lit(e))
     graft.sources.Sinks.parquetBucketed(dl, s"${tableBase}_dl",
       "doc_id", numBuckets)
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum("dl"), lit(0L)).as("tot"), lit(e).as("epoch"))
     graft.sources.Sinks.reclaimOrphanTableLocation(s, s"${tableBase}_stats")
     stats.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${tableBase}_stats")
-    Bm25Index(s.table(s"${tableBase}_post"), s.table(s"${tableBase}_dl"),
-      s.table(s"${tableBase}_stats"))
+    graft.sources.IndexCommits.commit(s, tableBase, e)
+    loadBm25Index(s, tableBase)
   }
 
   /** Admit a NEW document batch into a persisted BM25 index without
@@ -57,9 +70,8 @@ object TextIndex {
     * Similarity.appendIvfIndexSaved. Only the arriving batch tokenizes;
     * its postings and doc lengths APPEND into the bucketed tables (at
     * most one new file per touched bucket, the indexed corpus never
-    * re-shuffles), and the 1-row stats table updates ADDITIVELY from the
-    * batch's own totals (one bounded collect of one row — no corpus
-    * rescan, exact long arithmetic).
+    * re-shuffles), and the stats table gains the batch's own ADDITIVE
+    * (n_docs, tot, epoch) row — no corpus rescan, no read-modify-write.
     *
     * PRECONDITION: the batch's doc_ids are disjoint from the indexed
     * corpus (re-admitting a doc would split its tf across two posting
@@ -69,31 +81,70 @@ object TextIndex {
     * oracle). Repeated admissions accumulate small per-bucket files;
     * compact with Sinks.compactBucketedTable (q163 gates the full
     * build → admit → compact → probe loop).
+    *
+    * CRASH CONSISTENCY: the three appends share one epoch, committed
+    * LAST (IndexCommits). A crash at ANY point before the commit leaves
+    * every probe reading exactly the pre-append index — the orphan rows
+    * are epoch-filtered out — and a retry allocates a FRESH epoch, so
+    * the orphans can never merge back in (TextIndexSpec's kill-point
+    * test walks every window via the stopAfter hook below).
     */
   def appendBm25Index(newDocs: DataFrame, tableBase: String,
                       numBuckets: Int = 32, unicode: Boolean = false): Bm25Index = {
     val s = newDocs.sparkSession
+    val e = appendBm25Partial(newDocs, tableBase, numBuckets, unicode,
+      stopAfter = 3)
+    graft.sources.IndexCommits.commit(s, tableBase, e)
+    loadBm25Index(s, tableBase)
+  }
+
+  /** [[appendBm25Index]]'s write sequence WITHOUT the commit — the
+    * kill-point hook (stopAfter = 1: postings only; 2: + doc lengths;
+    * 3: + stats row, crash before commit). Production code never calls
+    * this directly.
+    */
+  private[graft] def appendBm25Partial(newDocs: DataFrame, tableBase: String,
+                                       numBuckets: Int = 32,
+                                       unicode: Boolean = false,
+                                       stopAfter: Int): Long = {
+    val s = newDocs.sparkSession
+    val e = graft.sources.IndexCommits.begin(s, tableBase)
     val terms = newDocs.select(col("doc_id"),
       explode(TextFunctions.tokens(col("text"), unicode)).as("term"))
     terms.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("epoch", lit(e))
       .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(numBuckets, "term").sortBy("term")
       .saveAsTable(s"${tableBase}_post")
+    if (stopAfter < 2) return e
     val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .withColumn("epoch", lit(e))
     dl.write.mode(SaveMode.Append).format("parquet")
       .bucketBy(numBuckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${tableBase}_dl")
-    val delta = dl.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum("dl"), lit(0L)).as("tot"))
-      .collect()(0)
-    val prev = s.table(s"${tableBase}_stats").collect()(0)
-    import s.implicits._
-    Seq((prev.getLong(0) + delta.getLong(0), prev.getLong(1) + delta.getLong(1)))
-      .toDF("n_docs", "tot")
-      .write.mode(SaveMode.Overwrite).format("parquet")
+    if (stopAfter < 3) return e
+    dl.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("tot"), lit(e).as("epoch"))
+      .write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(s"${tableBase}_stats")
-    Bm25Index(s.table(s"${tableBase}_post"), s.table(s"${tableBase}_dl"),
-      s.table(s"${tableBase}_stats"))
+    e
+  }
+
+  /** Open a persisted BM25 index at its COMMITTED state: each table
+    * filtered to `_SUCCESS`-carrying epochs (crashed admissions'
+    * orphan rows are invisible), stats folded additively over the
+    * committed rows back to the (n_docs, tot) singleton the scoring
+    * algebra broadcasts.
+    */
+  def loadBm25Index(s: org.apache.spark.sql.SparkSession,
+                    tableBase: String): Bm25Index = {
+    val vis = graft.sources.IndexCommits.committedFilter(s, tableBase)
+    Bm25Index(
+      s.table(s"${tableBase}_post").filter(vis).drop("epoch"),
+      s.table(s"${tableBase}_dl").filter(vis).drop("epoch"),
+      s.table(s"${tableBase}_stats").filter(vis)
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(sum("tot"), lit(0L)).as("tot")))
   }
 
   /** Consecutive-token pair stream — q166's extraction: per-row array
@@ -129,44 +180,83 @@ object TextIndex {
     * COUNTS under an additive monoid — the probe re-aggregates — so
     * admission needs NO doc-disjointness precondition: any batch split,
     * even re-chunked or interleaved, folds to the same statistics.
+    *
+    * Crash consistency: rows carry the admission epoch; probes read
+    * through [[loadBigramStats]]'s committed filter (IndexCommits), so
+    * a crashed append's partial counts can never fold into a probe.
     */
   def saveBigramStats(docs: DataFrame, table: String,
                       numBuckets: Int = 32): DataFrame = {
     val s = docs.sparkSession
+    graft.sources.IndexCommits.reset(s, table)
+    val e = graft.sources.IndexCommits.begin(s, table)
     graft.sources.Sinks.parquetBucketed(
-      bigramPairs(docs).groupBy("tok", "nxt").agg(count(lit(1)).as("cnt")),
+      bigramPairs(docs).groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
+        .withColumn("epoch", lit(e)),
       table, "tok", numBuckets)
-    s.table(table)
+    graft.sources.IndexCommits.commit(s, table, e)
+    loadBigramStats(s, table)
   }
 
   /** Admit a new batch: only the batch tokenizes, its partial counts
     * APPEND into the bucketed table (at most one new file per touched
-    * bucket; the indexed statistics never re-shuffle or re-scan).
+    * bucket; the indexed statistics never re-shuffle or re-scan) under
+    * a fresh epoch, committed after the write.
     */
   def appendBigramStats(newDocs: DataFrame, table: String,
                         numBuckets: Int = 32): DataFrame = {
+    val s = newDocs.sparkSession
+    val e = appendBigramStatsPartial(newDocs, table, numBuckets)
+    graft.sources.IndexCommits.commit(s, table, e)
+    loadBigramStats(s, table)
+  }
+
+  /** [[appendBigramStats]] without the commit — the kill-point hook
+    * (data files landed, epoch never flipped visible).
+    */
+  private[graft] def appendBigramStatsPartial(newDocs: DataFrame,
+                                              table: String,
+                                              numBuckets: Int = 32): Long = {
+    val s = newDocs.sparkSession
+    val e = graft.sources.IndexCommits.begin(s, table)
     bigramPairs(newDocs).groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
+      .withColumn("epoch", lit(e))
       .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(numBuckets, "tok").sortBy("tok")
       .saveAsTable(table)
-    newDocs.sparkSession.table(table)
+    e
   }
+
+  /** The statistics table at its COMMITTED state — epoch-filtered,
+    * epoch dropped, ready for the additive probes
+    * ([[bigramTopKIndexed]] / [[docNllFromStats]] re-aggregate anyway).
+    */
+  def loadBigramStats(s: org.apache.spark.sql.SparkSession,
+                      table: String): DataFrame =
+    s.table(table)
+      .filter(graft.sources.IndexCommits.committedFilter(s, table))
+      .drop("epoch")
 
   /** Semantic compaction: fold the accumulated per-batch partials to ONE
     * row per (tok, nxt) and one file per bucket. The fold rides the
     * bucketing — hashPartitioning(tok) satisfies the (tok, nxt) clustering
     * the aggregate needs, so the rewrite is shuffle-free — and because the
     * probe re-aggregates anyway, compaction changes performance, never
-    * results.
+    * results. Only COMMITTED rows fold (written back under the max
+    * committed epoch, markers untouched), so compaction doubles as
+    * garbage collection for crashed admissions' orphan rows.
     */
   def compactBigramStats(table: String, numBuckets: Int = 32): Unit = {
     val s = org.apache.spark.sql.SparkSession.active
+    val eps = graft.sources.IndexCommits.committed(s, table)
+    require(eps.nonEmpty, s"no committed epochs for $table — nothing to compact")
     // staging + catalog-rename swap (Sinks.compactBucketedTable's
     // contract): never overwrite a table the fold is reading
     val tmp = s"${table}_compact_staging"
     s.sql(s"DROP TABLE IF EXISTS $tmp")
     graft.sources.Sinks.reclaimOrphanTableLocation(s, tmp)
-    s.table(table).groupBy("tok", "nxt").agg(sum("cnt").as("cnt"))
+    loadBigramStats(s, table).groupBy("tok", "nxt").agg(sum("cnt").as("cnt"))
+      .withColumn("epoch", lit(eps.max))
       .write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(numBuckets, "tok").sortBy("tok")
       .saveAsTable(tmp)

@@ -393,15 +393,20 @@ private[queries] object Bm25IndexTables {
         .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val base = s"graft_bm25idx_$tag"
       val names = Seq(s"${base}_post", s"${base}_dl", s"${base}_stats")
-      if (!names.forall(s.catalog.tableExists)) {
+      // epoch-aware completeness (round 16): a pre-epoch-format table (no
+      // epoch column) or a crashed build (no committed epoch) rebuilds
+      val complete = names.forall(s.catalog.tableExists) &&
+        names.forall(t => s.table(t).columns.contains("epoch")) &&
+        graft.sources.IndexCommits.committed(s, base).nonEmpty
+      if (!complete) {
+        names.filter(s.catalog.tableExists)
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
         names.foreach(graft.sources.Sinks.reclaimOrphanTableLocation(s, _))
         graft.operators.TextIndex.saveBm25Index(
           Tables.documents(s, dir).filter(col("text").isNotNull), base,
           numBuckets = 32)
       }
-      graft.operators.TextIndex.Bm25Index(
-        s.table(s"${base}_post"), s.table(s"${base}_dl"),
-        s.table(s"${base}_stats"))
+      graft.operators.TextIndex.loadBm25Index(s, base)
     }
 }
 
@@ -431,7 +436,10 @@ private[queries] object Bm25AdmitTables {
         fs.listStatus(loc).count(_.getPath.getName.endsWith(".parquet")).toLong
       }
       val complete = names.forall(s.catalog.tableExists) &&
-        s.table(s"${base}_dl").count() == docs.count() &&
+        names.forall(t => s.table(t).columns.contains("epoch")) &&
+        graft.sources.IndexCommits.committed(s, base).nonEmpty &&
+        graft.operators.TextIndex.loadBm25Index(s, base)
+          .docLens.count() == docs.count() &&
         files(s"${base}_post") <= numBuckets && files(s"${base}_dl") <= numBuckets
       if (!complete) {
         names.filter(s.catalog.tableExists)
@@ -445,8 +453,6 @@ private[queries] object Bm25AdmitTables {
         graft.sources.Sinks.compactBucketedTable(s, s"${base}_post")
         graft.sources.Sinks.compactBucketedTable(s, s"${base}_dl")
       }
-      graft.operators.TextIndex.Bm25Index(
-        s.table(s"${base}_post"), s.table(s"${base}_dl"),
-        s.table(s"${base}_stats"))
+      graft.operators.TextIndex.loadBm25Index(s, base)
     }
 }

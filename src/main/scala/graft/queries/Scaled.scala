@@ -1010,7 +1010,12 @@ private[queries] object IvfIndexTables {
         .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val base = s"graft_ivfidx_$tag"
       val names = Seq(s"${base}_cents", s"${base}_cells")
-      if (!names.forall(s.catalog.tableExists)) {
+      val complete = names.forall(s.catalog.tableExists) &&
+        s.table(s"${base}_cells").columns.contains("epoch") &&
+        graft.sources.IndexCommits.committed(s, base).nonEmpty
+      if (!complete) {
+        names.filter(s.catalog.tableExists)
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
         names.foreach { t =>
           if (!s.catalog.tableExists(t)) {
             val wh = new org.apache.hadoop.fs.Path(
@@ -1022,8 +1027,7 @@ private[queries] object IvfIndexTables {
         graft.operators.Similarity.saveIvfIndex(
           Tables.embeddings(s, dir), base, nList = 16, numBuckets = 32)
       }
-      graft.operators.Similarity.IvfIndex(
-        s.table(s"${base}_cents"), s.table(s"${base}_cells"))
+      graft.operators.Similarity.loadIvfIndex(s, base)
     }
 }
 
@@ -1053,7 +1057,10 @@ private[queries] object IvfCompactTables {
         fs.listStatus(loc).count(_.getPath.getName.endsWith(".parquet")).toLong
       }
       val complete = names.forall(s.catalog.tableExists) &&
-        s.table(s"${base}_cells").count() == emb.count() &&
+        s.table(s"${base}_cells").columns.contains("epoch") &&
+        graft.sources.IndexCommits.committed(s, base).nonEmpty &&
+        graft.operators.Similarity.loadIvfIndex(s, base)
+          .assigned.count() == emb.count() &&
         cellFiles() <= numBuckets
       if (!complete) {
         names.filter(s.catalog.tableExists)
@@ -1071,8 +1078,7 @@ private[queries] object IvfCompactTables {
           emb.filter(!isBase), base, numBuckets = numBuckets)
         graft.sources.Sinks.compactBucketedTable(s, s"${base}_cells")
       }
-      graft.operators.Similarity.IvfIndex(
-        s.table(s"${base}_cents"), s.table(s"${base}_cells"))
+      graft.operators.Similarity.loadIvfIndex(s, base)
     }
 }
 
@@ -1095,7 +1101,10 @@ private[queries] object IvfAppendTables {
       // present but the cell table half-built — verify completeness by
       // row count (cells must cover the whole corpus), not just existence
       val complete = names.forall(s.catalog.tableExists) &&
-        s.table(s"${base}_cells").count() == emb.count()
+        s.table(s"${base}_cells").columns.contains("epoch") &&
+        graft.sources.IndexCommits.committed(s, base).nonEmpty &&
+        graft.operators.Similarity.loadIvfIndex(s, base)
+          .assigned.count() == emb.count()
       if (!complete) {
         names.filter(s.catalog.tableExists)
           .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
@@ -1113,8 +1122,7 @@ private[queries] object IvfAppendTables {
         graft.operators.Similarity.appendIvfIndexSaved(
           emb.filter(!isBase), base, numBuckets = 32)
       }
-      graft.operators.Similarity.IvfIndex(
-        s.table(s"${base}_cents"), s.table(s"${base}_cells"))
+      graft.operators.Similarity.loadIvfIndex(s, base)
     }
 }
 

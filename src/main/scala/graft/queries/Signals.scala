@@ -1234,7 +1234,7 @@ private[queries] object BigramStatsTables {
       m
     }
     if (sessionMemo.contains(memoKey) && s.catalog.tableExists(table))
-      return s.table(table)
+      return graft.operators.TextIndex.loadBigramStats(s, table)
     val numBuckets = 32
     val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
     def files: Long = {
@@ -1250,8 +1250,11 @@ private[queries] object BigramStatsTables {
         .cast("long").as("np"))
       .agg(coalesce(sum("np"), lit(0L))).collect()(0).getLong(0)
     val complete = s.catalog.tableExists(table) &&
+      s.table(table).columns.contains("epoch") &&
+      graft.sources.IndexCommits.committed(s, table).nonEmpty &&
       files <= numBuckets &&
-      s.table(table).agg(coalesce(sum("cnt"), lit(0L)))
+      graft.operators.TextIndex.loadBigramStats(s, table)
+        .agg(coalesce(sum("cnt"), lit(0L)))
         .collect()(0).getLong(0) == corpusPairs
     if (!complete) {
       s.sql(s"DROP TABLE IF EXISTS $table")
@@ -1264,7 +1267,7 @@ private[queries] object BigramStatsTables {
       graft.operators.TextIndex.compactBigramStats(table, numBuckets)
     }
     sessionMemo += memoKey
-    s.table(table)
+    graft.operators.TextIndex.loadBigramStats(s, table)
   }
 }
 

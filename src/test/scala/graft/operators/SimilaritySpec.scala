@@ -222,7 +222,7 @@ class SimilaritySpec extends SparkSpecBase {
       val baseRows = spark.table(s"${base}_cells").count()
       val grown = Similarity.appendIvfIndexSaved(emb.filter(!isBase), base)
       // the grown cell table covers the whole corpus, base rows untouched
-      assert(spark.table(s"${base}_cells").count() == emb.count())
+      assert(grown.assigned.count() == emb.count())
       assert(baseRows == emb.filter(isBase).count())
       // probe of the grown index == direct full-corpus ivfTopK
       val direct = Similarity.ivfTopK(emb, k = 10, maxQueryId = 8)
@@ -271,9 +271,8 @@ class SimilaritySpec extends SparkSpecBase {
       // the appends ran in the micro-batch's cloned session; this
       // session's relation cache still lists the pre-append files
       spark.catalog.refreshTable(s"${base}_cells")
-      val grown = Similarity.IvfIndex(
-        spark.table(s"${base}_cents"), spark.table(s"${base}_cells"))
-      assert(spark.table(s"${base}_cells").count() == emb.count())
+      val grown = Similarity.loadIvfIndex(spark, base)
+      assert(grown.assigned.count() == emb.count())
       val direct = Similarity.ivfTopK(emb, k = 10, maxQueryId = 8)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
         .sortBy(t => (t._1, t._2))
@@ -316,8 +315,7 @@ class SimilaritySpec extends SparkSpecBase {
         input.addData(b); q.processAllAvailable()
         input.addData(c); q.processAllAvailable()
       } finally q.stop()
-      val idx = Similarity.IvfIndex(
-        spark.table(s"${base}_cents"), spark.table(s"${base}_cells"))
+      val idx = Similarity.loadIvfIndex(spark, base)
       val oneShot = Similarity
         .ivfTopKIndexed(idx, emb.filter(col("vec_id") < 8), k = 10)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))

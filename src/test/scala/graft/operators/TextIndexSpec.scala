@@ -55,8 +55,7 @@ class TextIndexSpec extends SparkSpecBase {
       // compaction is physical layout only
       graft.sources.Sinks.compactBucketedTable(spark, s"${base}_post")
       graft.sources.Sinks.compactBucketedTable(spark, s"${base}_dl")
-      val compacted = TextIndex.Bm25Index(spark.table(s"${base}_post"),
-        spark.table(s"${base}_dl"), spark.table(s"${base}_stats"))
+      val compacted = TextIndex.loadBm25Index(spark, base)
       assert(probe(compacted) == probe(ref))
     } finally { drop(); dropFull() }
   }
@@ -93,8 +92,7 @@ class TextIndexSpec extends SparkSpecBase {
       // appends ran in the micro-batch's cloned session — refresh ours
       Seq("_post", "_dl", "_stats").foreach(sfx =>
         spark.catalog.refreshTable(s"$base$sfx"))
-      val grown = TextIndex.Bm25Index(spark.table(s"${base}_post"),
-        spark.table(s"${base}_dl"), spark.table(s"${base}_stats"))
+      val grown = TextIndex.loadBm25Index(spark, base)
       val ref = TextIndex.saveBm25Index(docs, full, numBuckets = 8)
       def probe(i: TextIndex.Bm25Index) =
         TextIndex.bm25Indexed(i, Signals.Bm25QueryTerms)
