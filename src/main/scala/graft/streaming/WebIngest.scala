@@ -3,47 +3,129 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Expectations}
+import graft.operators.{Dedup, Expectations, TextIndex}
 
-/** Crawl-shaped streaming ingest (round-14 verdict ask #10): the front of
-  * the q244 web pipeline as a stream-capable composition —
+/** Crawl-shaped streaming ingest (round-14 verdict ask #10, quality +
+  * decontamination stages round 16 — verdict ask #5): the front of the
+  * q244 web pipeline as a stream-capable composition —
   *
   *   raw page → visible text (functions.Html.htmlExtract, map-only) →
   *   expectation gate (Expectations.gateRows, map-only; violating pages
   *   route to a self-describing quarantine disposition instead of
   *   admission — the gateBatch convention at row granularity) →
+  *   PERPLEXITY FILTER vs a frozen reference bigram LM (q243's
+  *   docNllFromStats algebra: the vocab²-bounded probability table is a
+  *   STATIC side, the per-doc NLL fold runs through
+  *   flatMapGroupsWithState — the documented custom-state mechanism,
+  *   exact here because a page's pair rows co-arrive in the micro-batch
+  *   that exploded them, so no state ever carries across batches) →
+  *   DECONTAMINATION vs a held-out eval set (q246's fraction rule,
+  *   PER-ROW: the eval shingle set is eval-sized — the same side batch
+  *   decontaminateFraction broadcasts — embedded as one sorted-array
+  *   constant and intersected by the codegen merge walk; a corpus-scale
+  *   eval set swaps in the Bloom prescreen posture instead) →
   *   NEAR-DUP-SAFE split assignment against the frozen corpus index
   *   (Dedup.splitStreamMinhash — the q239 twin: an arrival inherits its
   *   matched cluster's split, so a crawl result whose near-duplicate is
   *   already in train can never land in test).
   *
-  * Every stage is append-mode streaming-legal (no new-side aggregation:
-  * two map-only projections and splitStreamMinhash's stream-static
-  * equi-joins), so the SAME function body serves the batch backfill and
-  * the readStream/foreachBatch ingest — WebIngestSpec pins MemoryStream
-  * output equal to the batch run row-for-row, and the no-broadcast plan
-  * contract (index side shuffle_hash, never broadcast: an O(corpus)
-  * broadcast is the round-5 scale-killer).
+  * Every stage is append-mode streaming-legal: map-only projections,
+  * stream-static equi-joins (index and probability sides
+  * shuffle_hash-hinted, never broadcast — an O(corpus) broadcast is the
+  * round-5 scale-killer), and the one per-doc fold via
+  * flatMapGroupsWithState(Append, NoTimeout). The SAME function body
+  * serves the batch backfill and the readStream ingest — WebIngestSpec
+  * pins MemoryStream output equal to the batch run row-for-row across
+  * all four dispositions.
   *
   * Output, one row per page: (doc_id, cluster, n_clusters, split,
   * violations, disposition) — disposition 'admit' rows carry the split
-  * assignment; 'quarantine' rows carry the violated rule names and NULL
-  * split, so nothing partial ever reaches a training shard.
+  * assignment; 'quarantine' rows carry the violated rule names;
+  * 'reject_quality' / 'reject_contaminated' rows carry NULL split, so
+  * nothing partial ever reaches a training shard.
   */
 object WebIngest {
+
+  /** Perplexity-filter stage config: `stats` is a (tok, nxt, cnt) bigram
+    * statistics frame (TextIndex.saveBigramStats / loadBigramStats — a
+    * STATIC side), `maxAvgNllMicro` the admission ceiling on the doc's
+    * mean per-bigram NLL in micro-nats (q243's integer-exact algebra).
+    * Sub-2-token pages carry no NLL and pass through — length policing
+    * belongs to the expectation rules, not the LM.
+    */
+  final case class Quality(stats: DataFrame, maxAvgNllMicro: Long)
+
+  /** Decontamination stage config: `evalTexts` holds the held-out
+    * benchmark documents (col `text`); a page is rejected when >=
+    * `minSharedPpm` (ppm) of its own distinct `shingleSize`-gram hashes
+    * appear in the eval set — Dedup.decontaminateFraction's rule,
+    * evaluated per row against the eval set's sorted hash array.
+    */
+  final case class Decontam(evalTexts: DataFrame, shingleSize: Int = 3,
+                            minSharedPpm: Long = 600000L)
 
   def ingest(pages: DataFrame, index: Dedup.MinhashSplitIndex,
              rules: Seq[Expectations.Expect],
              threshold: Double,
              htmlCol: String = "html",
              minBandCollisions: Int = 1,
-             trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+             trainPct: Int = 90, valPct: Int = 5,
+             quality: Option[Quality] = None,
+             decontam: Option[Decontam] = None): DataFrame = {
     val extracted = pages.select(col("doc_id"),
       graft.functions.Html.htmlExtract(col(htmlCol)).as("text"))
     val gated = Expectations.gateRows(extracted, rules)
-    val ok = Dedup.splitStreamMinhash(
-        gated.filter(col("admitted")).select("doc_id", "text"),
-        index, threshold, minBandCollisions, trainPct, valPct)
+    val admitted0 = gated.filter(col("admitted")).select("doc_id", "text")
+
+    def rejected(df: DataFrame, disposition: String): DataFrame =
+      df.select(col("doc_id"),
+        lit(null).cast("bigint").as("cluster"),
+        lit(null).cast("bigint").as("n_clusters"),
+        lit(null).cast("string").as("split"),
+        array().cast("array<string>").as("violations"),
+        lit(disposition).as("disposition"))
+
+    // perplexity stage: per-doc mean NLL vs the frozen LM; the pair rows
+    // a page explodes into co-arrive in its micro-batch, so the stateful
+    // fold is batch-local and exact (state never set)
+    val (qualityPass, qualityReject) = quality match {
+      case None => (admitted0, None)
+      case Some(q) =>
+        val scored = docNllFold(admitted0, q.stats)
+        val bad = col("avg_nll_u").isNotNull &&
+          col("avg_nll_u") > q.maxAvgNllMicro
+        (scored.filter(!bad).select("doc_id", "text"),
+          Some(rejected(scored.filter(bad), "reject_quality")))
+    }
+
+    // decontamination stage: fraction rule per row against the eval
+    // set's sorted hash array (eval-sized — the broadcast side of batch
+    // decontaminateFraction, here a plan constant; the merge-walk kernel
+    // counts the intersection)
+    val (cleanPass, contamReject) = decontam match {
+      case None => (qualityPass, None)
+      case Some(d) =>
+        val evalArr: Array[Long] = d.evalTexts
+          .select(explode(graft.functions.WordGramHashes
+            .wordGramHashes(col("text"), d.shingleSize)).as("h"))
+          .distinct().orderBy("h").collect().map(_.getLong(0))
+        val sh = graft.functions.WordGramHashes
+          .wordGramHashes(col("text"), d.shingleSize)
+        val marked = qualityPass
+          .withColumn("__sh", sh)
+          .withColumn("__n_grams", size(col("__sh")).cast("long"))
+          .withColumn("__n_shared", graft.functions.SortedIntersectCount
+            .sortedIntersectCount(col("__sh"), lit(evalArr)).cast("long"))
+          .withColumn("__contam",
+            col("__n_grams") > 0 &&
+              col("__n_shared") * lit(1000000L) >=
+                lit(d.minSharedPpm) * col("__n_grams"))
+        (marked.filter(!col("__contam")).select("doc_id", "text"),
+          Some(rejected(marked.filter(col("__contam")), "reject_contaminated")))
+    }
+
+    val ok = Dedup.splitStreamMinhash(cleanPass, index, threshold,
+        minBandCollisions, trainPct, valPct)
       .withColumn("violations", array().cast("array<string>"))
       .withColumn("disposition", lit("admit"))
     val quarantined = gated.filter(!col("admitted"))
@@ -53,6 +135,74 @@ object WebIngest {
         lit(null).cast("string").as("split"),
         col("violations"),
         lit("quarantine").as("disposition"))
-    ok.unionByName(quarantined)
+    Seq(qualityReject, contamReject).flatten
+      .foldLeft(ok.unionByName(quarantined))(_ unionByName _)
+  }
+
+  /** Per-doc NLL under the frozen bigram LM, append-mode legal: the
+    * q243 docNllFromStats algebra (ppm quantization, enumeration-exact
+    * micro-nat fold, UnkNllMicro backoff) with the per-doc aggregation
+    * replaced by a groupByKey fold — flatMapGroups on a batch frame,
+    * flatMapGroupsWithState(Append, NoTimeout) on a stream (legal where
+    * a blind groupBy is not; exact because explode keeps a page's pair
+    * rows inside its own micro-batch — the state is never written).
+    * Returns (doc_id, text, avg_nll_u) with avg NULL for sub-2-token
+    * docs. The probability side is vocab²-bounded and STATIC —
+    * shuffle_hash-hinted, never broadcast, exactly docNllFromStats's
+    * posture; the page text rides the pair shuffle once (the price of
+    * keeping the fold key-local).
+    */
+  private[streaming] def docNllFold(docs: DataFrame,
+                                    stats: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pairCnt = stats.groupBy("tok", "nxt").agg(sum("cnt").as("cnt"))
+    val tot = pairCnt.groupBy("tok").agg(sum("cnt").as("tot"))
+    val prob = pairCnt.join(tot, "tok")
+      .select(col("tok"), col("nxt"),
+        floor(-log(greatest(expr("cnt * 1000000 DIV tot"), lit(1L))
+          .cast("double") / lit(1000000.0)) * lit(1000000.0))
+          .cast("long").as("nll_u"))
+    val ts = graft.functions.TextFunctions.tokens(col("text"))
+    // explode_outer keeps sub-2-token docs (one null-pair row) so they
+    // re-emerge from the fold with avg_nll_u NULL instead of vanishing
+    val pairs = docs
+      .select(col("doc_id"), col("text"),
+        explode_outer(when(size(ts) >= 2, zip_with(
+          slice(ts, lit(1), size(ts) - 1),
+          slice(ts, lit(2), size(ts) - 1),
+          (a, b) => struct(a.as("tok"), b.as("nxt"))))).as("p"))
+      .select(col("doc_id"), col("text"),
+        col("p.tok").as("tok"), col("p.nxt").as("nxt"),
+        col("p").isNotNull.as("has"))
+      .join(prob.hint("shuffle_hash"), Seq("tok", "nxt"), "left")
+      .select(col("doc_id"), col("text"), col("has"),
+        when(col("has"),
+          coalesce(col("nll_u"), lit(TextIndex.UnkNllMicro))).as("nll"))
+      .as[(Long, String, Boolean, Option[Long])]
+    def fold(key: Long,
+             it: Iterator[(Long, String, Boolean, Option[Long])])
+        : Iterator[(Long, String, Option[Long])] = {
+      var text: String = null
+      var n = 0L
+      var sumNll = 0L
+      it.foreach { case (_, t, has, nll) =>
+        text = t
+        if (has) { n += 1; sumNll += nll.getOrElse(0L) }
+      }
+      Iterator.single((key, text, if (n == 0) None else Some(sumNll / n)))
+    }
+    val folded =
+      if (pairs.isStreaming)
+        pairs.groupByKey(_._1).flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+          (key: Long, it: Iterator[(Long, String, Boolean, Option[Long])],
+           _: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+            fold(key, it))
+      else pairs.groupByKey(_._1).flatMapGroups(
+        (key: Long, it: Iterator[(Long, String, Boolean, Option[Long])]) =>
+          fold(key, it))
+    folded.toDF("doc_id", "text", "avg_nll_u")
   }
 }

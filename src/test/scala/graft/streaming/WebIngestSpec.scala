@@ -72,6 +72,83 @@ class WebIngestSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("quality + decontamination stages: stream == batch, all four dispositions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull)
+    val isNew = col("doc_id") >= 400
+    val corpus = docs.filter(!isNew)
+    val labels = Dedup.contractedComponents(
+      Dedup.jaccardPairsForest(corpus, threshold = 0.5)
+        .select("doc_id_a", "doc_id_b"))
+    val idx = Dedup.minhashSplitIndex(corpus, labels)
+    // reference LM from the corpus; q243's integer NLL algebra
+    val stats = graft.operators.TextIndex.bigramPairs(corpus)
+      .groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
+    // eval screen: one real corpus doc is the "benchmark"
+    val evalDoc = corpus.orderBy("doc_id").limit(1).select("text")
+    // arrivals: real docs + a planted violation (quarantine), a planted
+    // gibberish page (every bigram unknown -> max NLL -> reject_quality),
+    // and a planted benchmark quote (reject_contaminated)
+    val evalText = evalDoc.collect()(0).getString(0)
+    val gibberish = (1 to 30).map(i => s"zzqx$i").mkString(" ")
+    val arrivalRows = docs.filter(isNew).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), page(r.getString(1)))) ++ Seq(
+      (99999L, page("too short")),
+      (99998L, page(gibberish)),
+      (99997L, page(evalText)))
+    val arrivals = arrivalRows.toSeq.toDF("doc_id", "html")
+    // the gibberish page's every bigram is unknown: avg == UnkNllMicro,
+    // so any ceiling below it rejects the page while plain English
+    // (known bigrams, small NLL) passes
+    val maxNll = graft.operators.TextIndex.UnkNllMicro - 1
+    val quality = WebIngest.Quality(stats, maxNll)
+    val decontam = WebIngest.Decontam(evalDoc, shingleSize = 3,
+      minSharedPpm = 600000L)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getSeq[String](4).toList, r.getString(5)))).toMap
+
+    val batch = canon(WebIngest.ingest(arrivals, idx, rules, threshold = 0.5,
+      quality = Some(quality), decontam = Some(decontam)))
+    assert(batch(99999L)._5 == "quarantine")
+    assert(batch(99998L)._5 == "reject_quality")
+    assert(batch(99997L)._5 == "reject_contaminated")
+    assert(batch.values.exists(_._5 == "admit"),
+      "plain corpus-like arrivals must still admit")
+    Seq(99998L, 99997L).foreach { id =>
+      assert(batch(id)._3.isEmpty, s"rejected page $id must carry no split")
+    }
+    // the quality stage must agree with the gated batch operator's
+    // algebra: rejected-by-NLL ids == docNllFromStats above the ceiling
+    val extractedNew = arrivals.select(col("doc_id"),
+      graft.functions.Html.htmlExtract(col("html")).as("text"))
+      .filter(size(split(col("text"), " ")) >= 3)
+    val nllReject = graft.operators.TextIndex
+      .docNllFromStats(extractedNew, stats)
+      .filter(col("avg_nll_u") > maxNll)
+      .collect().map(_.getLong(0)).toSet
+    assert(batch.filter(_._2._5 == "reject_quality").keySet == nllReject,
+      "stream quality stage must equal docNllFromStats' verdicts")
+
+    val input = MemoryStream[(Long, String)]
+    val q = WebIngest.ingest(input.toDF().toDF("doc_id", "html"),
+        idx, rules, threshold = 0.5,
+        quality = Some(quality), decontam = Some(decontam))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("web_ingest_q").start()
+    try {
+      val (a, b) = arrivalRows.splitAt(arrivalRows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      assert(canon(spark.table("web_ingest_q")) == batch,
+        "MemoryStream ingest diverged from the batch run")
+    } finally q.stop()
+  }
+
   test("composed ingest keeps the no-broadcast contract") {
     val docs = graft.Tables.documents(spark, Sf0001)
       .filter(col("text").isNotNull)
