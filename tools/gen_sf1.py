@@ -11,7 +11,16 @@ semantic/ANN paths. NOT driver data — written to testdata_sf1/ (ignored
 by git) purely so docs/perf/SOAK_r15_sf1.txt can probe the blocking-knob
 fences at 10x bench scale. Uses driver-side python libs only.
 
-Usage: python3 tools/gen_sf1.py [outDir]
+Usage: python3 tools/gen_sf1.py [outDir] [vocabSize] [zipfA]
+
+Round 16 (verdict ask #2): with vocabSize given (e.g. 10000), the
+30-word uniform vocabulary is replaced by a vocabSize-word Zipf(zipfA,
+default 1.1) vocabulary at the SAME doc count — the realistic-sparsity
+twin. The dense fixture makes ~half of all doc pairs true near-dups
+(its own soak's "pathologically self-similar" caveat), so it cannot
+separate true-pair-density cost from blocking cost; the sparse twin's
+true pairs come only from the planted duplicate runs (O(docs)), which
+is the real-web shape.
 """
 import os, sys, random
 import numpy as np
@@ -27,6 +36,17 @@ VOCAB = ["spark", "window", "merge", "table", "column", "vector", "stream",
          "value", "data", "small", "join", "filter", "big", "group", "hash",
          "customer", "sort", "order", "slow", "line", "part", "fast", "row",
          "the", "a", "agg", "key", "query", "scan", "batch"]
+VOCAB_WEIGHTS = None
+if len(sys.argv) > 2:
+    vsize = int(sys.argv[2])
+    zipf_a = float(sys.argv[3]) if len(sys.argv) > 3 else 1.1
+    VOCAB = VOCAB + [f"w{i}" for i in range(len(VOCAB), vsize)]
+    VOCAB_WEIGHTS = [1.0 / (r + 1) ** zipf_a for r in range(vsize)]
+
+def pick_words(n):
+    if VOCAB_WEIGHTS is None:
+        return [rng.choice(VOCAB) for _ in range(n)]
+    return rng.choices(VOCAB, weights=VOCAB_WEIGHTS, k=n)
 LANGS = ["en"] * 41 + ["zh"] * 15 + ["es"] * 15 + ["fr"] * 15 + ["de"] * 14
 
 N_DOCS = 50_000
@@ -34,7 +54,7 @@ doc_ids, texts, langs, sources, n_chars = [], [], [], [], []
 i = 0
 while i < N_DOCS:
     n = rng.randint(19, 90)
-    words = [rng.choice(VOCAB) for _ in range(n)]
+    words = pick_words(n)
     if rng.random() < 0.005:
         words[rng.randrange(n)] = "dup"
     text = " ".join(words)
