@@ -141,14 +141,27 @@ object Bench {
       // untrusted-by-the-artifact, no post-hoc forensics needed.
       var warmups = 0
       var stillCold = warmupsMax > 0
+      var prevPd = -1L
       while (warmups < warmupsMax && stillCold) {
         val (p0, t0) = (PerfMeters.procCpuMs(), taskCpu.cpuNs.get())
         time(name, fn) // untimed warm-up, result discarded
         val pd = PerfMeters.procCpuMs() - p0
         val td = (taskCpu.cpuNs.get() - t0) / 1000000L
         // td <= 50 ms: too little task work to read the ratio (driver-
-        // bound or trivial queries) — treat as warm, one warm-up is right
-        stillCold = p0 >= 0 && td > 50 && pd > 4 * td
+        // bound or trivial queries) — treat as warm, one warm-up is right.
+        // STABILITY test (round 16 — the r15 artifact flagged 60 queries
+        // and they carried the round's diffuse drift): a high proc/task
+        // ratio alone also describes legitimately DRIVER-HEAVY queries
+        // (planning, bounded collects), which no amount of warming
+        // changes. Compilation, by contrast, burns off: its process-CPU
+        // DROPS run over run. So keep warming only while the ratio is
+        // high AND the process-CPU is still falling materially (>20%
+        // below the previous warm-up); a stabilized query is warm no
+        // matter its ratio, and jit_cold marks only the genuinely
+        // still-converging tail.
+        stillCold = p0 >= 0 && td > 50 && pd > 4 * td &&
+          (prevPd < 0 || pd < (prevPd * 4) / 5)
+        prevPd = pd
         warmups += 1
       }
       val (gc0, cpu0, io0) = (gcMs(), psiUs("cpu"), psiUs("io"))
