@@ -239,9 +239,11 @@ object Bench {
             r
           } else {
             retriedFirstRuns(name) = timed
-            // the load the retry actually ran under, in the artifact — a
-            // judge can see the retry itself was (or wasn't) contended
-            retryLoads(name) = loadAtRetry
+            // the load around the retry, in the artifact — sampled AFTER
+            // the timed runs too (contention can start mid-retry; the
+            // pre-check alone would report an idle host for a contended
+            // retry — round-16 review catch): record the worse of the two
+            retryLoads(name) = math.max(loadAtRetry, load1Now())
             retry
           }
         }

@@ -131,7 +131,9 @@ object Dedup {
     * [[minhashLshDistinct]] device applied to the exact walk — and the
     * emission is O(docs + rep-pairs): star edges rep→member inside each
     * group, ONE rep→rep edge per verified representative pair. Recall is
-    * 1.0 by construction (the collapse is exact, not probabilistic), so
+    * 1.0 by construction (no LSH banding anywhere — the collapse keys on
+    * xxhash64 of the token set, the repo-wide 2⁻⁶⁴ hash-set contract,
+    * and everything else is the exact walk), so
     * connected components over this output are IDENTICAL to components
     * over [[jaccardPairs]]'s full list — q239/q244 route it with their
     * full-closure oracles unchanged, which is the hash gate for the
@@ -151,11 +153,18 @@ object Dedup {
       s"threshold must be in (0, 1], got $threshold")
     // empty/null token sets can never reach a positive threshold in the
     // full walk (jaccard is 0 or NULL there) — drop them BEFORE identity
-    // grouping, or empty docs would wrongly star-edge each other at "1.0"
+    // grouping, or empty docs would wrongly star-edge each other at "1.0".
+    // NULL block keys likewise: the full walk's equi-join never matches a
+    // NULL lang/source, so such docs pair with NOTHING there — but a
+    // window partition groups NULLs together and would star-edge them
+    // (round-16 review catch). Identity grouping keys on xxhash64 of the
+    // set — exact up to the repo-wide 2⁻⁶⁴ hash-set contract (the same
+    // odds the shingle hashing itself accepts), not LSH-probabilistic.
     val withSets = docs.select(
         col("doc_id"), col("lang"), col("source"),
         graft.functions.WordGramHashes.wordGramHashes(col("text"), 1).as("tset"))
-      .filter(col("tset").isNotNull && size(col("tset")) > 0)
+      .filter(col("tset").isNotNull && size(col("tset")) > 0 &&
+        col("lang").isNotNull && col("source").isNotNull)
       .withColumn("k", xxhash64(col("tset")))
     val wg = org.apache.spark.sql.expressions.Window
       .partitionBy("lang", "source", "k")
@@ -767,27 +776,7 @@ object Dedup {
       val s = forest.sparkSession
       import s.implicits._
       forest.coalesce(1).as[(Long, Long)]
-        .mapPartitions { it =>
-          val parent = scala.collection.mutable.LongMap.empty[Long]
-          def find(x: Long): Long = {
-            var r = x
-            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-            var c = x
-            while (parent.getOrElse(c, c) != c) {
-              val n = parent.getOrElse(c, c); parent(c) = r; c = n
-            }
-            r
-          }
-          it.foreach { case (a, b) =>
-            parent.getOrElseUpdate(a, a)
-            parent.getOrElseUpdate(b, b)
-            val (ra, rb) = (find(a), find(b))
-            if (ra != rb) {
-              if (ra < rb) parent(rb) = ra else parent(ra) = rb
-            }
-          }
-          parent.keysIterator.toArray.iterator.map(id => (id, find(id)))
-        }
+        .mapPartitions(unionFindForest)
         .toDF("doc_id", "component")
     } else stitch match {
       case "star"        => starComponents(forest, maxIters, checkpointDir)._1
@@ -808,29 +797,37 @@ object Dedup {
     import s.implicits._
     edges.repartition(col(key))
       .as[(Long, Long)]
-      .mapPartitions { it =>
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) {
-            val n = parent.getOrElse(c, c); parent(c) = r; c = n
-          }
-          r
-        }
-        it.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a)
-          parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) {
-            if (ra < rb) parent(rb) = ra else parent(ra) = rb
-          }
-        }
-        val ids = parent.keysIterator.toArray
-        ids.iterator.map(id => (id, find(id)))
-      }
+      .mapPartitions(unionFindForest)
       .toDF("doc_id_a", "doc_id_b")
+  }
+
+  /** The in-task min-root union-find kernel: fold an edge iterator into
+    * a parent map with path compression, emit every touched node with
+    * its local root (roots as self-rows, so isolated/self-loop nodes
+    * survive). ONE definition behind [[contractOnce]], the small-graph
+    * fast path, and [[forestEdges]] — the three consumers previously
+    * carried byte-identical copies (round-16 review catch).
+    */
+  private def unionFindForest(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    it.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keysIterator.toArray.iterator.map(id => (id, find(id)))
   }
 
   /** Forest contraction of an arbitrary pair list IN PLACE — no shuffle:
@@ -852,27 +849,7 @@ object Dedup {
     import s.implicits._
     pairs.select(col("doc_id_a").cast("long"), col("doc_id_b").cast("long"))
       .as[(Long, Long)]
-      .mapPartitions { it =>
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) {
-            val n = parent.getOrElse(c, c); parent(c) = r; c = n
-          }
-          r
-        }
-        it.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a)
-          parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) {
-            if (ra < rb) parent(rb) = ra else parent(ra) = rb
-          }
-        }
-        parent.keysIterator.toArray.iterator.map(id => (id, find(id)))
-      }
+      .mapPartitions(unionFindForest)
       .toDF("doc_id_a", "doc_id_b")
   }
 

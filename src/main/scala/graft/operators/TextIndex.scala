@@ -306,17 +306,26 @@ object TextIndex {
     * vocab² doesn't fit; AQE handles the Zipf-head skew), and one
     * doc-keyed aggregation. No window anywhere.
     */
-  def docNllFromStats(docs: DataFrame, stats: DataFrame,
-                      textCol: String = "text",
-                      keyCols: Seq[String] = Seq("doc_id"),
-                      unicode: Boolean = false): DataFrame = {
+  /** The (tok, nxt, nll_u) table behind every NLL consumer — the
+    * enumeration-exact quantization (ppm floor, micro-nat fold) lives in
+    * EXACTLY one place so the batch scorer ([[docNllFromStats]]) and the
+    * streaming quality gate (WebIngest.docNllFold) can never drift.
+    */
+  private[graft] def bigramNllTable(stats: DataFrame): DataFrame = {
     val pairCnt = stats.groupBy("tok", "nxt").agg(sum("cnt").as("cnt"))
     val tot = pairCnt.groupBy("tok").agg(sum("cnt").as("tot"))
-    val prob = pairCnt.join(tot, "tok")
+    pairCnt.join(tot, "tok")
       .select(col("tok"), col("nxt"),
         floor(-log(greatest(expr("cnt * 1000000 DIV tot"), lit(1L))
           .cast("double") / lit(1000000.0)) * lit(1000000.0))
           .cast("long").as("nll_u"))
+  }
+
+  def docNllFromStats(docs: DataFrame, stats: DataFrame,
+                      textCol: String = "text",
+                      keyCols: Seq[String] = Seq("doc_id"),
+                      unicode: Boolean = false): DataFrame = {
+    val prob = bigramNllTable(stats)
     val ts = TextFunctions.tokens(col(textCol), unicode)
     val pairs = docs
       .filter(col(textCol).isNotNull && size(ts) >= 2)

@@ -561,6 +561,34 @@ object Extensions {
       .agg(count(lit(1)).as("n_edges"),
         coalesce(sum(col("n_pairs")), lit(0L)).as("sum_pairs"))
 
+  /** q249: per-CLUSTER true-pair mass from the forest walk — the dedup
+    * dashboard q109 could not afford at scale: how many true near-dup
+    * PAIRS each resolved cluster contains (the quadratic mass a curation
+    * owner reads to find boilerplate epicenters), computed WITHOUT ever
+    * materializing the pair list. Every forest edge's two endpoints
+    * share a component by construction, so summing the edges' carried
+    * `n_pairs` per component yields each cluster's exact pair count —
+    * O(docs + rep-pairs) work for a statistic that naively costs
+    * O(true pairs) (281M rows at dense sf1, SOAK_r16_sf1_sparse.txt).
+    * Output: (component, n_docs, pair_mass), one row per cluster.
+    */
+  def q249ForestPairCensus(s: SparkSession, dir: String): DataFrame = {
+    // the forest feeds TWO consumers (the resolver and the pair-mass
+    // join) — left lazy, the rep²-block walk would run twice; persist
+    // once, released by the scoped listener (the q99 device)
+    val forest = Dedup.jaccardPairsForest(Tables.documents(s, dir),
+        threshold = 0.8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = Dedup.contractedComponents(
+      forest.select("doc_id_a", "doc_id_b"), stitch = "star")
+    val mass = forest
+      .join(labels.withColumnRenamed("doc_id", "doc_id_a"), Seq("doc_id_a"))
+      .groupBy("component").agg(sum("n_pairs").as("pair_mass"))
+    val out = labels.groupBy("component").agg(count(lit(1)).as("n_docs"))
+      .join(mass, Seq("component"))
+    graft.operators.Caching.releaseAfterConsumed(out, forest)
+  }
+
   /** q109: the dedup diagnostics view over q58's resolution fixed point —
     * how big are the clusters? (cluster_size, n_clusters) histogram: the
     * number a curation owner reads to decide whether near-dup mass is a
@@ -727,6 +755,7 @@ object Extensions {
     "q58_dedup_resolve" -> (q58DedupResolve _),
     "q247_forest_resolve" -> (q247ForestResolve _),
     "q248_forest_pair_count" -> (q248ForestPairCount _),
+    "q249_forest_pair_census" -> (q249ForestPairCensus _),
     "q109_cluster_sizes" -> (q109ClusterSizes _),
     "q59_sql_kernels"   -> (q59SqlKernels _),
     "q60_mixture_sample" -> (q60MixtureSample _),
@@ -1063,6 +1092,26 @@ object Extensions {
         |  CAST((SELECT coalesce(sum(k - 1), 0) FROM r)
         |     + (SELECT count(*) FROM re) AS BIGINT) AS n_edges,
         |  CAST((SELECT count(*) FROM p) AS BIGINT) AS sum_pairs""".stripMargin,
+    // q58's closure + per-component doc and PAIR counts: pair_mass is the
+    // number of exact pairs whose endpoints resolve into the component —
+    // the engine derives it from the forest edges' n_pairs aggregate
+    // without materializing the pair list
+    "q249_forest_pair_census" ->
+      s"""WITH RECURSIVE
+        |$unigramPairCtes,
+        |edges AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (SELECT a AS doc_id, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a),
+        |sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM labels GROUP BY 1),
+        |mass AS (SELECT l.component, CAST(COUNT(*) AS BIGINT) AS pair_mass
+        |  FROM p JOIN labels l ON p.da = l.doc_id GROUP BY 1)
+        |SELECT component, n_docs, pair_mass
+        |FROM sizes JOIN mass USING (component)""".stripMargin,
     // q58's closure + the two aggregation levels
     "q109_cluster_sizes" ->
       s"""WITH RECURSIVE

@@ -450,8 +450,10 @@ private[queries] object Bm25AdmitTables {
           numBuckets = numBuckets)
         graft.operators.TextIndex.appendBm25Index(docs.filter(!isBase), base,
           numBuckets = numBuckets)
-        graft.sources.Sinks.compactBucketedTable(s, s"${base}_post")
-        graft.sources.Sinks.compactBucketedTable(s, s"${base}_dl")
+        graft.sources.Sinks.compactBucketedTableCommitted(s,
+          s"${base}_post", base)
+        graft.sources.Sinks.compactBucketedTableCommitted(s,
+          s"${base}_dl", base)
       }
       graft.operators.TextIndex.loadBm25Index(s, base)
     }

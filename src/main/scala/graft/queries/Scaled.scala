@@ -1076,7 +1076,8 @@ private[queries] object IvfCompactTables {
           emb.filter(isBase), base, nList = 16, numBuckets = numBuckets)
         graft.operators.Similarity.appendIvfIndexSaved(
           emb.filter(!isBase), base, numBuckets = numBuckets)
-        graft.sources.Sinks.compactBucketedTable(s, s"${base}_cells")
+        graft.sources.Sinks.compactBucketedTableCommitted(s,
+          s"${base}_cells", base)
       }
       graft.operators.Similarity.loadIvfIndex(s, base)
     }

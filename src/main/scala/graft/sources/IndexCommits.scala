@@ -49,13 +49,26 @@ object IndexCommits {
   private def fsOf(s: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Drop the whole ledger — the fresh-BUILD reset (the build overwrites
-    * the tables, so stale epochs must not survive it).
+  /** DECOMMIT the ledger — the fresh-BUILD reset (the build overwrites
+    * the tables, so previously-committed epochs must stop resolving).
+    * Removes every epoch's `_SUCCESS` but KEEPS the marker dirs: they
+    * are the allocation high-water mark the no-epoch-reuse guarantee
+    * depends on. Deleting them would let a rebuild that crashes
+    * MID-OVERWRITE (table A rewritten, table B still holding the old
+    * lifecycle's epoch-k rows) hand epoch k to a later append — whose
+    * commit would flip the dead lifecycle's stale rows visible alongside
+    * the new batch (round-16 review catch). With the dirs kept, every
+    * later begin() allocates above ALL epochs that ever existed, so
+    * stale rows can never match a newly-committed epoch.
     */
   def reset(s: SparkSession, base: String): Unit = {
     val dir = dirPath(s, base)
     val fs = fsOf(s, dir)
-    if (fs.exists(dir)) fs.delete(dir, true)
+    if (fs.exists(dir))
+      fs.listStatus(dir).foreach { st =>
+        val m = new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")
+        if (fs.exists(m)) fs.delete(m, false)
+      }
   }
 
   /** Allocate the next epoch: max over ALL marker dirs — committed or

@@ -155,7 +155,21 @@ object Sinks {
     * files, after it the compacted ones; content and co-location are
     * unchanged, so bucketed joins keep planning shuffle-free.
     */
-  def compactBucketedTable(spark: SparkSession, tableName: String): Unit = {
+  /** [[compactBucketedTable]] for an epoch-committed index table
+    * (IndexCommits): the rewrite keeps COMMITTED rows only, so crashed
+    * admissions' orphan rows — invisible to probes but still on disk —
+    * are garbage-collected by the same maintenance pass that folds the
+    * per-append files. The epoch column survives (probes keep
+    * filtering); markers are untouched (orphan epochs simply match no
+    * rows afterwards).
+    */
+  def compactBucketedTableCommitted(spark: SparkSession, tableName: String,
+                                    commitBase: String): Unit =
+    compactBucketedTable(spark, tableName,
+      Some(IndexCommits.committedFilter(spark, commitBase)))
+
+  def compactBucketedTable(spark: SparkSession, tableName: String,
+                           rowFilter: Option[org.apache.spark.sql.Column] = None): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -178,7 +192,9 @@ object Sinks {
     val prevAutoScan = spark.conf.get(autoScanKey)
     try {
       spark.conf.set(autoScanKey, "false")
-      val writer = spark.table(tableName)
+      val src = rowFilter.fold(spark.table(tableName))(
+        spark.table(tableName).filter(_))
+      val writer = src
         .repartition(spec.numBuckets, keys: _*)
         .write.mode(SaveMode.Overwrite).format("parquet")
         .bucketBy(spec.numBuckets,

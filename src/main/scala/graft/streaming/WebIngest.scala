@@ -74,7 +74,22 @@ object WebIngest {
              decontam: Option[Decontam] = None): DataFrame = {
     val extracted = pages.select(col("doc_id"),
       graft.functions.Html.htmlExtract(col(htmlCol)).as("text"))
-    val gated = Expectations.gateRows(extracted, rules)
+    // the disposition union re-reads each staged frame once per branch:
+    // on the BATCH path (backfill) that would re-run the whole upstream
+    // chain — the ~EntitySteps.size-step extract per consumer, the NLL
+    // shuffle twice — so multi-consumer stages persist there, released
+    // by the scoped listener on the final frame (the q99 device).
+    // Streaming frames cannot persist; each micro-batch is small by
+    // construction, so the recompute is the stream's (bounded) price.
+    val staged = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def stage(df: DataFrame): DataFrame =
+      if (pages.isStreaming) df
+      else {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        staged += p
+        p
+      }
+    val gated = stage(Expectations.gateRows(extracted, rules))
     val admitted0 = gated.filter(col("admitted")).select("doc_id", "text")
 
     def rejected(df: DataFrame, disposition: String): DataFrame =
@@ -91,7 +106,7 @@ object WebIngest {
     val (qualityPass, qualityReject) = quality match {
       case None => (admitted0, None)
       case Some(q) =>
-        val scored = docNllFold(admitted0, q.stats)
+        val scored = stage(docNllFold(admitted0, q.stats))
         val bad = col("avg_nll_u").isNotNull &&
           col("avg_nll_u") > q.maxAvgNllMicro
         (scored.filter(!bad).select("doc_id", "text"),
@@ -111,7 +126,7 @@ object WebIngest {
           .distinct().orderBy("h").collect().map(_.getLong(0))
         val sh = graft.functions.WordGramHashes
           .wordGramHashes(col("text"), d.shingleSize)
-        val marked = qualityPass
+        val marked = stage(qualityPass
           .withColumn("__sh", sh)
           .withColumn("__n_grams", size(col("__sh")).cast("long"))
           .withColumn("__n_shared", graft.functions.SortedIntersectCount
@@ -119,7 +134,7 @@ object WebIngest {
           .withColumn("__contam",
             col("__n_grams") > 0 &&
               col("__n_shared") * lit(1000000L) >=
-                lit(d.minSharedPpm) * col("__n_grams"))
+                lit(d.minSharedPpm) * col("__n_grams")))
         (marked.filter(!col("__contam")).select("doc_id", "text"),
           Some(rejected(marked.filter(col("__contam")), "reject_contaminated")))
     }
@@ -135,8 +150,10 @@ object WebIngest {
         lit(null).cast("string").as("split"),
         col("violations"),
         lit("quarantine").as("disposition"))
-    Seq(qualityReject, contamReject).flatten
+    val out = Seq(qualityReject, contamReject).flatten
       .foldLeft(ok.unionByName(quarantined))(_ unionByName _)
+    if (staged.isEmpty) out
+    else graft.operators.Caching.releaseAfterConsumed(out, staged.toSeq: _*)
   }
 
   /** Per-doc NLL under the frozen bigram LM, append-mode legal: the
@@ -156,13 +173,7 @@ object WebIngest {
                                     stats: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val pairCnt = stats.groupBy("tok", "nxt").agg(sum("cnt").as("cnt"))
-    val tot = pairCnt.groupBy("tok").agg(sum("cnt").as("tot"))
-    val prob = pairCnt.join(tot, "tok")
-      .select(col("tok"), col("nxt"),
-        floor(-log(greatest(expr("cnt * 1000000 DIV tot"), lit(1L))
-          .cast("double") / lit(1000000.0)) * lit(1000000.0))
-          .cast("long").as("nll_u"))
+    val prob = TextIndex.bigramNllTable(stats)
     val ts = graft.functions.TextFunctions.tokens(col("text"))
     // explode_outer keeps sub-2-token docs (one null-pair row) so they
     // re-emerge from the fold with avg_nll_u NULL instead of vanishing

@@ -186,13 +186,19 @@ object PlanAudit {
       val header = "# per-query ShuffleExchange budget: name exchanges " +
         "arrayExchanges\n# regenerate deliberately with PlanAudit " +
         "--write-budget after a justified plan change\n"
-      val body = measured.sortBy(_._1)
-        .map { case (n, e, ae) => s"$n $e $ae" }.mkString("", "\n", "\n")
+      // MERGE with the committed file: a subset regeneration (one new or
+      // deliberately-changed query) must not clobber every other query's
+      // entry
+      val merged = readBudget(BudgetPath) ++
+        measured.map { case (n, e, ae) => n -> ((e, ae)) }.toMap
+      val body = merged.toSeq.sortBy(_._1)
+        .map { case (n, (e, ae)) => s"$n $e $ae" }.mkString("", "\n", "\n")
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("docs/perf"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(BudgetPath), header + body)
-      println(s"[plan] wrote ${measured.size} budget entries to $BudgetPath")
+      println(s"[plan] wrote ${measured.size} budget entries to $BudgetPath " +
+        s"(${merged.size} total after merge)")
     }
     if (failures.nonEmpty)
       sys.error(s"${failures.size} plan-audit failure(s):\n" +

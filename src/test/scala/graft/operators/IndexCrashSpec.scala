@@ -47,8 +47,63 @@ class IndexCrashSpec extends SparkSpecBase {
       assert(probe(grown) == probe(ref),
         "post-crash retry must equal a clean full build")
       assert(grown.stats.collect()(0) == ref.stats.collect()(0))
+      // committed compaction garbage-collects the three crashed epochs'
+      // orphan rows: raw row count falls to the committed view's, probe
+      // unchanged
+      val rawBefore = spark.table(s"${base}_post").count()
+      graft.sources.Sinks.compactBucketedTableCommitted(spark,
+        s"${base}_post", base)
+      graft.sources.Sinks.compactBucketedTableCommitted(spark,
+        s"${base}_dl", base)
+      val compacted = TextIndex.loadBm25Index(spark, base)
+      assert(spark.table(s"${base}_post").count() < rawBefore,
+        "compaction must drop the crashed epochs' orphan posting rows")
+      assert(spark.table(s"${base}_post").count() ==
+        compacted.postings.count(),
+        "after committed compaction the raw table IS the committed view")
+      assert(probe(compacted) == probe(ref))
     } finally dropAll(
       Seq("_post", "_dl", "_stats").flatMap(s => Seq(base + s, full + s)): _*)
+  }
+
+  test("crashed REBUILD never leaks the dead lifecycle's rows into a later append") {
+    val base = "graft_crash_rebuild"
+    val ref = "graft_crash_rebuild_ref"
+    dropAll(Seq("_post", "_dl", "_stats").flatMap(s => Seq(base + s, ref + s)): _*)
+    try {
+      val isBase = pmod(col("doc_id"), lit(2L)) === 0
+      def probe(i: TextIndex.Bm25Index) =
+        TextIndex.bm25Indexed(i, Signals.Bm25QueryTerms)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // lifecycle 1: build + one committed admission (epochs exist)
+      TextIndex.saveBm25Index(docs.filter(isBase).limit(100), base, 8)
+      TextIndex.appendBm25Index(docs.filter(!isBase).limit(100), base, 8)
+      // lifecycle 2 CRASHES mid-overwrite: reset decommits, the build's
+      // epoch is allocated and ONLY the posting table is overwritten —
+      // _dl/_stats still hold lifecycle 1's rows under the old epochs
+      IndexCommits.reset(spark, base)
+      val e = IndexCommits.begin(spark, base)
+      graft.sources.Sinks.parquetBucketed(
+        spark.emptyDataFrame
+          .select(lit("x").as("term"), lit(0L).as("doc_id"),
+            lit(0L).as("tf"), lit(e).as("epoch"))
+          .limit(0),
+        s"${base}_post", "term", 8)
+      // reopen: no committed epoch — the index reads EMPTY, loudly
+      // distinguishable from serving lifecycle 1's stale rows
+      assert(probe(TextIndex.loadBm25Index(spark, base)).isEmpty,
+        "a crashed rebuild must read empty, not the dead lifecycle")
+      // a later append commits a FRESH epoch strictly above every epoch
+      // that ever existed — lifecycle 1's surviving _dl/_stats rows can
+      // never match it
+      val batch = docs.filter(!isBase).limit(100)
+      val grown = TextIndex.appendBm25Index(batch, base, 8)
+      val refIdx = TextIndex.saveBm25Index(batch, ref, 8)
+      assert(probe(grown) == probe(refIdx),
+        "the append must see ONLY its own batch — stale dl/stats rows " +
+          "from the dead lifecycle leaked into the probe")
+    } finally dropAll(
+      Seq("_post", "_dl", "_stats").flatMap(s => Seq(base + s, ref + s)): _*)
   }
 
   test("bigram-stats kill point: uncommitted partial counts never fold into a probe") {

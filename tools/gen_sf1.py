@@ -40,8 +40,10 @@ VOCAB_WEIGHTS = None
 if len(sys.argv) > 2:
     vsize = int(sys.argv[2])
     zipf_a = float(sys.argv[3]) if len(sys.argv) > 3 else 1.1
-    VOCAB = VOCAB + [f"w{i}" for i in range(len(VOCAB), vsize)]
-    VOCAB_WEIGHTS = [1.0 / (r + 1) ** zipf_a for r in range(vsize)]
+    # grow with synthetic words or shrink to a prefix — either way the
+    # weight list length must equal the vocabulary length
+    VOCAB = (VOCAB + [f"w{i}" for i in range(len(VOCAB), vsize)])[:vsize]
+    VOCAB_WEIGHTS = [1.0 / (r + 1) ** zipf_a for r in range(len(VOCAB))]
 
 def pick_words(n):
     if VOCAB_WEIGHTS is None:
