@@ -161,6 +161,47 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("jaccardPairsForest components equal the full walk on random null-bearing corpora") {
+    // random corpora with occasional NULL lang/source and null/empty
+    // texts — the round-16 review's bug class: the full walk's equi-join
+    // never pairs NULL block keys, and neither may the forest's identity
+    // grouping
+    val docGen = Gen.listOfN(20, for {
+      base <- Gen.choose(0, 3)
+      words <- Gen.choose(4, 8)
+      mut <- Gen.choose(0, 1)
+      lang <- Gen.oneOf(Some("en"), Some("de"), None)
+      src <- Gen.oneOf(Some("s0"), None)
+      nullText <- Gen.frequency(9 -> false, 1 -> true)
+    } yield (
+      if (nullText) null
+      else (0 until words).map(w =>
+        if (w < mut) s"m${base}_$w" else s"t${base}_$w").mkString(" "),
+      lang.orNull, src.orNull))
+    for ((rows, i) <- samples(docGen, 6).zipWithIndex if rows.nonEmpty) {
+      val docs = rows.zipWithIndex
+        .map { case ((t, l, s), j) => (i * 1000L + j, t, l, s) }
+        .toDF("doc_id", "text", "lang", "source")
+      val all = graft.operators.Dedup.jaccardPairs(docs, 0.6)
+      val forest = graft.operators.Dedup.jaccardPairsForest(docs, 0.6)
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id_a", "doc_id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val allSet = canon(all)
+      assert(canon(forest).subsetOf(allSet),
+        s"forest edge not a true pair (corpus $i)")
+      val sumPairs = forest.agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum("n_pairs"),
+          org.apache.spark.sql.functions.lit(0L)))
+        .collect()(0).getLong(0)
+      assert(sumPairs == allSet.size.toLong,
+        s"n_pairs sum $sumPairs != ${allSet.size} (corpus $i)")
+      assert(componentsOf(forest) == componentsOf(
+        allSet.toSeq.map(p => (p._1, p._2)).toDF("doc_id_a", "doc_id_b")),
+        s"forest components diverged (corpus $i)")
+    }
+  }
+
   /** Driver-side min-label components of an edge frame — the reference
     * the forest-mode properties compare against.
     */
