@@ -112,6 +112,19 @@ object Bench {
         }
       }.getOrElse(default)
     val longQuerySec = envDouble("SPARK_GRAFT_BENCH_LONG_SEC", 5.0)
+    // Run-count knobs. Normal queries: min-of-3 (the stable statistic
+    // since round 1). Long queries: min-of-2 (round-17 verdict ask #2 —
+    // the r16 single-pass policy let q244/q245 swing 1.6-2.2x between
+    // same-code captures and dominate the headline; one extra pass buys
+    // back stability detection where it matters most, and the spread
+    // column becomes measurable for them). The sf1 full-suite capture
+    // sets both to 1 for economy — single_run in the artifact marks any
+    // query timed fewer than 3 times, so min-of-1/min-of-2 is never
+    // mistaken for min-of-3.
+    def envRuns(name: String, default: Int): Int =
+      math.max(1, envDouble(name, default.toDouble).toInt)
+    val normalRuns = envRuns("SPARK_GRAFT_BENCH_RUNS", 3)
+    val longRuns = envRuns("SPARK_GRAFT_BENCH_LONG_RUNS", 2)
     def measure(name: String,
                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
                 warmupsMax: Int) = {
@@ -140,9 +153,11 @@ object Bench {
       // marks a query still compiling after 3 — its timings are
       // untrusted-by-the-artifact, no post-hoc forensics needed.
       var warmups = 0
-      var stillCold = warmupsMax > 0
+      var continueWarm = warmupsMax > 0
       var prevPd = -1L
-      while (warmups < warmupsMax && stillCold) {
+      var lastRatioHigh = false
+      var lastFalling5 = false
+      while (warmups < warmupsMax && continueWarm) {
         val (p0, t0) = (PerfMeters.procCpuMs(), taskCpu.cpuNs.get())
         time(name, fn) // untimed warm-up, result discarded
         val pd = PerfMeters.procCpuMs() - p0
@@ -159,19 +174,28 @@ object Bench {
         // below the previous warm-up); a stabilized query is warm no
         // matter its ratio, and jit_cold marks only the genuinely
         // still-converging tail.
-        stillCold = p0 >= 0 && td > 50 && pd > 4 * td &&
-          (prevPd < 0 || pd < (prevPd * 4) / 5)
+        lastRatioHigh = p0 >= 0 && td > 50 && pd > 4 * td
+        lastFalling5 = prevPd >= 0 && pd < (prevPd * 19) / 20
+        continueWarm = lastRatioHigh && (prevPd < 0 || pd < (prevPd * 4) / 5)
         prevPd = pd
         warmups += 1
       }
+      // jit_cold (round-16 advice): the 20%-decline stop must not read a
+      // SLOWLY-converging query as warm — flag when the loop stopped (or
+      // exhausted warmupsMax) with the compiling ratio still high AND the
+      // process-CPU still falling >5% on the final warm-up. A stable
+      // driver-heavy query (ratio high, CPU flat) stays unflagged — the
+      // r16 fix that took the artifact from 60 false flags to 0 holds.
+      val stillCold = lastRatioHigh && (continueWarm || lastFalling5)
       val (gc0, cpu0, io0) = (gcMs(), psiUs("cpu"), psiUs("io"))
       val (pcpu0, tcpu0) = (PerfMeters.procCpuMs(), taskCpu.cpuNs.get())
       val w0 = System.nanoTime()
       val first = time(name, fn)
       val timed =
-        if (first < 0 || first <= longQuerySec)
-          Seq(first, time(name, fn), time(name, fn))
-        else Seq(first)
+        if (first < 0) Seq(first)
+        else if (first <= longQuerySec)
+          Seq(first) ++ (1 until normalRuns).map(_ => time(name, fn))
+        else Seq(first) ++ (1 until longRuns).map(_ => time(name, fn))
       val wallMs = (System.nanoTime() - w0) / 1000000L
       val cpuMs = if (pcpu0 < 0) -1L else PerfMeters.procCpuMs() - pcpu0
       val taskCpuMs = (taskCpu.cpuNs.get() - tcpu0) / 1000000L
@@ -229,6 +253,15 @@ object Bench {
             f"${spreadOf(timed)}%.1f, gc ${ctx._1} ms — host signature); " +
             s"waited ${waited}s for load1 < $retryLoad1")
           val retry = measure(name, selected(name), warmupsMax = 1)
+          // the load around the retry, in the artifact — sampled AFTER
+          // the timed runs too (contention can start mid-retry; the
+          // pre-check alone would report an idle host for a contended
+          // retry — round-16 review catch): record the worse of the two.
+          // Recorded BEFORE the keep-or-replace decision (round-16
+          // advice): a FAILED retry still ran under a measured load, and
+          // losing its retry_load1 entry loses exactly the forensic
+          // context the column exists for.
+          retryLoads(name) = math.max(loadAtRetry, load1Now())
           // a FAILED retry must not turn three successful first-pass runs
           // into a reported failure (the 'broken query can never read as a
           // speedup' discipline, both directions) — keep the first pass,
@@ -239,11 +272,6 @@ object Bench {
             r
           } else {
             retriedFirstRuns(name) = timed
-            // the load around the retry, in the artifact — sampled AFTER
-            // the timed runs too (contention can start mid-retry; the
-            // pre-check alone would report an idle host for a contended
-            // retry — round-16 review catch): record the worse of the two
-            retryLoads(name) = math.max(loadAtRetry, load1Now())
             retry
           }
         }
@@ -326,8 +354,10 @@ object Bench {
     // retry + single-run forensics (round-14 ask #3 / round-15 economy):
     // "retried" queries were re-measured once on an idle-ish host and
     // their numbers REPLACED (first-pass runs preserved in "runs_first");
-    // "single_run" queries exceeded the long-query threshold and were
-    // timed once — their spread is -1 by construction, not instability.
+    // "single_run" queries exceeded the long-query threshold (or ran
+    // under a reduced SPARK_GRAFT_BENCH_RUNS) and were timed fewer than
+    // the standard three passes — min-of-2 since round 17, so their
+    // spread IS measurable; a 1-run capture still reports spread -1.
     val retriedJson = retriedFirstRuns.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val runsFirstJson = retriedFirstRuns.toSeq.sortBy(_._1)
@@ -340,7 +370,7 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val singleRun = results.collect {
-      case (k, _, timed, _) if timed.size == 1 => k
+      case (k, v, timed, _) if v >= 0 && timed.size < 3 => k
     }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -145,7 +145,16 @@ object Dedup {
     * without materializing it (DedupSpec pins both invariants).
     *
     * `maxBlockSize` caps block size in REPRESENTATIVES (same
-    * `graft_q24_block_cap` observation).
+    * `graft_q24_block_cap` observation). Under a cap, a capped-out
+    * block's identity groups contribute NO edges either — star edges
+    * are emitted only for groups whose representative survived the cap
+    * (a left-semi join that elides entirely at the default cap), so the
+    * forest stays self-consistent: components over it equal components
+    * over "the capped-representative corpus expanded by its identity
+    * groups", and sum(n_pairs) counts exactly that corpus's pairs. Note
+    * this is a DIFFERENT subset than [[jaccardPairs]] with the same cap
+    * (which caps in documents, not representatives) — the subset/count
+    * equivalences with the full walk hold only at the default cap.
     */
   def jaccardPairsForest(docs: DataFrame, threshold: Double,
                          maxBlockSize: Int = Int.MaxValue): DataFrame = {
@@ -191,9 +200,19 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"),
         (col("gsz_a") * col("gsz_b")).as("n_pairs"))
-    val star = ranked.filter(col("r") >= 2)
-      .select(col("rep").as("doc_id_a"), col("doc_id").as("doc_id_b"),
-        lit(1.0).as("jaccard"), (col("r") - 1).cast("long").as("n_pairs"))
+    val star0 = ranked.filter(col("r") >= 2)
+      .select(col("lang"), col("source"), col("rep"),
+        col("doc_id").as("doc_id_b"), (col("r") - 1).cast("long").as("n_pairs"))
+    // under a cap, star edges must come from SURVIVING groups only — the
+    // pre-cap `ranked` would otherwise hand a capped-out block its
+    // identity-group edges and n_pairs mass (round-16 advice)
+    val starKept =
+      if (maxBlockSize == Int.MaxValue) star0
+      else star0.join(
+        reps.select(col("lang"), col("source"), col("doc_id").as("rep")),
+        Seq("lang", "source", "rep"), "left_semi")
+    val star = starKept.select(col("rep").as("doc_id_a"), col("doc_id_b"),
+      lit(1.0).as("jaccard"), col("n_pairs"))
     repEdges.unionByName(star)
   }
 

@@ -1078,7 +1078,8 @@ object Extensions {
     "q248_forest_pair_count" ->
       s"""WITH $unigramPairCtes,
         |g AS (SELECT doc_id, lang, source, list_sort(ts) AS key
-        |  FROM t WHERE ts IS NOT NULL AND len(ts) > 0),
+        |  FROM t WHERE ts IS NOT NULL AND len(ts) > 0
+        |    AND lang IS NOT NULL AND source IS NOT NULL),
         |r AS (SELECT lang, source, key, min(doc_id) AS rep, count(*) AS k
         |  FROM g GROUP BY 1, 2, 3),
         |m AS (SELECT g.doc_id, r.rep FROM g JOIN r

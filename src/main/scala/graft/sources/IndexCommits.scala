@@ -35,12 +35,37 @@ import org.apache.spark.sql.functions._
   * committed epochs only, garbage-collecting orphans as a side effect.
   * The committed-epoch list is one driver-side directory listing
   * (O(#admissions) names + one marker probe each — the same cost
-  * Upsert.completeVersions pays), read at PLAN time.
+  * Upsert.completeVersions pays), read at PLAN time — and CACHED per
+  * ledger directory (round-17 verdict ask #3: the per-probe re-listing
+  * taxed every probe of a hot index), invalidated by every in-process
+  * ledger mutation (begin/commit/reset/fold). The cache assumes the
+  * single-writer-JVM discipline every lifecycle here already requires
+  * (two JVMs admitting into one warehouse race the table appends long
+  * before they race this cache).
+  *
+  * LEDGER GROWTH (round-17 verdict ask #4): markers accumulate one dir
+  * per admission forever — begin()'s listing and committedFilter's
+  * `isin` both grow O(#admissions). [[foldCommitted]] bounds both: all
+  * committed epochs at or below a low-water mark fold into the OLDEST
+  * of them — the caller rewrites every table in the lifecycle remapping
+  * those epochs to the target (fold merges only already-visible epochs,
+  * so a crash after ANY prefix of the table rewrites leaves the visible
+  * row set unchanged — every interim state reads identically), then the
+  * ledger records the allocation high-water in `_highwater` and drops
+  * the folded markers. begin() allocates above max(markers, highwater),
+  * so the no-epoch-reuse guarantee survives the marker deletion.
   */
 object IndexCommits {
 
   /** The epoch column every gated index table carries. */
   val EpochCol = "epoch"
+
+  /** Committed-epoch cache, keyed by the ledger directory's full path
+    * (warehouse-qualified, so sessions sharing a warehouse share the
+    * entry — they also share the disk state it mirrors).
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
 
   private def dirPath(s: SparkSession, base: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
@@ -69,20 +94,59 @@ object IndexCommits {
         val m = new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")
         if (fs.exists(m)) fs.delete(m, false)
       }
+    cache.remove(dir.toString)
+  }
+
+  private def markerEpochs(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case nm if nm.matches("v\\d+") => nm.drop(1).toLong }
+
+  private def hwPath(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir, "_highwater")
+
+  /** The allocation record folded markers leave behind: max epoch ever
+    * allocated among DELETED markers. -1 when no fold has run. Read
+    * defensively — a torn write can only happen while the folded markers
+    * still exist (write-then-delete ordering), so a corrupt file never
+    * uncovers a reusable epoch.
+    */
+  private def readHighWater(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path): Long = {
+    val p = hwPath(dir)
+    if (!fs.exists(p)) -1L
+    else try {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    } catch { case _: Throwable => -1L }
+  }
+
+  private def writeHighWater(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: org.apache.hadoop.fs.Path, e: Long): Unit = {
+    // temp-then-rename so a crash mid-write leaves the OLD value; the
+    // folded markers are deleted only after this returns, so even a lost
+    // rename keeps the allocation record intact (markers still present)
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_highwater.tmp")
+    val out = fs.create(tmp, true)
+    out.write(e.toString.getBytes("UTF-8"))
+    out.close()
+    fs.delete(hwPath(dir), false)
+    fs.rename(tmp, hwPath(dir))
   }
 
   /** Allocate the next epoch: max over ALL marker dirs — committed or
-    * crashed — plus one, recorded as a new (uncommitted) marker dir.
+    * crashed — AND the `_highwater` record of folded-away markers, plus
+    * one, recorded as a new (uncommitted) marker dir.
     */
   def begin(s: SparkSession, base: String): Long = {
     val dir = dirPath(s, base)
     val fs = fsOf(s, dir)
-    val existing =
-      if (!fs.exists(dir)) Seq.empty[Long]
-      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-        .collect { case nm if nm.matches("v\\d+") => nm.drop(1).toLong }
-    val e = if (existing.isEmpty) 0L else existing.max + 1
+    val existing = markerEpochs(fs, dir) :+ readHighWater(fs, dir)
+    val e = math.max(existing.max + 1, 0L)
     fs.mkdirs(new org.apache.hadoop.fs.Path(dir, s"v$e"))
+    cache.remove(dir.toString)
     e
   }
 
@@ -91,19 +155,73 @@ object IndexCommits {
     val dir = dirPath(s, base)
     fsOf(s, dir).create(
       new org.apache.hadoop.fs.Path(dir, s"v$e/_SUCCESS"), true).close()
+    cache.remove(dir.toString)
   }
 
-  /** Committed epochs, sorted — driver-side listing only. */
+  /** Committed epochs, sorted — served from the per-ledger cache;
+    * the miss path is one driver-side directory listing.
+    */
   def committed(s: SparkSession, base: String): Seq[Long] = {
     val dir = dirPath(s, base)
-    val fs = fsOf(s, dir)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case nm if nm.matches("v\\d+") => nm.drop(1).toLong }
-      .filter(e => fs.exists(
-        new org.apache.hadoop.fs.Path(dir, s"v$e/_SUCCESS")))
-      .sorted
+    cache.computeIfAbsent(dir.toString, _ => {
+      val fs = fsOf(s, dir)
+      markerEpochs(fs, dir)
+        .filter(e => fs.exists(
+          new org.apache.hadoop.fs.Path(dir, s"v$e/_SUCCESS")))
+        .sorted
+    })
   }
+
+  /** Fold every committed epoch at or below `lowWater` into the OLDEST
+    * of them, bounding the ledger (and every probe's `isin` list) at
+    * O(admissions since the last fold). `rewrite(foldEpochs, target)`
+    * must rewrite EVERY table of the lifecycle, remapping those epochs'
+    * rows to `target` (see Sinks.compactBucketedTableFolding /
+    * foldEpochColumn) — fold merges only already-COMMITTED epochs, so a
+    * crash after any prefix of the rewrites leaves the visible row set
+    * unchanged: a remapped table serves its rows under `target`
+    * (committed), an unrewritten one under the old epochs (markers still
+    * committed), and probes read the identical union either way. Only
+    * after every rewrite returns does the ledger durably record the
+    * allocation high-water and drop the folded markers (write-then-
+    * delete — a crash between leaves extra committed markers matching no
+    * rows, harmless, and a fold retry re-folds them away).
+    *
+    * Returns the target epoch, or None when fewer than two committed
+    * epochs sit at/below the mark (nothing to fold).
+    */
+  def foldCommitted(s: SparkSession, base: String, lowWater: Long)
+                   (rewrite: (Seq[Long], Long) => Unit): Option[Long] = {
+    val dir = dirPath(s, base)
+    val fs = fsOf(s, dir)
+    cache.remove(dir.toString)
+    val fold = committed(s, base).filter(_ <= lowWater)
+    if (fold.size < 2) None
+    else {
+      val target = fold.min
+      rewrite(fold, target)
+      writeHighWater(fs, dir, math.max(readHighWater(fs, dir), fold.max))
+      fold.filter(_ != target).foreach { e =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"v$e"), true)
+      }
+      cache.remove(dir.toString)
+      Some(target)
+    }
+  }
+
+  /** The epoch-remap expression a fold rewrite applies: epochs in
+    * `foldEpochs` become `target`, everything else passes through.
+    */
+  def foldEpochColumn(foldEpochs: Seq[Long], target: Long): Column =
+    when(col(EpochCol).isin(foldEpochs: _*), lit(target))
+      .otherwise(col(EpochCol)).as(EpochCol)
+
+  /** Drop a ledger's cache entry — for callers that mutate the ledger
+    * directory OUTSIDE this object's API (test teardown deleting the
+    * dir). Every in-API mutation invalidates on its own.
+    */
+  private[graft] def invalidate(s: SparkSession, base: String): Unit =
+    cache.remove(dirPath(s, base).toString)
 
   /** The probe-side visibility predicate over the `epoch` column. An
     * index with NO committed epoch reads as empty, loudly distinguishable

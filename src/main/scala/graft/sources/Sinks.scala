@@ -168,8 +168,40 @@ object Sinks {
     compactBucketedTable(spark, tableName,
       Some(IndexCommits.committedFilter(spark, commitBase)))
 
+  /** [[compactBucketedTableCommitted]] that also FOLDS epochs — the table
+    * side of IndexCommits.foldCommitted's rewrite callback: committed
+    * rows only (orphans GC'd as ever), with `foldEpochs` remapped to
+    * `target` so the ledger can drop their markers afterwards. Layout,
+    * bucketing, and the visible row set are otherwise unchanged.
+    */
+  def compactBucketedTableFolding(spark: SparkSession, tableName: String,
+                                  commitBase: String, foldEpochs: Seq[Long],
+                                  target: Long): Unit =
+    compactBucketedTable(spark, tableName,
+      Some(IndexCommits.committedFilter(spark, commitBase)),
+      Some(df => df.withColumn(IndexCommits.EpochCol,
+        IndexCommits.foldEpochColumn(foldEpochs, target))))
+
+  /** Rewrite a NON-bucketed table through the same staging-then-rename
+    * swap [[compactBucketedTable]] uses — the fold path for the plain
+    * side tables (per-epoch stats rows, admission results) whose ledger
+    * is folding. `transform` sees the current rows and returns what the
+    * table should hold.
+    */
+  def rewritePlainTable(spark: SparkSession, tableName: String,
+                        transform: DataFrame => DataFrame): Unit = {
+    val tmp = s"${tableName}_compact_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    reclaimOrphanTableLocation(spark, tmp)
+    transform(spark.table(tableName))
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $tableName")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
+  }
+
   def compactBucketedTable(spark: SparkSession, tableName: String,
-                           rowFilter: Option[org.apache.spark.sql.Column] = None): Unit = {
+                           rowFilter: Option[org.apache.spark.sql.Column] = None,
+                           transform: Option[DataFrame => DataFrame] = None): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -192,8 +224,9 @@ object Sinks {
     val prevAutoScan = spark.conf.get(autoScanKey)
     try {
       spark.conf.set(autoScanKey, "false")
-      val src = rowFilter.fold(spark.table(tableName))(
+      val filtered = rowFilter.fold(spark.table(tableName))(
         spark.table(tableName).filter(_))
+      val src = transform.fold(filtered)(_(filtered))
       val writer = src
         .repartition(spec.numBuckets, keys: _*)
         .write.mode(SaveMode.Overwrite).format("parquet")

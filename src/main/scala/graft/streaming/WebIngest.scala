@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Expectations, TextIndex}
@@ -58,11 +58,26 @@ object WebIngest {
   /** Decontamination stage config: `evalTexts` holds the held-out
     * benchmark documents (col `text`); a page is rejected when >=
     * `minSharedPpm` (ppm) of its own distinct `shingleSize`-gram hashes
-    * appear in the eval set — Dedup.decontaminateFraction's rule,
-    * evaluated per row against the eval set's sorted hash array.
+    * appear in the eval set — Dedup.decontaminateFraction's rule.
+    *
+    * TWO physical shapes, picked by eval-set size (round-16 verdict
+    * watch #1 — the literal was a per-task plan-constant scale-killer
+    * for corpus-scale eval sets): at most `maxLiteralShingles` distinct
+    * eval hashes evaluate PER ROW against one sorted-array plan
+    * constant (map-only, zero shuffle — right for benchmark-suite eval
+    * sets); above it, the screen routes through
+    * Dedup.decontaminateBloom's posture — a fixed-`bloomNumBits` Bloom
+    * prescreen (plan constant whose size never grows with the eval
+    * set) pruning the shingle explode, then an EXACT stream-static
+    * equi-join against the eval hash frame (shuffle_hash, never
+    * broadcast) and a per-doc fold. Bloom false positives die in the
+    * exact join, false negatives are impossible — both shapes decide
+    * identically (WebIngestSpec pins them equal on a planted corpus).
     */
   final case class Decontam(evalTexts: DataFrame, shingleSize: Int = 3,
-                            minSharedPpm: Long = 600000L)
+                            minSharedPpm: Long = 600000L,
+                            maxLiteralShingles: Long = 65536L,
+                            bloomNumBits: Long = 1L << 23)
 
   def ingest(pages: DataFrame, index: Dedup.MinhashSplitIndex,
              rules: Seq[Expectations.Expect],
@@ -120,21 +135,32 @@ object WebIngest {
     val (cleanPass, contamReject) = decontam match {
       case None => (qualityPass, None)
       case Some(d) =>
-        val evalArr: Array[Long] = d.evalTexts
+        val evalSh = d.evalTexts
           .select(explode(graft.functions.WordGramHashes
             .wordGramHashes(col("text"), d.shingleSize)).as("h"))
-          .distinct().orderBy("h").collect().map(_.getLong(0))
-        val sh = graft.functions.WordGramHashes
-          .wordGramHashes(col("text"), d.shingleSize)
-        val marked = stage(qualityPass
-          .withColumn("__sh", sh)
-          .withColumn("__n_grams", size(col("__sh")).cast("long"))
-          .withColumn("__n_shared", graft.functions.SortedIntersectCount
-            .sortedIntersectCount(col("__sh"), lit(evalArr)).cast("long"))
-          .withColumn("__contam",
-            col("__n_grams") > 0 &&
-              col("__n_shared") * lit(1000000L) >=
-                lit(d.minSharedPpm) * col("__n_grams")))
+          .distinct()
+        // shape decision: the eval side is STATIC, so its cardinality is
+        // knowable up front (one count job at plan-build time, batch and
+        // stream alike) — small sets take the zero-shuffle literal, big
+        // sets the fixed-size Bloom + exact join (the decontaminateBloom
+        // posture; never a plan literal that grows with the eval corpus)
+        val marked = stage(
+          if (evalSh.count() <= d.maxLiteralShingles) {
+            val evalArr: Array[Long] =
+              evalSh.orderBy("h").collect().map(_.getLong(0))
+            val sh = graft.functions.WordGramHashes
+              .wordGramHashes(col("text"), d.shingleSize)
+            qualityPass
+              .withColumn("__sh", sh)
+              .withColumn("__n_grams", size(col("__sh")).cast("long"))
+              .withColumn("__n_shared", graft.functions.SortedIntersectCount
+                .sortedIntersectCount(col("__sh"), lit(evalArr)).cast("long"))
+              .withColumn("__contam",
+                col("__n_grams") > 0 &&
+                  col("__n_shared") * lit(1000000L) >=
+                    lit(d.minSharedPpm) * col("__n_grams"))
+          } else decontamBloomFold(qualityPass, evalSh, d.shingleSize,
+            d.minSharedPpm, d.bloomNumBits))
         (marked.filter(!col("__contam")).select("doc_id", "text"),
           Some(rejected(marked.filter(col("__contam")), "reject_contaminated")))
     }
@@ -168,6 +194,17 @@ object WebIngest {
     * shuffle_hash-hinted, never broadcast, exactly docNllFromStats's
     * posture; the page text rides the pair shuffle once (the price of
     * keeping the fold key-local).
+    *
+    * PRECONDITION (round-16 advice): each doc_id arrives in exactly ONE
+    * micro-batch. The co-arrival argument above covers a page's OWN pair
+    * rows (explode never splits a row across batches), but if the same
+    * doc_id is fed twice — two batches each carrying the id — the stream
+    * folds twice (two output rows, each over a partial pair set) while a
+    * batch backfill folds once over the union. [[ingest]] inherits the
+    * same contract: a crawl frontier de-duplicates fetches by id, so an
+    * id re-arriving is an upstream bug, not a state this fold papers
+    * over (holding state to merge re-arrivals would make every page's
+    * NLL unemittable-until-timeout in append mode).
     */
   private[streaming] def docNllFold(docs: DataFrame,
                                     stats: DataFrame): DataFrame = {
@@ -215,5 +252,73 @@ object WebIngest {
         (key: Long, it: Iterator[(Long, String, Boolean, Option[Long])]) =>
           fold(key, it))
     folded.toDF("doc_id", "text", "avg_nll_u")
+  }
+
+  /** The LARGE-eval decontamination screen (Decontam's second shape):
+    * fixed-size Bloom prescreen + exact stream-static equi-join + per-doc
+    * fold. Returns (doc_id, text, __contam) — the same verdict column the
+    * literal shape computes, by the same integer-ppm rule.
+    *
+    * Scale shape: the only plan constant is the `numBits`-sized Bloom
+    * sketch (independent of eval cardinality); the shingle explode is
+    * pruned by it BEFORE the join (inside the array, so a fully-clean
+    * page joins one NULL row instead of |shingles| rows), the eval frame
+    * joins shuffle_hash (never broadcast), and the per-doc count folds
+    * through the docNllFold device — flatMapGroups on a batch,
+    * flatMapGroupsWithState(Append, NoTimeout) on a stream, exact under
+    * the same single-arrival precondition because a page's shingle rows
+    * co-arrive in the micro-batch that exploded them.
+    */
+  private[streaming] def decontamBloomFold(docs: DataFrame, evalSh: DataFrame,
+                                           shingleSize: Int, minSharedPpm: Long,
+                                           numBits: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val bf = evalSh.stat.bloomFilter("h", math.max(1L, numBits / 16), numBits)
+    val baos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(baos)
+    val bloomBytes = baos.toByteArray
+    def mightContain(v: Column): Column =
+      GraftColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes),
+          GraftColumnBridge.expression(v)))
+    val sh = graft.functions.WordGramHashes
+      .wordGramHashes(col("text"), shingleSize)
+    val ev = evalSh.select(col("h").as("__eh"), lit(true).as("__m"))
+    val rows = docs
+      .select(col("doc_id"), col("text"),
+        coalesce(size(sh), lit(0)).cast("long").as("__n"),
+        explode_outer(filter(sh, h => mightContain(h))).as("__h"))
+      .join(ev.hint("shuffle_hash"), col("__h") === col("__eh"), "left")
+      .select(col("doc_id"), col("text"), col("__n"),
+        coalesce(col("__m"), lit(false)).as("__m"))
+      .as[(Long, String, Long, Boolean)]
+    def fold(key: Long, it: Iterator[(Long, String, Long, Boolean)])
+        : Iterator[(Long, String, Boolean)] = {
+      var text: String = null
+      var nGrams = 0L
+      var nShared = 0L
+      it.foreach { case (_, t, n, m) =>
+        text = t
+        nGrams = n
+        if (m) nShared += 1
+      }
+      Iterator.single((key, text,
+        nGrams > 0 && nShared * 1000000L >= minSharedPpm * nGrams))
+    }
+    val folded =
+      if (rows.isStreaming)
+        rows.groupByKey(_._1).flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+          (key: Long, it: Iterator[(Long, String, Long, Boolean)],
+           _: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+            fold(key, it))
+      else rows.groupByKey(_._1).flatMapGroups(
+        (key: Long, it: Iterator[(Long, String, Long, Boolean)]) =>
+          fold(key, it))
+    folded.toDF("doc_id", "text", "__contam")
   }
 }

@@ -149,6 +149,77 @@ class WebIngestSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("large-eval decontam routes through the Bloom shape: same verdicts, no plan literal") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, Sf0001)
+      .filter(col("text").isNotNull)
+    val isNew = col("doc_id") >= 400
+    val corpus = docs.filter(!isNew)
+    val labels = Dedup.contractedComponents(
+      Dedup.jaccardPairsForest(corpus, threshold = 0.5)
+        .select("doc_id_a", "doc_id_b"))
+    val idx = Dedup.minhashSplitIndex(corpus, labels)
+    // "large" eval set: several real corpus docs — plus the planted quote
+    val evalDocs = corpus.orderBy("doc_id").limit(5).select("text")
+    val evalText = evalDocs.collect()(0).getString(0)
+    val arrivalRows = docs.filter(isNew).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), page(r.getString(1)))) :+
+      ((99997L, page(evalText)))
+    val arrivals = arrivalRows.toSeq.toDF("doc_id", "html")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getSeq[String](4).toList, r.getString(5)))).toMap
+
+    // maxLiteralShingles = 0 forces the Bloom + stream-static-join shape
+    val big = WebIngest.Decontam(evalDocs, shingleSize = 3,
+      minSharedPpm = 600000L, maxLiteralShingles = 0L)
+    val lit_ = big.copy(maxLiteralShingles = Long.MaxValue)
+    val viaBloomDf = WebIngest.ingest(arrivals, idx, rules, threshold = 0.5,
+      decontam = Some(big))
+    val viaBloom = canon(viaBloomDf)
+    val viaLiteral = canon(WebIngest.ingest(arrivals, idx, rules,
+      threshold = 0.5, decontam = Some(lit_)))
+    assert(viaBloom == viaLiteral,
+      "Bloom shape must decide identically to the literal shape")
+    assert(viaBloom(99997L)._5 == "reject_contaminated")
+    assert(viaBloom.values.exists(_._5 == "admit"))
+
+    // plan hygiene: the Bloom shape must carry NO array literal that
+    // scales with the eval set (the fixed-size Bloom BINARY constant is
+    // the only big literal allowed), and the prescreen must be present
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.ArrayType
+    var maxArrLit = 0
+    viaBloomDf.queryExecution.analyzed.foreach(_.expressions.foreach(_.foreach {
+      case l: Literal if l.dataType.isInstanceOf[ArrayType] && l.value != null =>
+        maxArrLit = math.max(maxArrLit,
+          l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .numElements())
+      case _ => ()
+    }))
+    assert(maxArrLit <= 8,
+      s"eval-scaled array literal leaked into the Bloom plan ($maxArrLit elems)")
+    assert(viaBloomDf.queryExecution.analyzed.toString.contains("might_contain"),
+      "Bloom prescreen missing from the large-eval plan")
+
+    // stream == batch through the Bloom shape
+    val input = MemoryStream[(Long, String)]
+    val q = WebIngest.ingest(input.toDF().toDF("doc_id", "html"),
+        idx, rules, threshold = 0.5, decontam = Some(big))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("web_ingest_bloom").start()
+    try {
+      val (a, b) = arrivalRows.splitAt(arrivalRows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      assert(canon(spark.table("web_ingest_bloom")) == viaBloom,
+        "MemoryStream Bloom-shape ingest diverged from the batch run")
+    } finally q.stop()
+  }
+
   test("composed ingest keeps the no-broadcast contract") {
     val docs = graft.Tables.documents(spark, Sf0001)
       .filter(col("text").isNotNull)
