@@ -228,9 +228,29 @@ object Dedup {
     * Same blocked O(block²) contract, kernels, and cap semantics as
     * [[jaccardPairs]] — one codegen set pass, merge-walk intersect, block
     * cap observable via `graft_q24_block_cap`'s twin.
+    *
+    * `pairsMode="forest"` (round-17 verdict ask #6) applies the
+    * [[jaccardPairsForest]] device: identical token sets within a block
+    * have pairwise containment exactly 1 in BOTH directions and identical
+    * containment against every other set (both directional denominators
+    * and the intersection depend only on the sets), so documents collapse
+    * to identity groups, the block² walk runs over one representative per
+    * group, and the emission is O(docs + rep-pairs): star edges
+    * (containment 1.0/1.0) plus one verified rep pair each, every edge
+    * carrying `n_pairs` so sum(n_pairs) equals the full walk's pair count
+    * without materializing it. Components over the forest equal
+    * components over the full list (q250 routes it under a full-closure
+    * oracle); under a non-default cap the forest caps in REPRESENTATIVES
+    * with capped-out groups contributing nothing — [[jaccardPairsForest]]'s
+    * cap semantics verbatim.
     */
   def containmentPairs(docs: DataFrame, threshold: Double,
-                       maxBlockSize: Int = Int.MaxValue): DataFrame = {
+                       maxBlockSize: Int = Int.MaxValue,
+                       pairsMode: String = "all"): DataFrame = {
+    require(pairsMode == "all" || pairsMode == "forest",
+      s"pairsMode must be 'all' or 'forest', got $pairsMode")
+    if (pairsMode == "forest")
+      return containmentPairsForest(docs, threshold, maxBlockSize)
     val withSets0 = docs.select(
       col("doc_id"), col("lang"), col("source"),
       graft.functions.WordGramHashes.wordGramHashes(col("text"), 1).as("tset"))
@@ -252,6 +272,62 @@ object Dedup {
       .withColumn("containment_b", col("ic").cast("double") / size(col("tset_b")))
       .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
       .select("doc_id_a", "doc_id_b", "containment_a", "containment_b")
+  }
+
+  /** [[containmentPairs]]' forest shape — see the pairsMode doc there.
+    * Output adds `n_pairs`; star edges carry containment 1.0/1.0.
+    */
+  private def containmentPairsForest(docs: DataFrame, threshold: Double,
+                                     maxBlockSize: Int): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"forest mode needs threshold in (0, 1] (within-group containment is 1), got $threshold")
+    // empty sets divide to NULL containment in the full walk (never >=
+    // threshold) and NULL block keys never equi-join — both must be
+    // excluded BEFORE identity grouping, exactly as in jaccardPairsForest
+    val withSets = docs.select(
+        col("doc_id"), col("lang"), col("source"),
+        graft.functions.WordGramHashes.wordGramHashes(col("text"), 1).as("tset"))
+      .filter(col("tset").isNotNull && size(col("tset")) > 0 &&
+        col("lang").isNotNull && col("source").isNotNull)
+      .withColumn("k", xxhash64(col("tset")))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source", "k")
+    val ranked = withSets
+      .withColumn("r", row_number().over(wg.orderBy("doc_id")))
+      .withColumn("rep", min("doc_id").over(wg))
+      .withColumn("gsz", count(lit(1)).over(wg))
+    val reps0 = ranked.filter(col("r") === 1)
+      .select(col("lang"), col("source"), col("doc_id"), col("tset"), col("gsz"))
+    val reps =
+      if (maxBlockSize == Int.MaxValue) reps0
+      else capGroups(reps0, Seq("lang", "source"), maxBlockSize,
+        "graft_q107_block_cap")
+    val a = reps.select(col("lang"), col("source"),
+      col("doc_id").as("doc_id_a"), col("tset").as("tset_a"), col("gsz").as("gsz_a"))
+    val b = reps.select(col("lang"), col("source"),
+      col("doc_id").as("doc_id_b"), col("tset").as("tset_b"), col("gsz").as("gsz_b"))
+    val repEdges = a.join(b, Seq("lang", "source"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("ic", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("tset_a"), col("tset_b")))
+      .withColumn("containment_a", col("ic").cast("double") / size(col("tset_a")))
+      .withColumn("containment_b", col("ic").cast("double") / size(col("tset_b")))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select(col("doc_id_a"), col("doc_id_b"),
+        col("containment_a"), col("containment_b"),
+        (col("gsz_a") * col("gsz_b")).as("n_pairs"))
+    val star0 = ranked.filter(col("r") >= 2)
+      .select(col("lang"), col("source"), col("rep"),
+        col("doc_id").as("doc_id_b"), (col("r") - 1).cast("long").as("n_pairs"))
+    val starKept =
+      if (maxBlockSize == Int.MaxValue) star0
+      else star0.join(
+        reps.select(col("lang"), col("source"), col("doc_id").as("rep")),
+        Seq("lang", "source", "rep"), "left_semi")
+    val star = starKept.select(col("rep").as("doc_id_a"), col("doc_id_b"),
+      lit(1.0).as("containment_a"), lit(1.0).as("containment_b"),
+      col("n_pairs"))
+    repEdges.unionByName(star)
   }
 
   /** EXACT all-pairs Jaccard join without the all-pairs: prefix filtering
@@ -278,12 +354,57 @@ object Dedup {
     * surviving pairs. The length filter (⌈t·|x|⌉ ≤ |y| ≤ |x|/t) prunes
     * candidates before the merge-walk verification kernel runs.
     */
-  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double,
+                         pairsMode: String = "all"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val withSets = docs.filter(col("text").isNotNull).select(
+    require(pairsMode == "all" || pairsMode == "forest",
+      s"pairsMode must be 'all' or 'forest', got $pairsMode")
+    val withSets0 = docs.filter(col("text").isNotNull).select(
       col("doc_id"),
       graft.functions.WordGramHashes.wordGramHashes(col("text"), 1).as("tset"))
+    if (pairsMode == "all")
+      prefixWalk(withSets0.withColumn("gsz", lit(1L)), threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    else {
+      // FOREST shape (round-17 verdict ask #6), the jaccardPairsForest
+      // device without block keys (this walk is corpus-global): identical
+      // token sets collapse to identity groups keyed on xxhash64 of the
+      // set, the prefix walk runs over one representative per group (the
+      // quadratic candidate term falls from documents to distinct
+      // contents), and the emission is O(docs + rep-pairs) — star edges
+      // (jaccard 1.0 — within-group Jaccard is exactly 1, >= any legal
+      // threshold) plus the verified rep pairs, each carrying `n_pairs`
+      // so sum(n_pairs) equals the full walk's exact pair count. Recall
+      // stays 1.0: the prefix theorem gives exactness over the reps, the
+      // collapse is exact up to the repo-wide 2^-64 hash-set contract.
+      // Empty sets can never clear a positive threshold in the full walk
+      // (0/0 -> NULL) — excluded before grouping so they never star-edge.
+      val nonEmpty = withSets0.filter(size(col("tset")) > 0)
+        .withColumn("k", xxhash64(col("tset")))
+      val wg = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      val ranked = nonEmpty
+        .withColumn("r", row_number().over(wg.orderBy("doc_id")))
+        .withColumn("rep", min("doc_id").over(wg))
+        .withColumn("gsz", count(lit(1)).over(wg))
+      val reps = ranked.filter(col("r") === 1)
+        .select(col("doc_id"), col("tset"), col("gsz"))
+      val repEdges = prefixWalk(reps, threshold)
+        .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"),
+          (col("gsz_a") * col("gsz_b")).as("n_pairs"))
+      val star = ranked.filter(col("r") >= 2)
+        .select(col("rep").as("doc_id_a"), col("doc_id").as("doc_id_b"),
+          lit(1.0).as("jaccard"), (col("r") - 1).cast("long").as("n_pairs"))
+      repEdges.unionByName(star)
+    }
+  }
+
+  /** The prefix-filtered exact-Jaccard walk over (doc_id, tset, gsz)
+    * rows — [[prefixJaccardPairs]]' engine, factored so forest mode can
+    * run it over identity-group representatives. Returns one row per
+    * qualifying unordered pair with both sides' `gsz` carried through.
+    */
+  private def prefixWalk(withSets: DataFrame, threshold: Double): DataFrame = {
     val toks = withSets.select(col("doc_id"), explode(col("tset")).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // rarest-first total order, ties broken by hash — deterministic and
@@ -302,12 +423,12 @@ object Dedup {
       .withColumn("n", size(col("tset")))
       .withColumn("p",
         (col("n") - ceilSafe(lit(threshold) * col("n")) + 1).cast("int"))
-      .select(col("doc_id"), col("tset"), col("n"),
+      .select(col("doc_id"), col("tset"), col("n"), col("gsz"),
         explode(slice(col("otoks"), lit(1), col("p"))).as("tok"))
     val a = exposed.select(col("tok"), col("doc_id").as("doc_id_a"),
-      col("tset").as("tset_a"), col("n").as("n_a"))
+      col("tset").as("tset_a"), col("n").as("n_a"), col("gsz").as("gsz_a"))
     val b = exposed.select(col("tok"), col("doc_id").as("doc_id_b"),
-      col("tset").as("tset_b"), col("n").as("n_b"))
+      col("tset").as("tset_b"), col("n").as("n_b"), col("gsz").as("gsz_b"))
     a.join(b, Seq("tok"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .filter(col("n_b") >= ceilSafe(lit(threshold) * col("n_a")) &&
@@ -317,7 +438,7 @@ object Dedup {
       .withColumn("jaccard", col("ic").cast("double") /
         (col("n_a") + col("n_b") - col("ic")))
       .filter(col("jaccard") >= threshold)
-      .select("doc_id_a", "doc_id_b", "jaccard")
+      .select("doc_id_a", "doc_id_b", "jaccard", "gsz_a", "gsz_b")
       .distinct()
   }
 
@@ -2000,6 +2121,48 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("label"), col("vec_id_a"), col("vec_id_b"),
               round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** [[embeddingNearDups]]' exact PAIR COUNT without materializing the
+    * pair list (round-17 verdict ask #7 — q234's banded gate needs only
+    * the count, and the sparse-sf1 soak spent ~53 s building 20.0 M rows
+    * to take a count(*)): the [[jaccardPairsForest]] identity-group
+    * device applied to embeddings. Bit-identical embedding rows within a
+    * label (keyed on xxhash64 of the doubled vector — the repo-wide
+    * 2⁻⁶⁴ hash-set contract) have pairwise cosine computed by the SAME
+    * kernel expression as every cross pair, and identical cosine against
+    * every other vector — so the exact count is pure algebra over one
+    * representative per group: within-group C(k,2) gated by the kernel's
+    * own rep-vs-rep verdict (never assumed 1.0 — zero vectors divide to
+    * NaN and follow the engine's NaN-comparison semantics wherever they
+    * land), plus k_a·k_b per qualifying representative pair. The rep²
+    * walk replaces the member² walk; output is one row (n_pairs),
+    * count-identical to `embeddingNearDups(emb, t).count()` (DedupSpec
+    * pins it; q234 ships it under the unchanged hash-checked oracle).
+    */
+  def embeddingNearDupCount(emb: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val groups = emb
+      .filter(col("label").isNotNull) // NULL labels never equi-join in the walk
+      .select(col("label"), col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .withColumn("eh", xxhash64(col("e")))
+      .groupBy("label", "eh")
+      .agg(min(col("vec_id")).as("rep"), first(col("e")).as("e"),
+        first(col("nrm")).as("nrm"), count(lit(1)).as("k"))
+    val within = groups
+      .filter(dot(col("e"), col("e")) / (col("nrm") * col("nrm")) >= threshold)
+      .agg(coalesce(sum(expr("(k * (k - 1)) DIV 2")), lit(0L)).as("n_within"))
+    val a = groups.select(col("label"), col("rep").as("rep_a"),
+      col("e").as("e_a"), col("nrm").as("nrm_a"), col("k").as("k_a"))
+    val b = groups.select(col("label"), col("rep").as("rep_b"),
+      col("e").as("e_b"), col("nrm").as("nrm_b"), col("k").as("k_b"))
+    val cross = a.join(b, Seq("label"))
+      .filter(col("rep_a") < col("rep_b"))
+      .filter(dot(col("e_a"), col("e_b")) / (col("nrm_a") * col("nrm_b")) >= threshold)
+      .agg(coalesce(sum(col("k_a") * col("k_b")), lit(0L)).as("n_cross"))
+    within.crossJoin(cross)
+      .select((col("n_within") + col("n_cross")).as("n_pairs"))
   }
 
   /** Embedding-cosine near-dup pairs blocked on COARSE-QUANTIZER CELLS —

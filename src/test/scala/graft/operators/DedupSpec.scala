@@ -442,6 +442,110 @@ class DedupSpec extends SparkSpecBase {
       "minBandCollisions > bands admits no forest edge")
   }
 
+  test("containment + prefix forest modes: components identical, pair count exact") {
+    def labels(edges: org.apache.spark.sql.DataFrame) =
+      Dedup.contractedComponents(edges.select("doc_id_a", "doc_id_b"),
+        stitch = "star").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def sumPairs(df: org.apache.spark.sql.DataFrame) =
+      df.agg(coalesce(sum("n_pairs"), lit(0L))).collect()(0).getLong(0)
+    // planted quote-inclusion corpus: a short doc quoted wholesale inside
+    // two long ones (containment ~1, jaccard low), duplicated verbatim
+    // (identity groups), plus noise, nulls, and an other-block twin
+    val quote = "alpha beta gamma delta epsilon"
+    val long1 = quote + " " + (1 to 20).map(i => s"fill$i").mkString(" ")
+    val long2 = quote + " " + (1 to 20).map(i => s"pad$i").mkString(" ")
+    val planted = docsDF(Seq(
+      (1L, quote, "en", "s0"), (2L, quote, "en", "s0"), (3L, quote, "en", "s0"),
+      (4L, long1, "en", "s0"), (5L, long1, "en", "s0"),
+      (6L, long2, "en", "s0"),
+      (7L, quote, "en", "s1"),                       // other block
+      (8L, "unrelated words entirely here", "en", "s0"),
+      (9L, null, "en", "s0"), (10L, "", "en", "s0"), (11L, "", "en", "s0"),
+      (12L, quote, null, "s0")))                     // NULL block key
+    val fixture = graft.Tables.documents(spark, Sf0001)
+    for (docs <- Seq(planted, fixture)) {
+      // containment walk
+      val allC = Dedup.containmentPairs(docs, 0.9)
+      val forC = Dedup.containmentPairs(docs, 0.9, pairsMode = "forest")
+      val allCSet = allC.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      val forCSet = forC.select("doc_id_a", "doc_id_b", "containment_a",
+          "containment_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(forCSet.subsetOf(allCSet),
+        s"forest edges must be true containment pairs: ${forCSet -- allCSet}")
+      assert(sumPairs(forC) == allCSet.size.toLong,
+        "sum(n_pairs) must equal the full containment walk's pair count")
+      if (allCSet.nonEmpty) assert(labels(forC) === labels(allC),
+        "containment forest must resolve to identical components")
+      // prefix-filtered exact-jaccard walk
+      val allP = Dedup.prefixJaccardPairs(docs, 0.7)
+      val forP = Dedup.prefixJaccardPairs(docs, 0.7, pairsMode = "forest")
+      val allPSet = allP.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val forPSet = forP.select("doc_id_a", "doc_id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(forPSet.subsetOf(allPSet),
+        s"forest edges must be true prefix-join pairs: ${forPSet -- allPSet}")
+      assert(sumPairs(forP) == allPSet.size.toLong,
+        "sum(n_pairs) must equal the full prefix walk's pair count")
+      if (allPSet.nonEmpty) assert(labels(forP) === labels(allP),
+        "prefix forest must resolve to identical components")
+    }
+    // the planted corpus must actually exercise the collapse: identity
+    // groups of size 3 (quote) and 2 (long1), and the quote⊂long edges
+    val forC = Dedup.containmentPairs(planted, 0.9, pairsMode = "forest")
+    assert(labels(forC).count(_._2 == 1L) == 6,
+      "quote + both supersets + their dups must resolve into one cluster")
+  }
+
+  test("embeddingNearDupCount equals the materialized walk's count; labeled cells equal the membership join") {
+    def countOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect()(0).getLong(0)
+    // planted: identity groups (identical vectors), zero vectors (NaN
+    // cosine — follows the engine's NaN semantics through BOTH paths),
+    // a NULL embedding, cross-label twins that must NOT pair
+    val vA = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val vB = Array(0.9f, 0.1f, 0.0f, 0.0f)   // cos(vA,vB) ~ 0.994
+    val vC = Array(0.0f, 0.0f, 1.0f, 0.0f)   // orthogonal to vA/vB
+    val z = Array(0.0f, 0.0f, 0.0f, 0.0f)
+    val planted = Seq(
+      (1L, vA, 0L), (2L, vA, 0L), (3L, vA, 0L),  // identity group k=3
+      (4L, vB, 0L), (5L, vB, 0L),                // identity group k=2
+      (6L, vC, 0L),
+      (7L, vA, 1L),                              // other label
+      (8L, z, 0L), (9L, z, 0L),                  // zero vectors
+      (10L, null.asInstanceOf[Array[Float]], 0L))
+      .toDF("vec_id", "embedding", "label")
+    val fixture = graft.Tables.embeddings(spark, Sf0001)
+    for ((emb, t) <- Seq((planted, 0.3), (planted, 0.9999),
+                         (fixture, 0.3), (fixture, 0.95))) {
+      val walk = Dedup.embeddingNearDups(emb, threshold = t).count()
+      val algebra = countOf(Dedup.embeddingNearDupCount(emb, threshold = t))
+      assert(algebra == walk,
+        s"identity-group algebra diverged from the walk at t=$t: $algebra vs $walk")
+    }
+    // n_found: same-label cells pairs == the old exact-join membership
+    // count (the cells walk verifies with the exact walk's own kernel)
+    val emb = fixture
+    val cells = Dedup.embeddingNearDupsCells(emb, threshold = 0.3,
+      nList = 16, nProbe = 4, nSuper = 4, cSuper = 3)
+    val exact = Dedup.embeddingNearDups(emb, threshold = 0.3)
+      .select("vec_id_a", "vec_id_b")
+    val oldFound = exact.join(cells.select(col("vec_id_a"), col("vec_id_b"),
+        lit(1).as("__f")), Seq("vec_id_a", "vec_id_b"), "left_outer")
+      .agg(count(col("__f"))).collect()(0).getLong(0)
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val newFound = cells
+      .join(lbl.select(col("vec_id").as("vec_id_a"), col("label").as("__la")),
+        Seq("vec_id_a"))
+      .join(lbl.select(col("vec_id").as("vec_id_b"), col("label").as("__lb")),
+        Seq("vec_id_b"))
+      .filter(col("__la") === col("__lb")).count()
+    assert(newFound == oldFound,
+      s"same-label cells count must equal the membership join: $newFound vs $oldFound")
+  }
+
   test("forestEdges contracts pairs in place with identical components") {
     def labelSet(edges: org.apache.spark.sql.DataFrame) =
       Dedup.contractedComponents(edges, stitch = "star")
