@@ -40,6 +40,15 @@ object GraftSession {
       // Write timestamps as TIMESTAMP_MICROS (not INT96) so downstream
       // readers (incl. the DuckDB oracle compare) see matching physical types.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // FileOutputCommitter v2: task commits move files straight to the
+      // destination instead of staging for a second job-commit rename
+      // pass — halves the per-write rename count for every table/file
+      // sink here. v2's documented tradeoff (a failed JOB can leave
+      // partial files) is already handled by this repo's own visibility
+      // protocols: Upsert.completeVersions and IndexCommits gate reads
+      // on explicit _SUCCESS/epoch markers, never on file presence, and
+      // managed-table overwrites go through staging-then-rename swaps.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
 

@@ -83,19 +83,22 @@ object Retrieval {
     // rerank probe. Left declarative, the diamond duplicates the whole
     // BM25 corpus pass (ReuseExchange does not collapse the branches —
     // audited: 8 document scans, 0 reused exchanges), which is two full
-    // corpus reads at 100 TB. Persisting the 20-row frame caps the corpus
-    // cost at ONE pass; the scoped listener releases the cache after the
-    // consuming action (q102's contract). Fixture wall-clock is ~0.2 s
-    // worse (the persisted chain serializes small jobs that previously
-    // overlapped) — the 2x total-work saving is what survives scale-up.
-    val cand = candidates.persist()
+    // corpus reads at 100 TB. The frame is CandidateK rows by contract —
+    // the bounded-matrix case (k-means centroid tables, top-20 limits) —
+    // so collect it once and re-enter the plan as a local relation: one
+    // corpus pass total, and the downstream PRF/rerank chain plans
+    // against a 20-row literal (trivially broadcast, no cache lifecycle,
+    // no serialized re-scan jobs — the round-16 persist() shape cost
+    // ~0.7 s of listener/serialization tax on a 20-row frame).
+    val cand = s.createDataFrame(
+      java.util.Arrays.asList(candidates.collect(): _*), candidates.schema)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
     val fb = broadcast(cand.filter(col("brank") <= FeedbackK))
       .join(emb, cand("doc_id") === emb("vec_id"))
       .select(lit(0).as("label"), col("embedding"))
     val qv = Similarity.labelCentroids(fb).select(col("centroid").as("qvec"))
-    val res = broadcast(cand)
+    broadcast(cand)
       .join(emb, cand("doc_id") === emb("vec_id"))
       .crossJoin(broadcast(qv))
       .withColumn("cosr",
@@ -104,7 +107,6 @@ object Retrieval {
         row_number().over(Window.orderBy(col("cosr").desc, col("doc_id")))
           .cast("int"))
       .filter(col("rrank") <= FinalK)
-    graft.operators.Caching.releaseAfterConsumed(res, cand)
   }
 
   /** q158: hybrid retrieval — BM25 top-20, PRF-centroid cosine rerank,
@@ -129,9 +131,14 @@ object Retrieval {
     */
   def q159ContextPack(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    // tokenCount AFTER the join: the reranked side is FinalK rows, so the
+    // kernel runs FinalK times instead of once per corpus document (the
+    // projection does not defer through the join on its own — measured)
     val withTokens = rerank(s, dir)
-      .join(docs.select(col("doc_id"), TextFunctions.tokenCount(col("text"))
-        .cast("long").as("n_tokens")), "doc_id")
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("n_tokens",
+        TextFunctions.tokenCount(col("text")).cast("long"))
+      .drop("text")
     val w = Window.orderBy("rrank").rowsBetween(Window.unboundedPreceding, -1)
     withTokens
       .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
