@@ -180,13 +180,18 @@ object Bench {
         prevPd = pd
         warmups += 1
       }
-      // jit_cold (round-16 advice): the 20%-decline stop must not read a
-      // SLOWLY-converging query as warm — flag when the loop stopped (or
-      // exhausted warmupsMax) with the compiling ratio still high AND the
-      // process-CPU still falling >5% on the final warm-up. A stable
-      // driver-heavy query (ratio high, CPU flat) stays unflagged — the
-      // r16 fix that took the artifact from 60 false flags to 0 holds.
-      val stillCold = lastRatioHigh && (continueWarm || lastFalling5)
+      // jit_cold keeps the r16 contract (flag ONLY a loop that exhausted
+      // warmupsMax still wanting to warm — the definition that took the
+      // artifact from 60 false flags to 0). The round-16 advice's
+      // semi-cold tail — stopped by the 20%-decline test with the ratio
+      // still high and the CPU still falling >5% — gets its OWN column
+      // instead of re-widening jit_cold: a single final-sample decline in
+      // [5%, 20%) is indistinguishable from pd noise on a stable
+      // driver-heavy query (a first full capture flagged 29/251 that way,
+      // all with warmups 2-4 — the r15 over-flagging shape), so it is
+      // recorded as forensics, not as measurement distrust.
+      val stillCold = lastRatioHigh && continueWarm
+      val semiCold = lastRatioHigh && !continueWarm && lastFalling5
       val (gc0, cpu0, io0) = (gcMs(), psiUs("cpu"), psiUs("io"))
       val (pcpu0, tcpu0) = (PerfMeters.procCpuMs(), taskCpu.cpuNs.get())
       val w0 = System.nanoTime()
@@ -202,7 +207,7 @@ object Bench {
       val ctx = (gcMs() - gc0, heapMb(), loadavg1(),
         if (cpu0 < 0) -1L else psiUs("cpu") - cpu0,
         if (io0 < 0) -1L else psiUs("io") - io0,
-        cpuMs, taskCpuMs, wallMs, warmups, stillCold)
+        cpuMs, taskCpuMs, wallMs, warmups, stillCold, semiCold)
       (name, if (timed.exists(_ < 0)) -1.0 else timed.min, timed, ctx)
     }
     // cache isolation is owned by measure() itself (its first statement)
@@ -286,19 +291,19 @@ object Bench {
     // gc_ms: GC time accrued across the query's 3 timed runs; heap_mb:
     // used heap after the last run; load1: 1-min loadavg at query end.
     // All three are longs/strings rendered locale-independently.
-    val gcJson = results.map { case (k, _, _, (g, _, _, _, _, _, _, _, _, _)) =>
+    val gcJson = results.map { case (k, _, _, (g, _, _, _, _, _, _, _, _, _, _)) =>
       "\"" + k + "\":" + g
     }.mkString("{", ",", "}")
-    val heapJson = results.map { case (k, _, _, (_, h, _, _, _, _, _, _, _, _)) =>
+    val heapJson = results.map { case (k, _, _, (_, h, _, _, _, _, _, _, _, _, _)) =>
       "\"" + k + "\":" + h
     }.mkString("{", ",", "}")
-    val loadJson = results.map { case (k, _, _, (_, _, l, _, _, _, _, _, _, _)) =>
+    val loadJson = results.map { case (k, _, _, (_, _, l, _, _, _, _, _, _, _, _)) =>
       "\"" + k + "\":" + l
     }.mkString("{", ",", "}")
-    val psiCpuJson = results.map { case (k, _, _, (_, _, _, c, _, _, _, _, _, _)) =>
+    val psiCpuJson = results.map { case (k, _, _, (_, _, _, c, _, _, _, _, _, _, _)) =>
       "\"" + k + "\":" + c
     }.mkString("{", ",", "}")
-    val psiIoJson = results.map { case (k, _, _, (_, _, _, _, i, _, _, _, _, _)) =>
+    val psiIoJson = results.map { case (k, _, _, (_, _, _, _, i, _, _, _, _, _, _)) =>
       "\"" + k + "\":" + i
     }.mkString("{", ",", "}")
     // cpu_ms / task_cpu_ms / wall_ms share gc_ms's 3-timed-run window
@@ -306,24 +311,31 @@ object Bench {
     // read clean): cpu_ms >> wall_ms says the runs really burned parallel
     // cycles (plan); cpu_ms << wall_ms says the host starved the JVM;
     // task_cpu_ms << cpu_ms with high wall says driver-side time.
-    val cpuJson = results.map { case (k, _, _, (_, _, _, _, _, c, _, _, _, _)) =>
+    val cpuJson = results.map { case (k, _, _, (_, _, _, _, _, c, _, _, _, _, _)) =>
       "\"" + k + "\":" + c
     }.mkString("{", ",", "}")
-    val taskCpuJson = results.map { case (k, _, _, (_, _, _, _, _, _, t, _, _, _)) =>
+    val taskCpuJson = results.map { case (k, _, _, (_, _, _, _, _, _, t, _, _, _, _)) =>
       "\"" + k + "\":" + t
     }.mkString("{", ",", "}")
-    val wallJson = results.map { case (k, _, _, (_, _, _, _, _, _, _, w, _, _)) =>
+    val wallJson = results.map { case (k, _, _, (_, _, _, _, _, _, _, w, _, _, _)) =>
       "\"" + k + "\":" + w
     }.mkString("{", ",", "}")
     // warm-up forensics: how many warm-ups each query took (1 = was warm
     // immediately) and whether it STILL showed the compiling signature
     // after 3 — the in-run replacement for the post-hoc JIT adjudication.
-    val warmupsJson = results.map { case (k, _, _, (_, _, _, _, _, _, _, _, n, _)) =>
+    val warmupsJson = results.map { case (k, _, _, (_, _, _, _, _, _, _, _, n, _, _)) =>
       "\"" + k + "\":" + n
     }.mkString("{", ",", "}")
-    val jitColdJson = results.map { case (k, _, _, (_, _, _, _, _, _, _, _, _, j)) =>
+    val jitColdJson = results.map { case (k, _, _, (_, _, _, _, _, _, _, _, _, j, _)) =>
       "\"" + k + "\":" + j
     }.mkString("{", ",", "}")
+    // semi-cold tail (round-16 advice): warm-up loop stopped by the
+    // 20%-decline test with the proc/task ratio still high and the CPU
+    // still falling >5% — forensic only (single-sample declines in that
+    // band are pd-noise-indistinguishable on stable driver-heavy queries).
+    val semiColdJson = results.collect {
+      case (k, _, _, (_, _, _, _, _, _, _, _, _, _, sc)) if sc => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     // Variance honesty (round-10 verdict ask): min-of-3 stays the headline
     // statistic, but a contended or pathological capture must flag ITSELF.
     // spread = max/min of the timed runs per query; anything past 3x goes
@@ -381,6 +393,7 @@ object Bench {
         s""""cpu_ms":$cpuJson,"task_cpu_ms":$taskCpuJson,""" +
         s""""wall_ms":$wallJson,""" +
         s""""warmups":$warmupsJson,"jit_cold":$jitColdJson,""" +
+        s""""semi_cold":$semiColdJson,""" +
         s""""unstable":[${unstable.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""retried":$retriedJson,"runs_first":$runsFirstJson,""" +
         s""""retry_load1":$retryLoadJson,""" +
