@@ -1568,6 +1568,44 @@ object Dedup {
       .drop("epoch")
   }
 
+  /** Admit FURTHER batches into an existing rolling admission — the
+    * steady-state continuation of [[admitRollingExact]] (which resets and
+    * rebuilds; a lifecycle that ran yesterday continues HERE). Same
+    * screen, same per-batch epoch protocol, same ascending-doc_id batch
+    * precondition against everything already admitted.
+    */
+  def admitRollingMore(batches: Seq[DataFrame], tableBase: String,
+                       numBuckets: Int = 32): DataFrame = {
+    val s = batches.head.sparkSession
+    batches.foreach { b =>
+      val e = admitRollingStep(b, tableBase, numBuckets, stopAfter = 2)
+      graft.sources.IndexCommits.commit(s, tableBase, e)
+    }
+    loadAdmitted(s, tableBase)
+  }
+
+  /** Fold a rolling admission's epoch ledger (IndexCommits.foldCommitted
+    * applied to this lifecycle's two tables): every committed epoch at or
+    * below `lowWater` merges into the oldest — the index compacts to one
+    * file per bucket with orphans GC'd, the result table rewrites through
+    * the same committed-only remap — and the folded markers drop, so a
+    * long-lived admission loop's ledger (and every probe's epoch `isin`)
+    * stops growing O(#batches). Probe-visible rows are unchanged by
+    * construction (fold merges only already-visible epochs); q254 pins
+    * that with the admission oracle across a fold + further admissions.
+    */
+  def foldRollingAdmissions(s: org.apache.spark.sql.SparkSession,
+                            tableBase: String, lowWater: Long,
+                            numBuckets: Int = 32): Option[Long] =
+    graft.sources.IndexCommits.foldCommitted(s, tableBase, lowWater) { (f, t) =>
+      graft.sources.Sinks.compactBucketedTableFolding(s,
+        s"${tableBase}_exact", tableBase, f, t)
+      graft.sources.Sinks.rewritePlainTable(s, s"${tableBase}_admitted", df =>
+        df.filter(graft.sources.IndexCommits.committedFilter(s, tableBase))
+          .withColumn("epoch",
+            graft.sources.IndexCommits.foldEpochColumn(f, t)))
+    }
+
   /** Reopen a rolling-admission result table at its COMMITTED state —
     * the view [[admitRollingExact]] returns, reconstructable in a later
     * session (or after a crash: uncommitted batches invisible).

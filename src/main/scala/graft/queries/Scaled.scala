@@ -513,6 +513,37 @@ object Scaled {
     * batch-split-independent SQL statement, hash-checked. Rebuilt
     * deterministically on every call (no fixture state to go stale).
     */
+  /** q254: the rolling admission ACROSS an epoch-ledger fold (round 17,
+    * verdict ask #4 made query-surface) — three batches admit, the whole
+    * committed ledger folds into its base epoch
+    * (Dedup.foldRollingAdmissions: index compacted + orphan-GC'd, result
+    * table rewritten through the committed remap, folded markers
+    * dropped, allocation high-water recorded), then a FOURTH batch
+    * admits into the folded lifecycle. The final probe must equal the
+    * never-folded admission of the same four batches — q157's
+    * batch-split-independent oracle verbatim is exactly that statement,
+    * so the hash gate IS the fold's probe-equality proof, on top of
+    * IndexCommitsSpec's row-set/ledger invariants.
+    */
+  def q254AdmitFold(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val isNew = col("source").isin(Curation.NewBatchSources: _*)
+    val news = docs.filter(isNew).select("doc_id", "text")
+    val mx = news.agg(max("doc_id")).head().getLong(0)
+    val q = mx / 4
+    val batches = (0 until 4).map(i =>
+      news.filter(
+        (if (i == 0) lit(true) else col("doc_id") > i * q) &&
+        (if (i == 3) lit(true) else col("doc_id") <= (i + 1) * q)))
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val base = s"graft_rollfold_$tag"
+    graft.operators.Dedup.admitRollingExact(
+      docs.filter(!isNew), batches.take(3), base)
+    graft.operators.Dedup.foldRollingAdmissions(s, base, Long.MaxValue)
+    graft.operators.Dedup.admitRollingMore(Seq(batches(3)), base)
+  }
+
   def q157AdmitRolling(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
     val isNew = col("source").isin(Curation.NewBatchSources: _*)
@@ -698,6 +729,7 @@ object Scaled {
     "q155_ann_ivf_append"       -> (q155AnnIvfAppend _),
     "q156_ann_ivf_compact"      -> (q156AnnIvfCompact _),
     "q157_admit_rolling"        -> (q157AdmitRolling _),
+    "q254_admit_fold"           -> (q254AdmitFold _),
     "q105_lsh_recall_banded"    -> (q105LshRecallBanded _),
     "q106_source_overlap"       -> (q106SourceOverlap _),
     "q96_admit_map_free"        -> (q96AdmitMapFree _),
@@ -868,6 +900,21 @@ object Scaled {
     "q156_ann_ivf_compact"       -> Extensions.oracles("q28_ann_ivf"),
     // rolling admission over ascending doc_id batches == "first new doc
     // per fingerprint unseen in the corpus" — batch-split independent
+    // q254 declares q157's oracle VERBATIM: the rolling result is
+    // batch-split-independent, and a ledger fold must not change the
+    // probe — so "same SQL, hash-equal" is the fold-equality proof
+    "q254_admit_fold" -> {
+      val inList = Curation.NewBatchSources.map(x => s"'$x'").mkString(", ")
+      s"""WITH corpus AS (
+         |  SELECT DISTINCT md5(text) AS xfp FROM documents
+         |  WHERE text IS NOT NULL AND source NOT IN ($inList)),
+         |news AS (
+         |  SELECT doc_id, md5(text) AS xfp FROM documents
+         |  WHERE text IS NOT NULL AND source IN ($inList)),
+         |firsts AS (SELECT xfp, MIN(doc_id) AS doc_id FROM news GROUP BY xfp)
+         |SELECT f.doc_id, f.xfp FROM firsts f
+         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.xfp = f.xfp)""".stripMargin
+    },
     "q157_admit_rolling" -> {
       val inList = Curation.NewBatchSources.map(x => s"'$x'").mkString(", ")
       s"""WITH corpus AS (

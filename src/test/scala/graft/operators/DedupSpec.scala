@@ -546,6 +546,66 @@ class DedupSpec extends SparkSpecBase {
       s"same-label cells count must equal the membership join: $newFound vs $oldFound")
   }
 
+  test("rolling-admission fold: probe invariant through every crash window, ledger bounded") {
+    import graft.sources.{IndexCommits, Sinks}
+    val base = s"graft_rollfold_spec_${System.identityHashCode(this)}"
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"${base}_commits")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    IndexCommits.invalidate(spark, base)
+    Seq(s"${base}_exact", s"${base}_admitted").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      Sinks.reclaimOrphanTableLocation(spark, t)
+    }
+    val corpus = docsDF(Seq((1L, "seen text one", "en", "s0"),
+      (2L, "seen text two", "en", "s0")))
+    val batches = Seq(
+      docsDF(Seq((10L, "fresh a", "en", "s0"), (11L, "seen text one", "en", "s0"))),
+      docsDF(Seq((20L, "fresh b", "en", "s0"), (21L, "fresh a", "en", "s0"))),
+      docsDF(Seq((30L, "fresh c", "en", "s0")))).map(_.select("doc_id", "text"))
+    def probe() = Dedup.loadAdmitted(spark, base).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    Dedup.admitRollingExact(corpus, batches, base).count()
+    val before = probe()
+    assert(before.map(_._1) == Set(10L, 20L, 30L),
+      "rolling screen must admit first-new fingerprints only")
+    // crash window: index rewritten+folded, result table NOT yet — the
+    // ledger must keep its markers and the probe must read identically
+    val boom = intercept[RuntimeException] {
+      IndexCommits.foldCommitted(spark, base, Long.MaxValue) { (f, t) =>
+        Sinks.compactBucketedTableFolding(spark, s"${base}_exact", base, f, t)
+        throw new RuntimeException("crash between table rewrites")
+      }
+    }
+    assert(boom.getMessage.contains("crash between"))
+    assert(probe() == before,
+      "a fold crash after a PREFIX of the table rewrites must not change the probe")
+    assert(IndexCommits.committed(spark, base).size == 4,
+      "markers must survive a crashed fold (rewrite-before-ledger ordering)")
+    // retry completes; probe unchanged; ledger folded to one marker
+    val tgt = Dedup.foldRollingAdmissions(spark, base, Long.MaxValue)
+    assert(tgt.isDefined)
+    assert(probe() == before, "a completed fold must not change the probe")
+    assert(IndexCommits.committed(spark, base) == Seq(tgt.get))
+    // the lifecycle continues: a post-fold batch screens against the
+    // folded index and allocates above the recorded high-water
+    val e = IndexCommits.begin(spark, base)
+    assert(e >= 4, s"post-fold epoch $e must clear the folded allocations")
+    fs.delete(new org.apache.hadoop.fs.Path(dir, s"v$e"), true)
+    IndexCommits.invalidate(spark, base)
+    Dedup.admitRollingMore(Seq(
+      docsDF(Seq((40L, "fresh d", "en", "s0"), (41L, "fresh b", "en", "s0")))
+        .select("doc_id", "text")), base).count()
+    assert(probe().map(_._1) == Set(10L, 20L, 30L, 40L),
+      "post-fold admission must add exactly the new fingerprint's first doc " +
+        "(41 duplicates 20's admitted text and must screen out)")
+    Seq(s"${base}_exact", s"${base}_admitted").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    fs.delete(dir, true)
+    IndexCommits.invalidate(spark, base)
+  }
+
   test("forestEdges contracts pairs in place with identical components") {
     def labelSet(edges: org.apache.spark.sql.DataFrame) =
       Dedup.contractedComponents(edges, stitch = "star")
