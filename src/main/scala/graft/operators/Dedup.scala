@@ -160,15 +160,50 @@ object Dedup {
                          maxBlockSize: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    // empty/null token sets can never reach a positive threshold in the
-    // full walk (jaccard is 0 or NULL there) — drop them BEFORE identity
-    // grouping, or empty docs would wrongly star-edge each other at "1.0".
-    // NULL block keys likewise: the full walk's equi-join never matches a
-    // NULL lang/source, so such docs pair with NOTHING there — but a
-    // window partition groups NULLs together and would star-edge them
-    // (round-16 review catch). Identity grouping keys on xxhash64 of the
-    // set — exact up to the repo-wide 2⁻⁶⁴ hash-set contract (the same
-    // odds the shingle hashing itself accepts), not LSH-probabilistic.
+    blockIdentityForest(docs, maxBlockSize, "graft_q24_block_cap",
+      starKernelCols = Seq(lit(1.0).as("jaccard"))) { (a, b) =>
+      a.join(b, Seq("lang", "source"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .withColumn("ic", graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("tset_a"), col("tset_b")))
+        .withColumn("jaccard", col("ic").cast("double") /
+          (size(col("tset_a")) + size(col("tset_b")) - col("ic")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"),
+          (col("gsz_a") * col("gsz_b")).as("n_pairs"))
+    }
+  }
+
+  /** The block-local identity-group forest scaffold shared by
+    * [[jaccardPairsForest]] and [[containmentPairsForest]] (round-17
+    * review — the round-16 null-key and capped-star fixes each had to
+    * land per copy; now they live once):
+    *
+    *  - empty/null token sets can never reach a positive threshold in a
+    *    full walk (the similarity divides to 0 or NULL) — dropped BEFORE
+    *    identity grouping, or empty docs would wrongly star-edge each
+    *    other; NULL block keys likewise (the full walks' equi-joins never
+    *    match NULL lang/source, but a window partition groups NULLs
+    *    together — round-16 review catch);
+    *  - identity grouping keys on xxhash64 of the set — exact up to the
+    *    repo-wide 2⁻⁶⁴ hash-set contract, not LSH-probabilistic;
+    *  - `maxBlockSize` caps in REPRESENTATIVES, and under a cap star
+    *    edges are emitted only for SURVIVING groups (the pre-cap ranked
+    *    frame would hand a capped-out block its identity-group edges and
+    *    n_pairs mass — round-16 advice);
+    *  - the r-th member's star edge carries its r−1 within-group pairs,
+    *    so sum(n_pairs) over star + rep edges is the full walk's count.
+    *
+    * `repEdges(a, b)` is the kernel-specific rep² walk: it receives the
+    * (lang, source, doc_id_a/b, tset_a/b, gsz_a/b) projections and must
+    * return (doc_id_a, doc_id_b, <kernel cols>, n_pairs);
+    * `starKernelCols` are the same kernel columns at their within-group
+    * constant (similarity exactly 1).
+    */
+  private def blockIdentityForest(docs: DataFrame, maxBlockSize: Int,
+                                  capMetric: String,
+                                  starKernelCols: Seq[Column])(
+      repEdges: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val withSets = docs.select(
         col("doc_id"), col("lang"), col("source"),
         graft.functions.WordGramHashes.wordGramHashes(col("text"), 1).as("tset"))
@@ -185,35 +220,24 @@ object Dedup {
       .select(col("lang"), col("source"), col("doc_id"), col("tset"), col("gsz"))
     val reps =
       if (maxBlockSize == Int.MaxValue) reps0
-      else capGroups(reps0, Seq("lang", "source"), maxBlockSize,
-        "graft_q24_block_cap")
+      else capGroups(reps0, Seq("lang", "source"), maxBlockSize, capMetric)
     val a = reps.select(col("lang"), col("source"),
       col("doc_id").as("doc_id_a"), col("tset").as("tset_a"), col("gsz").as("gsz_a"))
     val b = reps.select(col("lang"), col("source"),
       col("doc_id").as("doc_id_b"), col("tset").as("tset_b"), col("gsz").as("gsz_b"))
-    val repEdges = a.join(b, Seq("lang", "source"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .withColumn("ic", graft.functions.SortedIntersectCount
-        .sortedIntersectCount(col("tset_a"), col("tset_b")))
-      .withColumn("jaccard", col("ic").cast("double") /
-        (size(col("tset_a")) + size(col("tset_b")) - col("ic")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"),
-        (col("gsz_a") * col("gsz_b")).as("n_pairs"))
+    val edges = repEdges(a, b)
     val star0 = ranked.filter(col("r") >= 2)
       .select(col("lang"), col("source"), col("rep"),
         col("doc_id").as("doc_id_b"), (col("r") - 1).cast("long").as("n_pairs"))
-    // under a cap, star edges must come from SURVIVING groups only — the
-    // pre-cap `ranked` would otherwise hand a capped-out block its
-    // identity-group edges and n_pairs mass (round-16 advice)
     val starKept =
       if (maxBlockSize == Int.MaxValue) star0
       else star0.join(
         reps.select(col("lang"), col("source"), col("doc_id").as("rep")),
         Seq("lang", "source", "rep"), "left_semi")
-    val star = starKept.select(col("rep").as("doc_id_a"), col("doc_id_b"),
-      lit(1.0).as("jaccard"), col("n_pairs"))
-    repEdges.unionByName(star)
+    val star = starKept.select(
+      Seq(col("rep").as("doc_id_a"), col("doc_id_b")) ++
+        starKernelCols :+ col("n_pairs"): _*)
+    edges.unionByName(star)
   }
 
   /** Asymmetric near-dup: CONTAINMENT |A∩B|/|A| catches what Jaccard
@@ -281,53 +305,20 @@ object Dedup {
                                      maxBlockSize: Int): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"forest mode needs threshold in (0, 1] (within-group containment is 1), got $threshold")
-    // empty sets divide to NULL containment in the full walk (never >=
-    // threshold) and NULL block keys never equi-join — both must be
-    // excluded BEFORE identity grouping, exactly as in jaccardPairsForest
-    val withSets = docs.select(
-        col("doc_id"), col("lang"), col("source"),
-        graft.functions.WordGramHashes.wordGramHashes(col("text"), 1).as("tset"))
-      .filter(col("tset").isNotNull && size(col("tset")) > 0 &&
-        col("lang").isNotNull && col("source").isNotNull)
-      .withColumn("k", xxhash64(col("tset")))
-    val wg = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang", "source", "k")
-    val ranked = withSets
-      .withColumn("r", row_number().over(wg.orderBy("doc_id")))
-      .withColumn("rep", min("doc_id").over(wg))
-      .withColumn("gsz", count(lit(1)).over(wg))
-    val reps0 = ranked.filter(col("r") === 1)
-      .select(col("lang"), col("source"), col("doc_id"), col("tset"), col("gsz"))
-    val reps =
-      if (maxBlockSize == Int.MaxValue) reps0
-      else capGroups(reps0, Seq("lang", "source"), maxBlockSize,
-        "graft_q107_block_cap")
-    val a = reps.select(col("lang"), col("source"),
-      col("doc_id").as("doc_id_a"), col("tset").as("tset_a"), col("gsz").as("gsz_a"))
-    val b = reps.select(col("lang"), col("source"),
-      col("doc_id").as("doc_id_b"), col("tset").as("tset_b"), col("gsz").as("gsz_b"))
-    val repEdges = a.join(b, Seq("lang", "source"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .withColumn("ic", graft.functions.SortedIntersectCount
-        .sortedIntersectCount(col("tset_a"), col("tset_b")))
-      .withColumn("containment_a", col("ic").cast("double") / size(col("tset_a")))
-      .withColumn("containment_b", col("ic").cast("double") / size(col("tset_b")))
-      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
-      .select(col("doc_id_a"), col("doc_id_b"),
-        col("containment_a"), col("containment_b"),
-        (col("gsz_a") * col("gsz_b")).as("n_pairs"))
-    val star0 = ranked.filter(col("r") >= 2)
-      .select(col("lang"), col("source"), col("rep"),
-        col("doc_id").as("doc_id_b"), (col("r") - 1).cast("long").as("n_pairs"))
-    val starKept =
-      if (maxBlockSize == Int.MaxValue) star0
-      else star0.join(
-        reps.select(col("lang"), col("source"), col("doc_id").as("rep")),
-        Seq("lang", "source", "rep"), "left_semi")
-    val star = starKept.select(col("rep").as("doc_id_a"), col("doc_id_b"),
-      lit(1.0).as("containment_a"), lit(1.0).as("containment_b"),
-      col("n_pairs"))
-    repEdges.unionByName(star)
+    blockIdentityForest(docs, maxBlockSize, "graft_q107_block_cap",
+      starKernelCols = Seq(lit(1.0).as("containment_a"),
+        lit(1.0).as("containment_b"))) { (a, b) =>
+      a.join(b, Seq("lang", "source"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .withColumn("ic", graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("tset_a"), col("tset_b")))
+        .withColumn("containment_a", col("ic").cast("double") / size(col("tset_a")))
+        .withColumn("containment_b", col("ic").cast("double") / size(col("tset_b")))
+        .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+        .select(col("doc_id_a"), col("doc_id_b"),
+          col("containment_a"), col("containment_b"),
+          (col("gsz_a") * col("gsz_b")).as("n_pairs"))
+    }
   }
 
   /** EXACT all-pairs Jaccard join without the all-pairs: prefix filtering
@@ -1351,28 +1342,42 @@ object Dedup {
     * under 1 % — and fpp only costs pre-screen efficiency, never
     * correctness.
     */
+  /** Serialized Bloom sketch of a LONG column — built distributed
+    * (treeAggregate), lands on the driver as a numBits/8-byte array: the
+    * bounded-matrix contract (k-means centroids pattern), embedded as the
+    * constant BloomFilterMightContain requires. Same serialized format as
+    * BloomFilterAggregate's. Shared by [[decontaminateBloom]] and the
+    * streaming decontamination screen (WebIngest.decontamBloomFold) so
+    * the sizing rule and the bridge construction live once.
+    */
+  private[graft] def bloomBytesOf(df: DataFrame, colName: String,
+                                  numBits: Long): Array[Byte] = {
+    val bf = df.stat.bloomFilter(colName, math.max(1L, numBits / 16), numBits)
+    val baos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(baos)
+    baos.toByteArray
+  }
+
+  /** The probe side of [[bloomBytesOf]]: might_contain(sketch, v). */
+  private[graft] def bloomMightContain(bloomBytes: Array[Byte],
+                                       v: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes),
+        GraftColumnBridge.expression(v)))
+  }
+
   def decontaminateBloom(docs: DataFrame, evalSource: String,
                          shingleSize: Int, minShared: Long,
                          numBits: Long = 1L << 23): DataFrame = {
-    import org.apache.spark.sql.GraftColumnBridge
     val sh = graft.functions.WordGramHashes.wordGramHashes(col("text"), shingleSize)
     val evalSh = docs.filter(col("source") === evalSource)
       .select(explode(sh).as("h")).distinct()
-    // built distributed (treeAggregate), lands on the driver as a
-    // numBits/8-byte sketch — the bounded-matrix contract (k-means
-    // centroids pattern), embedded as the constant BloomFilterMightContain
-    // requires. Same serialized format as BloomFilterAggregate's.
-    val bf = evalSh.stat.bloomFilter("h", math.max(1L, numBits / 16), numBits)
-    val baos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(baos)
-    def mightContain(bloomBytes: Array[Byte], v: Column): Column =
-      GraftColumnBridge.column(
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes),
-          GraftColumnBridge.expression(v)))
+    val bytes = bloomBytesOf(evalSh, "h", numBits)
     docs.filter(col("source") =!= evalSource)
       .select(col("doc_id"), explode(sh).as("h"))
-      .filter(mightContain(baos.toByteArray, col("h")))
+      .filter(bloomMightContain(bytes, col("h")))
       .join(broadcast(evalSh), Seq("h")) // exact verify: kills false positives
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
@@ -1595,8 +1600,7 @@ object Dedup {
     * that with the admission oracle across a fold + further admissions.
     */
   def foldRollingAdmissions(s: org.apache.spark.sql.SparkSession,
-                            tableBase: String, lowWater: Long,
-                            numBuckets: Int = 32): Option[Long] =
+                            tableBase: String, lowWater: Long): Option[Long] =
     graft.sources.IndexCommits.foldCommitted(s, tableBase, lowWater) { (f, t) =>
       graft.sources.Sinks.compactBucketedTableFolding(s,
         s"${tableBase}_exact", tableBase, f, t)
@@ -1611,10 +1615,14 @@ object Dedup {
     * session (or after a crash: uncommitted batches invisible).
     */
   def loadAdmitted(s: org.apache.spark.sql.SparkSession,
-                   tableBase: String): DataFrame =
+                   tableBase: String): DataFrame = {
+    // a fold crashed inside the drop→rename swap leaves the table absent
+    // with the replacement staged — finish the swap before probing
+    graft.sources.Sinks.recoverTableSwap(s, s"${tableBase}_admitted")
     s.table(s"${tableBase}_admitted")
       .filter(graft.sources.IndexCommits.committedFilter(s, tableBase))
       .drop("epoch")
+  }
 
   /** Reopen a rolling-split result table at its COMMITTED state — the
     * view [[splitRollingMinhash]] returns.

@@ -62,10 +62,17 @@ object IndexCommits {
 
   /** Committed-epoch cache, keyed by the ledger directory's full path
     * (warehouse-qualified, so sessions sharing a warehouse share the
-    * entry — they also share the disk state it mirrors).
+    * entry — they also share the disk state it mirrors). Entries expire
+    * after [[CacheTtlMs]]: in-process mutations invalidate synchronously
+    * (exact freshness for the single-writer JVM), while a long-lived
+    * READER process watching a warehouse another JVM admits into sees a
+    * new commit within the TTL instead of never (round-17 review — the
+    * unbounded cache was only coherent for the writer itself). One
+    * directory listing per ledger per TTL window is the steady cost.
     */
+  private val CacheTtlMs = 10000L
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[Long])]()
 
   private def dirPath(s: SparkSession, base: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
@@ -158,18 +165,21 @@ object IndexCommits {
     cache.remove(dir.toString)
   }
 
-  /** Committed epochs, sorted — served from the per-ledger cache;
-    * the miss path is one driver-side directory listing.
+  /** Committed epochs, sorted — served from the per-ledger cache (TTL
+    * [[CacheTtlMs]]); the miss path is one driver-side directory listing.
     */
   def committed(s: SparkSession, base: String): Seq[Long] = {
     val dir = dirPath(s, base)
-    cache.computeIfAbsent(dir.toString, _ => {
-      val fs = fsOf(s, dir)
-      markerEpochs(fs, dir)
-        .filter(e => fs.exists(
-          new org.apache.hadoop.fs.Path(dir, s"v$e/_SUCCESS")))
-        .sorted
-    })
+    val now = System.currentTimeMillis()
+    cache.compute(dir.toString, (_, prev) =>
+      if (prev != null && now - prev._1 < CacheTtlMs) prev
+      else {
+        val fs = fsOf(s, dir)
+        (now, markerEpochs(fs, dir)
+          .filter(e => fs.exists(
+            new org.apache.hadoop.fs.Path(dir, s"v$e/_SUCCESS")))
+          .sorted)
+      })._2
   }
 
   /** Fold every committed epoch at or below `lowWater` into the OLDEST
@@ -181,7 +191,12 @@ object IndexCommits {
     * crash after any prefix of the rewrites leaves the visible row set
     * unchanged: a remapped table serves its rows under `target`
     * (committed), an unrewritten one under the old epochs (markers still
-    * committed), and probes read the identical union either way. Only
+    * committed), and probes read the identical union either way. One
+    * caveat inside a rewrite itself: the staging swap's drop→rename pair
+    * is two catalog ops, and a crash between them leaves that table
+    * ABSENT with the replacement staged — recoverable, not silent
+    * (Sinks.recoverTableSwap; rewrites and lifecycle load entry points
+    * run it first, so a retry self-heals). Only
     * after every rewrite returns does the ledger durably record the
     * allocation high-water and drop the folded markers (write-then-
     * delete — a crash between leaves extra committed markers matching no

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Expectations, TextIndex}
@@ -135,13 +135,22 @@ object WebIngest {
     val (cleanPass, contamReject) = decontam match {
       case None => (qualityPass, None)
       case Some(d) =>
+        // the eval side is STATIC even under a streaming ingest, so it is
+        // persisted up front: the cardinality count (shape decision), the
+        // Bloom build, and the stream-static join side all read the same
+        // computed frame instead of re-running the explode+distinct — on
+        // a stream the join side is re-read EVERY micro-batch, so an
+        // uncached eval corpus would re-shuffle per batch indefinitely
+        // (round-17 review). Batch paths release it with the other staged
+        // frames; for a long-lived stream the cached eval hash set is the
+        // intended steady state.
         val evalSh = d.evalTexts
           .select(explode(graft.functions.WordGramHashes
             .wordGramHashes(col("text"), d.shingleSize)).as("h"))
           .distinct()
-        // shape decision: the eval side is STATIC, so its cardinality is
-        // knowable up front (one count job at plan-build time, batch and
-        // stream alike) — small sets take the zero-shuffle literal, big
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (!pages.isStreaming) staged += evalSh
+        // shape decision: small sets take the zero-shuffle literal, big
         // sets the fixed-size Bloom + exact join (the decontaminateBloom
         // posture; never a plan literal that grows with the eval corpus)
         val marked = stage(
@@ -274,23 +283,15 @@ object WebIngest {
                                            numBits: Long): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.GraftColumnBridge
-    val bf = evalSh.stat.bloomFilter("h", math.max(1L, numBits / 16), numBits)
-    val baos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(baos)
-    val bloomBytes = baos.toByteArray
-    def mightContain(v: Column): Column =
-      GraftColumnBridge.column(
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes),
-          GraftColumnBridge.expression(v)))
+    val bloomBytes = Dedup.bloomBytesOf(evalSh, "h", numBits)
     val sh = graft.functions.WordGramHashes
       .wordGramHashes(col("text"), shingleSize)
     val ev = evalSh.select(col("h").as("__eh"), lit(true).as("__m"))
     val rows = docs
       .select(col("doc_id"), col("text"),
         coalesce(size(sh), lit(0)).cast("long").as("__n"),
-        explode_outer(filter(sh, h => mightContain(h))).as("__h"))
+        explode_outer(filter(sh, h => Dedup.bloomMightContain(bloomBytes, h)))
+          .as("__h"))
       .join(ev.hint("shuffle_hash"), col("__h") === col("__eh"), "left")
       .select(col("doc_id"), col("text"), col("__n"),
         coalesce(col("__m"), lit(false)).as("__m"))

@@ -196,4 +196,32 @@ class BucketedSinksSpec extends SparkSpecBase {
     assert(checksum(zPath) == checksum(sPath))
   }
 
+  test("recoverTableSwap completes an interrupted drop-rename; rewrites self-heal") {
+    import spark.implicits._
+    val t = s"graft_swap_spec_${System.identityHashCode(this)}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_staging")
+    Seq(s"$t", s"${t}_compact_staging").foreach(
+      Sinks.reclaimOrphanTableLocation(spark, _))
+    // the crash state: replacement fully staged, main table dropped
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.format("parquet").saveAsTable(s"${t}_compact_staging")
+    assert(!spark.catalog.tableExists(t))
+    Sinks.recoverTableSwap(spark, t)
+    assert(spark.catalog.tableExists(t) &&
+      !spark.catalog.tableExists(s"${t}_compact_staging"))
+    assert(spark.table(t).count() == 2)
+    // a rewrite issued against the crash state also self-heals first
+    Seq((3L, "c")).toDF("id", "v")
+      .write.format("parquet").saveAsTable(s"${t}_compact_staging")
+    spark.sql(s"DROP TABLE $t")
+    Sinks.rewritePlainTable(spark, t, df => df.filter(col("id") =!= 3L))
+    assert(spark.table(t).collect().map(_.getLong(0)).toSet == Set.empty[Long],
+      "rewrite must operate on the RECOVERED table's rows")
+    // no-op when the main table exists
+    Sinks.recoverTableSwap(spark, t)
+    assert(spark.catalog.tableExists(t))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
 }

@@ -30,7 +30,8 @@ for q, t1 in sorted(sf1["queries"].items()):
         rows.append((q, t0, t1, (t1 / t0) if t0 >= FLOOR else None))
 
 flagged = [r for r in rows if r[3] is not None and r[3] > FLAG]
-small = [r for r in rows if r[3] is None and r[1] is not None and 0 <= r[1] < FLOOR]
+small = [r for r in rows if r[3] is None and r[2] >= 0
+         and r[1] is not None and 0 <= r[1] < FLOOR]
 failed = sf1.get("failed", [])
 
 with open(out, "w") as f:
@@ -53,7 +54,8 @@ with open(out, "w") as f:
     for q, t0, t1, r in sorted(rows, key=lambda x: -(x[3] or 0)):
         rs = f"{r:.1f}x" if r is not None else "-"
         t0s = f"{t0:.2f}" if t0 is not None and t0 >= 0 else "-"
-        f.write(f"| {q} | {t0s} | {t1:.2f} | {rs} |\n")
+        t1s = f"{t1:.2f}" if t1 >= 0 else "FAILED"
+        f.write(f"| {q} | {t0s} | {t1s} | {rs} |\n")
 
 print(f"wrote {out}: {len(flagged)} flagged, {len(small)} ratio-exempt (tiny), "
       f"{len(failed)} failed")
