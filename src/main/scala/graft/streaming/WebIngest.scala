@@ -141,15 +141,18 @@ object WebIngest {
         // computed frame instead of re-running the explode+distinct — on
         // a stream the join side is re-read EVERY micro-batch, so an
         // uncached eval corpus would re-shuffle per batch indefinitely
-        // (round-17 review). Batch paths release it with the other staged
-        // frames; for a long-lived stream the cached eval hash set is the
-        // intended steady state.
+        // (round-17 review). Lifetime by route: the literal shape
+        // consumes the frame at BUILD time only (count + collect) and
+        // releases it immediately; the batch Bloom shape releases with
+        // the other staged frames; a STREAMING Bloom shape keeps it
+        // cached for the stream's lifetime — that cache IS the static
+        // join side's intended steady state (callers stopping the stream
+        // in a shared session reclaim it with a cache clear).
         val evalSh = d.evalTexts
           .select(explode(graft.functions.WordGramHashes
             .wordGramHashes(col("text"), d.shingleSize)).as("h"))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (!pages.isStreaming) staged += evalSh
         // shape decision: small sets take the zero-shuffle literal, big
         // sets the fixed-size Bloom + exact join (the decontaminateBloom
         // posture; never a plan literal that grows with the eval corpus)
@@ -157,6 +160,7 @@ object WebIngest {
           if (evalSh.count() <= d.maxLiteralShingles) {
             val evalArr: Array[Long] =
               evalSh.orderBy("h").collect().map(_.getLong(0))
+            evalSh.unpersist(blocking = false) // fully consumed at build
             val sh = graft.functions.WordGramHashes
               .wordGramHashes(col("text"), d.shingleSize)
             qualityPass
@@ -168,8 +172,11 @@ object WebIngest {
                 col("__n_grams") > 0 &&
                   col("__n_shared") * lit(1000000L) >=
                     lit(d.minSharedPpm) * col("__n_grams"))
-          } else decontamBloomFold(qualityPass, evalSh, d.shingleSize,
-            d.minSharedPpm, d.bloomNumBits))
+          } else {
+            if (!pages.isStreaming) staged += evalSh
+            decontamBloomFold(qualityPass, evalSh, d.shingleSize,
+              d.minSharedPpm, d.bloomNumBits)
+          })
         (marked.filter(!col("__contam")).select("doc_id", "text"),
           Some(rejected(marked.filter(col("__contam")), "reject_contaminated")))
     }

@@ -217,7 +217,13 @@ class WebIngestSpec extends SparkSpecBase {
       input.addData(b.toSeq); q.processAllAvailable()
       assert(canon(spark.table("web_ingest_bloom")) == viaBloom,
         "MemoryStream Bloom-shape ingest diverged from the batch run")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the streaming Bloom shape caches the static eval side for the
+      // stream's lifetime (its documented steady state) — reclaim it so
+      // the shared test session's cache-emptiness checks stay meaningful
+      spark.sharedState.cacheManager.clearCache()
+    }
   }
 
   test("composed ingest keeps the no-broadcast contract") {
